@@ -1,38 +1,643 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship merge-all routing query at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2, one callable
+``(spark, sf_dir) -> DataFrame`` each.
+``oracle_sql()`` — DuckDB twin per query (same column names; deterministic
+values — see kafka_merge_purge_spark/functions/stable.py for why sums go
+through DECIMAL).
+
+Implementation lives in ``kafka_merge_purge_spark``; this module only
+wires queries to the driver's correctness gate.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.functions.stable import davg, dsum
+from kafka_merge_purge_spark.model import RECORDS_ORACLE_SQL, load_records
+from kafka_merge_purge_spark.operators import routing
+from kafka_merge_purge_spark.operators import dedup as dd
+from kafka_merge_purge_spark.operators import similarity as sim
+from kafka_merge_purge_spark.operators import text as tx
+from kafka_merge_purge_spark.operators.sessionize import session_stats
+
+SF0001 = "/root/testdata/sf0.001"
+
+#: records CTE prefix shared by every reference-semantics oracle
+_RECORDS_CTE = f"WITH records AS ({RECORDS_ORACLE_SQL})"
+
+
+from kafka_merge_purge_spark.sources.batch import load_table as _t  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: merge-all routing (R6) — one scan, two output legs."""
+    return routing.merge_all(load_records(spark, SF0001), dest_topic="events-merged")
+
+
+# ---------------------------------------------------------------------------
+# reference-semantics queries (events → canonical records)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_events(spark, sf_dir):
+    """R1 topic scan: bounded read of the record stream."""
+    return load_records(spark, sf_dir).drop("timestamp")
+
+
+def q_filter_tombstones(spark, sf_dir):
+    """R4 tombstone filter (value IS NULL dropped)."""
+    return routing.filter_tombstones(load_records(spark, sf_dir)).drop("timestamp")
+
+
+def q_purge_all(spark, sf_dir):
+    """R5/R7 purge projection: partition-preserving tombstones."""
+    return routing.purge_all(load_records(spark, sf_dir))
+
+
+def q_merge_all(spark, sf_dir):
+    """R6 merge-all: merge leg to dest + purge leg to source."""
+    return routing.merge_all(load_records(spark, sf_dir), "events-merged")
+
+
+def q_ask_rules(spark, sf_dir):
+    """R8 rule-based 3-way router decisions (MERGE|PURGE|SKIP)."""
+    events = _t(spark, sf_dir, "events")
+    from kafka_merge_purge_spark.model import records_from_events
+
+    records = records_from_events(
+        events.withColumn("evalue", F.col("value")), extra_cols=("event_type", "evalue")
+    )
+    rule = (
+        F.when(F.col("event_type") == "error", F.lit("MERGE"))
+        .when((F.col("event_type") == "click") & (F.col("evalue") < 10.0), F.lit("PURGE"))
+        .otherwise(F.lit("SKIP"))
+    )
+    return routing.ask_decisions(records, rule).select("offset", "key", "event_type", "action")
+
+
+def q_action_counts(spark, sf_dir):
+    """R11 running counters over the routing decisions."""
+    decided = q_ask_rules(spark, sf_dir)
+    return routing.action_counts(decided)
+
+
+def q_compaction(spark, sf_dir):
+    """Log-compaction: last live record per non-null key."""
+    return routing.compaction(load_records(spark, sf_dir)).drop("timestamp")
+
+
+def q_decode_props(spark, sf_dir):
+    """R2 schema-on-read decode: JSON payload → typed column (raw kept)."""
+    records = routing.filter_tombstones(load_records(spark, sf_dir))
+    return records.select(
+        "offset",
+        "value",
+        F.from_json("value", "k INT").getField("k").alias("k_val"),
+    )
+
+
+def q_print_format(spark, sf_dir):
+    """R10 console-sink rendering (ConsumerRecord.kt:5-11 format)."""
+    return routing.print_format(load_records(spark, sf_dir))
+
+
+_ASK_ORACLE = f"""
+{_RECORDS_CTE},
+decided AS (
+    SELECT r."offset", r."key", e.event_type,
+           CASE WHEN e.event_type = 'error' THEN 'MERGE'
+                WHEN e.event_type = 'click' AND e.value < 10.0 THEN 'PURGE'
+                ELSE 'SKIP' END AS action
+    FROM records r JOIN events e ON r."offset" = e.event_id
+    WHERE r."value" IS NOT NULL
+)
+"""
+
+_REF_ORACLES = {
+    "q_scan_events": f"""{_RECORDS_CTE}
+        SELECT topic, "partition", "offset", "key", "value" FROM records""",
+    "q_filter_tombstones": f"""{_RECORDS_CTE}
+        SELECT topic, "partition", "offset", "key", "value" FROM records
+        WHERE "value" IS NOT NULL""",
+    "q_purge_all": f"""{_RECORDS_CTE}
+        SELECT topic, "partition", "offset" AS src_offset, "key",
+               CAST(NULL AS VARCHAR) AS "value"
+        FROM records WHERE "value" IS NOT NULL""",
+    "q_merge_all": f"""{_RECORDS_CTE}
+        SELECT 'events-merged' AS topic, CAST(NULL AS INTEGER) AS "partition",
+               "offset" AS src_offset, "key", "value", 'merge' AS leg
+        FROM records WHERE "value" IS NOT NULL
+        UNION ALL
+        SELECT topic, "partition", "offset" AS src_offset, "key",
+               CAST(NULL AS VARCHAR) AS "value", 'purge' AS leg
+        FROM records WHERE "value" IS NOT NULL""",
+    "q_ask_rules": f'{_ASK_ORACLE} SELECT "offset", "key", event_type, action FROM decided',
+    "q_action_counts": f"{_ASK_ORACLE} SELECT action, count(*) AS n FROM decided GROUP BY action",
+    "q_compaction": f"""{_RECORDS_CTE}
+        SELECT topic, "partition", "offset", "key", "value" FROM (
+            SELECT *, row_number() OVER (PARTITION BY "key" ORDER BY "offset" DESC) AS rn
+            FROM records WHERE "key" IS NOT NULL
+        ) WHERE rn = 1 AND "value" IS NOT NULL""",
+    "q_decode_props": f"""{_RECORDS_CTE}
+        SELECT "offset", "value",
+               CAST(json_extract_string("value", '$.k') AS INTEGER) AS k_val
+        FROM records WHERE "value" IS NOT NULL""",
+    "q_print_format": f"""{_RECORDS_CTE}
+        SELECT topic, "partition", "offset",
+               concat('Key:', chr(10), coalesce("key", '<null>'), chr(10),
+                      'Value:', chr(10), coalesce("value", '<tombstone>')) AS rendered
+        FROM records""",
+}
+
+
+# ---------------------------------------------------------------------------
+# relational surface (EXT — SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_proj_arith(spark, sf_dir):
+    """Projection + arithmetic expressions (elementwise, hash-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net"),
+        (net * (F.lit(1.0) + F.col("l_tax"))).alias("gross"),
+    )
+
+
+def q_join_orders_customer(spark, sf_dir):
+    """Equi-join chain with broadcast dimensions (orders⋈customer⋈nation⋈region)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name", "r_name")
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Left-anti: customers with no finished ('F') order (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi: customers with at least one 'F' order (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+BANDS = [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0), (3, 200.0, 1e9)]
+
+
+def q_range_join(spark, sf_dir):
+    """Theta/range join: events banded by value interval (broadcast NL join)."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(BANDS, "band_id int, lo double, hi double")
+    return e.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    ).select("event_id", "band_id")
+
+
+def q_agg_revenue(spark, sf_dir):
+    """TPC-H Q1-shaped hash aggregate (partial+final, decimal-stable sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark, sf_dir):
+    """Exact distinct aggregation per group (expand+two-phase in Spark)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP multi-level totals (grouping-set expansion)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Ranking window: top-3 orders by totalprice per priority."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_running_total(spark, sf_dir):
+    """Analytic window: per-customer running order total (decimal-stable)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def q_window_analytic(spark, sf_dir):
+    """lag/lead analytics: per-user value delta between consecutive events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q_setops(spark, sf_dir):
+    """INTERSECT/EXCEPT over the JSON `k` attribute per event type:
+    (click-ks ∩ purchase-ks) \\ hot-error-ks, where "hot" is scale-relative
+    (error count > 2·|events|/1000) so the query stays non-degenerate at
+    every scale factor."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k").alias("k_val")
+    u = lambda t: e.filter(F.col("event_type") == t).select(k)  # noqa: E731
+    total = e.agg(F.count(F.lit(1)).alias("_total"))
+    hot_errors = (
+        u("error")
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_n") > F.lit(2.0) * F.col("_total") / 1000.0)
+        .select("k_val")
+    )
+    return u("click").intersect(u("purchase")).exceptAll(hot_errors)
+
+
+def q_daily_rollup(spark, sf_dir):
+    """Date-truncated rollup (scalar date functions + agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization (lag + cumulative sum; 30-min gap)."""
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_dedup_events(spark, sf_dir):
+    """Exact dedup: first event per (user_id, event_type)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+_RELATIONAL_ORACLES = {
+    "q_proj_arith": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS net,
+               (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS gross
+        FROM lineitem""",
+    "q_join_orders_customer": """
+        SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey""",
+    "q_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+    "q_range_join": """
+        SELECT event_id, band_id
+        FROM events JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),
+                                 (2, 100.0, 200.0), (3, 200.0, 1000000000.0))
+             AS bands(band_id, lo, hi)
+          ON value >= lo AND value < hi""",
+    "q_agg_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_agg_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type""",
+    "q_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_topk_per_group": """
+        SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders) WHERE rank <= 3""",
+    "q_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_total
+        FROM orders""",
+    "q_window_analytic": """
+        SELECT user_id, event_id,
+               value - lag(value) OVER w AS delta,
+               lead(event_type) OVER w AS next_type
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q_setops": """
+        SELECT k_val FROM (
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events WHERE event_type = 'purchase')
+        EXCEPT ALL
+        SELECT k_val FROM (
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1
+            HAVING count(*) > 2.0 * (SELECT count(*) FROM events) / 1000.0)""",
+    "q_daily_rollup": """
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY CAST(ts AS DATE)""",
+    "q_sessionize": """
+        WITH tagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM tagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT)
+               - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS span_sec
+        FROM sessions GROUP BY user_id, session_id""",
+    "q_dedup_events": """
+        SELECT user_id, event_type, event_id, value FROM (
+            SELECT user_id, event_type, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+            FROM events) WHERE rn = 1""",
+}
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline surface: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    """Token + char counts per document (whitespace tokenizer)."""
+    return tx.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_word_freq(spark, sf_dir):
+    """Corpus word frequency (explode → groupBy, map-side combine)."""
+    return tx.word_frequency(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    """Heuristic quality scoring (token stats + stopword ratio + keep flag)."""
+    return tx.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """md5 fingerprint of normalized text (portable across engines)."""
+    return tx.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-token language-ID heuristic with deterministic tie-break."""
+    return tx.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_docs_exact(spark, sf_dir):
+    """Exact dedup on normalized text (hash-groupBy, keep min doc_id)."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_explode_embeddings(spark, sf_dir):
+    """Array explode with position (posexplode ≡ unnest WITH ORDINALITY)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("val"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for probe vectors (vec_id < 20)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH fuzzy-dup candidates, Jaccard-verified (no SQL oracle —
+    checked rows-only by the driver; the exact-Jaccard twin q_ngram_jaccard
+    is the hash-checked form)."""
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs 3-shingle Jaccard ≥ 0.5 (correctness oracle for the
+    LSH path).  Quadratic by nature, so it runs on a pinned probe subset
+    (doc_id < 500 — the whole corpus at the sf0.01 gate); at scale the
+    production path is q_minhash_pairs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dd.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (portable md5-backed bit votes)."""
+    return dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHINGLES = (
+    f"list_distinct([array_to_string(toks[i:i+2], ' ') "
+    f"FOR i IN generate_series(1, greatest(len(toks) - 2, 1))])"
+)
+_STOPLIST = "['" + "','".join(tx.STOPWORDS) + "']"
+_MD5_INT = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _lang_score(markers: tuple[str, ...]) -> str:
+    lst = "['" + "','".join(markers) + "']"
+    return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+
+
+_LANG_SCORES = {lang: _lang_score(m) for lang, m in tx.LANG_MARKERS.items()}
+_LANG_GUESS = f"""
+    CASE WHEN greatest(score_en, score_de, score_es) = 0 THEN 'und'
+         WHEN score_en = greatest(score_en, score_de, score_es) THEN 'en'
+         WHEN score_de = greatest(score_en, score_de, score_es) THEN 'de'
+         ELSE 'es' END
+"""
+
+_COS = (
+    "round(list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"
+)
+
+_LLM_ORACLES = {
+    "q_text_stats": """
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars_computed
+        FROM documents""",
+    "q_word_freq": """
+        SELECT word, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word""",
+    "q_quality": f"""
+        WITH base AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round((length(text) - (len(toks) - 1)) / len(toks), 6) AS mean_token_len,
+                   round(len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) / len(toks), 6) AS stopword_ratio
+            FROM base
+        )
+        SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+               CAST(n_tokens >= 10 AND n_tokens <= 1000 AND stopword_ratio < 0.5 AS INTEGER) AS keep
+        FROM scored""",
+    "q_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    "q_lang_id": f"""
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   {_LANG_SCORES['en']} AS score_en,
+                   {_LANG_SCORES['de']} AS score_de,
+                   {_LANG_SCORES['es']} AS score_es
+            FROM base)
+        SELECT doc_id, score_en, score_de, score_es, {_LANG_GUESS} AS lang_guess
+        FROM scored""",
+    "q_dedup_docs_exact": f"""
+        SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5({_NORM})""",
+    "q_explode_embeddings": """
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings""",
+    "q_similarity_topk": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+            FROM v a JOIN v b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, rank, neighbor_id, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 5""",
+    "q_ngram_jaccard": f"""
+        WITH base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+                      WHERE doc_id < 500),
+        sh AS (SELECT id, {_SHINGLES} AS sh FROM base),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.id < b.id)
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""",
+    "q_simhash": None,  # set below (generated per-bit SQL)
+}
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    """Generate the per-bit vote SQL matching dedup.simhash exactly."""
+    hash_expr = _MD5_INT.format(x="t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) >= len(hs) "
+        f"THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_transform(list_distinct({_TOKS}), t -> {hash_expr}) AS hs
+            FROM documents)
+        SELECT doc_id, {bit_terms} AS simhash FROM base"""
+
+
+_LLM_ORACLES["q_simhash"] = _simhash_oracle()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs = {
+        name: fn
+        for name, fn in globals().items()
+        if name.startswith("q_") and callable(fn)
+    }
+    return dict(sorted(qs.items()))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_REF_ORACLES)
+    out.update(_RELATIONAL_ORACLES)
+    out.update(_LLM_ORACLES)
+    # q_minhash_pairs intentionally has no oracle (rows-only check).
+    return {k: v for k, v in out.items() if v is not None}

@@ -1,0 +1,151 @@
+"""CLI veneer mirroring the reference's command tree (R16, main.kt:9-24,
+CLI.kt:8-151): ``ask | merge-all | purge-all | print`` over parquet
+record snapshots (batch) — the interactive stdin ActionSource (R9,
+ActionSource.kt:9-27) survives as a driver-side prompt over a collected
+sample in ``ask --interactive``.
+
+Usage examples:
+    python -m kafka_merge_purge_spark.cli print  /root/testdata/sf0.001
+    python -m kafka_merge_purge_spark.cli merge-all /root/testdata/sf0.001 dest-topic --out /tmp/out
+    python -m kafka_merge_purge_spark.cli purge-all /root/testdata/sf0.001 --out /tmp/out
+    python -m kafka_merge_purge_spark.cli ask /root/testdata/sf0.001 dest-topic --rule default
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.model import load_records
+from kafka_merge_purge_spark.operators import routing
+from kafka_merge_purge_spark.session import get_spark
+
+
+def _emit(df, out: str | None, label: str) -> None:
+    if out:
+        df.write.mode("overwrite").parquet(f"{out}/{label}")
+        print(f"wrote {label} -> {out}/{label}")
+    else:
+        df.show(20, truncate=False)
+
+
+def cmd_print(args) -> int:
+    spark = get_spark("cli-print")
+    rendered = routing.print_format(load_records(spark, args.sf_dir))
+    # Print.kt:38-41: log each record; driver-side show for parity
+    for row in rendered.limit(args.limit).collect():
+        print(f"--- {row['topic']}[{row['partition']}]@{row['offset']}")
+        print(row["rendered"])
+    n = rendered.count()
+    print(f"Printed {min(n, args.limit)} of {n} records")  # R11 counter
+    return 0
+
+
+def cmd_merge_all(args) -> int:
+    spark = get_spark("cli-merge-all")
+    routed = routing.merge_all(load_records(spark, args.sf_dir), args.dest_topic)
+    counts = {r["leg"]: r["n"] for r in routed.groupBy("leg").agg(F.count("*").alias("n")).collect()}
+    _emit(routed, args.out, "merge_all")
+    # MergeAll.kt:54-58 epilogue stats
+    print(f"Merged {counts.get('merge', 0)} records, purged {counts.get('purge', 0)}")
+    return 0
+
+
+def cmd_purge_all(args) -> int:
+    spark = get_spark("cli-purge-all")
+    purged = routing.purge_all(load_records(spark, args.sf_dir))
+    n = purged.count()
+    _emit(purged, args.out, "purge_all")
+    print(f"Purged {n} records")  # PurgeAll.kt:41-45
+    return 0
+
+
+def _interactive_rule(spark, records, limit: int):
+    """R9 ActionSource: prompt (m)erge/(p)urge/(s)kip per record over a
+    driver-side sample; default merge, re-prompt on garbage
+    (ActionSource.kt:9-27, test/ActionSourceTest.kt:59-72)."""
+    sample = routing.filter_tombstones(records).limit(limit).collect()
+    decisions = []
+    for row in sample:
+        print(f"Key:\n{row['key']}\nValue:\n{row['value']}")
+        while True:
+            choice = input("(m)erge, (p)urge or (s)kip? [m] ").strip().lower() or "m"
+            if choice in ("m", "p", "s"):
+                break
+            print("Please answer m, p or s.")
+        decisions.append((row["offset"], {"m": "MERGE", "p": "PURGE", "s": "SKIP"}[choice]))
+    decided = spark.createDataFrame(decisions, "offset long, action string")
+    return F.broadcast(decided)
+
+
+def cmd_ask(args) -> int:
+    spark = get_spark("cli-ask")
+    records = load_records(spark, args.sf_dir)
+    if args.interactive:
+        decided = _interactive_rule(spark, records, args.limit)
+        live = routing.filter_tombstones(records).join(decided, "offset")
+        routed = routing.ask(live, args.dest_topic, F.col("action"))
+    else:
+        from kafka_merge_purge_spark.sources.batch import load_table
+
+        events = load_table(spark, args.sf_dir, "events").withColumn("evalue", F.col("value"))
+        from kafka_merge_purge_spark.model import records_from_events
+
+        recs = records_from_events(events, extra_cols=("event_type", "evalue"))
+        routed = routing.ask(recs, args.dest_topic, routing.default_ask_rule())
+    # Ask.kt:38-40 counters: merged = records routed to dest; purged =
+    # records explicitly purged (a merge's implicit purge doesn't count twice)
+    counts = {
+        r["which"]: r["n"]
+        for r in routed.groupBy(
+            F.when(F.col("leg") == "merge", "merged").otherwise(
+                F.when(F.col("action") == "PURGE", "purged")
+            ).alias("which")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    _emit(routed.drop("event_type", "evalue"), args.out, "ask")
+    # Ask.kt:75-80 epilogue
+    print(
+        f"Merged {counts.get('merged', 0)} records, purged {counts.get('purged', 0)}"
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="kafka-merge-purge-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("print", help="pretty-print records (R10)")
+    pr.add_argument("sf_dir")
+    pr.add_argument("--limit", type=int, default=20)
+    pr.set_defaults(fn=cmd_print)
+
+    ma = sub.add_parser("merge-all", help="merge every record to dest, purge source (R6)")
+    ma.add_argument("sf_dir")
+    ma.add_argument("dest_topic")
+    ma.add_argument("--out", default=None)
+    ma.set_defaults(fn=cmd_merge_all)
+
+    pa = sub.add_parser("purge-all", help="tombstone every live record (R7)")
+    pa.add_argument("sf_dir")
+    pa.add_argument("--out", default=None)
+    pa.set_defaults(fn=cmd_purge_all)
+
+    ak = sub.add_parser("ask", help="3-way route per record (R8)")
+    ak.add_argument("sf_dir")
+    ak.add_argument("dest_topic")
+    ak.add_argument("--out", default=None)
+    ak.add_argument("--interactive", action="store_true")
+    ak.add_argument("--limit", type=int, default=10)
+    ak.set_defaults(fn=cmd_ask)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

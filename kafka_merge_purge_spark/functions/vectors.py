@@ -1,0 +1,40 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side only.
+
+All three helpers compose ``zip_with`` / ``aggregate`` higher-order
+functions, so the arithmetic stays inside whole-stage codegen: no Python,
+no Arrow transfer, per-element double math with a deterministic
+left-to-right fold (which also makes results reproducible across engines
+— DuckDB's list_dot_product folds the same way on DOUBLE[]).
+
+At 100 TB: these are narrow per-row expressions; the expensive part of
+similarity search is the pairing strategy (see operators/similarity.py),
+never this math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right double fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a,b) = a·b / (|a||b|); NULL-safe on zero vectors."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)

@@ -1,0 +1,274 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Four tiers, cheapest to most expressive:
+
+1. exact          — md5(normalized text) hash-groupBy, keep min doc_id
+2. n-gram Jaccard — exact set overlap on word shingles (quadratic pairing;
+                    use only within LSH candidate buckets at scale)
+3. MinHash + LSH  — shingle → n minhashes → band → bucket-join: the
+                    scalable fuzzy-dedup path (pairing cost ∝ bucket
+                    collisions, not n²)
+4. SimHash        — 32-bit weighted-bit fingerprint; hamming-near pairs
+
+Engine-portability invariant: every hash bottoms out in md5 (identical in
+Spark and DuckDB), mapped to int64 via the first 15 hex chars (60 bits,
+no sign issues), so the DuckDB oracle reproduces signatures bit-for-bit.
+All expression-level (higher-order functions; no Python UDFs): shingling,
+hashing, and banding are narrow map stages; the only shuffles are the
+band groupBy (LSH) and the final pair-dedup — exactly the shuffles the
+algorithm requires.
+
+At 100 TB: the LSH band join shuffles (band_id, band_key) — a
+near-uniform key space, so no skew; candidate verification (Jaccard) runs
+only inside buckets.  Mega-buckets from degenerate documents (empty
+shingle sets) are dropped before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.operators.text import tokens
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands × 4 rows — s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase + squeeze non-alphanumerics — the canonical form all
+    dedup tiers hash.  Mirrors text.fingerprint's normalization."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def md5_int(c: Column) -> Column:
+    """Portable 60-bit integer hash: int(md5(x)[:15], 16).
+
+    DuckDB twin: CAST(from_hex? → use: ('0x' || substr(md5(x),1,15))::BIGINT —
+    see oracle builders in __spark_entry__.py."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text hash.
+
+    groupBy on the 128-bit digest — map-side combine collapses each task
+    to its distinct digests, so the shuffle carries ~|unique docs| rows.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text.
+
+    Expression-level: sequence over token positions → slice → concat;
+    stays in codegen.  Documents shorter than k tokens yield their whole
+    text as a single shingle (so they can still collide exactly)."""
+    toks = tokens(normalize(text))
+    n = F.size(toks)
+    k_shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(k_shingles)
+
+
+#: universal-hash constants for MinHash: h_i(x) = (a_i·x31 + b_i) mod P.
+#: One md5 per shingle (expensive part) + num_hashes cheap affine maps —
+#: ~20× cheaper than hashing num_hashes times.  Deterministic: a_i/b_i
+#: derive from a fixed LCG so signatures are reproducible everywhere.
+MERSENNE_61 = (1 << 61) - 1
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    state, out = 0x5DEECE66D, []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 62)
+        a = (state % ((1 << 31) - 2)) | 1  # odd, < 2^31
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 62)
+        b = state % MERSENNE_61
+        out.append((a, b))
+    return out
+
+
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """MinHash signature (array<bigint>) from a pre-computed shingle array.
+
+    Base hash: low 31 bits of the portable md5 integer (one md5 per
+    shingle); family member i is the affine map (aᵢ·h + bᵢ) mod 2⁶¹-1.
+    All operands stay < 2⁶² so the arithmetic is exact under ANSI mode.
+    Taking the shingle *column* (not the text) lets callers project
+    shingles once and share them between the signature and the verify
+    step instead of recomputing the tokenize→shingle chain per use.
+    """
+    base = F.transform(sh, lambda s: md5_int(s).bitwiseAND(F.lit((1 << 31) - 1)))
+    return F.array(
+        *[
+            F.array_min(F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)))
+            for a, b in _minhash_coeffs(num_hashes)
+        ]
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = DEFAULT_NUM_HASHES, k: int = 3) -> Column:
+    return minhash_signature_from_shingles(shingles(text, k), num_hashes)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, k).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Fuzzy-dup candidate pairs via LSH banding, verified with exact
+    shingle Jaccard.
+
+    Plan shape (the part that matters at scale):
+      scan → signature (map) → explode bands (map, ×bands rows)
+      → self-join on (band, band_key)  [one shuffle each side]
+      → distinct pairs                  [one shuffle]
+      → Jaccard verify (map over joined shingle sets)
+    """
+    rows = num_hashes // bands
+    # Scale posture: small corpora arrive as one file → one partition; the
+    # signature map stage must parallelize, so spread rows first (at real
+    # scale the scan already has many partitions and AQE coalesces).
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sh_df = df.repartition(n_part, id_col).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    sigs = sh_df.select(
+        "id", "sh", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws("_", *[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs shingle Jaccard above a threshold.
+
+    Quadratic — the correctness oracle for MinHash-LSH, and only sane on
+    small/blocked inputs.  At scale, call minhash_lsh_pairs and use this
+    form inside buckets only."""
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sh = df.repartition(n_part, id_col).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per-token 60-bit md5 hash; fingerprint bit j is set
+    iff more tokens have bit j set than not.  Pure expression form (no
+    UDF): one filter+size per bit over the token-hash array."""
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.repartition(n_part, id_col)
+    toks = F.array_distinct(tokens(normalize(F.col(text_col))))
+    hashes = F.transform(toks, lambda t: md5_int(t))
+    n = F.size(hashes)
+    bit_terms = []
+    for j in range(bits):
+        ones = F.size(F.filter(hashes, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1))
+        bit_terms.append(F.when(ones * 2 >= n, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long")))
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force form).
+
+    At scale, replace the cross pairing with the LSH/IVF bucketing in
+    operators/similarity.py and keep this verify step inside buckets."""
+    from kafka_merge_purge_spark.functions.vectors import cosine_similarity
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k via a pair join + window.
+  O(n·m) pairs; correct baseline and the DuckDB-oracle-checkable form.
+  At 100 TB this is only sane with a broadcast-able query side (the
+  common case: k-NN for a batch of probe vectors against a huge corpus —
+  broadcast the probes, stream the corpus, per-partition top-k then
+  global top-k; no corpus shuffle).
+
+- ``ivf_topk`` — IVF-style approximate search: assign every vector to its
+  nearest of C centroids (broadcast the tiny centroid table), then search
+  only the ``nprobe`` closest cells per query.  Pairing cost drops by
+  ~C/nprobe; the cell assignment is a narrow map stage and the join key
+  (cell id) is near-uniform by construction.  Centroids here are chosen
+  deterministically (first C vectors by id) — at scale you'd k-means a
+  sample; the plan shape is identical.
+
+All math is JVM-side (functions/vectors.py); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each query vector.
+
+    Output: (query_id, rank, neighbor_id, cos) — self-matches excluded.
+    The query side is broadcast so the corpus never shuffles for the
+    pairing; the only exchange is the per-query top-k aggregation, which
+    map-side-combines to ≤k rows per task per query.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def _normalize_vec(vec_col):
+    norm = l2_norm(vec_col)
+    return F.transform(vec_col.cast("array<double>"), lambda x: x / norm)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed approximate cosine top-k.
+
+    Deterministic centroids: the ``n_cells`` lowest-id corpus vectors
+    (normalized).  Corpus rows are assigned to their max-dot-product
+    centroid; each query probes its ``nprobe`` nearest cells.  Join on
+    cell id, then per-query top-k as in the exact path.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.monotonically_increasing_id().alias("_ord"),
+            F.col(id_col),
+            _normalize_vec(F.col(vec_col)).alias("centroid"),
+        )
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell_id"),
+            "centroid",
+        )
+    )
+    cent_b = F.broadcast(centroids)
+
+    def cell_scores(df: DataFrame, side_id: str, vname: str) -> DataFrame:
+        scored = df.crossJoin(cent_b).withColumn(
+            "cell_dot", dot(F.col(vname), F.col("centroid"))
+        )
+        return scored.select(side_id, vname, "cell_id", "cell_dot")
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    corpus_cells = cell_scores(c, "neighbor_id", "cv")
+    w_c = Window.partitionBy("neighbor_id").orderBy(F.col("cell_dot").desc(), F.col("cell_id"))
+    corpus_assigned = (
+        corpus_cells.withColumn("_rn", F.row_number().over(w_c)).filter(F.col("_rn") == 1).drop("_rn", "cell_dot")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    query_cells = cell_scores(q, "query_id", "qv")
+    w_q = Window.partitionBy("query_id").orderBy(F.col("cell_dot").desc(), F.col("cell_id"))
+    query_probes = (
+        query_cells.withColumn("_rn", F.row_number().over(w_q)).filter(F.col("_rn") <= nprobe).drop("_rn", "cell_dot")
+    )
+
+    scored = (
+        corpus_assigned.join(query_probes, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

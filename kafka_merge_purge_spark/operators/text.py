@@ -1,0 +1,115 @@
+"""Text-analysis operators for LLM-data pipelines, over ``documents``.
+
+All built-in string/array functions (JVM-side, codegen) — no UDFs, so
+every operator is a narrow map stage that scales linearly and pushes
+column pruning into the parquet scan.  Semantics are deliberately
+SQL-expressible so the DuckDB oracle can hash-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny English-ish stopword list used by the quality score (pinned so the
+#: oracle SQL can embed the same list).
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+#: marker unigrams for the n-gram language-ID heuristic; the synthetic
+#: corpus is vocabulary-uniform so this is a structural demo — the
+#: heuristic form (marker-hit scoring) is the real operator.
+LANG_MARKERS = {
+    "en": ("the", "fast", "join"),
+    "de": ("der", "die", "das"),
+    "es": ("el", "la", "los"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on single spaces — the corpus is
+    single-spaced; swap for ``\\s+`` regex on real data)."""
+    return F.split(text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token + char counts (whitespace tokenizer)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_computed"),
+    )
+
+
+def word_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide word frequency: explode → groupBy word.
+
+    One shuffle with map-side combine; at 100 TB this is the classic
+    word-count whose partial aggregation collapses each task to its
+    distinct-word set before the exchange.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: token count, mean token length,
+    stopword ratio, and a composite 0/1 keep flag — the standard cheap
+    pre-filter in front of expensive dedup/embedding stages."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_tok_len = F.round(
+        (F.length(text_col) - (n_tokens - F.lit(1))) / n_tokens, 6
+    )  # chars minus separators, over token count
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n_tokens >= 10)
+            & (n_tokens <= 1000)
+            & (stop_ratio < F.lit(0.5))
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-based language ID: count marker-token hits per language,
+    pick the argmax (ties → 'und').  Structure matches a real n-gram
+    profile scorer; markers are pinned for oracle reproducibility."""
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(m) for m in markers]), t))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(scores)
+    best = F.greatest(*[scores[l] for l in langs])
+    guess = F.lit("und")
+    # deterministic priority order on ties: first language in LANG_MARKERS wins
+    for lang in reversed(langs):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    out = df.select("doc_id", *[scores[l].alias(f"score_{l}") for l in langs], guess.alias("lang_guess"))
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    non-alphanumeric squeezed to single spaces).  md5 is identical across
+    Spark and DuckDB, so fingerprints hash-check exactly."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    return df.select(
+        "doc_id",
+        F.md5(F.trim(normalized)).alias("fingerprint"),
+    )

@@ -1,0 +1,55 @@
+"""Physical-plan introspection — the engine's feedback loop for scale.
+
+The reference has no optimizer (SURVEY.md §4.1); here Catalyst is the
+optimizer and these helpers make its decisions assertable in tests:
+did the filter push into the parquet scan, did the dimension join go
+broadcast, how many exchanges does the plan have, how wide are the
+whole-stage-codegen spans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("Exchange")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries from every scan node in the plan."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        if m.group(1).strip():
+            out.extend(s.strip() for s in m.group(1).split(","))
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Columns actually read by scans (column pruning check)."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(part.split(":")[0].strip() for part in m.group(1).split(",") if part.strip())
+    return cols
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -1,0 +1,57 @@
+"""Config-precedence matrix (reference FactoryTest.kt:112-263)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_merge_purge_spark.sources.config import (
+    CONSUMER_FORCED,
+    PRODUCER_FORCED,
+    as_spark_kafka_options,
+    assemble_client_config,
+)
+
+
+def test_layer_precedence(tmp_path):
+    shared = tmp_path / "shared.properties"
+    shared.write_text("a=shared-file\nb=shared-file\nc=shared-file\nd=shared-file\n")
+    client = tmp_path / "client.properties"
+    client.write_text("b=client-file\nc=client-file\n")
+    cfg = assemble_client_config(
+        "consumer",
+        shared_file=str(shared),
+        shared_overrides={"c": "shared-override", "d": "shared-override"},
+        client_file=str(client),
+        client_overrides={"c": "client-override"},
+        defaults={"a": "default", "e": "default"},
+    )
+    assert cfg["a"] == "shared-file"        # file beats default
+    assert cfg["b"] == "client-file"        # client file beats shared layers
+    assert cfg["c"] == "client-override"    # explicit client override wins
+    assert cfg["d"] == "shared-override"    # shared override beats shared file
+    assert cfg["e"] == "default"
+
+
+def test_forced_consumer_semantics_always_win():
+    cfg = assemble_client_config(
+        "consumer",
+        client_overrides={"isolation.level": "read_uncommitted", "enable.auto.commit": "true"},
+    )
+    for k, v in CONSUMER_FORCED.items():
+        assert cfg[k] == v
+
+
+def test_forced_producer_semantics_always_win():
+    cfg = assemble_client_config("producer", client_overrides={"acks": "0"})
+    for k, v in PRODUCER_FORCED.items():
+        assert cfg[k] == v
+
+
+def test_spark_option_prefixing():
+    opts = as_spark_kafka_options({"bootstrap.servers": "b:9092"})
+    assert opts == {"kafka.bootstrap.servers": "b:9092"}
+
+
+def test_invalid_kind_rejected():
+    with pytest.raises(ValueError):
+        assemble_client_config("admin")

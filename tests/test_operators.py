@@ -1,0 +1,145 @@
+"""Sanity + plan-shape tests for the relational/LLM operator surface.
+(Value-level correctness is covered by the DuckDB parity gate —
+tools/parity.py / the driver's t2.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.operators import dedup as dd
+from kafka_merge_purge_spark.operators import similarity as sim
+from kafka_merge_purge_spark.operators import text as tx
+from kafka_merge_purge_spark.operators.sessionize import session_stats, sessionize
+from kafka_merge_purge_spark.plans.introspect import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema,
+)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello, world!"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dd.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # normalization folds 1 and 2 together
+
+
+def test_shingles_and_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "doc_id long, text string",
+    )
+    pairs = dd.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_exact_dup_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely unrelated text about spark engines")],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_lsh_pairs(df, jaccard_threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_minhash_agrees_with_exact_jaccard(tables):
+    docs = tables["documents"].limit(200)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    # LSH candidates are verified with the same exact jaccard → subset;
+    # at threshold 0.8 with 4x4 banding recall should be near-total
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) >= len(exact) * 0.8
+
+
+def test_simhash_near_for_similar_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_brute_force_topk_selfexcluded_and_ranked(tables):
+    emb = tables["embeddings"]
+    out = sim.brute_force_topk(emb.filter(F.col("vec_id") < 3), emb, k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4]
+        assert all(r["neighbor_id"] != q for r in rs)
+        cos = [r["cos"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_brute_force_topk_broadcasts_queries(tables):
+    emb = tables["embeddings"]
+    plan_df = sim.brute_force_topk(emb.filter(F.col("vec_id") < 3), emb, k=4)
+    assert has_broadcast_join(plan_df)
+
+
+def test_ivf_topk_mostly_agrees_with_exact(tables):
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(probes, emb, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk(probes, emb, k=3, n_cells=8, nprobe=4).collect()
+    }
+    # approximate search: require meaningful recall, not equality
+    assert len(exact & approx) >= len(exact) * 0.5
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the fast join wins"), (2, "der die das haus"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in tx.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_sessionize_gap_splits(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 100),
+         (2, "2024-01-01 00:10:00", 100),
+         (3, "2024-01-01 02:00:00", 100),
+         (4, "2024-01-01 00:00:00", 200)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, gap_minutes=30)
+    sess = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert sess[1] == 1 and sess[2] == 1 and sess[3] == 2 and sess[4] == 1
+    stats = session_stats(df, gap_minutes=30).collect()
+    s1 = [r for r in stats if r["user_id"] == 100 and r["session_id"] == 1][0]
+    assert s1["n_events"] == 2 and s1["span_sec"] == 600
+
+
+def test_filter_pushdown_reaches_scan(spark, tables):
+    df = tables["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pushed = pushed_filters(df)
+    assert any("o_orderstatus" in f for f in pushed)
+    # column pruning: scan reads only the two needed columns
+    assert set(read_schema(df)) <= {"o_orderkey", "o_orderstatus"}

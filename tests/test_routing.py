@@ -1,0 +1,112 @@
+"""Semantic assertions ported from the reference's unit tests
+(PipelineTest.kt, AskTest.kt, MergeAllTest.kt, PurgeAllTest.kt) onto
+DataFrame transforms over hand-built records."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.model import RECORD_SCHEMA
+from kafka_merge_purge_spark.operators import routing
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    """Hand-built record stream: live rows, a tombstone, a null key —
+    mirrors the reference fixtures (AskTest.kt:181, PipelineTest.kt:253)."""
+    rows = [
+        ("src", 0, 0, "k1", "v1", None),
+        ("src", 0, 1, "k1", "v2", None),
+        ("src", 1, 2, "k2", None, None),   # tombstone
+        ("src", 1, 3, None, "v3", None),   # null key
+        ("src", 2, 4, "k3", "v4", None),
+    ]
+    return spark.createDataFrame(rows, RECORD_SCHEMA).cache()
+
+
+def test_tombstone_filter_drops_null_values(tiny):
+    live = routing.filter_tombstones(tiny)
+    assert live.count() == 4
+    assert live.filter(F.col("value").isNull()).count() == 0
+
+
+def test_tombstone_filter_merge_tombstones_keeps_all(tiny):
+    assert routing.filter_tombstones(tiny, merge_tombstones=True).count() == 5
+
+
+def test_purge_never_double_tombstones(tiny):
+    # PipelineTest.kt:288-318 — a tombstone is never purged again
+    out = routing.purge(tiny)
+    assert out.count() == 4
+    assert out.filter(F.col("src_offset") == 2).count() == 0
+
+
+def test_purge_preserves_topic_and_partition(tiny):
+    # PipelineTest.kt:253-285 — purge goes back to the same topic+partition
+    out = routing.purge(tiny).collect()
+    src = {r["offset"]: r for r in tiny.collect()}
+    for row in out:
+        assert row["topic"] == "src"
+        assert row["partition"] == src[row["src_offset"]]["partition"]
+        assert row["value"] is None
+
+
+def test_merge_routes_to_dest_without_partition(tiny):
+    out = routing.merge(tiny, "dst").collect()
+    assert len(out) == 4
+    assert all(r["topic"] == "dst" and r["partition"] is None for r in out)
+    # payload fidelity: value rides through untouched
+    assert {r["value"] for r in out} == {"v1", "v2", "v3", "v4"}
+
+
+def test_merge_all_produces_both_legs(tiny):
+    out = routing.merge_all(tiny, "dst")
+    legs = {r["leg"]: r["cnt"] for r in out.groupBy("leg").agg(F.count("*").alias("cnt")).collect()}
+    assert legs == {"merge": 4, "purge": 4}
+    # merge leg carries values; purge leg is all tombstones
+    assert out.filter((F.col("leg") == "purge") & F.col("value").isNotNull()).count() == 0
+    assert out.filter((F.col("leg") == "merge") & F.col("value").isNull()).count() == 0
+
+
+def test_ask_routing_switch(tiny):
+    # MERGE for k1, PURGE for null-key, SKIP otherwise
+    rule = (
+        F.when(F.col("key") == "k1", F.lit("MERGE"))
+        .when(F.col("key").isNull(), F.lit("PURGE"))
+        .otherwise(F.lit("SKIP"))
+    )
+    out = routing.ask(tiny, "dst", rule)
+    merge_leg = out.filter(F.col("leg") == "merge").collect()
+    purge_leg = out.filter(F.col("leg") == "purge").collect()
+    assert {r["src_offset"] for r in merge_leg} == {0, 1}      # k1 rows merged
+    assert {r["src_offset"] for r in purge_leg} == {0, 1, 3}   # merged rows purge too
+    # skipped row (k3) appears nowhere
+    assert all(r["src_offset"] != 4 for r in merge_leg + purge_leg)
+
+
+def test_action_counts(tiny):
+    rule = F.when(F.col("key") == "k1", F.lit("MERGE")).otherwise(F.lit("SKIP"))
+    decided = routing.ask_decisions(tiny, rule)
+    counts = {r["action"]: r["n"] for r in routing.action_counts(decided).collect()}
+    assert counts == {"MERGE": 2, "SKIP": 2}  # tombstone excluded entirely
+
+
+def test_compaction_last_live_value_per_key(tiny):
+    out = {r["key"]: r["value"] for r in routing.compaction(tiny).collect()}
+    # k1: offset 1 wins; k2: latest is tombstone → key disappears; null key excluded
+    assert out == {"k1": "v2", "k3": "v4"}
+
+
+def test_print_format_rendering(tiny):
+    rows = {r["offset"]: r["rendered"] for r in routing.print_format(tiny).collect()}
+    assert rows[0] == "Key:\nk1\nValue:\nv1"
+    assert rows[2] == "Key:\nk2\nValue:\n<tombstone>"
+    assert rows[3] == "Key:\n<null>\nValue:\nv3"
+
+
+def test_routing_plan_has_no_shuffle(tiny):
+    # merge_all must stay a pure map-side plan: scan → filter/project → union
+    from kafka_merge_purge_spark.plans.introspect import shuffle_count
+
+    assert shuffle_count(routing.merge_all(tiny, "dst")) == 0
