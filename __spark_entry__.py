@@ -328,6 +328,101 @@ def q_sessionize(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_cube(spark, sf_dir):
+    """CUBE multi-dimensional totals (all grouping-set combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_extendedprice", "sum_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot: daily event counts spread into one column per event type."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types])
+
+
+def q_outer_join(spark, sf_dir):
+    """Full-outer join with unmatched rows on both sides: BUILDING-segment
+    customers vs per-customer finished-order counts."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase event paired with the user's most recent
+    click at-or-before it (union+window merge-asof, one shuffle)."""
+    from kafka_merge_purge_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=("click_id",),
+    )
+    return out.select("event_id", "user_id", F.col("asof_click_id").alias("last_click_id"))
+
+
+def q_regex_tokens(spark, sf_dir):
+    """Regex (BPE-ish) tokenization: alpha runs / digit runs / single
+    punctuation as separate tokens; per-doc counts."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold pinned at 0.4 —
+    the synthetic corpus' max pairwise cosine is ~0.51)."""
+    return dd.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-k (rows-only check: approximate by
+    design; recall vs the exact path is asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=16, nprobe=4)
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL approximate distinct (rows-only: sketch estimates are
+    engine-specific by design; exact twin is q_agg_distinct)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 def q_dedup_events(spark, sf_dir):
     """Exact dedup: first event per (user_id, event_type)."""
     e = _t(spark, sf_dir, "events")
@@ -435,6 +530,46 @@ _RELATIONAL_ORACLES = {
                CAST(floor(epoch(MAX(ts))) AS BIGINT)
                - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS span_sec
         FROM sessions GROUP BY user_id, session_id""",
+    "q_cube": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_pivot": """
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) FILTER (event_type = 'click') AS n_click,
+               COUNT(*) FILTER (event_type = 'view') AS n_view,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (event_type = 'error') AS n_error
+        FROM events GROUP BY CAST(ts AS DATE)""",
+    "q_outer_join": """
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+        FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+        FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                         WHERE o_orderstatus = 'F' GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey""",
+    "q_asof_join": """
+        SELECT p.event_id, p.user_id,
+               (SELECT e.event_id FROM events e
+                WHERE e.user_id = p.user_id AND e.event_type = 'click'
+                      AND e.ts <= p.ts
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_click_id
+        FROM events p WHERE p.event_type = 'purchase'""",
+    "q_regex_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_regex_tokens,
+               len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS n_unique_tokens
+        FROM documents""",
+    "q_embedding_neardup": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4""",
     "q_dedup_events": """
         SELECT user_id, event_type, event_id, value FROM (
             SELECT user_id, event_type, event_id, value,
