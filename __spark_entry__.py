@@ -434,6 +434,179 @@ def q_dedup_events(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS: independent per-flag and per-status totals + grand
+    total in one pass (Expand-based, single shuffle)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_global_topn(spark, sf_dir):
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject — per-partition
+    top-N then driver merge; never a full sort at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string library: case, substring, pad, concat, search,
+    reverse — all codegen'd, all engine-portable on the ASCII corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 20)).alias("head_upper"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        F.concat_ws("-", "lang", "source").alias("tag"),
+        F.instr(F.col("text"), "the").alias("pos_the"),
+        F.reverse(F.substring("text", 1, 10)).alias("rev_head"),
+        F.length(F.trim(F.col("text"))).alias("n_trim"),
+    )
+
+
+def q_date_parts(spark, sf_dir):
+    """Scalar date/time library: extract parts, truncate, day arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.trunc("ts", "month").alias("month_start"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).alias("days_since"),
+    )
+
+
+def q_array_hof(spark, sf_dir):
+    """Higher-order array functions: filter, transform, left-fold
+    aggregate, element access — over the embedding vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6).alias("sum_sq"),
+        F.round(F.array_max(e), 6).alias("max_val"),
+        F.round(F.element_at(e, 1), 6).alias("first_val"),
+    )
+
+
+def q_stats_agg(spark, sf_dir):
+    """Moment statistics per group via decimal-stable sums (mean/variance
+    derived from Σx, Σx² so both engines compute bit-identical doubles)."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count("value").alias("n_vals"),
+        dsum("value", "s"),
+        dsum(F.col("value") * F.col("value"), "s2"),
+    )
+    n, s, s2 = F.col("n_vals"), F.col("s"), F.col("s2")
+    return g.select(
+        "event_type",
+        "n_vals",
+        F.round(s / n, 6).alias("mean_value"),
+        F.round((s2 - s * s / n) / (n - F.lit(1)), 4).alias("var_value"),
+    )
+
+
+def q_first_last(spark, sf_dir):
+    """min_by/max_by ordered-companion aggregates: first/last event type
+    per user by event_id (unique key ⇒ deterministic)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_like_filter(spark, sf_dir):
+    """Predicate surface: LIKE / NOT LIKE / IN / BETWEEN, all pushed into
+    the parquet scan (StartsWith/Contains reach PushedFilters)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%widget%")
+        & ~F.col("p_type").like("ECONOMY%")
+        & F.col("p_size").between(10, 40)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#10", "Brand#11")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: orders above the global average price (broadcast
+    of a 1-row aggregate — no shuffle of the fact side)."""
+    o = _t(spark, sf_dir, "orders")
+    avg_df = o.agg(davg("o_totalprice", "_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_rank_funcs(spark, sf_dir):
+    """Ranking-function surface: dense_rank / ntile / percent_rank /
+    cume_dist over a unique ordering (deterministic tie-free frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (sort-based; both engines
+    use the (n-1)·p linear-interpolation definition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+    )
+
+
+def q_corr(spark, sf_dir):
+    """Pearson correlation per group, derived from decimal-stable moment
+    sums (Σx, Σy, Σxy, Σx², Σy²) so both engines compute identical
+    doubles — the portable form of corr()."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sx"),
+        dsum("l_extendedprice", "sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice"), "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return g.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
 _RELATIONAL_ORACLES = {
     "q_proj_arith": """
         SELECT l_orderkey, l_linenumber,
@@ -563,18 +736,110 @@ _RELATIONAL_ORACLES = {
                len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS n_unique_tokens
         FROM documents""",
     "q_embedding_neardup": """
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        WITH v AS (SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+                   FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS aa FROM v)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.e, b.e) /
-                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.e, b.e) /
-                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4""",
+               round(list_dot_product(a.q, b.q) / (sqrt(a.aa) * sqrt(b.aa)), 6) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.q, b.q) / (sqrt(a.aa) * sqrt(b.aa)), 6) >= 0.4""",
     "q_dedup_events": """
         SELECT user_id, event_type, event_id, value FROM (
             SELECT user_id, event_type, event_id, value,
                    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
             FROM events) WHERE rn = 1""",
+    "q_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q_global_topn": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_string_funcs": """
+        SELECT doc_id,
+               upper(substr(text, 1, 20)) AS head_upper,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+               concat_ws('-', lang, source) AS tag,
+               instr(text, 'the') AS pos_the,
+               reverse(substr(text, 1, 10)) AS rev_head,
+               length(trim(text)) AS n_trim
+        FROM documents""",
+    "q_date_parts": """
+        SELECT event_id,
+               year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+               CAST(date_trunc('month', ts) AS DATE) AS month_start,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+        FROM events""",
+    "q_array_hof": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT vec_id,
+               len(e) AS n_dims,
+               len(list_filter(e, x -> x > 0)) AS n_pos,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(e, x -> x * x)), (a, x) -> a + x), 6) AS sum_sq,
+               round(list_max(e), 6) AS max_val,
+               round(e[1], 6) AS first_val
+        FROM v""",
+    "q_stats_agg": """
+        WITH g AS (
+            SELECT event_type,
+                   COUNT(value) AS n_vals,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+            FROM events GROUP BY event_type)
+        SELECT event_type, n_vals,
+               round(s / n_vals, 6) AS mean_value,
+               round((s2 - s * s / n_vals) / (n_vals - 1), 4) AS var_value
+        FROM g""",
+    "q_first_last": """
+        SELECT user_id,
+               min(event_id) AS first_id, max(event_id) AS last_id,
+               min_by(event_type, event_id) AS first_type,
+               max_by(event_type, event_id) AS last_type,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id""",
+    "q_like_filter": """
+        SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        WHERE p_name LIKE '%widget%' AND p_type NOT LIKE 'ECONOMY%'
+          AND p_size BETWEEN 10 AND 40
+          AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#10', 'Brand#11')""",
+    "q_scalar_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                               AS DOUBLE) / COUNT(o_totalprice), 6)
+                              FROM orders)""",
+    "q_rank_funcs": """
+        SELECT o_orderpriority, o_orderkey,
+               dense_rank() OVER w AS drank,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+    "q_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+               round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+        FROM lineitem GROUP BY l_returnflag""",
+    "q_corr": """
+        WITH g AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy) /
+                     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+        FROM g""",
 }
 
 
@@ -646,6 +911,55 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (portable md5-backed bit votes)."""
     return dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint over the token stream
+    (order-sensitive, Rabin-Karp family)."""
+    return tx.rolling_hash(_t(spark, sf_dir, "documents"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents as opaque binary media payloads →
+    mapInPandas feature extraction (Arrow batches).  The md5/byte-count
+    outputs are oracle-checked; the decoder itself is the stubbed
+    boundary (no media libs in this container)."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.attach_meta(
+        d.select(F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")),
+        kind="image",
+        fmt="png",
+    )
+    return mm.extract_features(media, fake=True).select("media_id", "n_bytes", "payload_md5")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: declared duration → one row per sampled
+    timestamp (explode fan-out; duration pinned as n_chars·20 ms)."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("mp4").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 20).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return mm.frame_sample_plan(media, every_ms=1000)
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-k (rows-only check:
+    approximate by design; recall vs brute force asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_planes=4, n_tables=16)
 
 
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
@@ -738,6 +1052,24 @@ _LLM_ORACLES = {
             FROM sh a JOIN sh b ON a.id < b.id)
         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""",
     "q_simhash": None,  # set below (generated per-bit SQL)
+    "q_rolling_hash": f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks, t -> {_MD5_INT.format(x='t')} % 1000000007)),
+                   (a, h) -> (a * 131 + h) % 1000000007) AS rhash
+        FROM base""",
+    "q_media_features": """
+        SELECT doc_id AS media_id, strlen(text) AS n_bytes, md5(text) AS payload_md5
+        FROM documents""",
+    "q_frame_sample": """
+        WITH v AS (SELECT doc_id AS media_id,
+                          greatest(CAST(floor(n_chars * 20 / 1000.0) AS BIGINT), 1) AS nf
+                   FROM documents)
+        SELECT media_id, unnest(generate_series(0, nf - 1)) AS frame_idx,
+               unnest(generate_series(0, nf - 1)) * 1000 AS sample_at_ms
+        FROM v""",
 }
 
 

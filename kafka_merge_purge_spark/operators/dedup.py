@@ -252,23 +252,66 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
+#: component quantization scale for the exact integer-dot path
+QUANT_SCALE = 1_000_000
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force form).
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form).
 
-    At scale, replace the cross pairing with the LSH/IVF bucketing in
-    operators/similarity.py and keep this verify step inside buckets."""
-    from kafka_merge_purge_spark.functions.vectors import cosine_similarity
+    Engine-portable determinism without per-pair expression folds:
+    components are quantized to int64 (``floor(x·1e6 + 0.5)`` — elementwise
+    float64, bit-identical everywhere), so every dot product is an exact
+    integer < 2⁵³.  Exact integers are order-independent under summation in
+    int64 *and* float64, which makes a vectorized numpy GEMM safe against
+    the DuckDB oracle's fold — the only float math left is the final
+    ``round(dot/(√aa·√bb), 6)``, identical elementwise on both engines.
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+    Execution: the quantized corpus (ids, int64 matrix, self-dots) is
+    broadcast; ``mapInPandas`` streams corpus partitions through an
+    Arrow-batched ``batch × corpus`` integer GEMM and emits only the pairs
+    above threshold (id_a < id_b once).  No shuffle, no per-pair rows.
+    This is the right plan while one side fits in executor memory
+    (thousands-to-millions of vectors); beyond that, block the pairing
+    with the LSH/IVF bucketing in operators/similarity.py and keep this
+    exact scorer inside buckets."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    q = np.floor(mat * QUANT_SCALE + 0.5).astype(np.int64)
+    aa = (q * q).sum(axis=1)  # exact self-dots
+    bc = emb.sparkSession.sparkContext.broadcast((ids, q, aa))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_q, c_aa = bc.value
+        for pdf in batches:
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            b_q = np.floor(b_mat * QUANT_SCALE + 0.5).astype(np.int64)
+            b_aa = (b_q * b_q).sum(axis=1)
+            dots = b_q @ c_q.T  # exact int64 (|x|≤~2e6, 64 dims → < 2^53)
+            cos = np.round(
+                dots / (np.sqrt(b_aa)[:, None] * np.sqrt(c_aa)[None, :]), 6
+            )
+            keep = (b_ids[:, None] < c_ids[None, :]) & (cos >= threshold)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": b_ids[ai],
+                    "id_b": c_ids[bj],
+                    "cos": cos[ai, bj],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, cos double"
     )

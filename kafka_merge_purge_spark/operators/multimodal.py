@@ -108,8 +108,10 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp,
     computed from declared duration (decode itself is the stub above).
     Demonstrates the explode-based fan-out shape a real sampler uses."""
+    # floor, not cast: DuckDB's CAST(x AS INT) rounds while Spark's
+    # truncates — floor() agrees everywhere for the oracle twin
     n_frames = F.greatest(
-        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+        F.floor(F.col("meta.duration_ms") / every_ms).cast("long"), F.lit(1).cast("long")
     )
     return df.filter(F.col("meta.kind") == "video").select(
         "media_id",

@@ -104,6 +104,36 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+#: rolling-hash constants, pinned so the DuckDB oracle reproduces the fold
+#: bit-for-bit: h = fold(0, tok -> (h*ROLL_BASE + md5int(tok) % ROLL_MOD) % ROLL_MOD)
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: a polynomial rolling hash over
+    the normalized token stream (Rabin-Karp family).  Unlike the md5
+    fingerprint, token *order* changes the value, and unlike SimHash it is
+    exact — the classic cheap content-defined fingerprint for chunk-level
+    dedup.
+
+    Pure expression form: one md5 per token mapped to a 60-bit int
+    (dedup.md5_int — portable across engines), reduced mod ROLL_MOD, then
+    a left fold.  All operands stay < 2^40 so the arithmetic is exact.
+    Narrow map stage; no shuffle.
+    """
+    from kafka_merge_purge_spark.operators.dedup import md5_int, normalize
+
+    toks = tokens(normalize(F.col(text_col)))
+    hashed = F.transform(toks, lambda t: md5_int(t) % F.lit(ROLL_MOD))
+    folded = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLL_BASE) + h) % F.lit(ROLL_MOD),
+    )
+    return df.select("doc_id", folded.alias("rhash"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text (lowercase,
     non-alphanumeric squeezed to single spaces).  md5 is identical across

@@ -24,16 +24,23 @@ from pyspark.sql.streaming import StreamingQuery
 from kafka_merge_purge_spark.model import records_from_events
 from kafka_merge_purge_spark.operators.routing import merge_all
 
-EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+#: ts declared long: events.parquet stores nanosecond INT64, which Spark 4
+#: only reads as a timestamp via the legacy conf + explicit truncation —
+#: same µs handling as sources/batch.load_table, kept expression-identical.
+EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
 
 def stream_records_from_dir(spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stand-in for the Kafka stream: events parquet → the
     canonical record stream (same frame shape as the Kafka reader path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return records_from_events(reader.parquet(events_dir))
+    events = reader.parquet(events_dir).withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    return records_from_events(events)
 
 
 def drain_events_stream(

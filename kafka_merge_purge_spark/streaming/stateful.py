@@ -1,0 +1,77 @@
+"""Arbitrary stateful streaming: per-key state machines via
+``applyInPandasWithState`` (SURVEY §2.2 "streaming: arbitrary state").
+
+The concrete operator is the DLQ **retry budget** the reference's
+merge/purge workflow implies (a dead-letter record is reprocessed until
+an operator gives up): every record of a key increments the key's
+attempt counter; records beyond ``budget`` attempts are routed DEAD
+(stop retrying → purge leg), the rest RETRY (→ merge leg back into the
+work topic).
+
+Scale posture: state lives in the state store, partitioned by key —
+memory is bounded by (distinct keys in state) × a few bytes, and the
+``GroupStateTimeout.ProcessingTimeTimeout`` eviction below bounds even
+that for keys that go quiet.  Arrow-batched per key-group; no row-wise
+Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: output: one row per input record with its attempt number and routing
+RETRY_OUTPUT_SCHEMA = "key string, offset long, attempt long, decision string"
+#: state: cumulative attempt count per key
+RETRY_STATE_SCHEMA = "attempts long"
+
+
+def retry_budget_decisions(
+    records: DataFrame,
+    budget: int = 3,
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-key retry budget over the canonical record stream.
+
+    Streaming-only (requires the state store).  Emits
+    (key, offset, attempt, decision) with decision ∈ {RETRY, DEAD}:
+    attempts 1..budget are RETRY, later ones DEAD — the stateful analog
+    of the rule-based ask router (R8) whose decision depends on history,
+    which no stateless expression can express.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (attempts,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("offset")
+            n = len(pdf)
+            attempt_nos = range(attempts + 1, attempts + n + 1)
+            out = pd.DataFrame(
+                {
+                    "key": pdf["key"].astype(object),
+                    "offset": pdf["offset"],
+                    "attempt": list(attempt_nos),
+                    "decision": ["RETRY" if a <= budget else "DEAD" for a in attempt_nos],
+                }
+            )
+            attempts += n
+            yield out
+        state.update((attempts,))
+        state.setTimeoutDuration(state_ttl_ms)
+
+    return (
+        records.filter(records["key"].isNotNull())
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RETRY_OUTPUT_SCHEMA,
+            stateStructType=RETRY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -112,6 +112,85 @@ def test_ivf_topk_mostly_agrees_with_exact(tables):
     assert len(exact & approx) >= len(exact) * 0.5
 
 
+def test_lsh_topk_recall_vs_brute_force(tables):
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(probes, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_topk(probes, emb, k=5, n_planes=4, n_tables=16).collect()
+    }
+    # deterministic hyperplanes → deterministic recall (measured 0.91)
+    assert len(exact & approx) >= len(exact) * 0.8
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["rhash"] for r in tx.rolling_hash(df).collect()}
+    assert out[1] == out[3]          # same token stream → same hash
+    assert out[1] != out[2]          # reordered tokens → different hash
+    assert all(0 <= v < tx.ROLL_MOD for v in out.values())
+
+
+def test_media_features_md5_and_bytes(spark):
+    from kafka_merge_purge_spark.operators import multimodal as mm
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, b"hello"), (2, None)], "media_id long, payload binary"
+    )
+    media = mm.attach_meta(df, kind="image", fmt="png")
+    rows = {r["media_id"]: r for r in mm.extract_features(media, fake=True).collect()}
+    assert rows[1]["n_bytes"] == 5
+    assert rows[1]["payload_md5"] == hashlib.md5(b"hello").hexdigest()
+    assert len(rows[1]["feature"]) == 8
+    assert rows[2]["n_bytes"] == 0 and rows[2]["feature"] == [0.0] * 8
+
+
+def test_media_decode_stub_raises_without_fake(spark):
+    from kafka_merge_purge_spark.operators import multimodal as mm
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    media = mm.attach_meta(df, kind="audio", fmt="wav")
+    with _pytest.raises(Exception) as exc:
+        mm.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
+
+
+def test_frame_sample_plan_counts(spark):
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "video", 3500), (2, "video", 400), (3, "image", 9000)],
+        "media_id long, kind string, duration_ms long",
+    ).select(
+        "media_id",
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.col("kind"),
+            F.lit("mp4").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("duration_ms"),
+        ).alias("meta"),
+    )
+    out = mm.frame_sample_plan(df, every_ms=1000).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r["sample_at_ms"])
+    assert sorted(by_media[1]) == [0, 1000, 2000]   # floor(3500/1000) = 3 frames
+    assert sorted(by_media[2]) == [0]               # sub-interval → 1 frame min
+    assert 3 not in by_media                        # non-video filtered out
+
+
 def test_language_id_markers(spark):
     df = spark.createDataFrame(
         [(1, "the fast join wins"), (2, "der die das haus"), (3, "zzz qqq")],

@@ -65,6 +65,88 @@ def test_windowed_counts_batch_semantics(spark, records):
     assert all(r["win_end"] > r["win_start"] for r in rows)
 
 
+def _stage_stream_dir(tmp_path):
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    return str(stream_dir)
+
+
+def _drain_to_memory(df, name, ckpt, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_retry_budget_state_machine(spark, tmp_path, records):
+    from kafka_merge_purge_spark.streaming.stateful import retry_budget_decisions
+
+    stream = stream_records_from_dir(spark, _stage_stream_dir(tmp_path))
+    decided = retry_budget_decisions(stream, budget=3)
+    _drain_to_memory(decided, "retry_out", str(tmp_path / "ckpt"))
+    out = spark.sql("SELECT * FROM retry_out")
+
+    per_key = records.filter(F.col("key").isNotNull()).groupBy("key").count()
+    n_keys = per_key.count()
+    n_records = per_key.agg(F.sum("count")).collect()[0][0]
+    assert out.count() == n_records  # one decision per keyed record
+
+    # per key: attempts number 1..n in offset order; >budget → DEAD
+    sample = out.filter(F.col("key") == out.select("key").first()["key"]).orderBy("attempt")
+    rows = sample.collect()
+    assert [r["attempt"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all((r["decision"] == "RETRY") == (r["attempt"] <= 3) for r in rows)
+    dead_keys = out.filter(F.col("decision") == "DEAD").select("key").distinct().count()
+    expected_dead = per_key.filter(F.col("count") > 3).count()
+    assert dead_keys == expected_dead
+    assert n_keys > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, records):
+    from kafka_merge_purge_spark.streaming.pipeline import streaming_dedup
+
+    stream = stream_records_from_dir(spark, _stage_stream_dir(tmp_path))
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out")
+    # events fixture has unique (key, offset) pairs → dedup preserves all
+    assert out.count() == records.dropDuplicates(["key", "offset"]).count()
+
+
+def test_streaming_session_window_counts(spark, tmp_path, records):
+    from kafka_merge_purge_spark.streaming.pipeline import streaming_session_counts
+
+    stream = stream_records_from_dir(spark, _stage_stream_dir(tmp_path))
+    q = (
+        streaming_session_counts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sess_out")
+    assert out.agg(F.sum("n_events")).collect()[0][0] == records.count()
+    assert out.filter(F.col("sess_end") <= F.col("sess_start")).count() == 0
+
+
 def test_multimodal_feature_extraction_plumbing(spark):
     from kafka_merge_purge_spark.operators.multimodal import attach_meta, extract_features
 
