@@ -607,6 +607,35 @@ def q_corr(spark, sf_dir):
     return g.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
 
 
+def q_skew_join_salted(spark, sf_dir):
+    """Salted skew join: orders⋈customer with the fact side salted 8 ways
+    and the dimension exploded to match.  Result-identical to the plain
+    join — the oracle is the UNSALTED SQL, proving the rewrite preserves
+    semantics while spreading hot keys across tasks."""
+    from kafka_merge_purge_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return salted_join(o, c, "o_custkey", "c_custkey", salt_factor=8).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+def q_range_frame(spark, sf_dir):
+    """RANGE window frame: per-customer trailing-30-day order count and
+    total (value-based frame, not row-based)."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    return o.withColumn("day", day).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("trailing_sum"),
+    )
+
+
 _RELATIONAL_ORACLES = {
     "q_proj_arith": """
         SELECT l_orderkey, l_linenumber,
@@ -813,6 +842,18 @@ _RELATIONAL_ORACLES = {
         WHERE o_totalprice > (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                                                AS DOUBLE) / COUNT(o_totalprice), 6)
                               FROM orders)""",
+    "q_skew_join_salted": """
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q_range_frame": """
+        SELECT o_orderkey, o_custkey,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+               COUNT(*) OVER w AS trailing_n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_sum
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
     "q_rank_funcs": """
         SELECT o_orderpriority, o_orderkey,
                dense_rank() OVER w AS drank,
@@ -955,6 +996,20 @@ def q_frame_sample(spark, sf_dir):
     return mm.frame_sample_plan(media, every_ms=1000)
 
 
+def q_udtf_tokens(spark, sf_dir):
+    """Python UDTF one-to-many expansion: tokenize via a registered table
+    function (LATERAL join), oracle-checked against unnest-with-ordinality.
+    Capped to doc_id < 100: the UDTF is deliberately the Python-side demo
+    of the API — posexplode is the JVM production path (q_word_freq)."""
+    from kafka_merge_purge_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.token FROM docs_udtf, LATERAL tokenize(text) AS t"
+    )
+
+
 def q_lsh_ann(spark, sf_dir):
     """Random-hyperplane LSH approximate top-k (rows-only check:
     approximate by design; recall vs brute force asserted in tests)."""
@@ -1060,6 +1115,11 @@ _LLM_ORACLES = {
                        list_transform(toks, t -> {_MD5_INT.format(x='t')} % 1000000007)),
                    (a, h) -> (a * 131 + h) % 1000000007) AS rhash
         FROM base""",
+    "q_udtf_tokens": """
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents WHERE doc_id < 100)""",
     "q_media_features": """
         SELECT doc_id AS media_id, strlen(text) AS n_bytes, md5(text) AS payload_md5
         FROM documents""",

@@ -1,0 +1,53 @@
+"""Skew-mitigation joins: salting for hot keys.
+
+A shuffle join on a skewed key puts every row of the hot key in one
+task; AQE's skew-join splitting handles sort-merge cases, but salting is
+the general, plan-independent fix and the one that also works for
+aggregations.  Semantics are identical to the plain join — the parity
+gate exploits that: the salted query hashes against the *unsalted* SQL
+oracle, so the rewrite is provably result-preserving.
+
+At 100 TB: ``salt_factor`` bounds the per-task share of a hot key to
+1/salt of its rows; the small side is replicated ``salt_factor``× (cheap
+for dimension tables), the fact side gets a uniform random-free salt
+derived from a stable row attribute (never ``rand()`` — determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_factor: int = 8,
+    salt_source: Column | str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` to ``dim`` on an equi-key with the fact side salted.
+
+    ``salt_source``: a deterministic column to derive the fact-side salt
+    from (hashed mod salt_factor); defaults to the fact key's row hash
+    via ``xxhash64`` over all fact columns — stable, no ``rand()``.
+    ``dim`` rows are exploded ``salt_factor``× so every (key, salt)
+    bucket finds its match; the join key becomes (key, salt), spreading
+    a hot key over ``salt_factor`` tasks.
+    """
+    if salt_source is None:
+        salt = F.pmod(F.xxhash64(*fact.columns), F.lit(salt_factor))
+    else:
+        src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+        salt = F.pmod(F.xxhash64(src), F.lit(salt_factor))
+    salted_fact = fact.withColumn("_salt", salt.cast("int"))
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<int>"))
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key]) & (salted_fact["_salt"] == salted_dim["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

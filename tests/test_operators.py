@@ -216,6 +216,74 @@ def test_sessionize_gap_splits(spark):
     assert s1["n_events"] == 2 and s1["span_sec"] == 600
 
 
+def test_salted_join_matches_plain_join(tables):
+    from kafka_merge_purge_spark.operators.skew import salted_join
+
+    o, c = tables["orders"], tables["customer"]
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+    salted = salted_join(o, c, "o_custkey", "c_custkey", salt_factor=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from kafka_merge_purge_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F2
+
+    # one hot key (1000 rows of key 7) + dimension of 3 keys
+    fact = spark.range(1000).select(F2.lit(7).alias("k"), F2.col("id").alias("payload"))
+    dim = spark.createDataFrame([(7, "hot"), (8, "a"), (9, "b")], "dk long, name string")
+    out = salted_join(fact, dim, "k", "dk", salt_factor=8)
+    assert out.count() == 1000
+    # the salt derived from fact columns actually fans the hot key out
+    salts = (
+        fact.withColumn("_salt", F2.pmod(F2.xxhash64("k", "payload"), F2.lit(8)))
+        .select("_salt").distinct().count()
+    )
+    assert salts == 8
+
+
+def test_embedding_neardup_plan_has_no_shuffle(tables):
+    from kafka_merge_purge_spark.plans.introspect import shuffle_count
+
+    out = dd.embedding_near_dup_pairs(tables["embeddings"], threshold=0.4)
+    # broadcast-corpus GEMM: a narrow mapInPandas over the scan — any
+    # Exchange here would mean the pairing shuffles the corpus
+    assert shuffle_count(out) == 0
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tables, tmp_path):
+    from kafka_merge_purge_spark.plans.introspect import shuffle_count
+
+    # co-located join: both sides bucketed 8 ways on the join key —
+    # the 100 TB pattern for repeated fact⋈fact joins without exchanges
+    for name, df, key in (
+        ("orders_b", tables["orders"], "o_custkey"),
+        ("customer_b", tables["customer"], "c_custkey"),
+    ):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("orders_b")
+        c = spark.table("customer_b")
+        joined = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+        assert shuffle_count(joined) == 0
+        assert joined.count() == tables["orders"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
 def test_filter_pushdown_reaches_scan(spark, tables):
     df = tables["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     pushed = pushed_filters(df)
