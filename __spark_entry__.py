@@ -996,6 +996,17 @@ def q_frame_sample(spark, sf_dir):
     return mm.frame_sample_plan(media, every_ms=1000)
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (50-token chunks, 10 overlap) —
+    the pre-embedding segmentation stage."""
+    return tx.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=50, overlap=10)
+
+
+def q_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (corpus-statistics broadcast join)."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_udtf_tokens(spark, sf_dir):
     """Python UDTF one-to-many expansion: tokenize via a registered table
     function (LATERAL join), oracle-checked against unnest-with-ordinality.
@@ -1115,6 +1126,32 @@ _LLM_ORACLES = {
                        list_transform(toks, t -> {_MD5_INT.format(x='t')} % 1000000007)),
                    (a, h) -> (a * 131 + h) % 1000000007) AS rhash
         FROM base""",
+    "q_chunk_docs": """
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        st0 AS (SELECT doc_id, toks,
+                       generate_series(1, greatest(len(toks) - 10, 1), 40) AS starts
+                FROM base),
+        st AS (SELECT doc_id, toks,
+                      unnest(starts) AS s,
+                      generate_subscripts(starts, 1) AS chunk_idx
+               FROM st0)
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               array_to_string(toks[s : s + 49], ' ') AS chunk_text,
+               len(toks[s : s + 49]) AS n_chunk_tokens
+        FROM st""",
+    "q_tfidf": """
+        WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        dfreq AS (SELECT word, count(DISTINCT doc_id) AS dfr FROM words GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        idf AS (SELECT word, round(ln(n / dfr), 6) AS idf FROM dfreq, n),
+        scored AS (SELECT doc_id, word, round(tf * idf, 6) AS tfidf
+                   FROM tf JOIN idf USING (word))
+        SELECT doc_id, rank, word, tfidf FROM (
+            SELECT doc_id, word, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, word) AS rank
+            FROM scored) WHERE rank <= 5""",
     "q_udtf_tokens": """
         SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,

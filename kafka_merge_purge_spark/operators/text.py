@@ -104,6 +104,69 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-embedding segmentation in a training-data pipeline.
+
+    Chunks start every ``chunk_size - overlap`` tokens; the final chunk
+    may be shorter (slice clamps).  Pure expression form: sequence →
+    posexplode → slice/concat — a narrow map stage whose output rows
+    carry (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride))
+    return (
+        df.select("doc_id", toks.alias("_toks"), F.posexplode(starts).alias("_i", "_s"))
+        .select(
+            "doc_id",
+            (F.col("_i") + 1).alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("_toks", F.col("_s"), chunk_size)).alias("chunk_text"),
+            F.size(F.slice("_toks", F.col("_s"), chunk_size)).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = in-doc term count; idf = round(ln(N/df), 6) — rounded *before*
+    the product so last-ulp ln() differences between engines can't leak
+    into the ranking; ties break on the term for determinism.  Two
+    shuffles (tf groupBy, df groupBy) + a broadcast of the tiny
+    (word, idf) side — the classic corpus-statistics join shape.
+    On the synthetic corpus the vocabulary is ~31 words, so this is a
+    structural demo; the plan is what scales.
+    """
+    words = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = (
+        words.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("word", F.round(F.log(F.col("_n") / F.col("df")), 6).alias("idf"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id", "word", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tfidf")
+    )
+
+
 #: rolling-hash constants, pinned so the DuckDB oracle reproduces the fold
 #: bit-for-bit: h = fold(0, tok -> (h*ROLL_BASE + md5int(tok) % ROLL_MOD) % ROLL_MOD)
 ROLL_BASE = 131

@@ -127,6 +127,30 @@ def test_lsh_topk_recall_vs_brute_force(tables):
     assert len(exact & approx) >= len(exact) * 0.8
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(1, 101))  # 100 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = {r["chunk_idx"]: r for r in tx.chunk_documents(df, 50, 10).collect()}
+    assert sorted(chunks) == [1, 2, 3]
+    assert chunks[1]["n_chunk_tokens"] == 50 and chunks[1]["chunk_text"].startswith("t1 ")
+    assert chunks[2]["chunk_text"].startswith("t41 ")   # stride 40 → overlap 10
+    assert chunks[3]["n_chunk_tokens"] == 20            # tail chunk clamps
+    # a short doc still yields exactly one chunk
+    short = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    assert tx.chunk_documents(short, 50, 10).count() == 1
+
+
+def test_tfidf_rare_term_ranks_first(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common common other")],
+        "doc_id long, text string",
+    )
+    out = tx.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["word"] for r in out}
+    # 'common' appears in every doc → idf 0; doc-unique terms win
+    assert top == {1: "rare", 2: "other"}
+
+
 def test_rolling_hash_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
