@@ -51,5 +51,12 @@ def read_schema(df: DataFrame) -> list[str]:
     return cols
 
 
+def node_count(df: DataFrame, operator: str) -> int:
+    """Distinct plan nodes of a given operator name (the formatted plan
+    prints each node twice — tree + detail — so substring counts double)."""
+    plan = formatted_plan(df)
+    return len(set(re.findall(rf"\((\d+)\) {re.escape(operator)}\b", plan)))
+
+
 def wholestage_codegen_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -308,6 +308,25 @@ def test_bucketed_join_needs_no_shuffle(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_partitioned_parquet_sink_roundtrip(spark, tables, tmp_path):
+    from kafka_merge_purge_spark.sources.write import write_parquet
+    from kafka_merge_purge_spark.plans.introspect import formatted_plan
+
+    events = tables["events"]
+    out = str(tmp_path / "events_by_type")
+    write_parquet(
+        events, out, partition_by=("event_type",), sort_within=("ts",),
+        max_records_per_file=100_000,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # directory partitioning is prunable: a filter on the partition column
+    # reaches the scan as a partition filter, not a data filter
+    pruned = back.filter(back.event_type == "click")
+    assert "PartitionFilters" in formatted_plan(pruned)
+    assert (tmp_path / "events_by_type" / "event_type=click").exists()
+
+
 def test_filter_pushdown_reaches_scan(spark, tables):
     df = tables["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     pushed = pushed_filters(df)

@@ -1,0 +1,56 @@
+"""Physical-plan regression tests over the *declared* queries — pins the
+plan shapes the 100 TB posture depends on (broadcasts chosen, shuffles
+minimal, partial aggregation present, top-N never a full sort).  If a
+refactor silently degrades a plan (e.g. a dimension stops broadcasting),
+these fail before the bench does."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from kafka_merge_purge_spark.plans.introspect import (
+    formatted_plan,
+    has_broadcast_join,
+    node_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dimension_join_broadcasts_all_dims(spark):
+    df = entry.q_join_orders_customer(spark, SF_DIR)
+    assert node_count(df, "BroadcastHashJoin") == 3
+    assert node_count(df, "SortMergeJoin") == 0
+
+
+def test_merge_all_is_shuffle_free(spark):
+    # one scan, two projected legs, union — any Exchange is a regression
+    plan = formatted_plan(entry.q_merge_all(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_agg_revenue_has_partial_aggregation(spark):
+    df = entry.q_agg_revenue(spark, SF_DIR)
+    # partial (map-side) + final HashAggregate around exactly one exchange
+    assert node_count(df, "HashAggregate") == 2
+    assert node_count(df, "Exchange") == 1
+
+
+def test_global_topn_avoids_full_sort(spark):
+    plan = formatted_plan(entry.q_global_topn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scalar_subquery_broadcasts_aggregate(spark):
+    assert has_broadcast_join(entry.q_scalar_subquery(spark, SF_DIR))
+
+
+def test_similarity_topk_broadcasts_probes(spark):
+    assert has_broadcast_join(entry.q_similarity_topk(spark, SF_DIR))
+
+
+def test_like_filter_pushes_predicates(spark):
+    from kafka_merge_purge_spark.plans.introspect import pushed_filters
+
+    pushed = pushed_filters(entry.q_like_filter(spark, SF_DIR))
+    assert any("p_size" in f for f in pushed)
+    assert any("p_brand" in f for f in pushed)
