@@ -22,6 +22,13 @@ def test_dimension_join_broadcasts_all_dims(spark):
     assert node_count(df, "SortMergeJoin") == 0
 
 
+def test_snowflake_join_broadcasts_every_dim(spark):
+    df = entry.q_regional_volume(spark, SF_DIR)
+    # customer/supplier/nation/region all broadcast; the lineitem⋈orders
+    # fact join may also broadcast at tiny scale (5 total at sf0.001)
+    assert node_count(df, "BroadcastHashJoin") >= 4
+
+
 def test_merge_all_is_shuffle_free(spark):
     # one scan, two projected legs, union — any Exchange is a regression
     plan = formatted_plan(entry.q_merge_all(spark, SF_DIR))
