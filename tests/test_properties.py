@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis): the reference's semantic invariants
+hold for *arbitrary* record sets, not just the fixtures.
+
+Kept cheap: small generated frames, few examples, no deadline (Spark job
+latency dominates).  These complement the DuckDB oracle gate — the gate
+pins exact values on real data; these pin algebraic laws on adversarial
+data (empty frames, all-tombstones, duplicate keys, null keys).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.operators import routing
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+#: (offset, key, value) — nullable key/value model tombstones + null keys
+records_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.one_of(st.none(), st.integers(0, 5).map(str)),
+        st.one_of(st.none(), st.text("abc", min_size=0, max_size=5)),
+    ),
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+def _records_df(spark, rows):
+    return spark.createDataFrame(
+        [("t", int(o) % 4, o, k, v) for o, k, v in rows],
+        "topic string, partition int, offset long, key string, value string",
+    )
+
+
+@given(rows=records_strategy)
+@SETTINGS
+def test_purge_preserves_partition_and_never_double_tombstones(spark, rows):
+    df = _records_df(spark, rows)
+    out = routing.purge_all(df).collect()
+    live = [r for r in rows if r[2] is not None]
+    # one tombstone per live record (Pipeline.kt:93-95), none for tombstones
+    assert len(out) == len(live)
+    assert all(r["value"] is None for r in out)
+    # partition-preserving (Pipeline.kt:97)
+    by_offset = {r[0]: int(r[0]) % 4 for r in rows}
+    assert all(r["partition"] == by_offset[r["src_offset"]] for r in out)
+
+
+@given(rows=records_strategy)
+@SETTINGS
+def test_merge_all_leg_counts_balance(spark, rows):
+    df = _records_df(spark, rows)
+    out = routing.merge_all(df, "dest").collect()
+    live = [r for r in rows if r[2] is not None]
+    merge_leg = [r for r in out if r["leg"] == "merge"]
+    purge_leg = [r for r in out if r["leg"] == "purge"]
+    assert len(merge_leg) == len(purge_leg) == len(live)
+    # merge leg carries the payload untouched; purge leg tombstones
+    assert all(r["value"] is not None or r["leg"] == "purge" for r in out)
+    assert {r["topic"] for r in merge_leg} <= {"dest"}
+
+
+@given(rows=records_strategy)
+@SETTINGS
+def test_compaction_is_idempotent_and_unique_per_key(spark, rows):
+    df = _records_df(spark, rows)
+    once = routing.compaction(df)
+    keys = [r["key"] for r in once.collect()]
+    assert len(keys) == len(set(keys))  # ≤1 live row per key
+    twice = routing.compaction(once)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=records_strategy)
+@SETTINGS
+def test_tombstone_filter_is_a_projection_fixpoint(spark, rows):
+    df = _records_df(spark, rows)
+    once = routing.filter_tombstones(df)
+    assert once.filter(F.col("value").isNull()).count() == 0
+    assert routing.filter_tombstones(once).count() == once.count()
+
+
+@given(
+    texts=st.lists(st.text("ab c", min_size=0, max_size=20), min_size=1, max_size=8)
+)
+@SETTINGS
+def test_rolling_hash_matches_python_model(spark, texts):
+    import re
+
+    from kafka_merge_purge_spark.operators import text as tx
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["rhash"] for r in tx.rolling_hash(df).collect()}
+
+    def model(s: str) -> int:
+        norm = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+        acc = 0
+        for tok in norm.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % tx.ROLL_MOD
+            acc = (acc * tx.ROLL_BASE + h) % tx.ROLL_MOD
+        return acc
+
+    assert got == {i: model(s) for i, s in enumerate(texts)}
