@@ -116,6 +116,42 @@ def streaming_dedup(records: DataFrame, watermark: str = "10 minutes") -> DataFr
     )
 
 
+def purge_lag_audit(
+    records: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair every live record with a
+    tombstone for the same key arriving within ``within`` after it — the
+    audit view "which records were purged, and how fast".
+
+    Both sides carry watermarks and the join condition is time-bounded,
+    so state for each side is GC'd past the watermark — the requirement
+    for unbounded-stream joins to run in bounded memory.
+    """
+    live = (
+        records.filter(F.col("value").isNotNull())
+        .select("key", F.col("offset").alias("live_offset"), F.col("timestamp").alias("live_ts"))
+        .withWatermark("live_ts", watermark)
+    )
+    tombs = (
+        records.filter(F.col("value").isNull())
+        .select("key", F.col("offset").alias("tomb_offset"), F.col("timestamp").alias("tomb_ts"))
+        .withWatermark("tomb_ts", watermark)
+    )
+    return live.join(
+        tombs,
+        (live["key"] == tombs["key"])
+        & (tombs["tomb_ts"] >= live["live_ts"])
+        & (tombs["tomb_ts"] <= live["live_ts"] + F.expr(f"interval {within}")),
+    ).select(
+        live["key"],
+        "live_offset",
+        "tomb_offset",
+        (F.unix_timestamp("tomb_ts") - F.unix_timestamp("live_ts")).alias("purge_lag_sec"),
+    )
+
+
 def streaming_session_counts(records: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Session-window aggregation (built-in session_window) — streaming
     twin of operators/sessionize.py's batch formulation."""

@@ -75,3 +75,63 @@ def retry_budget_decisions(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+#: streaming compaction output: the current latest live record per key
+COMPACT_OUTPUT_SCHEMA = "key string, offset long, value string"
+
+
+def streaming_compaction(records: DataFrame) -> DataFrame:
+    """Streaming log compaction via ``transformWithStateInPandas`` (the
+    Spark 4 stateful-processor API): ValueState holds each key's
+    (max_offset, value); every micro-batch folds its records in and emits
+    the key's current latest — **tombstone-aware**: a tombstone at the
+    head deletes the key (emits nothing), exactly the batch semantics of
+    operators/routing.compaction and Kafka log compaction.
+
+    State is one tuple per key — the minimal upsert-view state; at scale
+    the state store shards by key alongside the shuffle.
+
+    NOTE: this API serializes state via protobuf, which is not installed
+    in the test container — the test suite skips its test there (the
+    applyInPandasWithState path above has no such dependency and covers
+    the arbitrary-state gate).  On a real deployment: ``pip install
+    protobuf``.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LatestPerKey(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState("latest", "max_offset long, value string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            max_offset, value = (
+                self._latest.get() if self._latest.exists() else (-1, None)
+            )
+            for pdf in rows:
+                for _, r in pdf.sort_values("offset").iterrows():
+                    if r["offset"] > max_offset:
+                        max_offset = int(r["offset"])
+                        value = r["value"] if pd.notna(r["value"]) else None
+            self._latest.update((max_offset, value))
+            if value is not None:  # head tombstone ⇒ key is deleted
+                yield pd.DataFrame(
+                    {"key": [key[0]], "offset": [max_offset], "value": [value]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        records.filter(records["key"].isNotNull())
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=LatestPerKey(),
+            outputStructType=COMPACT_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import glob
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_merge_purge_spark.streaming.pipeline import (
@@ -107,6 +108,65 @@ def test_retry_budget_state_machine(spark, tmp_path, records):
     expected_dead = per_key.filter(F.col("count") > 3).count()
     assert dead_keys == expected_dead
     assert n_keys > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas serializes state via protobuf, "
+    "not installed in this container (applyInPandasWithState covers the "
+    "stateful gate; see test_retry_budget_state_machine)",
+)
+def test_streaming_compaction_matches_batch(spark, tmp_path, records):
+    from kafka_merge_purge_spark.operators.routing import compaction
+    from kafka_merge_purge_spark.streaming.stateful import streaming_compaction
+
+    stream = stream_records_from_dir(spark, _stage_stream_dir(tmp_path))
+    compacted = streaming_compaction(stream)
+    _drain_to_memory(compacted, "compact_out", str(tmp_path / "ckpt"), output_mode="update")
+    got = {
+        (r["key"], r["offset"], r["value"])
+        for r in spark.sql("SELECT * FROM compact_out").collect()
+    }
+    want = {
+        (r["key"], r["offset"], r["value"])
+        for r in compaction(records).select("key", "offset", "value").collect()
+    }
+    assert got == want  # incl. head-tombstone keys absent from both
+
+
+def test_purge_lag_audit_stream_stream_join(spark, tmp_path, records):
+    from kafka_merge_purge_spark.streaming.pipeline import purge_lag_audit
+
+    stream = stream_records_from_dir(spark, _stage_stream_dir(tmp_path))
+    joined = purge_lag_audit(stream, within="30 minutes")
+    _drain_to_memory(joined, "lag_out", str(tmp_path / "ckpt"))
+    out = spark.sql("SELECT * FROM lag_out")
+    n = out.count()
+    # batch twin over the same frame logic
+    live = records.filter(F.col("value").isNotNull()).selectExpr(
+        "key", "offset AS live_offset", "timestamp AS live_ts"
+    )
+    tombs = records.filter(F.col("value").isNull()).selectExpr(
+        "key AS tkey", "timestamp AS tomb_ts"
+    )
+    expected = live.join(
+        tombs,
+        (live["key"] == tombs["tkey"])
+        & (tombs["tomb_ts"] >= live["live_ts"])
+        & (tombs["tomb_ts"] <= F.expr("live_ts + interval 30 minutes")),
+    ).count()
+    assert n == expected
+    assert n > 0
+    assert out.filter(F.col("purge_lag_sec") < 0).count() == 0
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path, records):
