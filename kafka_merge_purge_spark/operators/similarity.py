@@ -50,13 +50,29 @@ def brute_force_topk(
     pairing; the only exchange is the per-query top-k aggregation, which
     map-side-combines to ≤k rows per task per query.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # norms are per-vector, so compute them ONCE per side before the
+    # pairing — the per-pair work drops to a single dot fold (the cos
+    # value is unchanged: sqrt(Σq²)·sqrt(Σc²) is the same number whether
+    # computed per pair or per vector)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
     if broadcast_queries:
         q = F.broadcast(q)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    denom = F.col("qn") * F.col("cn")
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -193,10 +209,11 @@ def ivf_topk(
     cent_b = F.broadcast(centroids)
 
     def cell_scores(df: DataFrame, side_id: str, vname: str) -> DataFrame:
-        scored = df.crossJoin(cent_b).withColumn(
+        norm_name = vname[0] + "n"  # qv→qn, cv→cn: per-vector norm, computed once
+        scored = df.withColumn(norm_name, l2_norm(F.col(vname))).crossJoin(cent_b).withColumn(
             "cell_dot", dot(F.col(vname), F.col("centroid"))
         )
-        return scored.select(side_id, vname, "cell_id", "cell_dot")
+        return scored.select(side_id, vname, norm_name, "cell_id", "cell_dot")
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     corpus_cells = cell_scores(c, "neighbor_id", "cv")
@@ -212,10 +229,14 @@ def ivf_topk(
         query_cells.withColumn("_rn", F.row_number().over(w_q)).filter(F.col("_rn") <= nprobe).drop("_rn", "cell_dot")
     )
 
+    denom = F.col("qn") * F.col("cn")
     scored = (
         corpus_assigned.join(query_probes, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
