@@ -1077,6 +1077,27 @@ def q_tfidf(spark, sf_dir):
     return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_range_join_binned(spark, sf_dir):
+    """Binned range join: the same interval semantics as q_range_join but
+    executed as a bin-id equi hash join (the scale path for range joins).
+    Oracle = the NAIVE range SQL — the rewrite is provably
+    result-preserving."""
+    from kafka_merge_purge_spark.operators.rangejoin import binned_range_join
+
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(BANDS, "band_id int, lo double, hi double")
+    out = binned_range_join(
+        e, F.broadcast(bands), "value", bin_width=64.0, hi_cap=1024.0
+    )
+    return out.select("event_id", "band_id")
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    reproducible alternative to rand() sampling."""
+    return tx.train_test_split(_t(spark, sf_dir, "documents"))
+
+
 def q_udtf_tokens(spark, sf_dir):
     """Python UDTF one-to-many expansion: tokenize via a registered table
     function (LATERAL join), oracle-checked against unnest-with-ordinality.
@@ -1222,6 +1243,21 @@ _LLM_ORACLES = {
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY tfidf DESC, word) AS rank
             FROM scored) WHERE rank <= 5""",
+    "q_range_join_binned": """
+        SELECT event_id, band_id
+        FROM events JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),
+                                 (2, 100.0, 200.0), (3, 200.0, 1000000000.0))
+             AS bands(band_id, lo, hi)
+          ON value >= lo AND value < hi""",
+    "q_train_test_split": f"""
+        WITH b AS (SELECT doc_id,
+                          {_MD5_INT.format(x='CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+                   FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b""",
     "q_udtf_tokens": """
         SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,

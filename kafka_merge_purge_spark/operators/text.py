@@ -167,6 +167,29 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFr
     )
 
 
+def train_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(id) mod 100 banded
+    into splits.  The standard reproducible split for training data —
+    stable across runs, engines, partitionings, and dataset growth (a
+    document's split never changes when other documents are added),
+    unlike ``rand()`` or ``randomSplit``.  Narrow map stage.
+    """
+    from kafka_merge_purge_spark.operators.dedup import md5_int
+
+    bucket = md5_int(F.col(id_col).cast("string")) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(id_col, bucket.alias("bucket"), split.alias("split"))
+
+
 #: rolling-hash constants, pinned so the DuckDB oracle reproduces the fold
 #: bit-for-bit: h = fold(0, tok -> (h*ROLL_BASE + md5int(tok) % ROLL_MOD) % ROLL_MOD)
 ROLL_BASE = 131

@@ -278,6 +278,40 @@ def test_embedding_neardup_plan_has_no_shuffle(tables):
     assert shuffle_count(out) == 0
 
 
+def test_binned_range_join_matches_naive_and_hash_joins(spark, tables):
+    from kafka_merge_purge_spark.operators.rangejoin import binned_range_join
+    from kafka_merge_purge_spark.plans.introspect import node_count
+
+    e = tables["events"]
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0), (3, 200.0, 1e9)],
+        "band_id int, lo double, hi double",
+    )
+    naive = e.join(
+        F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi)
+    ).select("event_id", "band_id")
+    binned = binned_range_join(
+        e, F.broadcast(bands), "value", bin_width=64.0, hi_cap=1024.0
+    ).select("event_id", "band_id")
+    assert binned.exceptAll(naive).count() == 0
+    assert naive.exceptAll(binned).count() == 0
+    # the whole point: an equi hash join, not a nested-loop join
+    assert node_count(binned, "BroadcastHashJoin") == 1
+    assert node_count(binned, "BroadcastNestedLoopJoin") == 0
+
+
+def test_train_test_split_deterministic_and_proportional(tables):
+    split = tx.train_test_split(tables["documents"])
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == tables["documents"].count()
+    assert 0.7 < counts["train"] / total < 0.9  # md5 buckets ≈ uniform
+    # deterministic: identical assignment on recompute
+    again = {r["doc_id"]: r["split"] for r in tx.train_test_split(tables["documents"]).collect()}
+    first = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert first == again
+
+
 def test_bucketed_join_needs_no_shuffle(spark, tables, tmp_path):
     from kafka_merge_purge_spark.plans.introspect import shuffle_count
 
