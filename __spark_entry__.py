@@ -1098,6 +1098,30 @@ def q_train_test_split(spark, sf_dir):
     return tx.train_test_split(_t(spark, sf_dir, "documents"))
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data pipeline composition: quality filter →
+    exact dedup (keep lowest id per normalized fingerprint) → hash split
+    → per-split document/token stats.  The composed form of q_quality,
+    q_dedup_docs_exact, q_train_test_split, q_text_stats — one pass, one
+    declarative plan."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.join(
+        tx.quality_score(docs).filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    deduped = kept.join(
+        dd.exact_dedup(kept).select("doc_id"), "doc_id"
+    )
+    split = tx.train_test_split(deduped).select("doc_id", "split")
+    return (
+        deduped.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_tokens"),
+        )
+    )
+
+
 def q_udtf_tokens(spark, sf_dir):
     """Python UDTF one-to-many expansion: tokenize via a registered table
     function (LATERAL join), oracle-checked against unnest-with-ordinality.
@@ -1258,6 +1282,27 @@ _LLM_ORACLES = {
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM b""",
+    "q_pipeline_e2e": f"""
+        WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        quality AS (
+            SELECT doc_id, text, toks FROM toks
+            WHERE len(toks) BETWEEN 10 AND 1000
+              AND round(len(list_filter(toks, t -> list_contains({_STOPLIST}, t)))
+                        / len(toks), 6) < 0.5
+        ),
+        deduped AS (
+            SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5({_NORM})
+        ),
+        final AS (
+            SELECT q.doc_id, len(q.toks) AS n_tokens,
+                   {_MD5_INT.format(x='CAST(q.doc_id AS VARCHAR)')} % 100 AS bucket
+            FROM quality q JOIN deduped d ON q.doc_id = d.doc_id
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+        FROM final GROUP BY 1""",
     "q_udtf_tokens": """
         SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
