@@ -1098,6 +1098,20 @@ def q_train_test_split(spark, sf_dir):
     return tx.train_test_split(_t(spark, sf_dir, "documents"))
 
 
+def q_sample_deterministic(spark, sf_dir):
+    """Deterministic 10% sample via md5 bucketing (the reproducible,
+    engine-portable alternative to rand()-based sampling; composable with
+    stratification by adding the stratum to the groupBy)."""
+    from kafka_merge_purge_spark.operators.dedup import md5_int
+
+    e = _t(spark, sf_dir, "events")
+    sampled = e.filter(md5_int(F.col("event_id").cast("string")) % 100 < 10)
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("event_id").alias("first_id"),
+    )
+
+
 def q_pipeline_e2e(spark, sf_dir):
     """End-to-end training-data pipeline composition: quality filter →
     exact dedup (keep lowest id per normalized fingerprint) → hash split
@@ -1282,6 +1296,11 @@ _LLM_ORACLES = {
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM b""",
+    "q_sample_deterministic": f"""
+        SELECT event_type, COUNT(*) AS n_sampled, min(event_id) AS first_id
+        FROM events
+        WHERE {_MD5_INT.format(x='CAST(event_id AS VARCHAR)')} % 100 < 10
+        GROUP BY event_type""",
     "q_pipeline_e2e": f"""
         WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         quality AS (
