@@ -1098,6 +1098,25 @@ def q_train_test_split(spark, sf_dir):
     return tx.train_test_split(_t(spark, sf_dir, "documents"))
 
 
+def q_histogram(spark, sf_dir):
+    """Fixed-width value histogram (floor-binning + counts + stable sums)
+    — the no-join analytics primitive behind distribution dashboards."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+def q_approx_percentile(spark, sf_dir):
+    """Sketch-based percentile (rows-only: approximation is
+    engine-specific by design; the exact twin is q_percentiles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price")
+    )
+
+
 def q_sample_deterministic(spark, sf_dir):
     """Deterministic 10% sample via md5 bucketing (the reproducible,
     engine-portable alternative to rand()-based sampling; composable with
@@ -1296,6 +1315,10 @@ _LLM_ORACLES = {
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM b""",
+    "q_histogram": """
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1""",
     "q_sample_deterministic": f"""
         SELECT event_type, COUNT(*) AS n_sampled, min(event_id) AS first_id
         FROM events

@@ -110,3 +110,20 @@ def test_routing_plan_has_no_shuffle(tiny):
     from kafka_merge_purge_spark.plans.introspect import shuffle_count
 
     assert shuffle_count(routing.merge_all(tiny, "dst")) == 0
+
+
+def test_raw_byte_fidelity_through_merge(spark):
+    """MixedValue invariant (MixedValue.kt:77-81): the sink receives the
+    UNTOUCHED raw bytes — routing must never re-encode payloads.  Run the
+    verbs over binary key/value columns (the canonical Kafka frame shape)
+    and compare bytes exactly."""
+    payloads = [b"\x00\x01\xffraw", b"\x80utf-broken\xfe", b""]
+    df = spark.createDataFrame(
+        [("t", 0, i, b"k%d" % i, p) for i, p in enumerate(payloads)],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    out = routing.merge_all(df, "dst")
+    merged = {bytes(r["key"]): bytes(r["value"]) for r in out.filter(out.leg == "merge").collect()}
+    assert merged == {b"k%d" % i: p for i, p in enumerate(payloads)}
+    purged = out.filter(out.leg == "purge").collect()
+    assert all(r["value"] is None for r in purged)  # tombstones carry no bytes
