@@ -621,6 +621,33 @@ def q_skew_join_salted(spark, sf_dir):
     )
 
 
+def q_skew_agg_salted(spark, sf_dir):
+    """Two-phase salted aggregation: hot grouping keys split across salt
+    buckets, partials recombined exactly (decimal all the way through, so
+    the two-phase sum is bit-identical to the one-phase oracle)."""
+    from kafka_merge_purge_spark.operators.skew import salted_aggregation
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_aggregation(
+        e,
+        ["event_type"],
+        {
+            "sum_value": F.sum(F.col("value").cast("decimal(18,4)")),
+            "n": F.count(F.lit(1)),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        salt_factor=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n",
+        "min_value",
+        "max_value",
+    )
+
+
 def q_range_frame(spark, sf_dir):
     """RANGE window frame: per-customer trailing-30-day order count and
     total (value-based frame, not row-based)."""
@@ -915,6 +942,11 @@ _RELATIONAL_ORACLES = {
     "q_skew_join_salted": """
         SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q_skew_agg_salted": """
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               COUNT(*) AS n, min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY event_type""",
     "q_range_frame": """
         SELECT o_orderkey, o_custkey,
                datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,

@@ -18,6 +18,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_aggregation(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Two-phase salted groupBy for hot grouping keys.
+
+    Phase 1 aggregates on (group_cols, salt) — a hot key's rows split
+    across ``salt_factor`` reducers; phase 2 re-aggregates the (tiny)
+    per-salt partials on the true key.  Only works for decomposable
+    aggregates; callers pass phase-1 expressions and this wraps phase 2
+    with the matching combiner (SUM of partial sums / counts, MIN of
+    mins, MAX of maxs).
+
+    Note: Spark's own partial aggregation already does map-side combine;
+    explicit salting matters when the *reduce* side is the bottleneck —
+    extreme key skew or high-cardinality partial states.
+    """
+    agg_names = list(aggs)
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_factor)).cast("int")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+
+    def combine(name: str) -> Column:
+        if name.startswith("min"):
+            return F.min(name).alias(name)
+        if name.startswith("max"):
+            return F.max(name).alias(name)
+        return F.sum(name).alias(name)  # sums and counts combine by SUM
+
+    return phase1.groupBy(*group_cols).agg(*[combine(n) for n in agg_names])
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
