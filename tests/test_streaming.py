@@ -261,6 +261,16 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path, records):
     assert len(offsets) == len(set(offsets))      # nothing replayed
 
 
+def test_sliding_window_overlaps(spark, records):
+    from kafka_merge_purge_spark.streaming.pipeline import windowed_counts
+
+    tumbling = windowed_counts(records, "1 hour", watermark="1 hour")
+    sliding = windowed_counts(records, "1 hour", slide="30 minutes", watermark="1 hour")
+    # every event lands in window_duration/slide = 2 overlapping windows
+    assert sliding.agg(F.sum("n")).collect()[0][0] == 2 * records.count()
+    assert sliding.count() > tumbling.count()
+
+
 def test_multimodal_feature_extraction_plumbing(spark):
     from kafka_merge_purge_spark.operators.multimodal import attach_meta, extract_features
 
