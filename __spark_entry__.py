@@ -560,6 +560,31 @@ def q_scalar_subquery(spark, sf_dir):
     )
 
 
+def q_null_funcs(spark, sf_dir):
+    """Null-handling scalar surface: coalesce / nullif / nvl2-style CASE
+    over the nullable record columns."""
+    records = load_records(spark, sf_dir)
+    return records.select(
+        "offset",
+        F.coalesce("key", F.lit("<anon>")).alias("key_or_anon"),
+        F.nullif(F.col("value"), F.lit('{"k": 0}')).alias("value_nz"),
+        F.when(F.col("value").isNull(), F.lit("tomb")).otherwise(F.lit("live")).alias("kind"),
+        (F.col("key").isNotNull() & F.col("value").isNotNull()).cast("int").alias("fully_keyed"),
+    )
+
+
+def q_edit_distance(spark, sf_dir):
+    """Levenshtein edit distance (exact integer DP — identical across
+    engines): each document's head vs a fixed probe phrase."""
+    d = _t(spark, sf_dir, "documents")
+    probe = F.lit("the quick brown fox")
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 19), probe).alias("lev_to_probe"),
+        F.levenshtein(F.col("lang"), F.lit("en")).alias("lev_lang"),
+    )
+
+
 def q_rank_funcs(spark, sf_dir):
     """Ranking-function surface: dense_rank / ntile / percent_rank /
     cume_dist over a unique ordering (deterministic tie-free frame)."""
@@ -956,6 +981,18 @@ _RELATIONAL_ORACLES = {
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
+    "q_null_funcs": f"""{_RECORDS_CTE}
+        SELECT "offset",
+               coalesce("key", '<anon>') AS key_or_anon,
+               nullif("value", '{{"k": 0}}') AS value_nz,
+               CASE WHEN "value" IS NULL THEN 'tomb' ELSE 'live' END AS kind,
+               CAST("key" IS NOT NULL AND "value" IS NOT NULL AS INTEGER) AS fully_keyed
+        FROM records""",
+    "q_edit_distance": """
+        SELECT doc_id,
+               levenshtein(substr(text, 1, 19), 'the quick brown fox') AS lev_to_probe,
+               levenshtein(lang, 'en') AS lev_lang
+        FROM documents""",
     "q_rank_funcs": """
         SELECT o_orderpriority, o_orderkey,
                dense_rank() OVER w AS drank,
