@@ -38,6 +38,17 @@ def salted_aggregation(
     extreme key skew or high-cardinality partial states.
     """
     agg_names = list(aggs)
+    # the phase-2 combiner is chosen by name prefix — restrict to the
+    # prefixes whose combiner is actually correct, and fail loudly for
+    # anything else (an 'avg_x' would silently SUM partial averages)
+    allowed = ("sum", "n", "count", "min", "max")
+    bad = [n for n in agg_names if not n.startswith(allowed)]
+    if bad:
+        raise ValueError(
+            f"salted_aggregation combines by name prefix {allowed}; "
+            f"cannot combine {bad} — decompose the aggregate (e.g. avg → "
+            "sum + count recombined after phase 2)"
+        )
     salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_factor)).cast("int")
     phase1 = (
         df.withColumn("_salt", salt)

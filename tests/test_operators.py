@@ -240,6 +240,26 @@ def test_sessionize_gap_splits(spark):
     assert s1["n_events"] == 2 and s1["span_sec"] == 600
 
 
+def test_salted_aggregation_matches_plain_and_rejects_bad_combiners(spark, tables):
+    import pytest as _pytest
+    from kafka_merge_purge_spark.operators.skew import salted_aggregation
+
+    e = tables["events"]
+    salted = salted_aggregation(
+        e, ["event_type"],
+        {"sum_value": F.sum(F.col("value").cast("decimal(18,4)")), "n": F.count(F.lit(1))},
+    )
+    plain = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = {r["event_type"]: (r["sum_value"], r["n"]) for r in salted.collect()}
+    want = {r["event_type"]: (r["sum_value"], r["n"]) for r in plain.collect()}
+    assert got == want  # decimal partials recombine exactly
+    with _pytest.raises(ValueError, match="avg_value"):
+        salted_aggregation(e, ["event_type"], {"avg_value": F.avg("value")})
+
+
 def test_salted_join_matches_plain_join(tables):
     from kafka_merge_purge_spark.operators.skew import salted_join
 
