@@ -820,9 +820,9 @@ _RELATIONAL_ORACLES = {
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, event_id, ts,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_id
+                        AS BIGINT) AS session_id
             FROM tagged
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1412,7 +1412,7 @@ _LLM_ORACLES = {
         SELECT CASE WHEN bucket < 80 THEN 'train'
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split,
-               COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         FROM final GROUP BY 1""",
     "q_udtf_tokens": """
         SELECT doc_id, CAST(pos AS INTEGER) AS pos, token

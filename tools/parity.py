@@ -89,10 +89,24 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
-            d_fp = frame_fingerprint(list(rel.columns), rel.fetchall())
+            d_cols, d_types = list(rel.columns), [str(t).upper() for t in rel.types]
+            d_fp = frame_fingerprint(d_cols, rel.fetchall())
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        # Driver-hasher hazard lint: DuckDB HUGEINT / DECIMAL cells hash
+        # differently from Spark BIGINT/DOUBLE in the driver even though this
+        # tool canonicalizes them away (round-1 q_pipeline_e2e lesson).  Any
+        # un-cast SUM() is the usual culprit — always CAST in the oracle.
+        s_dtypes = dict(sdf.dtypes)
+        for c, t in zip(d_cols, d_types):
+            risky = "HUGEINT" in t or "INT128" in t or t.startswith("DECIMAL")
+            if risky and not s_dtypes.get(c, "").startswith("decimal"):
+                failures.append(name)
+                print(f"FAIL  {name}: oracle col {c!r} is {t} but spark is "
+                      f"{s_dtypes.get(c)} — CAST it (driver hasher is type-sensitive)")
+        if name in failures:
             continue
         if s_fp == d_fp:
             print(f"OK    {name}: {s_fp[0]} rows hash={s_fp[2]}")
