@@ -2,7 +2,7 @@
 
 One registered table function: ``tokenize(text)`` — explode a document
 into (pos, token) rows.  The built-in ``posexplode(split(...))`` is the
-production path (JVM-side, used by q_explode_embeddings/q_word_freq);
+production path (JVM-side, used by x_explode_embeddings/x_word_freq);
 the UDTF exists to cover the API surface with identical, oracle-checkable
 semantics, and as the template for expansions that genuinely need Python
 (e.g. a real BPE tokenizer library).

@@ -23,7 +23,7 @@ def test_dimension_join_broadcasts_all_dims(spark):
 
 
 def test_snowflake_join_broadcasts_every_dim(spark):
-    df = entry.q_regional_volume(spark, SF_DIR)
+    df = entry.x_regional_volume(spark, SF_DIR)
     # customer/supplier/nation/region all broadcast; the lineitem⋈orders
     # fact join may also broadcast at tiny scale (5 total at sf0.001)
     assert node_count(df, "BroadcastHashJoin") >= 4
@@ -58,6 +58,6 @@ def test_similarity_topk_broadcasts_probes(spark):
 def test_like_filter_pushes_predicates(spark):
     from kafka_merge_purge_spark.plans.introspect import pushed_filters
 
-    pushed = pushed_filters(entry.q_like_filter(spark, SF_DIR))
+    pushed = pushed_filters(entry.x_like_filter(spark, SF_DIR))
     assert any("p_size" in f for f in pushed)
     assert any("p_brand" in f for f in pushed)
