@@ -691,14 +691,16 @@ def q_range_frame(spark, sf_dir):
 def x_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped composite: filter → 3-way join → aggregate →
     global top-10 by revenue (the canonical scan-join-agg-topN pipeline;
-    one shuffle per agg, broadcast dims, TakeOrdered finish)."""
+    one shuffle per agg, TakeOrdered finish).  customer scales with sf,
+    so it is NOT force-broadcast — AQE promotes the join to broadcast
+    when the filtered side is small and demotes it at scale."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(disc_price, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -710,8 +712,10 @@ def x_regional_volume(spark, sf_dir):
     """TPC-H Q5-shaped composite: 6-table snowflake join (lineitem ⋈
     orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the
     local-supplier condition (c_nationkey = s_nationkey), revenue per
-    nation.  Fact side shuffles only for the joins its keys require;
-    every dimension broadcasts."""
+    nation.  Only the fixed-cardinality dims (nation: 25 rows, region: 5)
+    are force-broadcast; customer and supplier scale linearly with sf, so
+    AQE picks their join strategy (broadcast at small sf, shuffle at
+    scale) instead of a hint that would OOM at 100×."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("2000-01-01"))
     c = _t(spark, sf_dir, "customer")
@@ -721,9 +725,9 @@ def x_regional_volume(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

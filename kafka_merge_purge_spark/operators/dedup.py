@@ -256,11 +256,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 QUANT_SCALE = 1_000_000
 
 
+#: above this corpus size the broadcast fast path would collect too much
+#: to the driver; switch to the distributed block-pair GEMM.
+BROADCAST_MAX_ROWS = 500_000
+#: rows per GEMM block on the distributed path (2 blocks × dim floats per
+#: task — a few MB at dim 64..4096)
+DEFAULT_BLOCK_SIZE = 8_192
+
+
+def _quantize(mat):
+    import numpy as np
+
+    return np.floor(mat * QUANT_SCALE + 0.5).astype(np.int64)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    block_size: int = DEFAULT_BLOCK_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs form).
 
@@ -272,46 +288,106 @@ def embedding_near_dup_pairs(
     the DuckDB oracle's fold — the only float math left is the final
     ``round(dot/(√aa·√bb), 6)``, identical elementwise on both engines.
 
-    Execution: the quantized corpus (ids, int64 matrix, self-dots) is
-    broadcast; ``mapInPandas`` streams corpus partitions through an
-    Arrow-batched ``batch × corpus`` integer GEMM and emits only the pairs
-    above threshold (id_a < id_b once).  No shuffle, no per-pair rows.
-    This is the right plan while one side fits in executor memory
-    (thousands-to-millions of vectors); beyond that, block the pairing
-    with the LSH/IVF bucketing in operators/similarity.py and keep this
-    exact scorer inside buckets."""
+    Two physical plans, same exact result:
+
+    * corpus ≤ ``broadcast_max_rows`` — broadcast fast path: the quantized
+      corpus is broadcast and ``mapInPandas`` streams partitions through a
+      ``batch × corpus`` integer GEMM.  No shuffle, no per-pair rows.
+    * larger — distributed block-pair GEMM (no driver collect): rows are
+      hashed into ``⌈n/block_size⌉`` blocks, the tiny (b1 ≤ b2) block-pair
+      table is broadcast-joined against the corpus to tag each row with
+      every pair it participates in, and one shuffle on ``(b1, b2)`` lands
+      both blocks of a pair in a single ``applyInPandas`` task that emits
+      only above-threshold pairs.  Data replication is ×⌈n/block_size⌉ —
+      the inherent cost of *exact* all-pairs; for approximate-at-scale use
+      the LSH/IVF bucketing in operators/similarity.py as the candidate
+      generator and this quantized scorer inside buckets.
+    """
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    q = np.floor(mat * QUANT_SCALE + 0.5).astype(np.int64)
-    aa = (q * q).sum(axis=1)  # exact self-dots
-    bc = emb.sparkSession.sparkContext.broadcast((ids, q, aa))
+    n = emb.count()
+    if n <= broadcast_max_rows:
+        rows = emb.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        q = _quantize(mat)
+        aa = (q * q).sum(axis=1)  # exact self-dots
+        bc = emb.sparkSession.sparkContext.broadcast((ids, q, aa))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_q, c_aa = bc.value
-        for pdf in batches:
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            b_q = np.floor(b_mat * QUANT_SCALE + 0.5).astype(np.int64)
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c_ids, c_q, c_aa = bc.value
+            for pdf in batches:
+                b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                b_q = _quantize(b_mat)
+                b_aa = (b_q * b_q).sum(axis=1)
+                dots = b_q @ c_q.T  # exact int64 (|x|≤~2e6, 64 dims → < 2^53)
+                cos = np.round(
+                    dots / (np.sqrt(b_aa)[:, None] * np.sqrt(c_aa)[None, :]), 6
+                )
+                keep = (b_ids[:, None] < c_ids[None, :]) & (cos >= threshold)
+                ai, bj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": b_ids[ai],
+                        "id_b": c_ids[bj],
+                        "cos": cos[ai, bj],
+                    }
+                )
+
+        return emb.select(id_col, vec_col).mapInPandas(
+            score, schema="id_a long, id_b long, cos double"
+        )
+
+    # --- distributed block-pair GEMM (corpus never touches the driver) ---
+    spark = emb.sparkSession
+    n_blocks = -(-n // block_size)  # ceil
+    data = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("long").alias("_blk"),
+    )
+    b1 = spark.range(n_blocks).select(F.col("id").alias("b1"))
+    b2 = spark.range(n_blocks).select(F.col("id").alias("b2"))
+    bpairs = b1.crossJoin(b2).filter(F.col("b1") <= F.col("b2"))
+    # Each row joins every pair its block is part of; bpairs is tiny so the
+    # joins stay broadcast (no shuffle of the corpus until the groupBy).
+    side_a = data.join(F.broadcast(bpairs), data["_blk"] == F.col("b1")).select(
+        "b1", "b2", F.lit(0).alias("_side"), "_id", "_vec"
+    )
+    side_b = (
+        data.join(F.broadcast(bpairs.filter(F.col("b1") != F.col("b2"))), data["_blk"] == F.col("b2"))
+        .select("b1", "b2", F.lit(1).alias("_side"), "_id", "_vec")
+    )
+    tagged = side_a.unionByName(side_b)
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_side"] == 0]
+        b = pdf[pdf["_side"] == 1]
+        diag = b.empty  # b1 == b2: pair the block with itself
+        a_ids = a["_id"].to_numpy(dtype=np.int64)
+        a_q = _quantize(np.stack([np.asarray(v, dtype=np.float64) for v in a["_vec"]]))
+        a_aa = (a_q * a_q).sum(axis=1)
+        if diag:
+            b_ids, b_q, b_aa = a_ids, a_q, a_aa
+        else:
+            b_ids = b["_id"].to_numpy(dtype=np.int64)
+            b_q = _quantize(np.stack([np.asarray(v, dtype=np.float64) for v in b["_vec"]]))
             b_aa = (b_q * b_q).sum(axis=1)
-            dots = b_q @ c_q.T  # exact int64 (|x|≤~2e6, 64 dims → < 2^53)
-            cos = np.round(
-                dots / (np.sqrt(b_aa)[:, None] * np.sqrt(c_aa)[None, :]), 6
-            )
-            keep = (b_ids[:, None] < c_ids[None, :]) & (cos >= threshold)
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": b_ids[ai],
-                    "id_b": c_ids[bj],
-                    "cos": cos[ai, bj],
-                }
-            )
+        dots = a_q @ b_q.T
+        cos = np.round(dots / (np.sqrt(a_aa)[:, None] * np.sqrt(b_aa)[None, :]), 6)
+        keep = cos >= threshold
+        if diag:
+            # A×A contains both orientations — keep the upper triangle only.
+            keep &= a_ids[:, None] < b_ids[None, :]
+        ai, bj = np.nonzero(keep)
+        lo = np.minimum(a_ids[ai], b_ids[bj])
+        hi = np.maximum(a_ids[ai], b_ids[bj])
+        m = lo < hi  # drop self-pairs; orientation normalized to id_a < id_b
+        return pd.DataFrame({"id_a": lo[m], "id_b": hi[m], "cos": cos[ai, bj][m]})
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        score, schema="id_a long, id_b long, cos double"
+    return tagged.groupBy("b1", "b2").applyInPandas(
+        gemm, schema="id_a long, id_b long, cos double"
     )

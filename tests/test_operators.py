@@ -298,6 +298,19 @@ def test_embedding_neardup_plan_has_no_shuffle(tables):
     assert shuffle_count(out) == 0
 
 
+def test_embedding_neardup_block_path_matches_broadcast(tables):
+    emb = tables["embeddings"]
+    fast = dd.embedding_near_dup_pairs(emb, threshold=0.4)
+    # Force the distributed block-pair GEMM (no driver collect of the
+    # corpus) with several blocks; exact quantized dots → identical pairs.
+    blocked = dd.embedding_near_dup_pairs(
+        emb, threshold=0.4, broadcast_max_rows=0, block_size=37
+    )
+    f = {(r.id_a, r.id_b): r.cos for r in fast.collect()}
+    b = {(r.id_a, r.id_b): r.cos for r in blocked.collect()}
+    assert f == b and len(f) > 0
+
+
 def test_binned_range_join_matches_naive_and_hash_joins(spark, tables):
     from kafka_merge_purge_spark.operators.rangejoin import binned_range_join
     from kafka_merge_purge_spark.plans.introspect import node_count
