@@ -45,7 +45,11 @@ def cmd_print(args) -> int:
 
 def cmd_merge_all(args) -> int:
     spark = get_spark("cli-merge-all")
-    routed = routing.merge_all(load_records(spark, args.sf_dir), args.dest_topic)
+    routed = routing.merge_all(
+        load_records(spark, args.sf_dir),
+        args.dest_topic,
+        merge_tombstones=args.merge_tombstones,
+    )
     counts = {r["leg"]: r["n"] for r in routed.groupBy("leg").agg(F.count("*").alias("n")).collect()}
     _emit(routed, args.out, "merge_all")
     # MergeAll.kt:54-58 epilogue stats
@@ -128,6 +132,12 @@ def main(argv: list[str] | None = None) -> int:
     ma.add_argument("sf_dir")
     ma.add_argument("dest_topic")
     ma.add_argument("--out", default=None)
+    ma.add_argument(
+        "-T",
+        "--merge-tombstones",
+        action="store_true",
+        help="forward tombstones to dest as delete markers (MergeAll.kt:15-19)",
+    )
     ma.set_defaults(fn=cmd_merge_all)
 
     pa = sub.add_parser("purge-all", help="tombstone every live record (R7)")

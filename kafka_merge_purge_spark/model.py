@@ -38,7 +38,22 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Kafka record headers, carried opaquely end-to-end (MixedValue.kt:41-43
+#: treats headers as pass-through bytes; Spark's Kafka source exposes the
+#: same shape under ``includeHeaders=true``).
+HEADERS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("value", T.BinaryType(), True),
+        ]
+    )
+)
+
 #: Canonical record schema — superset-compatible with Spark's Kafka source.
+#: ``headers`` is nullable and optional on batch snapshots (the driver's
+#: parquet tables carry none); every routing verb passes it through
+#: untouched when present.
 RECORD_SCHEMA = T.StructType(
     [
         T.StructField("topic", T.StringType(), False),
@@ -47,10 +62,14 @@ RECORD_SCHEMA = T.StructType(
         T.StructField("key", T.StringType(), True),
         T.StructField("value", T.StringType(), True),
         T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("headers", HEADERS_TYPE, True),
     ]
 )
 
 RECORD_COLUMNS = [f.name for f in RECORD_SCHEMA.fields]
+
+#: Columns a headerless batch snapshot emits (records_from_events).
+SNAPSHOT_COLUMNS = [c for c in RECORD_COLUMNS if c != "headers"]
 
 #: DuckDB twin of `records_from_events` — MUST stay expression-identical.
 RECORDS_ORACLE_SQL = """

@@ -157,6 +157,14 @@ def minhash_lsh_pairs(
     sh_df = df.repartition(n_part, id_col).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     )
+    # Degenerate documents (text normalizing to nothing) all shingle to
+    # [""] and would collide in every band — a quadratic mega-bucket at
+    # scale.  Drop them before banding; they can't be meaningful fuzzy
+    # duplicates of anything.
+    sh_df = sh_df.filter(
+        (F.size("sh") > 0)
+        & ~((F.size("sh") == 1) & (F.element_at("sh", 1) == F.lit("")))
+    )
     sigs = sh_df.select(
         "id", "sh", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
     )

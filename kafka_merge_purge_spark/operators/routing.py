@@ -50,6 +50,20 @@ def filter_tombstones(records: DataFrame, merge_tombstones: bool = False) -> Dat
     return records.filter(~is_tombstone())
 
 
+def _value_null(records: DataFrame) -> Column:
+    """A NULL literal typed as the frame's actual ``value`` dtype, so the
+    purge leg unions cleanly with a binary, string, or struct payload and
+    the SURVEY §1.4 "value stays its wire type" invariant holds without
+    relying on union type-coercion."""
+    return F.lit(None).cast(records.schema["value"].dataType)
+
+
+def _headers_cols(records: DataFrame) -> list[Column]:
+    """Opaque headers passthrough (MixedValue.kt:41-43): carried untouched
+    when the frame has them, absent otherwise (batch snapshots)."""
+    return [F.col("headers")] if "headers" in records.columns else []
+
+
 def purge(records: DataFrame) -> DataFrame:
     """Tombstone projection: ``(topic, partition, key, NULL)`` for each
     live record, partition-preserving (Pipeline.kt:91-98).
@@ -63,35 +77,46 @@ def purge(records: DataFrame) -> DataFrame:
         F.col("partition"),
         F.col("offset").alias("src_offset"),
         F.col("key"),
-        F.lit(None).cast("string").alias("value"),
+        _value_null(records).alias("value"),
+        *_headers_cols(records),
     )
 
 
-def merge(records: DataFrame, dest_topic: str) -> DataFrame:
+def merge(records: DataFrame, dest_topic: str, merge_tombstones: bool = False) -> DataFrame:
     """Re-topic projection: live records addressed to ``dest_topic`` with
-    partition NULL → chosen by the sink's partitioner (MergeAll.kt:47)."""
-    return records.filter(~is_tombstone()).select(
+    partition NULL → chosen by the sink's partitioner (MergeAll.kt:47).
+
+    ``merge_tombstones`` (reference ``-T``, MergeAll.kt:15-19) forwards
+    tombstones to the destination as delete markers instead of dropping
+    them."""
+    src = records if merge_tombstones else records.filter(~is_tombstone())
+    return src.select(
         F.lit(dest_topic).alias("topic"),
         F.lit(None).cast("int").alias("partition"),
         F.col("offset").alias("src_offset"),
         F.col("key"),
         F.col("value"),
+        *_headers_cols(records),
     )
 
 
-def merge_all(records: DataFrame, dest_topic: str) -> DataFrame:
+def merge_all(records: DataFrame, dest_topic: str, merge_tombstones: bool = False) -> DataFrame:
     """The flagship verb (MergeAll.kt:31-61): one scan, two routed output
     legs — merge to dest + purge back to source — as a single unioned
     frame tagged with ``leg`` so a partitioned sink can split it without
     rescanning.
 
+    ``merge_tombstones`` (reference ``-T``, MergeAll.kt:15-19): tombstones
+    are forwarded on the merge leg as delete markers; the purge leg still
+    never re-tombstones them.
+
     Scale note: ``unionByName`` of two narrow projections over the same
     scan lets Spark reuse the exchange-free map stage; the sink (or a
     ``partitionBy("leg")`` write) splits the legs.
     """
-    live = records.filter(~is_tombstone())
-    merge_leg = merge(live, dest_topic).withColumn("leg", F.lit(MERGE_LEG))
-    purge_leg = purge(live).withColumn("leg", F.lit(PURGE_LEG))
+    merge_src = records if merge_tombstones else records.filter(~is_tombstone())
+    merge_leg = merge(merge_src, dest_topic, merge_tombstones).withColumn("leg", F.lit(MERGE_LEG))
+    purge_leg = purge(records).withColumn("leg", F.lit(PURGE_LEG))
     return merge_leg.unionByName(purge_leg)
 
 
@@ -140,6 +165,7 @@ def ask(
         F.col("offset").alias("src_offset"),
         F.col("key"),
         F.col("value"),
+        *_headers_cols(decided),
         F.col("action"),
         F.lit(MERGE_LEG).alias("leg"),
     )
@@ -150,7 +176,8 @@ def ask(
         F.col("partition"),
         F.col("offset").alias("src_offset"),
         F.col("key"),
-        F.lit(None).cast("string").alias("value"),
+        _value_null(decided).alias("value"),
+        *_headers_cols(decided),
         F.col("action"),
         F.lit(PURGE_LEG).alias("leg"),
     )

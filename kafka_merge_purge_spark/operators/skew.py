@@ -83,7 +83,18 @@ def salted_join(
     ``dim`` rows are exploded ``salt_factor``× so every (key, salt)
     bucket finds its match; the join key becomes (key, salt), spreading
     a hot key over ``salt_factor`` tasks.
+
+    Only fact-side-preserving join types are allowed: under ``right`` /
+    ``full_outer`` the exploded dim side would emit each unmatched dim
+    row ``salt_factor`` times instead of once.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: join type {how!r} is not result-preserving under "
+            f"dim-side salting (unmatched dim rows would duplicate "
+            f"{salt_factor}x); use one of {sorted(allowed)}"
+        )
     if salt_source is None:
         salt = F.pmod(F.xxhash64(*fact.columns), F.lit(salt_factor))
     else:

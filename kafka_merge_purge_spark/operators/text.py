@@ -83,9 +83,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-based language ID: count marker-token hits per language,
-    pick the argmax (ties → 'und').  Structure matches a real n-gram
-    profile scorer; markers are pinned for oracle reproducibility."""
+    """Marker-based language ID: count marker-token hits per language and
+    pick the argmax; ties break by LANG_MARKERS declaration order (the
+    first language declared wins), and 'und' is returned only when every
+    score is 0.  The DuckDB oracle (_LANG_GUESS) implements the same
+    priority-order tie-break.  Structure matches a real n-gram profile
+    scorer; markers are pinned for oracle reproducibility."""
     toks = tokens(F.col(text_col))
     scores = {
         lang: F.size(

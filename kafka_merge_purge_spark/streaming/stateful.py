@@ -29,23 +29,21 @@ RETRY_OUTPUT_SCHEMA = "key string, offset long, attempt long, decision string"
 RETRY_STATE_SCHEMA = "attempts long"
 
 
-def retry_budget_decisions(
-    records: DataFrame,
-    budget: int = 3,
-    state_ttl_ms: int = 3_600_000,
-) -> DataFrame:
-    """Per-key retry budget over the canonical record stream.
-
-    Streaming-only (requires the state store).  Emits
-    (key, offset, attempt, decision) with decision ∈ {RETRY, DEAD}:
-    attempts 1..budget are RETRY, later ones DEAD — the stateful analog
-    of the rule-based ask router (R8) whose decision depends on history,
-    which no stateless expression can express.
-    """
+def make_retry_fn(budget: int, state_ttl_ms: int):
+    """The per-key-group handler for ``retry_budget_decisions``, exposed
+    at module level so the timeout protocol is unit-testable against a
+    fake GroupState (the real state store only exists in a stream)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL eviction: the key went quiet for state_ttl_ms — drop its
+            # counter and do NOT re-arm the timer, or idle keys would hold
+            # state forever and wake every TTL (round-2 advice).  Timeout
+            # invocations carry no data, so there is nothing to emit.
+            state.remove()
+            return
         (attempts,) = state.get if state.exists else (0,)
         for pdf in pdfs:
             pdf = pdf.sort_values("offset")
@@ -64,6 +62,23 @@ def retry_budget_decisions(
         state.update((attempts,))
         state.setTimeoutDuration(state_ttl_ms)
 
+    return fn
+
+
+def retry_budget_decisions(
+    records: DataFrame,
+    budget: int = 3,
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-key retry budget over the canonical record stream.
+
+    Streaming-only (requires the state store).  Emits
+    (key, offset, attempt, decision) with decision ∈ {RETRY, DEAD}:
+    attempts 1..budget are RETRY, later ones DEAD — the stateful analog
+    of the rule-based ask router (R8) whose decision depends on history,
+    which no stateless expression can express.
+    """
+    fn = make_retry_fn(budget, state_ttl_ms)
     return (
         records.filter(records["key"].isNotNull())
         .groupBy("key")

@@ -25,6 +25,12 @@ def test_cli_merge_all_writes_both_legs(spark, tmp_path, capsys):
     assert legs == {"merge", "purge"}
 
 
+def test_cli_merge_all_merge_tombstones_flag(tmp_path, capsys):
+    # -T forwards the 77 tombstones on the merge leg; purge leg unchanged
+    assert main(["merge-all", SF_DIR, "dest-topic", "-T", "--out", str(tmp_path)]) == 0
+    assert "Merged 1000 records, purged 923" in capsys.readouterr().out
+
+
 def test_cli_purge_all(spark, tmp_path, capsys):
     assert main(["purge-all", SF_DIR, "--out", str(tmp_path)]) == 0
     assert "Purged 923 records" in capsys.readouterr().out

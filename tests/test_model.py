@@ -2,11 +2,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kafka_merge_purge_spark.model import RECORD_COLUMNS
+from kafka_merge_purge_spark.model import RECORD_COLUMNS, SNAPSHOT_COLUMNS
 
 
 def test_records_schema(records):
-    assert records.columns == RECORD_COLUMNS
+    # batch snapshots carry every canonical column except opaque headers
+    assert records.columns == SNAPSHOT_COLUMNS
+    assert RECORD_COLUMNS == SNAPSHOT_COLUMNS + ["headers"]
 
 
 def test_tombstone_rate_matches_pinned_rule(records):

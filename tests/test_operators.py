@@ -4,6 +4,7 @@ tools/parity.py / the driver's t2.)"""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_merge_purge_spark.operators import dedup as dd
@@ -43,6 +44,20 @@ def test_minhash_lsh_finds_exact_dup_pair(spark):
         "doc_id long, text string",
     )
     pairs = dd.minhash_lsh_pairs(df, jaccard_threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_minhash_drops_degenerate_docs_before_banding(spark):
+    # documents normalizing to empty text shingle to [""] and would
+    # collide in every band (quadratic mega-bucket); they must be
+    # filtered before the self-join and never pair with anything
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"),
+         (2, "the quick brown fox jumps over it"),
+         (3, "!!! ... ???"), (4, "~~~"), (5, ""), (6, None)],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
 
@@ -287,6 +302,15 @@ def test_salted_join_spreads_hot_key(spark):
         .select("_salt").distinct().count()
     )
     assert salts == 8
+
+
+def test_salted_join_rejects_dim_duplicating_join_types(tables):
+    from kafka_merge_purge_spark.operators.skew import salted_join
+
+    o, c = tables["orders"], tables["customer"]
+    for how in ("right", "full_outer", "full", "cross"):
+        with pytest.raises(ValueError, match="not result-preserving"):
+            salted_join(o, c, "o_custkey", "c_custkey", how=how)
 
 
 def test_embedding_neardup_plan_has_no_shuffle(tables):

@@ -16,11 +16,11 @@ def tiny(spark):
     """Hand-built record stream: live rows, a tombstone, a null key —
     mirrors the reference fixtures (AskTest.kt:181, PipelineTest.kt:253)."""
     rows = [
-        ("src", 0, 0, "k1", "v1", None),
-        ("src", 0, 1, "k1", "v2", None),
-        ("src", 1, 2, "k2", None, None),   # tombstone
-        ("src", 1, 3, None, "v3", None),   # null key
-        ("src", 2, 4, "k3", "v4", None),
+        ("src", 0, 0, "k1", "v1", None, None),
+        ("src", 0, 1, "k1", "v2", None, [("trace", b"\x00\x01")]),  # with headers
+        ("src", 1, 2, "k2", None, None, None),   # tombstone
+        ("src", 1, 3, None, "v3", None, None),   # null key
+        ("src", 2, 4, "k3", "v4", None, None),
     ]
     return spark.createDataFrame(rows, RECORD_SCHEMA).cache()
 
@@ -123,7 +123,49 @@ def test_raw_byte_fidelity_through_merge(spark):
         "topic string, partition int, offset long, key binary, value binary",
     )
     out = routing.merge_all(df, "dst")
+    # the purge leg's typed NULL must not coerce the unioned value column
+    # away from the wire type (round-1 verdict, What's wrong #4)
+    assert out.schema["value"].dataType.typeName() == "binary"
     merged = {bytes(r["key"]): bytes(r["value"]) for r in out.filter(out.leg == "merge").collect()}
     assert merged == {b"k%d" % i: p for i, p in enumerate(payloads)}
     purged = out.filter(out.leg == "purge").collect()
     assert all(r["value"] is None for r in purged)  # tombstones carry no bytes
+
+
+def test_purge_leg_value_type_matches_input_type(spark, tiny):
+    # string-valued frame → string purge column; binary frame → binary
+    assert routing.purge(tiny).schema["value"].dataType.typeName() == "string"
+    bdf = spark.createDataFrame(
+        [("t", 0, 0, b"k", b"v")],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    assert routing.purge(bdf).schema["value"].dataType.typeName() == "binary"
+
+
+def test_headers_pass_through_merge_and_purge_bit_exact(tiny):
+    out = routing.merge_all(tiny, "dst")
+    by_leg_offset = {(r["leg"], r["src_offset"]): r["headers"] for r in out.collect()}
+    for leg in ("merge", "purge"):
+        hs = by_leg_offset[(leg, 1)]
+        assert [(h["key"], bytes(h["value"])) for h in hs] == [("trace", b"\x00\x01")]
+        assert by_leg_offset[(leg, 0)] is None  # headerless rows stay NULL
+
+
+def test_merge_tombstones_forwards_delete_markers(tiny):
+    # reference -T (MergeAll.kt:15-19): tombstones ride the merge leg as
+    # delete markers; the purge leg still never re-tombstones them
+    out = routing.merge_all(tiny, "dst", merge_tombstones=True)
+    merge_leg = out.filter(out.leg == "merge")
+    assert merge_leg.count() == 5
+    assert merge_leg.filter(F.col("value").isNull()).count() == 1
+    assert out.filter(out.leg == "purge").count() == 4  # unchanged
+
+
+def test_ask_with_merge_tombstones_keeps_tombstones(tiny):
+    rule = F.lit("MERGE")
+    out = routing.ask(tiny, "dst", rule, merge_tombstones=True)
+    merge_leg = out.filter(out.leg == "merge")
+    assert merge_leg.count() == 5
+    assert merge_leg.filter(F.col("value").isNull()).count() == 1
+    # purge leg: never double-tombstone, even under -T
+    assert out.filter(out.leg == "purge").count() == 4

@@ -110,6 +110,46 @@ def test_retry_budget_state_machine(spark, tmp_path, records):
     assert n_keys > 0
 
 
+def test_retry_budget_timeout_evicts_state_without_rearming():
+    """TTL protocol: a timeout invocation must remove the key's state and
+    must NOT update or re-arm the timer (otherwise idle keys hold state
+    forever and wake every TTL)."""
+    import pandas as pd
+
+    from kafka_merge_purge_spark.streaming.stateful import make_retry_fn
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (5,)
+
+        def __init__(self):
+            self.calls = []
+
+        def remove(self):
+            self.calls.append("remove")
+
+        def update(self, v):
+            self.calls.append("update")
+
+        def setTimeoutDuration(self, ms):
+            self.calls.append("setTimeoutDuration")
+
+    fn = make_retry_fn(budget=3, state_ttl_ms=1000)
+    state = FakeState()
+    out = list(fn(("k",), iter([pd.DataFrame()]), state))
+    assert out == []
+    assert state.calls == ["remove"]
+
+    # data invocation on a live state: updates + re-arms, never removes
+    live = FakeState()
+    live.hasTimedOut = False
+    pdf = pd.DataFrame({"key": ["k"], "offset": [7]})
+    result = list(fn(("k",), iter([pdf]), live))
+    assert len(result) == 1 and list(result[0]["attempt"]) == [6]
+    assert live.calls == ["update", "setTimeoutDuration"]
+
+
 def _has_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
