@@ -10,9 +10,10 @@ produce.  Two implementations:
 - ``exactly_once_parquet_sink``: stage batch output to a temp dir, then
   atomically rename to ``batch_id=N``; a replayed batch sees the final
   dir and skips.  (File-system twin of the producer transaction.)
-- ``transactional_kafka_batch_fn``: the shape of the real Kafka version —
-  transactional producer keyed by (group, batchId); requires a broker +
-  kafka-python, so it is a documented stub here.
+- ``transactional_kafka_batch_fn``: the real Kafka version — one fenced
+  producer transaction per micro-batch (begin → send →
+  sendOffsetsToTransaction → commit, abort on error), with the wire
+  client injectable; only the client library/broker is environment-gated.
 """
 
 from __future__ import annotations
@@ -42,18 +43,103 @@ def exactly_once_parquet_sink(out_dir: str):
     return batch_fn
 
 
-def transactional_kafka_batch_fn(bootstrap_servers: str, transactional_id: str):
-    """Kafka twin of the reference's R12 path (Pipeline.kt:22-26,54-59):
-    one producer transaction per micro-batch, ``transactional.id`` =
-    ``{id}-{batchId}`` for zombie fencing, abort on error.  Needs a broker
-    and a Kafka client lib — not available in this container."""
+class TransactionAborted(RuntimeError):
+    """Raised after a failed batch was aborted (original error chained)."""
+
+
+def _kafka_python_producer_factory(bootstrap_servers: str, extra_config: dict | None = None):
+    """Producer factory backed by kafka-python, gated at construction:
+    the transaction *logic* below is real and unit-tested against a fake;
+    only the wire client needs the library + a broker
+    (acks=all + enable.idempotence=true per reference Factory.kt:85-86).
+    """
+    try:
+        from kafka import KafkaProducer  # type: ignore[import-not-found]
+    except ImportError as exc:  # container has no client lib
+        raise NotImplementedError(
+            "transactional Kafka sink needs a Kafka client library on the "
+            "driver (pip install kafka-python) and a reachable broker; the "
+            "transaction protocol itself is implemented and tested against "
+            "a fake producer (tests/test_sink_transactions.py)"
+        ) from exc
+
+    def factory(transactional_id: str):
+        return KafkaProducer(
+            bootstrap_servers=bootstrap_servers,
+            transactional_id=transactional_id,
+            acks="all",
+            enable_idempotence=True,
+            **(extra_config or {}),
+        )
+
+    return factory
+
+
+def transactional_kafka_batch_fn(
+    bootstrap_servers: str,
+    transactional_id: str,
+    producer_factory=None,
+    group_id: str = "kafka-merge-purge-spark",
+    no_commit: bool = False,
+):
+    """Kafka twin of the reference's R12 path (Pipeline.kt:22-26,54-74):
+    one producer transaction per micro-batch —
+
+        init_transactions → begin_transaction → send every record →
+        send_offsets_to_transaction(max offset per source partition) →
+        commit_transaction, abort_transaction on ANY error (re-raised)
+
+    ``transactional.id`` is ``{transactional_id}-{batch_id}``: a replayed
+    batch re-uses the id, so the broker fences the zombie attempt — the
+    Kafka-native analog of ``exactly_once_parquet_sink``'s rename commit.
+    ``no_commit`` mirrors the reference's ``--no-commit`` (Pipeline.kt:
+    55-57 guard): produce transactionally but never advance the source
+    offsets.
+
+    Expects routed frames (operators/routing.py): columns ``topic,
+    partition, key, value`` (+ optional ``headers``, ``src_offset``).
+    Rows stream through ``toLocalIterator`` — bounded driver memory, one
+    producer, one transaction per batch, exactly the reference's unit of
+    atomicity.  A transaction cannot span processes in Kafka's model, so
+    the *distributed* variant is transaction-per-partition via
+    ``foreachPartition`` (same protocol, one fenced producer per task,
+    exactly-once per partition); this driver-side form is wire-compatible
+    with the reference's single-producer semantics.
+
+    ``producer_factory(transactional_id) -> producer`` is injectable for
+    tests and alternative clients; it defaults to kafka-python (gated on
+    the library's presence).
+    """
+    if producer_factory is None:
+        producer_factory = _kafka_python_producer_factory(bootstrap_servers)
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
-        raise NotImplementedError(
-            "transactional Kafka sink requires a broker + client library; "
-            "deploy with spark-sql-kafka and a foreachPartition producer "
-            f"(transactional.id={transactional_id!r}-{{batch_id}}, acks=all, "
-            "enable.idempotence=true per reference Factory.kt:85-86)"
-        )
+        producer = producer_factory(f"{transactional_id}-{batch_id}")
+        producer.init_transactions()
+        producer.begin_transaction()
+        offsets: dict[tuple[str, int], int] = {}
+        try:
+            cols = df.columns
+            for row in df.toLocalIterator():
+                producer.send(
+                    topic=row["topic"],
+                    partition=row["partition"],
+                    key=row["key"],
+                    value=row["value"],
+                    headers=row["headers"] if "headers" in cols else None,
+                )
+                if "src_offset" in cols:
+                    tp = (row["topic"], row["partition"])
+                    off = row["src_offset"]
+                    if off is not None:
+                        offsets[tp] = max(offsets.get(tp, -1), off)
+            if not no_commit:
+                producer.send_offsets_to_transaction(offsets, group_id)
+            producer.commit_transaction()
+        except Exception as exc:
+            producer.abort_transaction()
+            raise TransactionAborted(
+                f"batch {batch_id} aborted: {exc}"
+            ) from exc
 
     return batch_fn
