@@ -127,6 +127,20 @@ def test_ivf_topk_mostly_agrees_with_exact(tables):
     assert len(exact & approx) >= len(exact) * 0.5
 
 
+def test_kmeans_centroids_deterministic_and_normalized(tables):
+    import numpy as np
+
+    emb = tables["embeddings"]
+    c1 = sim.kmeans_centroids(emb, 8)
+    c2 = sim.kmeans_centroids(emb, 8)
+    r1 = {r["cell_id"]: r["centroid"] for r in c1.collect()}
+    r2 = {r["cell_id"]: r["centroid"] for r in c2.collect()}
+    assert r1 == r2  # fixed sample + fixed init + fixed iters
+    assert sorted(r1) == list(range(1, 9))
+    for v in r1.values():
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9  # unit sphere
+
+
 def test_lsh_topk_recall_vs_brute_force(tables):
     emb = tables["embeddings"]
     probes = emb.filter(F.col("vec_id") < 20)
