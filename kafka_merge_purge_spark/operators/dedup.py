@@ -154,16 +154,16 @@ def minhash_lsh_pairs(
     # signature map stage must parallelize, so spread rows first (at real
     # scale the scan already has many partitions and AQE coalesces).
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    sh_df = df.repartition(n_part, id_col).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
-    )
     # Degenerate documents (text normalizing to nothing) all shingle to
     # [""] and would collide in every band — a quadratic mega-bucket at
-    # scale.  Drop them before banding; they can't be meaningful fuzzy
-    # duplicates of anything.
-    sh_df = sh_df.filter(
-        (F.size("sh") > 0)
-        & ~((F.size("sh") == 1) & (F.element_at("sh", 1) == F.lit("")))
+    # scale.  Drop them BEFORE shingling; the predicate is a cheap
+    # short-circuiting rlike (text normalizes to empty iff it contains no
+    # alphanumeric at all), not a re-evaluation of the normalize/shingle
+    # expression chain.
+    sh_df = (
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        .repartition(n_part, id_col)
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
     )
     sigs = sh_df.select(
         "id", "sh", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")

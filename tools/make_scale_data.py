@@ -1,0 +1,138 @@
+"""Generate a ~sf{R/10} scale-up of the sf0.1 tables for slope benching.
+
+The driver ships no sf1 parquet, so scale-slope evidence needs a scaled
+input.  Naive row replication would change the *workload shape*, not
+just its size — 10 exact copies of every document/embedding would make
+the dedup operators' pair count quadratic in the replication factor.
+Instead each replica preserves the source distribution while staying
+dissimilar from its siblings:
+
+- lineitem: plain replication with id offsets (aggregation/correlation
+  queries are insensitive to value duplication).
+- documents: replica r interleaves a replica-specific token every 4
+  words — token/length distribution is preserved, but cross-replica
+  3-shingle Jaccard drops to ~0.25, far under the 0.7 dedup threshold.
+- embeddings: each replica vector is normalize(0.2*v + 0.98*u) with u a
+  per-(vec_id, replica) seeded gaussian — cos(replica, original) ~ 0.2,
+  under the 0.4 near-dup threshold, and replicas are mutually
+  near-orthogonal, i.e. fresh draws from the same near-random corpus.
+
+Usage: python tools/make_scale_data.py [R] [src_dir] [out_dir]
+Defaults: R=10, src=/root/testdata/sf0.1, out=/root/repo/.scale_sf1
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def scale_lineitem(src: str, out: str, r_factor: int) -> None:
+    t = pq.read_table(f"{src}/lineitem.parquet")
+    n = t.num_rows
+    chunks = []
+    okey = t.column("l_orderkey").to_numpy()
+    max_okey = int(okey.max()) + 1
+    for r in range(r_factor):
+        rep = t.set_column(
+            t.schema.get_field_index("l_orderkey"),
+            "l_orderkey",
+            pa.array(okey + r * max_okey, type=t.schema.field("l_orderkey").type),
+        )
+        chunks.append(rep)
+    pq.write_table(pa.concat_tables(chunks), f"{out}/lineitem.parquet")
+    print(f"lineitem: {n} -> {n * r_factor} rows")
+
+
+def scale_documents(src: str, out: str, r_factor: int) -> None:
+    t = pq.read_table(f"{src}/documents.parquet")
+    n = t.num_rows
+    doc_id = t.column("doc_id").to_numpy()
+    max_id = int(doc_id.max()) + 1
+    texts = t.column("text").to_pylist()
+    other_cols = {
+        name: t.column(name)
+        for name in t.schema.names
+        if name not in ("doc_id", "text")
+    }
+    chunks = []
+    for r in range(r_factor):
+        if r == 0:
+            new_texts = texts
+        else:
+            tag = f"rep{r}x"
+            new_texts = [
+                " ".join(
+                    tok if (i + 1) % 4 else f"{tok} {tag}"
+                    for i, tok in enumerate(txt.split())
+                )
+                if txt
+                else txt
+                for txt in texts
+            ]
+        cols = {
+            "doc_id": pa.array(doc_id + r * max_id, type=t.schema.field("doc_id").type),
+            "text": pa.array(new_texts, type=t.schema.field("text").type),
+        }
+        cols.update(other_cols)
+        chunks.append(pa.table([cols[nm] for nm in t.schema.names], names=t.schema.names))
+    pq.write_table(pa.concat_tables(chunks), f"{out}/documents.parquet")
+    print(f"documents: {n} -> {n * r_factor} rows")
+
+
+def scale_embeddings(src: str, out: str, r_factor: int) -> None:
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    n = t.num_rows
+    vec_id = t.column("vec_id").to_numpy()
+    max_id = int(vec_id.max()) + 1
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    dim = mat.shape[1]
+    vec_type = t.schema.field("embedding").type
+    other_cols = {
+        name: t.column(name)
+        for name in t.schema.names
+        if name not in ("vec_id", "embedding")
+    }
+    chunks = []
+    for r in range(r_factor):
+        if r == 0:
+            new_mat = mat
+        else:
+            rng = np.random.default_rng(1_000_003 * r)
+            noise = rng.standard_normal((n, dim))
+            noise /= np.linalg.norm(noise, axis=1)[:, None]
+            scaled = 0.2 * (mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None])
+            new_mat = scaled + 0.98 * noise
+            # restore the source norm distribution
+            new_mat *= (
+                np.linalg.norm(mat, axis=1) / np.maximum(np.linalg.norm(new_mat, axis=1), 1e-12)
+            )[:, None]
+        cols = {
+            "vec_id": pa.array(vec_id + r * max_id, type=t.schema.field("vec_id").type),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in new_mat], type=vec_type
+            ),
+        }
+        cols.update(other_cols)
+        chunks.append(pa.table([cols[nm] for nm in t.schema.names], names=t.schema.names))
+    pq.write_table(pa.concat_tables(chunks), f"{out}/embeddings.parquet")
+    print(f"embeddings: {n} -> {n * r_factor} rows")
+
+
+def main() -> None:
+    r_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scale_sf1"
+    from pathlib import Path
+
+    Path(out).mkdir(parents=True, exist_ok=True)
+    scale_lineitem(src, out, r_factor)
+    scale_documents(src, out, r_factor)
+    scale_embeddings(src, out, r_factor)
+
+
+if __name__ == "__main__":
+    main()
