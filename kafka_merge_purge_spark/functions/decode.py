@@ -6,11 +6,15 @@ each returns a *derived* column, never mutating the raw payload column.
 
 - string/JSON/CSV decode: always available (built-in expressions).
 - Avro decode (the reference's ``-A``/``-a`` flags, Factory.kt:59-65):
-  needs the ``spark-avro`` module, which this container's pyspark
-  distribution does not bundle (only avro-core jars).  The helpers are
-  feature-gated exactly like the reference gates Avro behind its flags;
-  on a real deployment: ``spark-submit --packages
-  org.apache.spark:spark-avro_2.13:<spark-version>``.
+  two tiers.  The JVM fast path (``decode_avro`` → ``from_avro``) needs
+  the ``spark-avro`` module, which this container's pyspark
+  distribution does not bundle (only avro-core jars) — on a real
+  deployment: ``spark-submit --packages
+  org.apache.spark:spark-avro_2.13:<spark-version>``.  The
+  dependency-free fallback (``decode_avro_py`` → functions/avro_py.py)
+  decodes the Avro binary spec in an Arrow-batched pandas UDF and is
+  always available, so the Avro delegate is executable and tested even
+  in minimal environments.
 
 Confluent wire format: a Schema-Registry-encoded payload is
 ``magic(1B=0x00) | schema_id(4B big-endian) | avro body`` — ``from_avro``
@@ -78,3 +82,16 @@ def decode_avro(payload: Column, avro_schema_json: str, confluent: bool = True) 
         raise RuntimeError("pyspark.sql.avro not importable") from e
     body = confluent_avro_body(payload) if confluent else payload
     return from_avro(body, avro_schema_json)
+
+
+def decode_avro_py(
+    payload: Column, avro_schema_json: str, spark_schema: str, confluent: bool = True
+) -> Column:
+    """Avro delegate, dependency-free tier: pure-Python binary decode
+    (functions/avro_py.py) to a JSON view, then ``from_json`` to the
+    typed struct.  Slower than the JVM ``from_avro`` path but always
+    available; use when spark-avro is not on the classpath."""
+    from kafka_merge_purge_spark.functions.avro_py import avro_to_json_udf
+
+    udf = avro_to_json_udf(avro_schema_json, confluent=confluent)
+    return F.from_json(udf(payload), spark_schema)
