@@ -31,9 +31,44 @@ def _emit(df, out: str | None, label: str) -> None:
         df.show(20, truncate=False)
 
 
+def _apply_avro_views(spark, records, args):
+    """Reference -A/--avro-key and -a/--avro (CLI.kt:118-138): force the
+    Avro deserializer for keys/values.  The reference resolves writer
+    schemas via schema.registry.url; with no registry in this
+    environment the schema is supplied explicitly (--avro-schema /
+    --avro-key-schema, JSON text or @file).  Decoded views replace the
+    rendered column only — raw bytes are never mutated (R2 invariant).
+    Uses the JVM from_avro when spark-avro is on the classpath, else the
+    dependency-free Python tier (functions/avro_py.py)."""
+    from kafka_merge_purge_spark.functions import decode as dc
+
+    def schema_text(s: str) -> str:
+        if s.startswith("@"):
+            with open(s[1:]) as fh:
+                return fh.read()
+        return s
+
+    def view(col_name: str, schema_src: str):
+        schema = schema_text(schema_src)
+        if dc.avro_available(spark):
+            return dc.decode_avro(F.col(col_name), schema)
+        from kafka_merge_purge_spark.functions.avro_py import avro_to_json_udf
+
+        return avro_to_json_udf(schema)(F.col(col_name))
+
+    if getattr(args, "avro", False):
+        records = records.withColumn("value", view("value", args.avro_schema).cast("string"))
+    if getattr(args, "avro_key", False):
+        records = records.withColumn("key", view("key", args.avro_key_schema).cast("string"))
+    return records
+
+
 def cmd_print(args) -> int:
     spark = get_spark("cli-print")
-    rendered = routing.print_format(load_records(spark, args.sf_dir))
+    records = load_records(spark, args.sf_dir)
+    if getattr(args, "avro", False) or getattr(args, "avro_key", False):
+        records = _apply_avro_views(spark, records, args)
+    rendered = routing.print_format(records)
     # Print.kt:38-41: log each record; driver-side show for parity
     for row in rendered.limit(args.limit).collect():
         print(f"--- {row['topic']}[{row['partition']}]@{row['offset']}")
@@ -126,6 +161,17 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("print", help="pretty-print records (R10)")
     pr.add_argument("sf_dir")
     pr.add_argument("--limit", type=int, default=20)
+    pr.add_argument(
+        "-a", "--avro", action="store_true",
+        help="force Avro deserializer for record values (CLI.kt:130-138); "
+        "supply the writer schema via --avro-schema (no registry here)",
+    )
+    pr.add_argument("--avro-schema", default=None, help="Avro schema JSON, or @file")
+    pr.add_argument(
+        "-A", "--avro-key", action="store_true",
+        help="force Avro deserializer for record keys (CLI.kt:119-127)",
+    )
+    pr.add_argument("--avro-key-schema", default=None, help="Avro schema JSON, or @file")
     pr.set_defaults(fn=cmd_print)
 
     ma = sub.add_parser("merge-all", help="merge every record to dest, purge source (R6)")
@@ -154,6 +200,10 @@ def main(argv: list[str] | None = None) -> int:
     ak.set_defaults(fn=cmd_ask)
 
     args = p.parse_args(argv)
+    if getattr(args, "avro", False) and not args.avro_schema:
+        p.error("--avro requires --avro-schema (no schema registry in this environment)")
+    if getattr(args, "avro_key", False) and not args.avro_key_schema:
+        p.error("--avro-key requires --avro-key-schema")
     return args.fn(args)
 
 

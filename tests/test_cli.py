@@ -42,3 +42,43 @@ def test_cli_ask_rule_routes(spark, tmp_path, capsys):
     assert main(["ask", SF_DIR, "dest-topic", "--out", str(tmp_path)]) == 0
     out = capsys.readouterr().out
     assert "Merged" in out and "purged" in out
+
+
+def test_cli_avro_flags_require_schema(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["print", SF_DIR, "--avro"])
+    assert "--avro-schema" in capsys.readouterr().err
+
+
+def test_avro_value_view_decodes_wire_format(spark):
+    """-a forces the Avro deserializer for values: Confluent-framed Avro
+    longs render as their decoded view (reference CLI.kt:130-138, with
+    the registry lookup replaced by an explicit schema)."""
+    import argparse
+
+    from kafka_merge_purge_spark.cli import _apply_avro_views
+    from kafka_merge_purge_spark.operators import routing
+
+    def zz(n):  # avro zigzag varint
+        n = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    frame = spark.createDataFrame(
+        [("t", 0, i, b"k", b"\x00\x00\x00\x00\x01" + zz(v)) for i, v in enumerate([7, -300])],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    args = argparse.Namespace(avro=True, avro_schema='"long"', avro_key=False)
+    decoded = _apply_avro_views(spark, frame, args)
+    rendered = {r["offset"]: r["rendered"] for r in routing.print_format(decoded).collect()}
+    assert rendered[0].endswith("Value:\n7")
+    assert rendered[1].endswith("Value:\n-300")

@@ -110,6 +110,36 @@ def test_retry_budget_state_machine(spark, tmp_path, records):
     assert n_keys > 0
 
 
+def test_transactional_sink_in_streaming_foreachbatch(spark, tmp_path, records):
+    """End-to-end: streaming merge_all drained through the transactional
+    Kafka sink protocol (fake producer) — every micro-batch runs exactly
+    one begin→sends→sendOffsets→commit cycle with a batch-scoped fencing
+    id, and the sent record count matches the batch routing semantics."""
+    from kafka_merge_purge_spark.operators.routing import merge_all
+    from kafka_merge_purge_spark.streaming.sink import transactional_kafka_batch_fn
+    from test_sink_transactions import Factory
+
+    factory = Factory()
+    batch_fn = transactional_kafka_batch_fn(
+        "b:9092", "kmp-stream", producer_factory=factory, group_id="g-stream"
+    )
+    stream = stream_records_from_dir(spark, _stage_stream_dir(tmp_path))
+    q = streaming_merge_all(
+        stream, "events-merged", batch_fn, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    assert factory.producers, "no batch ever ran"
+    expected = merge_all(records, "events-merged").count()
+    assert sum(len(p.sent) for p in factory.producers) == expected
+    for p in factory.producers:
+        assert p.transactional_id.startswith("kmp-stream-")
+        assert p.calls[0] == "init_transactions"
+        assert p.calls[1] == "begin_transaction"
+        assert p.calls[-1] == "commit_transaction"
+        assert "abort_transaction" not in p.calls
+
+
 def test_retry_budget_timeout_evicts_state_without_rearming():
     """TTL protocol: a timeout invocation must remove the key's state and
     must NOT update or re-arm the timer (otherwise idle keys hold state
