@@ -88,6 +88,9 @@ def test_simhash_near_for_similar_docs(spark):
     fps = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+    # the codegen expression form is the same function, bit for bit
+    expr = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, vectorized=False).collect()}
+    assert expr == fps
 
 
 def test_brute_force_topk_selfexcluded_and_ranked(tables):
