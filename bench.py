@@ -31,8 +31,15 @@ def main() -> None:
 
     qs = entry_mod.queries()
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # query, not session startup or first-touch footer reads (events needs
+    # the nanosAsLong-aware loader)
+    from kafka_merge_purge_spark.sources.batch import load_table
+
+    for table in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, table).count()
+    # one throwaway noop write: the first write initializes the noop sink
+    # + codegen paths, which otherwise lands on the first query measured
+    spark.range(10).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 from kafka_merge_purge_spark.sources.config import as_spark_kafka_options
 
 #: Spark's Kafka source schema — the canonical record stream (model.py's
-#: RECORD_SCHEMA) is a typed view over it.
-KAFKA_SOURCE_COLUMNS = ("key", "value", "topic", "partition", "offset", "timestamp")
+#: RECORD_SCHEMA) is a typed view over it.  ``headers`` requires
+#: ``includeHeaders=true`` (set below), matching RECORD_SCHEMA's opaque
+#: headers column (MixedValue.kt:41-43 passthrough).
+KAFKA_SOURCE_COLUMNS = ("key", "value", "topic", "partition", "offset", "timestamp", "headers")
 
 
 def kafka_batch_reader(
@@ -37,6 +39,7 @@ def kafka_batch_reader(
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
         .option("endingOffsets", "latest")
+        .option("includeHeaders", "true")
         .options(**as_spark_kafka_options(client_config or {}))
     )
 
@@ -56,6 +59,7 @@ def kafka_stream_reader(
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
+        .option("includeHeaders", "true")
         .options(**as_spark_kafka_options(client_config or {}))
     )
     if max_offsets_per_trigger:
@@ -76,11 +80,15 @@ def decode_for_display(kafka_df: DataFrame) -> DataFrame:
 
 
 def to_kafka_sink_frame(df: DataFrame, key_col: str = "key", value_col: str = "value") -> DataFrame:
-    """Project to the Kafka sink contract: binary key/value (+ topic)."""
+    """Project to the Kafka sink contract: binary key/value (+ topic,
+    + headers passthrough — the sink writes them when ``includeHeaders``
+    is enabled on the producer options)."""
     cols = [
         F.col(key_col).cast("binary").alias("key"),
         F.col(value_col).cast("binary").alias("value"),
     ]
     if "topic" in df.columns:
         cols.append(F.col("topic"))
+    if "headers" in df.columns:
+        cols.append(F.col("headers"))
     return df.select(*cols)

@@ -55,3 +55,14 @@ def test_spark_option_prefixing():
 def test_invalid_kind_rejected():
     with pytest.raises(ValueError):
         assemble_client_config("admin")
+
+
+def test_kafka_sink_frame_passes_headers_through(spark):
+    from kafka_merge_purge_spark.model import RECORD_SCHEMA
+    from kafka_merge_purge_spark.sources.kafka import to_kafka_sink_frame
+
+    rows = [("t", 0, 1, "k", "v", None, [("h", b"\x01")])]
+    frame = to_kafka_sink_frame(spark.createDataFrame(rows, RECORD_SCHEMA))
+    assert frame.columns == ["key", "value", "topic", "headers"]
+    (r,) = frame.collect()
+    assert [(h["key"], bytes(h["value"])) for h in r["headers"]] == [("h", b"\x01")]
