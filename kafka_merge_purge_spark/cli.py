@@ -23,6 +23,13 @@ from kafka_merge_purge_spark.operators import routing
 from kafka_merge_purge_spark.session import get_spark
 
 
+def _session(name: str, args):
+    spark = get_spark(name)
+    if getattr(args, "verbose", False):  # reference -v (CLI.kt:141-151)
+        spark.sparkContext.setLogLevel("INFO")
+    return spark
+
+
 def _emit(df, out: str | None, label: str) -> None:
     if out:
         df.write.mode("overwrite").parquet(f"{out}/{label}")
@@ -64,7 +71,7 @@ def _apply_avro_views(spark, records, args):
 
 
 def cmd_print(args) -> int:
-    spark = get_spark("cli-print")
+    spark = _session("cli-print", args)
     records = load_records(spark, args.sf_dir)
     if getattr(args, "avro", False) or getattr(args, "avro_key", False):
         records = _apply_avro_views(spark, records, args)
@@ -79,7 +86,7 @@ def cmd_print(args) -> int:
 
 
 def cmd_merge_all(args) -> int:
-    spark = get_spark("cli-merge-all")
+    spark = _session("cli-merge-all", args)
     routed = routing.merge_all(
         load_records(spark, args.sf_dir),
         args.dest_topic,
@@ -93,7 +100,7 @@ def cmd_merge_all(args) -> int:
 
 
 def cmd_purge_all(args) -> int:
-    spark = get_spark("cli-purge-all")
+    spark = _session("cli-purge-all", args)
     purged = routing.purge_all(load_records(spark, args.sf_dir))
     n = purged.count()
     _emit(purged, args.out, "purge_all")
@@ -120,7 +127,7 @@ def _interactive_rule(spark, records, limit: int):
 
 
 def cmd_ask(args) -> int:
-    spark = get_spark("cli-ask")
+    spark = _session("cli-ask", args)
     records = load_records(spark, args.sf_dir)
     if args.interactive:
         decided = _interactive_rule(spark, records, args.limit)
@@ -154,9 +161,92 @@ def cmd_ask(args) -> int:
     return 0
 
 
+def _kv(pairs: list[str] | None) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for item in pairs or []:
+        if "=" not in item:
+            raise SystemExit(f"expected KEY=VALUE, got {item!r}")
+        k, v = item.split("=", 1)
+        out[k] = v
+    return out
+
+
+def client_configs(args) -> tuple[dict[str, str], dict[str, str]]:
+    """Assemble the layered consumer/producer configs from the global CLI
+    options (reference CLI.kt:20-116 → Factory.kt:44-107 precedence):
+    files < shared overrides < per-client files < per-client overrides,
+    with -b/--bootstrap-servers and -g/--group taking precedence over any
+    properties file, and the forced semantics layer always winning."""
+    from kafka_merge_purge_spark.sources.config import assemble_client_config
+
+    shared_overrides = _kv(args.property)
+    if args.bootstrap_servers:
+        shared_overrides["bootstrap.servers"] = args.bootstrap_servers
+    consumer_overrides = _kv(args.consumer_property)
+    if args.group:
+        consumer_overrides["group.id"] = args.group
+    producer_overrides = _kv(args.producer_property)
+    if args.transaction:
+        producer_overrides["transactional.id"] = args.transaction
+    consumer = assemble_client_config(
+        "consumer",
+        shared_file=args.properties,
+        shared_overrides=shared_overrides,
+        client_file=args.consumer_properties,
+        client_overrides=consumer_overrides,
+    )
+    producer = assemble_client_config(
+        "producer",
+        shared_file=args.properties,
+        shared_overrides=shared_overrides,
+        client_file=args.producer_properties,
+        client_overrides=producer_overrides,
+    )
+    return consumer, producer
+
+
+def cmd_client_config(args) -> int:
+    """Auditable view of the assembled client configs (R15) — the CLI twin
+    of the reference's FactoryTest precedence matrix."""
+    from kafka_merge_purge_spark.sources.config import render_properties
+
+    consumer, producer = client_configs(args)
+    cfg = consumer if args.kind == "consumer" else producer
+    print(render_properties(cfg), end="")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    from kafka_merge_purge_spark import __version__
+
     p = argparse.ArgumentParser(prog="kafka-merge-purge-spark")
+    p.add_argument("--version", action="version", version=f"kafka-merge-purge-spark {__version__}")
+    # global client options (reference CLI.kt:20-151); our batch commands
+    # run on parquet snapshots, so these feed the Kafka reader/sink
+    # builders and the client-config subcommand rather than a live broker
+    p.add_argument("-b", "--bootstrap-servers", default=None,
+                   help="Kafka bootstrap servers; takes precedence over properties files")
+    p.add_argument("-g", "--group", default=None, help="consumer group for the source topic")
+    p.add_argument("-O", "--properties", default=None, help="shared client properties file")
+    p.add_argument("-o", "--property", action="append", metavar="KEY=VALUE",
+                   help="additional shared client property (repeatable)")
+    p.add_argument("-C", "--consumer-properties", default=None, help="consumer properties file")
+    p.add_argument("-c", "--consumer-property", action="append", metavar="KEY=VALUE",
+                   help="additional consumer property (repeatable)")
+    p.add_argument("-P", "--producer-properties", default=None, help="producer properties file")
+    p.add_argument("-p", "--producer-property", action="append", metavar="KEY=VALUE",
+                   help="additional producer property (repeatable)")
+    p.add_argument("-t", "--transaction", nargs="?", const="kafka-merge-purge-spark",
+                   default=None, metavar="TRANSACTIONAL_ID",
+                   help="produce within transactions (optional transactional id)")
+    p.add_argument("-n", "--no-commit", action="store_true",
+                   help="do not commit consumer offsets")
+    p.add_argument("-v", "--verbose", action="store_true", help="enable verbose logging")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    cc = sub.add_parser("client-config", help="show the assembled client config (R15)")
+    cc.add_argument("kind", choices=["consumer", "producer"])
+    cc.set_defaults(fn=cmd_client_config)
 
     pr = sub.add_parser("print", help="pretty-print records (R10)")
     pr.add_argument("sf_dir")

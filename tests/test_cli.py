@@ -82,3 +82,57 @@ def test_avro_value_view_decodes_wire_format(spark):
     rendered = {r["offset"]: r["rendered"] for r in routing.print_format(decoded).collect()}
     assert rendered[0].endswith("Value:\n7")
     assert rendered[1].endswith("Value:\n-300")
+
+
+def test_cli_version(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert "kafka-merge-purge-spark" in capsys.readouterr().out
+
+
+def test_cli_client_config_precedence(tmp_path, capsys):
+    """Mirror of the reference's CLITest/FactoryTest option matrix:
+    files < -o shared overrides < per-client file < -c/-p overrides,
+    -b beats the file, -g lands on the consumer, -t on the producer,
+    and the forced semantics layer always wins."""
+    shared = tmp_path / "shared.properties"
+    shared.write_text("bootstrap.servers=file:9092\nretries=5\nclient.id=shared\n")
+    consumer = tmp_path / "consumer.properties"
+    consumer.write_text("client.id=consumer-file\n")
+
+    base = [
+        "-b", "cli:9092", "-g", "my-group",
+        "-O", str(shared), "-C", str(consumer),
+        "-o", "linger.ms=7", "-c", "fetch.min.bytes=2", "-p", "batch.size=9",
+        "-t", "txn-1",
+    ]
+    assert main(base + ["client-config", "consumer"]) == 0
+    got = dict(l.split("=", 1) for l in capsys.readouterr().out.splitlines())
+    assert got["bootstrap.servers"] == "cli:9092"     # -b beats file
+    assert got["group.id"] == "my-group"
+    assert got["client.id"] == "consumer-file"        # client file beats shared file
+    assert got["fetch.min.bytes"] == "2"              # -c lands on consumer
+    assert got["linger.ms"] == "7"                    # -o shared
+    assert got["retries"] == "5"                      # file layer survives
+    assert got["isolation.level"] == "read_committed" # forced layer
+    assert got["enable.auto.commit"] == "false"
+    assert "transactional.id" not in got              # -t is producer-only
+
+    assert main(base + ["client-config", "producer"]) == 0
+    got = dict(l.split("=", 1) for l in capsys.readouterr().out.splitlines())
+    assert got["transactional.id"] == "txn-1"
+    assert got["batch.size"] == "9"                   # -p lands on producer
+    assert got["acks"] == "all"                       # forced layer
+    assert "group.id" not in got
+
+
+def test_cli_transaction_toggle_uses_default_id(capsys):
+    # reference: -t works as a bare toggle (CLITest 'transaction option as
+    # toggle'); with argparse the bare form needs another option (or
+    # --transaction=id) before the subcommand
+    assert main(["-t", "-n", "client-config", "producer"]) == 0
+    got = dict(l.split("=", 1) for l in capsys.readouterr().out.splitlines())
+    assert got["transactional.id"] == "kafka-merge-purge-spark"
