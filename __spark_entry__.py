@@ -407,6 +407,19 @@ def q_embedding_neardup(spark, sf_dir):
     return dd.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def x_embedding_neardup_blocked(spark, sf_dir):
+    """The distributed block-pair GEMM form of q_embedding_neardup,
+    forced on (broadcast guard 0, small blocks) — same exact semantics,
+    no driver collect of the corpus; shares the exact oracle so the
+    parity gate hash-checks the scale path, not just the fast path."""
+    return dd.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        broadcast_max_rows=0,
+        block_size=257,
+    )
+
+
 def x_similarity_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-k (rows-only check: approximate by
     design; recall vs the exact path is asserted in tests)."""
@@ -866,6 +879,18 @@ _RELATIONAL_ORACLES = {
                len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS n_unique_tokens
         FROM documents""",
     "q_embedding_neardup": """
+        WITH v AS (SELECT vec_id,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+                   FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS aa FROM v)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.q, b.q) / (sqrt(a.aa) * sqrt(b.aa)), 6) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.q, b.q) / (sqrt(a.aa) * sqrt(b.aa)), 6) >= 0.4""",
+    # the distributed block-GEMM path is exact, so it shares the oracle —
+    # the parity gate hash-checks the scale path too
+    "x_embedding_neardup_blocked": """
         WITH v AS (SELECT vec_id,
                           list_transform(CAST(embedding AS DOUBLE[]),
                                          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
