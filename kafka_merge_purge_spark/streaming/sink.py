@@ -115,31 +115,90 @@ def transactional_kafka_batch_fn(
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         producer = producer_factory(f"{transactional_id}-{batch_id}")
-        producer.init_transactions()
-        producer.begin_transaction()
-        offsets: dict[tuple[str, int], int] = {}
-        try:
-            cols = df.columns
-            for row in df.toLocalIterator():
-                producer.send(
-                    topic=row["topic"],
-                    partition=row["partition"],
-                    key=row["key"],
-                    value=row["value"],
-                    headers=row["headers"] if "headers" in cols else None,
-                )
-                if "src_offset" in cols:
-                    tp = (row["topic"], row["partition"])
-                    off = row["src_offset"]
-                    if off is not None:
-                        offsets[tp] = max(offsets.get(tp, -1), off)
-            if not no_commit:
-                producer.send_offsets_to_transaction(offsets, group_id)
-            producer.commit_transaction()
-        except Exception as exc:
-            producer.abort_transaction()
-            raise TransactionAborted(
-                f"batch {batch_id} aborted: {exc}"
-            ) from exc
+        _run_transaction(producer, df.toLocalIterator(), df.columns, offsets_group=None if no_commit else group_id, batch_id=batch_id)
+
+    return batch_fn
+
+
+def _run_transaction(producer, rows, cols, offsets_group, batch_id) -> tuple[int, dict]:
+    """One full producer transaction over an iterator of routed rows:
+    init → begin → send each → sendOffsets(max per src partition) →
+    commit; abort + TransactionAborted on any error.  Shared by the
+    driver-side batch form and the per-partition distributed form."""
+    producer.init_transactions()
+    producer.begin_transaction()
+    offsets: dict[tuple[str, int], int] = {}
+    n = 0
+    try:
+        for row in rows:
+            producer.send(
+                topic=row["topic"],
+                partition=row["partition"],
+                key=row["key"],
+                value=row["value"],
+                headers=row["headers"] if "headers" in cols else None,
+            )
+            n += 1
+            if "src_offset" in cols:
+                tp = (row["topic"], row["partition"])
+                off = row["src_offset"]
+                if off is not None:
+                    offsets[tp] = max(offsets.get(tp, -1), off)
+        if offsets_group is not None:
+            producer.send_offsets_to_transaction(offsets, offsets_group)
+        producer.commit_transaction()
+        return n, offsets
+    except Exception as exc:
+        producer.abort_transaction()
+        raise TransactionAborted(f"batch {batch_id} aborted: {exc}") from exc
+
+
+def transactional_kafka_partition_fn(
+    bootstrap_servers: str,
+    transactional_id: str,
+    producer_factory=None,
+    group_id: str = "kafka-merge-purge-spark",
+    no_commit: bool = False,
+):
+    """Distributed variant of ``transactional_kafka_batch_fn``: one fenced
+    producer transaction PER PARTITION per micro-batch, executed on the
+    executors (``mapPartitionsWithIndex`` — the rare case that genuinely
+    needs per-partition imperative logic).
+
+    Kafka transactions cannot span producers, so a cross-executor batch
+    cannot be one atomic unit; exactly-once *per partition* is the
+    strongest distributed guarantee the broker model offers.  Fencing id
+    is ``{transactional_id}-{batch_id}-p{partition_index}`` — a replayed
+    batch reuses every partition's id, so each zombie task is fenced
+    independently.  The returned ``batch_fn`` yields per-partition
+    summaries ``(partition_index, records_sent, committed)`` collected to
+    the driver — rows, not payloads, so the driver never sees the data.
+    """
+    if producer_factory is None:
+        producer_factory = _kafka_python_producer_factory(bootstrap_servers)
+
+    def batch_fn(df: DataFrame, batch_id: int):
+        cols = df.columns
+        factory = producer_factory
+        gid = None if no_commit else group_id
+
+        def run_partition(idx: int, rows):
+            it = iter(rows)
+            try:
+                first = next(it)
+            except StopIteration:
+                return  # empty partition: no producer, no transaction
+            import itertools
+
+            producer = factory(f"{transactional_id}-{batch_id}-p{idx}")
+            n, _ = _run_transaction(
+                producer, itertools.chain([first], it), cols, gid, batch_id
+            )
+            yield (idx, n, True)
+
+        return (
+            df.rdd.mapPartitionsWithIndex(run_partition, preservesPartitioning=True)
+            .collect()
+        )
 
     return batch_fn

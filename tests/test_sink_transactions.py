@@ -158,3 +158,45 @@ def test_default_factory_is_gated_on_client_lib():
         pass
     with pytest.raises(NotImplementedError, match="client library"):
         transactional_kafka_batch_fn("b:9092", "kmp")
+
+
+def test_partition_fn_runs_one_transaction_per_partition(routed):
+    """Distributed form: each partition commits its own fenced transaction
+    on the executor; summaries come back instead of payloads."""
+    from kafka_merge_purge_spark.streaming.sink import transactional_kafka_partition_fn
+
+    class WorkerFakeProducer:
+        # defined in-test: cloudpickle ships it to executors by value
+        def __init__(self, tid):
+            self.tid = tid
+            self.order = []
+
+        def init_transactions(self):
+            self.order.append("init")
+
+        def begin_transaction(self):
+            self.order.append("begin")
+
+        def send(self, topic, partition, key, value, headers=None):
+            self.order.append("send")
+
+        def send_offsets_to_transaction(self, offsets, group_id):
+            assert self.order[0] == "init" and self.order[1] == "begin"
+            assert all(c == "send" for c in self.order[2:])
+            self.order.append("offsets")
+
+        def commit_transaction(self):
+            assert self.order[-1] == "offsets"  # protocol order on the worker
+            self.order.append("commit")
+
+        def abort_transaction(self):
+            raise AssertionError("abort on happy path")
+
+    fn = transactional_kafka_partition_fn(
+        "b:9092", "kmp-dist", producer_factory=WorkerFakeProducer
+    )
+    four_parts = routed.repartition(4)
+    summaries = fn(four_parts, batch_id=9)
+    assert sum(n for _, n, _ in summaries) == routed.count()
+    assert all(committed for _, _, committed in summaries)
+    assert len({idx for idx, _, _ in summaries}) == len(summaries)  # one tx per partition
