@@ -750,7 +750,55 @@ def x_regional_volume(spark, sf_dir):
     )
 
 
+def x_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    aggregate-then-join (the HAVING side is tiny after the filter, so AQE
+    broadcasts it into the fact join at any scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def x_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: per-priority count of orders with at least one
+    late-shipped line — a correlated EXISTS compiled to a left-semi join
+    with a non-equi conjunct (orderkey equi + shipdate > orderdate)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late"))
+
+
 _RELATIONAL_ORACLES = {
+    "x_large_orders": """
+        SELECT c_name, o_orderkey, o_totalprice, sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey""",
+    "x_late_shipment_priority": """
+        SELECT o_orderpriority, COUNT(*) AS n_late
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority""",
     "q_proj_arith": """
         SELECT l_orderkey, l_linenumber,
                l_extendedprice * (1.0 - l_discount) AS net,
