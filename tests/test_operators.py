@@ -321,6 +321,45 @@ def test_salted_join_spreads_hot_key(spark):
     assert salts == 8
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The platform-native alternative to manual salting: with AQE skew
+    handling on (thresholds tuned down to the test's data size), a 95%-hot
+    key gets its shuffle partition split at runtime — the final adaptive
+    plan carries the skew=true marker.  At 100 TB the default thresholds
+    (256MB) do this automatically; skew.salted_join remains the
+    deterministic-plan alternative when AQE is unavailable."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") < 380_000, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .cast("long")
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(20_000).select(
+            F.col("id").alias("dk"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        )
+        out = fact.join(dim, fact.k == dim.dk)
+        assert len(out.collect()) == 400_000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # the hot partition was split at runtime
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_salted_join_rejects_dim_duplicating_join_types(tables):
     from kafka_merge_purge_spark.operators.skew import salted_join
 
