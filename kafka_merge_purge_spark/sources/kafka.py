@@ -27,20 +27,38 @@ from kafka_merge_purge_spark.sources.config import as_spark_kafka_options
 KAFKA_SOURCE_COLUMNS = ("key", "value", "topic", "partition", "offset", "timestamp", "headers")
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    client_config: dict[str, str] | None = None,
+    bounded: bool = False,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The full option map a Kafka reader gets — factored out pure so the
+    no-broker test environment can pin it (reader objects hide their
+    options).  ``bounded`` adds ``endingOffsets`` for batch reads."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",  # Factory.kt:48 auto.offset.reset
+        "includeHeaders": "true",  # headers column of RECORD_SCHEMA
+    }
+    if bounded:
+        opts["endingOffsets"] = "latest"
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(as_spark_kafka_options(client_config or {}))
+    return opts
+
+
 def kafka_batch_reader(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     client_config: dict[str, str] | None = None,
 ):
-    return (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
-        .option("includeHeaders", "true")
-        .options(**as_spark_kafka_options(client_config or {}))
+    return spark.read.format("kafka").options(
+        **kafka_source_options(bootstrap_servers, topic, client_config, bounded=True)
     )
 
 
@@ -54,17 +72,14 @@ def kafka_stream_reader(
     """Streaming reader; ``maxOffsetsPerTrigger`` defaults to the
     reference's effective batch bound (Kafka client default
     max.poll.records=500, Factory.kt:46-81)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("includeHeaders", "true")
-        .options(**as_spark_kafka_options(client_config or {}))
+    return spark.readStream.format("kafka").options(
+        **kafka_source_options(
+            bootstrap_servers,
+            topic,
+            client_config,
+            max_offsets_per_trigger=max_offsets_per_trigger,
+        )
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader
 
 
 def decode_for_display(kafka_df: DataFrame) -> DataFrame:

@@ -66,3 +66,23 @@ def test_kafka_sink_frame_passes_headers_through(spark):
     assert frame.columns == ["key", "value", "topic", "headers"]
     (r,) = frame.collect()
     assert [(h["key"], bytes(h["value"])) for h in r["headers"]] == [("h", b"\x01")]
+
+
+def test_kafka_source_options_carry_semantics_and_headers():
+    from kafka_merge_purge_spark.sources.config import assemble_client_config
+    from kafka_merge_purge_spark.sources.kafka import kafka_source_options
+
+    client = assemble_client_config("consumer", client_overrides={"group.id": "g"})
+    batch = kafka_source_options("b:9092", "events", client, bounded=True)
+    assert batch["kafka.bootstrap.servers"] == "b:9092"
+    assert batch["subscribe"] == "events"
+    assert batch["startingOffsets"] == "earliest"      # Factory.kt:48
+    assert batch["endingOffsets"] == "latest"          # bounded drain
+    assert batch["includeHeaders"] == "true"           # RECORD_SCHEMA headers
+    assert batch["kafka.isolation.level"] == "read_committed"  # forced layer
+    assert batch["kafka.enable.auto.commit"] == "false"
+    assert batch["kafka.group.id"] == "g"
+
+    stream = kafka_source_options("b:9092", "events", client, max_offsets_per_trigger=500)
+    assert "endingOffsets" not in stream
+    assert stream["maxOffsetsPerTrigger"] == "500"     # max.poll.records parity
