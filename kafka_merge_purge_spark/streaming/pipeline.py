@@ -71,14 +71,16 @@ def streaming_merge_all(
     dest_topic: str,
     sink_fn,
     checkpoint_dir: str | None,
+    merge_tombstones: bool = False,
 ) -> StreamingQuery:
     """merge-all as a stream: the SAME merge_all transform, wrapped.
 
     Counters (R11) ride as observed metrics: each micro-batch reports
     merged/purged leg counts on the StreamingQueryProgress without a
-    second pass over the data.
+    second pass over the data.  ``merge_tombstones`` mirrors the batch
+    verb's reference ``-T`` semantics.
     """
-    routed = merge_all(records, dest_topic)
+    routed = merge_all(records, dest_topic, merge_tombstones=merge_tombstones)
     observed = routed.observe(
         "counters",
         F.count(F.when(F.col("leg") == "merge", 1)).alias("merged"),
