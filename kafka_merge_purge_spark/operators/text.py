@@ -142,10 +142,11 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFr
     tf = in-doc term count; idf = round(ln(N/df), 6) — rounded *before*
     the product so last-ulp ln() differences between engines can't leak
     into the ranking; ties break on the term for determinism.  Two
-    shuffles (tf groupBy, df groupBy) + a broadcast of the tiny
-    (word, idf) side — the classic corpus-statistics join shape.
-    On the synthetic corpus the vocabulary is ~31 words, so this is a
-    structural demo; the plan is what scales.
+    shuffles (tf groupBy, df groupBy) + the corpus-statistics join.
+    Only the 1-row doc count is force-broadcast; the (word, idf) side
+    scales with the vocabulary (unbounded on web-scale text), so its
+    join strategy is left to AQE — broadcast when small, shuffle on
+    ``word`` when not.
     """
     words = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -157,7 +158,7 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFr
         .crossJoin(F.broadcast(n_docs))
         .select("word", F.round(F.log(F.col("_n") / F.col("df")), 6).alias("idf"))
     )
-    scored = tf.join(F.broadcast(dfreq), "word").select(
+    scored = tf.join(dfreq, "word").select(
         "doc_id", "word", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
     )
     from pyspark.sql import Window
