@@ -769,6 +769,29 @@ def x_large_orders(spark, sf_dir):
     )
 
 
+def x_map_funcs(spark, sf_dir):
+    """Map-type scalar + higher-order functions: JSON → map<string,int>,
+    map_concat with a computed literal entry, map_keys/map_values,
+    element_at, transform_values, map_filter, and an integer fold over
+    the values — all JVM expressions (no UDF).  The oracle computes the
+    same values straight from the JSON (semantic spec, not same ops)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    m2 = F.map_concat(
+        m, F.create_map(F.lit("bucket"), (F.col("event_id") % 10).cast("int"))
+    )
+    doubled = F.transform_values(m2, lambda k, v: v * 2)
+    return e.select(
+        F.col("event_id"),
+        F.size(m2).alias("n_entries"),
+        F.element_at(m2, "k").alias("k_val"),
+        F.element_at(m2, "bucket").alias("bucket"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_csv"),
+        F.aggregate(F.map_values(doubled), F.lit(0), lambda a, x: a + x).alias("sum2x"),
+        F.size(F.map_filter(m2, lambda k, v: v > 50)).alias("n_big"),
+    )
+
+
 def x_late_shipment_priority(spark, sf_dir):
     """TPC-H Q4 shape: per-priority count of orders with at least one
     late-shipped line — a correlated EXISTS compiled to a left-semi join
@@ -793,6 +816,17 @@ _RELATIONAL_ORACLES = {
               HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey""",
+    "x_map_funcs": """
+        SELECT event_id,
+               CAST(2 AS INT) AS n_entries,
+               CAST(json_extract(props, '$.k') AS INT) AS k_val,
+               CAST(event_id % 10 AS INT) AS bucket,
+               'bucket,k' AS keys_csv,
+               CAST(2 * (CAST(json_extract(props, '$.k') AS INT)
+                         + CAST(event_id % 10 AS INT)) AS INT) AS sum2x,
+               CAST(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+                         THEN 1 ELSE 0 END AS INT) AS n_big
+        FROM events""",
     "x_late_shipment_priority": """
         SELECT o_orderpriority, COUNT(*) AS n_late
         FROM orders
