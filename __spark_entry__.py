@@ -769,6 +769,17 @@ def x_large_orders(spark, sf_dir):
     )
 
 
+def x_dedup_clusters(spark, sf_dir):
+    """Dedup clustering: connected components over the exact embedding
+    near-dup pairs — every vector in a duplicate cluster maps to the
+    cluster's minimum vec_id.  Iterative min-label propagation
+    (operators/components.py); oracle = recursive CTE fixpoint."""
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    pairs = dd.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return connected_components(pairs)
+
+
 def x_map_funcs(spark, sf_dir):
     """Map-type scalar + higher-order functions: JSON → map<string,int>,
     map_concat with a computed literal entry, map_keys/map_values,
@@ -816,6 +827,25 @@ _RELATIONAL_ORACLES = {
               HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey""",
+    "x_dedup_clusters": """
+        WITH RECURSIVE
+        v AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+              FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS aa FROM v),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.q, b.q) / (sqrt(a.aa) * sqrt(b.aa)), 6) >= 0.4),
+        bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION ALL
+               SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+            SELECT u, u FROM bi
+            UNION
+            SELECT bi.v, reach.lbl FROM reach JOIN bi ON reach.node = bi.u)
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node""",
     "x_map_funcs": """
         SELECT event_id,
                CAST(2 AS INT) AS n_entries,

@@ -321,6 +321,22 @@ def test_salted_join_spreads_hot_key(spark):
     assert salts == 8
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain (needs >1 round to converge),
+    a separate triangle, and a 2-node island each collapse to their
+    minimum node id."""
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),   # chain 10-11-12-13
+         (2, 3), (3, 4), (2, 4),         # triangle
+         (7, 8)],                        # island pair
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 2: 2, 3: 2, 4: 2, 7: 7, 8: 7}
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """The platform-native alternative to manual salting: with AQE skew
     handling on (thresholds tuned down to the test's data size), a 95%-hot
