@@ -769,6 +769,23 @@ def x_large_orders(spark, sf_dir):
     )
 
 
+def x_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: exactly ceil(10%) of each label
+    stratum, chosen by md5 rank within the stratum — balanced-class
+    sampling for training sets, reproducible across engines and stable
+    under reordering.  One window shuffle on the stratum key."""
+    e = _t(spark, sf_dir, "embeddings")
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("label").orderBy(h, "vec_id")
+    wc = Window.partitionBy("label")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") / 10.0))
+        .select("vec_id", "label")
+    )
+
+
 def x_dedup_clusters(spark, sf_dir):
     """Dedup clustering: connected components over the exact embedding
     near-dup pairs — every vector in a duplicate cluster maps to the
@@ -827,6 +844,14 @@ _RELATIONAL_ORACLES = {
               HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey""",
+    "x_stratified_sample": """
+        SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+                   count(*) OVER (PARTITION BY label) AS n
+            FROM embeddings)
+        WHERE rn <= CAST(ceil(n / 10.0) AS BIGINT)""",
     "x_dedup_clusters": """
         WITH RECURSIVE
         v AS (SELECT vec_id,
