@@ -496,3 +496,10 @@ def test_filter_pushdown_reaches_scan(spark, tables):
     assert any("o_orderstatus" in f for f in pushed)
     # column pruning: scan reads only the two needed columns
     assert set(read_schema(df)) <= {"o_orderkey", "o_orderstatus"}
+
+
+def test_connected_components_empty_edges(spark):
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
