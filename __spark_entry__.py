@@ -769,6 +769,15 @@ def x_large_orders(spark, sf_dir):
     )
 
 
+def x_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score: mean token log-prob under the corpus
+    unigram distribution (cheap gibberish/boilerplate filter).  Double-
+    round pattern keeps cross-engine ln() ulp noise out of the hash."""
+    from kafka_merge_purge_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def x_stratified_sample(spark, sf_dir):
     """Deterministic stratified sample: exactly ceil(10%) of each label
     stratum, chosen by md5 rank within the stratum — balanced-class
@@ -844,6 +853,22 @@ _RELATIONAL_ORACLES = {
               HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey""",
+    "x_unigram_logprob": """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text),
+                          '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+            FROM documents),
+        freq AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+        tot AS (SELECT COUNT(*) AS t FROM words),
+        lp AS (SELECT word,
+                      CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS lp
+               FROM freq, tot)
+        SELECT doc_id,
+               round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+               COUNT(*) AS n_tokens
+        FROM words JOIN lp USING (word)
+        GROUP BY doc_id""",
     "x_stratified_sample": """
         SELECT vec_id, label FROM (
             SELECT vec_id, label,

@@ -233,3 +233,35 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.trim(normalized)).alias("fingerprint"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model quality score: mean log-probability of a
+    document's tokens under the corpus unigram distribution — the
+    classic cheap LM filter (low scores = gibberish / boilerplate /
+    wrong-corpus text; unusually high = repetitive).
+
+    Engine-portable determinism: per-word ``ln(count/total)`` is rounded
+    to 6 digits FIRST and summed as DECIMAL(18,6) (exact, order-free),
+    then divided — the double-round pattern that keeps last-ulp ln()
+    differences between engines out of the hash.  Plan: one explode, two
+    aggregations (word freq with map-side combine, per-doc mean), one
+    corpus-stats join whose strategy AQE picks (vocabulary scales).
+    """
+    from kafka_merge_purge_spark.operators.dedup import normalize
+
+    words = df.select(F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = words.agg(F.count(F.lit(1)).alias("_t"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(F.log(F.col("c") / F.col("_t")), 6).cast("decimal(18,6)").alias("lp"),
+    )
+    return (
+        words.join(lp, "word")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
