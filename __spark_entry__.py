@@ -1641,6 +1641,28 @@ def _simhash_oracle(bits: int = 32) -> str:
 
 _LLM_ORACLES["q_simhash"] = _simhash_oracle()
 
+#: raw (non-distinct) k-gram list — repetition filter needs both counts
+_GRAMS_RAW = (
+    "[array_to_string(toks[i:i+2], ' ') "
+    "FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]"
+)
+_LLM_ORACLES["x_repetition"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, {_GRAMS_RAW} AS grams FROM base)
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct_grams,
+           round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+               AS repetition
+    FROM g"""
+
+
+def x_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition ratio (k=3 grams)."""
+    from kafka_merge_purge_spark.operators.text import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"))
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the

@@ -265,3 +265,27 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Within-document repetition ratio: 1 - distinct/total k-gram count
+    — the standard repetition filter for generated/boilerplate text
+    (high ratio = the same phrases loop).  Pure expression (sequence →
+    slice → concat), narrow map stage; documents shorter than k tokens
+    score 0 by construction (single whole-text gram)."""
+    from kafka_merge_purge_spark.operators.dedup import normalize
+
+    toks = tokens(normalize(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        uniq.alias("n_distinct_grams"),
+        F.round(F.lit(1.0) - uniq / total, 6).alias("repetition"),
+    )
