@@ -53,12 +53,20 @@ def main() -> None:
         total += elapsed
         print(f"  {name}: {elapsed:.2f}s", file=sys.stderr)
 
+    # the suite grows round over round (75 → 83+ queries), so carry the
+    # per-basis numbers alongside the headline total: n_queries normalizes
+    # cross-round comparisons, primaries_sec is the stable 50-query gated
+    # basis, per_query_sec the load-robust average
+    primaries = round(sum(v for k, v in timings.items() if k.startswith("q_")), 3)
     print(
         json.dumps(
             {
                 "metric": "declared_query_suite_wall_clock",
                 "value": round(total, 3),
                 "unit": "sec",
+                "n_queries": len(timings),
+                "primaries_sec": primaries,
+                "per_query_sec": round(total / max(len(timings), 1), 3),
                 "queries": timings,
                 "sf": sf,
             }
