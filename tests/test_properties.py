@@ -111,3 +111,40 @@ def test_rolling_hash_matches_python_model(spark, texts):
         return acc
 
     assert got == {i: model(s) for i, s in enumerate(texts)}
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges_strategy)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """For arbitrary small graphs, distributed min-label propagation must
+    equal a plain union-find (components keyed by their min node id)."""
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
