@@ -410,6 +410,10 @@ def embedding_near_dup_pairs(
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["_side"] == 0]
         b = pdf[pdf["_side"] == 1]
+        if a.empty:
+            # b1's block got no rows (hash gap) — the group only carries
+            # side-1 rows and there is nothing to pair against
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
         diag = b.empty  # b1 == b2: pair the block with itself
         a_ids = a["_id"].to_numpy(dtype=np.int64)
         a_q = _quantize(np.stack([np.asarray(v, dtype=np.float64) for v in a["_vec"]]))

@@ -503,3 +503,13 @@ def test_connected_components_empty_edges(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_embedding_neardup_block_path_tolerates_empty_blocks(spark):
+    # block_size=1 over 3 rows → most hash blocks empty; pairing must
+    # still find every pair instead of crashing on a side-less group
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in (1, 2, 3)], "vec_id long, embedding array<float>"
+    )
+    out = dd.embedding_near_dup_pairs(df, threshold=0.9, broadcast_max_rows=0, block_size=1)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2), (1, 3), (2, 3)}
