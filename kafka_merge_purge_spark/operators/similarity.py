@@ -122,7 +122,14 @@ def lsh_topk(
     plane_rows = (
         corpus.orderBy(id_col).limit(n_planes * n_tables).select(vec_col).collect()
     )
+    if not plane_rows:
+        raise ValueError("lsh_topk: empty corpus")
     planes = np.stack([np.asarray(r[0], dtype=np.float64) for r in plane_rows])
+    need = n_planes * n_tables
+    if len(planes) < need:
+        # tiny corpus: cycle the available vectors to fill the plane set
+        # (deterministic; duplicate planes just duplicate bucket bits)
+        planes = np.resize(planes, (need, planes.shape[1]))
     norms = np.sqrt((planes * planes).sum(axis=1))
     norms[norms == 0] = 1.0
     planes = planes / norms[:, None]
@@ -212,6 +219,8 @@ def kmeans_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:  # empty corpus → no cells
+        return spark.createDataFrame([], "cell_id int, centroid array<double>")
     rows.sort(key=lambda r: r["_id"])  # id-ordered init, bucket-ordered sample
     x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(x, axis=1)
