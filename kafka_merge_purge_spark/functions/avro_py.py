@@ -58,7 +58,8 @@ class _Reader:
         return b
 
     def read_long(self) -> int:
-        # zigzag varint (spec: int and long share the encoding)
+        # zigzag varint (spec: int and long share the encoding); a long
+        # needs at most 10 bytes — reject longer runs as malformed input
         shift, acc = 0, 0
         while True:
             (byte,) = self.read(1)
@@ -66,6 +67,8 @@ class _Reader:
             if not byte & 0x80:
                 break
             shift += 7
+            if shift > 63:
+                raise ValueError("avro: varint too long (malformed input)")
         return (acc >> 1) ^ -(acc & 1)
 
 

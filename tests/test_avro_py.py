@@ -134,3 +134,10 @@ def test_avro_udf_with_confluent_prefix(spark):
         (2, "b", "GREEN"),
     ]
     assert rows[2]["id"] is None
+
+
+def test_malformed_varint_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="varint too long"):
+        decode_binary(b"\xff" * 11, "long")
