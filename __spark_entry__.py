@@ -126,15 +126,18 @@ _REF_ORACLES = {
         SELECT topic, "partition", "offset", "key", "value" FROM records
         WHERE "value" IS NOT NULL""",
     "q_purge_all": f"""{_RECORDS_CTE}
-        SELECT topic, "partition", "offset" AS src_offset, "key",
+        SELECT topic, "partition", topic AS src_topic,
+               "partition" AS src_partition, "offset" AS src_offset, "key",
                CAST(NULL AS VARCHAR) AS "value"
         FROM records WHERE "value" IS NOT NULL""",
     "q_merge_all": f"""{_RECORDS_CTE}
         SELECT 'events-merged' AS topic, CAST(NULL AS INTEGER) AS "partition",
+               topic AS src_topic, "partition" AS src_partition,
                "offset" AS src_offset, "key", "value", 'merge' AS leg
         FROM records WHERE "value" IS NOT NULL
         UNION ALL
-        SELECT topic, "partition", "offset" AS src_offset, "key",
+        SELECT topic, "partition", topic AS src_topic,
+               "partition" AS src_partition, "offset" AS src_offset, "key",
                CAST(NULL AS VARCHAR) AS "value", 'purge' AS leg
         FROM records WHERE "value" IS NOT NULL""",
     "q_ask_rules": f'{_ASK_ORACLE} SELECT "offset", "key", event_type, action FROM decided',

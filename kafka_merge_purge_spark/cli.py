@@ -216,8 +216,30 @@ def cmd_client_config(args) -> int:
     return 0
 
 
+_SUBCOMMANDS = ("client-config", "print", "merge-all", "purge-all", "ask")
+
+
+def _normalize_transaction_flag(argv: list[str]) -> list[str]:
+    """The reference's ``-t`` is usable as a bare toggle anywhere on the
+    line (CLI.kt:100-105: transactional id optional).  argparse's
+    ``nargs='?'`` greedily consumes the NEXT token, so ``-t print dir``
+    would parse ``transaction='print'`` and then fail on a missing
+    subcommand.  Splice the default id in whenever ``-t`` is followed by
+    a subcommand name, another option, or nothing."""
+    out: list[str] = []
+    for i, tok in enumerate(argv):
+        out.append(tok)
+        if tok in ("-t", "--transaction"):
+            nxt = argv[i + 1] if i + 1 < len(argv) else None
+            if nxt is None or nxt.startswith("-") or nxt in _SUBCOMMANDS:
+                out.append("kafka-merge-purge-spark")
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     from kafka_merge_purge_spark import __version__
+
+    argv = _normalize_transaction_flag(sys.argv[1:] if argv is None else list(argv))
 
     p = argparse.ArgumentParser(prog="kafka-merge-purge-spark")
     p.add_argument("--version", action="version", version=f"kafka-merge-purge-spark {__version__}")

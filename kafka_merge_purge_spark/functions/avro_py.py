@@ -71,6 +71,15 @@ class _Reader:
                 raise ValueError("avro: varint too long (malformed input)")
         return (acc >> 1) ^ -(acc & 1)
 
+    def read_len(self) -> int:
+        # lengths (bytes/string/map-key) and union branch indexes must be
+        # non-negative: buf[pos:pos+n] with n<0 silently returns empty
+        # data and moves pos BACKWARD, decoding garbage instead of failing
+        n = self.read_long()
+        if n < 0:
+            raise ValueError(f"avro: negative length/index {n} (malformed input)")
+        return n
+
 
 def _decode(r: _Reader, schema: Any, names: dict[str, Any]) -> Any:
     if isinstance(schema, str):
@@ -86,14 +95,17 @@ def _decode(r: _Reader, schema: Any, names: dict[str, Any]) -> Any:
         if t == "double":
             return struct.unpack("<d", r.read(8))[0]
         if t == "bytes":
-            return r.read(r.read_long())
+            return r.read(r.read_len())
         if t == "string":
-            return r.read(r.read_long()).decode("utf-8")
+            return r.read(r.read_len()).decode("utf-8")
         if t in names:  # named-type reference
             return _decode(r, names[t], names)
         raise ValueError(f"avro: unknown type {t!r}")
     if isinstance(schema, list):  # union: branch index then datum
-        return _decode(r, schema[r.read_long()], names)
+        branch = r.read_len()
+        if branch >= len(schema):
+            raise ValueError(f"avro: union branch {branch} out of range (malformed input)")
+        return _decode(r, schema[branch], names)
     t = schema["type"]
     if t in ("record", "error"):
         names[schema["name"]] = schema
@@ -126,7 +138,7 @@ def _decode(r: _Reader, schema: Any, names: dict[str, Any]) -> Any:
                 n = -n
                 r.read_long()
             for _ in range(n):
-                k = r.read(r.read_long()).decode("utf-8")
+                k = r.read(r.read_len()).decode("utf-8")
                 out[k] = _decode(r, schema["values"], names)
         return out
     # schemas like {"type": "string"} wrap a primitive

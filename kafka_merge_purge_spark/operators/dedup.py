@@ -287,6 +287,11 @@ def simhash(
         for pdf in batches:
             fps = np.empty(len(pdf), dtype=np.int64)
             for i, hs in enumerate(pdf["_hashes"]):
+                if hs is None:
+                    # NULL text → NULL hashes: the expression form's
+                    # when(NULL).otherwise(0) chain yields 0 — match it
+                    fps[i] = 0
+                    continue
                 h = np.asarray(hs, dtype=np.int64)
                 ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
                 fps[i] = (weights * (2 * ones >= len(h))).sum()
@@ -301,8 +306,10 @@ QUANT_SCALE = 1_000_000
 
 
 #: above this corpus size the broadcast fast path would collect too much
-#: to the driver; switch to the distributed block-pair GEMM.
-BROADCAST_MAX_ROWS = 500_000
+#: to the driver; switch to the distributed block-pair GEMM.  100k rows ×
+#: 64-d float64 ≈ 50 MB as Arrow — a sane driver ceiling (the old 500k
+#: bound meant multi-GB of Python Row objects).
+BROADCAST_MAX_ROWS = 100_000
 #: rows per GEMM block on the distributed path (2 blocks × dim floats per
 #: task — a few MB at dim 64..4096)
 DEFAULT_BLOCK_SIZE = 8_192
@@ -353,9 +360,10 @@ def embedding_near_dup_pairs(
 
     n = emb.count()
     if n <= broadcast_max_rows:
-        rows = emb.select(id_col, vec_col).collect()
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        # Arrow collect: columnar batches, no per-row Python Row objects
+        tbl = emb.select(id_col, vec_col).toArrow()
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(tbl.column(vec_col).to_pylist()).astype(np.float64)
         q = _quantize(mat)
         aa = (q * q).sum(axis=1)  # exact self-dots
         bc = emb.sparkSession.sparkContext.broadcast((ids, q, aa))
@@ -410,11 +418,14 @@ def embedding_near_dup_pairs(
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["_side"] == 0]
         b = pdf[pdf["_side"] == 1]
-        if a.empty:
-            # b1's block got no rows (hash gap) — the group only carries
-            # side-1 rows and there is nothing to pair against
+        # diag must come from the GROUP KEY, not b.empty: an off-diagonal
+        # group whose b2 block hashed no rows would otherwise be treated
+        # as diagonal and re-emit b1's intra-block pairs (duplicates of
+        # the true (b1,b1) group's output)
+        diag = bool(pdf["b1"].iat[0] == pdf["b2"].iat[0])
+        if a.empty or (not diag and b.empty):
+            # a hash-gap block on either side → nothing to pair
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        diag = b.empty  # b1 == b2: pair the block with itself
         a_ids = a["_id"].to_numpy(dtype=np.int64)
         a_q = _quantize(np.stack([np.asarray(v, dtype=np.float64) for v in a["_vec"]]))
         a_aa = (a_q * a_q).sum(axis=1)

@@ -64,6 +64,19 @@ def _headers_cols(records: DataFrame) -> list[Column]:
     return [F.col("headers")] if "headers" in records.columns else []
 
 
+def _src_cols() -> list[Column]:
+    """Consumed-record provenance carried on every routed leg: the sink's
+    transaction commits offsets for the SOURCE topic/partition it consumed
+    (Pipeline.kt:43-52 keys the offsets map by ``record.topic()/
+    partition()``), so a merge leg re-topiced to the destination must not
+    lose where its row came from."""
+    return [
+        F.col("topic").alias("src_topic"),
+        F.col("partition").alias("src_partition"),
+        F.col("offset").alias("src_offset"),
+    ]
+
+
 def purge(records: DataFrame) -> DataFrame:
     """Tombstone projection: ``(topic, partition, key, NULL)`` for each
     live record, partition-preserving (Pipeline.kt:91-98).
@@ -75,7 +88,7 @@ def purge(records: DataFrame) -> DataFrame:
     return records.filter(~is_tombstone()).select(
         F.col("topic"),
         F.col("partition"),
-        F.col("offset").alias("src_offset"),
+        *_src_cols(),
         F.col("key"),
         _value_null(records).alias("value"),
         *_headers_cols(records),
@@ -93,7 +106,7 @@ def merge(records: DataFrame, dest_topic: str, merge_tombstones: bool = False) -
     return src.select(
         F.lit(dest_topic).alias("topic"),
         F.lit(None).cast("int").alias("partition"),
-        F.col("offset").alias("src_offset"),
+        *_src_cols(),
         F.col("key"),
         F.col("value"),
         *_headers_cols(records),
@@ -162,7 +175,7 @@ def ask(
     merge_leg = decided.filter(F.col("action") == Action.MERGE.value).select(
         F.lit(dest_topic).alias("topic"),
         F.lit(None).cast("int").alias("partition"),
-        F.col("offset").alias("src_offset"),
+        *_src_cols(),
         F.col("key"),
         F.col("value"),
         *_headers_cols(decided),
@@ -174,7 +187,7 @@ def ask(
     ).select(
         F.col("topic"),
         F.col("partition"),
-        F.col("offset").alias("src_offset"),
+        *_src_cols(),
         F.col("key"),
         _value_null(decided).alias("value"),
         *_headers_cols(decided),

@@ -64,15 +64,58 @@ def _kafka_python_producer_factory(bootstrap_servers: str, extra_config: dict | 
         ) from exc
 
     def factory(transactional_id: str):
-        return KafkaProducer(
-            bootstrap_servers=bootstrap_servers,
-            transactional_id=transactional_id,
-            acks="all",
-            enable_idempotence=True,
-            **(extra_config or {}),
+        return _KafkaPythonTxAdapter(
+            KafkaProducer(
+                bootstrap_servers=bootstrap_servers,
+                transactional_id=transactional_id,
+                acks="all",
+                enable_idempotence=True,
+                **(extra_config or {}),
+            )
         )
 
     return factory
+
+
+class _KafkaPythonTxAdapter:
+    """Adapts kafka-python's ``KafkaProducer`` to the protocol
+    ``_run_transaction`` speaks.  The one semantic conversion:
+    ``send_offsets_to_transaction`` takes ``{TopicPartition:
+    OffsetAndMetadata}`` (Pipeline.kt:43,49-52), not the plain
+    ``{(topic, partition): offset}`` map the transaction loop builds."""
+
+    def __init__(self, producer):
+        self._p = producer
+
+    def init_transactions(self):
+        self._p.init_transactions()
+
+    def begin_transaction(self):
+        self._p.begin_transaction()
+
+    def send(self, topic, partition=None, key=None, value=None, headers=None):
+        return self._p.send(
+            topic, partition=partition, key=key, value=value, headers=headers
+        )
+
+    def send_offsets_to_transaction(self, offsets, group_id):
+        from kafka import TopicPartition
+        from kafka.structs import OffsetAndMetadata
+
+        converted = {}
+        for (topic, partition), off in offsets.items():
+            try:  # kafka-python >= 2.1 adds leader_epoch
+                meta = OffsetAndMetadata(off, "", -1)
+            except TypeError:
+                meta = OffsetAndMetadata(off, "")
+            converted[TopicPartition(topic, partition)] = meta
+        self._p.send_offsets_to_transaction(converted, group_id)
+
+    def commit_transaction(self):
+        self._p.commit_transaction()
+
+    def abort_transaction(self):
+        self._p.abort_transaction()
 
 
 def transactional_kafka_batch_fn(
@@ -129,6 +172,7 @@ def _run_transaction(producer, rows, cols, offsets_group, batch_id) -> tuple[int
     producer.begin_transaction()
     offsets: dict[tuple[str, int], int] = {}
     n = 0
+    has_src = "src_topic" in cols and "src_partition" in cols
     try:
         for row in rows:
             producer.send(
@@ -140,7 +184,14 @@ def _run_transaction(producer, rows, cols, offsets_group, batch_id) -> tuple[int
             )
             n += 1
             if "src_offset" in cols:
-                tp = (row["topic"], row["partition"])
+                # offsets are committed for the CONSUMED topic/partition
+                # (Pipeline.kt:49-52) — a merge leg re-topiced to the
+                # destination still advances its *source* partition
+                tp = (
+                    (row["src_topic"], row["src_partition"])
+                    if has_src
+                    else (row["topic"], row["partition"])
+                )
                 off = row["src_offset"]
                 if off is not None:
                     offsets[tp] = max(offsets.get(tp, -1), off)

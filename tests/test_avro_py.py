@@ -141,3 +141,18 @@ def test_malformed_varint_rejected():
 
     with pytest.raises(ValueError, match="varint too long"):
         decode_binary(b"\xff" * 11, "long")
+
+
+def test_negative_length_rejected():
+    # zigzag(-3) = 0x05: a negative bytes/string length would slice
+    # backwards and decode garbage — must raise instead
+    import pytest
+
+    with pytest.raises(ValueError, match="negative length"):
+        decode_binary(b"\x05abc", "string")
+    with pytest.raises(ValueError, match="negative length"):
+        decode_binary(b"\x05abc", "bytes")
+    with pytest.raises(ValueError, match="negative length|out of range"):
+        decode_binary(b"\x05", json.dumps(["null", "long"]))
+    with pytest.raises(ValueError, match="out of range"):
+        decode_binary(b"\x04", json.dumps(["null", "long"]))  # branch 2 of 2

@@ -136,3 +136,17 @@ def test_cli_transaction_toggle_uses_default_id(capsys):
     assert main(["-t", "-n", "client-config", "producer"]) == 0
     got = dict(l.split("=", 1) for l in capsys.readouterr().out.splitlines())
     assert got["transactional.id"] == "kafka-merge-purge-spark"
+
+
+def test_cli_bare_transaction_before_subcommand(capsys):
+    # '-t client-config producer' must treat -t as a toggle, not consume
+    # the subcommand name as the transactional id
+    assert main(["-t", "client-config", "producer"]) == 0
+    got = dict(l.split("=", 1) for l in capsys.readouterr().out.splitlines())
+    assert got["transactional.id"] == "kafka-merge-purge-spark"
+
+
+def test_cli_explicit_transaction_id_still_wins(capsys):
+    assert main(["-t", "txn-9", "client-config", "producer"]) == 0
+    got = dict(l.split("=", 1) for l in capsys.readouterr().out.splitlines())
+    assert got["transactional.id"] == "txn-9"

@@ -512,4 +512,20 @@ def test_embedding_neardup_block_path_tolerates_empty_blocks(spark):
         [(i, [float(i)] * 4) for i in (1, 2, 3)], "vec_id long, embedding array<float>"
     )
     out = dd.embedding_near_dup_pairs(df, threshold=0.9, broadcast_max_rows=0, block_size=1)
-    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2), (1, 3), (2, 3)}
+    # compare as a sorted LIST, not a set: an off-diagonal group with an
+    # empty side that mis-classifies as diagonal re-emits intra-block
+    # pairs — duplicates a set comparison would hide
+    pairs = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    assert pairs == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_simhash_null_and_empty_text_match_expression_form(spark):
+    # NULL text: vectorized vote must yield the expression form's 0, not
+    # crash in np.asarray(None)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "alpha beta gamma")], "doc_id long, text string"
+    )
+    vec = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+    expr = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, vectorized=False).collect()}
+    assert vec == expr
+    assert vec[1] == 0

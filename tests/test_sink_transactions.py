@@ -91,16 +91,14 @@ def test_commit_path_call_order(routed):
 
 
 def test_offsets_are_max_per_source_partition(routed):
-    # the offsets map mirrors Pipeline.kt:43-52: per (topic, partition),
-    # the highest source offset the batch consumed.  merge legs address
-    # ("dst", None); purge legs keep the source partition.
+    # the offsets map mirrors Pipeline.kt:43-52: keyed by the CONSUMED
+    # record's (topic, partition) — merge legs re-topiced to "dst" still
+    # advance their source partition, and no destination key ever appears
     factory = Factory()
     fn = transactional_kafka_batch_fn("b:9092", "kmp", producer_factory=factory)
     fn(routed, batch_id=0)
     (_, offsets, _), = [c for c in factory.producers[0].calls if isinstance(c, tuple)]
-    assert offsets[("src", 0)] == 5
-    assert offsets[("src", 1)] == 3
-    assert offsets[("dst", None)] == 5
+    assert offsets == {("src", 0): 5, ("src", 1): 3}
 
 
 def test_abort_on_send_error_reraises(routed):
