@@ -285,7 +285,7 @@ def x_running_total(spark, sf_dir):
     )
 
 
-def q_window_analytic(spark, sf_dir):
+def x_window_analytic(spark, sf_dir):
     """lag/lead analytics: per-user value delta between consecutive events."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
@@ -970,7 +970,7 @@ _RELATIONAL_ORACLES = {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                    AS running_total
         FROM orders""",
-    "q_window_analytic": """
+    "x_window_analytic": """
         SELECT user_id, event_id,
                value - lag(value) OVER w AS delta,
                lead(event_type) OVER w AS next_type
@@ -1282,6 +1282,18 @@ def q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def q_fuzzy_dedup(spark, sf_dir):
+    """Flagship LLM-data pipeline: end-to-end fuzzy dedup — LSH banding
+    (24 hashes × 8 bands, linear candidate generation) → exact shingle-
+    Jaccard verify inside candidate buckets → connected components over
+    the verified pairs → canonical-doc selection (min id per cluster).
+    The banding is deterministic; at 3 rows/band its miss probability for
+    the corpus's ≥0.9-Jaccard duplicates is <1e-4 per pair, and its
+    recall here is exhaustive (asserted in tests/test_operators.py), so
+    the composed pipeline hash-matches the exact recursive-CTE oracle."""
+    return dd.fuzzy_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (portable md5-backed bit votes)."""
     return dd.simhash(_t(spark, sf_dir, "documents"))
@@ -1528,6 +1540,29 @@ _LLM_ORACLES = {
                          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
             FROM sh a JOIN sh b ON a.id < b.id)
         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""",
+    "q_fuzzy_dedup": f"""
+        WITH RECURSIVE
+        base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT id, {_SHINGLES} AS sh FROM base),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM s a JOIN s b ON a.id < b.id
+            WHERE round(len(list_intersect(a.sh, b.sh)) /
+                        len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+        bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION ALL
+               SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+            SELECT u, u FROM bi
+            UNION
+            SELECT bi.v, reach.lbl FROM reach JOIN bi ON reach.node = bi.u),
+        comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+        lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+        FROM lab""",
     "q_simhash": None,  # set below (generated per-bit SQL)
     "q_rolling_hash": f"""
         WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents)

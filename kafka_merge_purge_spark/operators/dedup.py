@@ -211,6 +211,58 @@ def minhash_lsh_pairs(
     )
 
 
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 24,
+    bands: int = 8,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end fuzzy deduplication — the composed flagship pipeline:
+
+        LSH banding (candidate generation, linear)
+        → exact shingle-Jaccard verify inside candidate buckets
+        → connected components over the verified pairs
+        → canonical-document selection (min doc id per cluster)
+
+    Returns one row per input document:
+    ``(doc_id, cluster_id, cluster_size, is_canonical)`` where
+    ``cluster_id`` is the minimum doc id in the duplicate cluster (a
+    singleton document is its own cluster) and ``is_canonical`` marks the
+    one document per cluster a dedup pass would keep.
+
+    Scale shape: every stage is the linear form — banded equi-join for
+    candidates (no all-pairs), Pregel-style min-label propagation for
+    components (one shuffle per round, O(diameter) rounds — dup clusters
+    are near-cliques so diameter ≲ 3), and the final labeling is one join
+    plus one window.  The default 24 hashes × 8 bands (3 rows/band)
+    pushes the s-curve miss probability for a 0.9-Jaccard pair below
+    1e-4 while keeping sub-0.1-Jaccard collisions ~0.3%.
+    """
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, k, jaccard_threshold
+    )
+    comps = connected_components(pairs)
+    docs = df.select(F.col(id_col))
+    labeled = docs.join(comps, docs[id_col] == comps["node"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

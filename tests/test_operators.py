@@ -519,6 +519,46 @@ def test_embedding_neardup_block_path_tolerates_empty_blocks(spark):
     assert pairs == [(1, 2), (1, 3), (2, 3)]
 
 
+def test_fuzzy_dedup_end_to_end(spark):
+    # two dup clusters ({1,2,3} transitively, {10,11}) + two singletons;
+    # doc 3 only chains through 2 — components must close the transitive
+    # link even when 1 and 3 share no band
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "a quick brown fox jumps over the lazy dog again and again!"),
+        (10, "completely different text about spark catalyst optimizer plans"),
+        (11, "completely different text about spark catalyst optimizer plan"),
+        (20, "unrelated singleton document with its own vocabulary entirely"),
+        (21, "another lonely document sharing nothing with the rest at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.fuzzy_dedup(df, jaccard_threshold=0.5).collect()}
+    assert len(out) == 7  # one row per input doc
+    assert [out[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i]["cluster_id"] for i in (10, 11)] == [10, 10]
+    assert out[20]["cluster_id"] == 20 and out[21]["cluster_id"] == 21
+    assert out[1]["cluster_size"] == 3 and out[10]["cluster_size"] == 2
+    assert [r["is_canonical"] for r in out.values()] == [
+        1 if r["doc_id"] == r["cluster_id"] else 0 for r in out.values()
+    ]
+
+
+def test_fuzzy_dedup_banding_recall_is_exhaustive(tables):
+    # the gated q_fuzzy_dedup hash-matches an EXACT oracle, which is only
+    # sound if the deterministic 24x8 banding finds every J>=0.5 pair of
+    # this corpus — pin that property where the gate can't see it drift
+    docs = tables["documents"]
+    exact = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(
+            docs, num_hashes=24, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
 def test_simhash_null_and_empty_text_match_expression_form(spark):
     # NULL text: vectorized vote must yield the expression form's 0, not
     # crash in np.asarray(None)
