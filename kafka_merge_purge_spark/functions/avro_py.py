@@ -10,17 +10,30 @@ the decoder for that spec so the reference's Avro deserializer path
 gated:
 
 - ``decode_binary(buf, schema)`` — one datum from Avro binary.
+- ``decode_resolved(buf, writer, reader)`` — schema *resolution* (Avro
+  spec §Schema Resolution): decode against the writer schema while
+  shaping to the reader schema — field reordering, reader defaults,
+  writer-field skipping, int→long/float→double style promotions,
+  enum/union/alias resolution.
+- ``SchemaRegistry`` + ``decode_confluent(buf, registry, reader)`` —
+  the registry-shaped resolver: the reference's KafkaAvroDeserializer
+  (Factory.kt:59-65) resolves the *writer* schema dynamically from the
+  Confluent wire prefix (magic 0x00 + 4-byte big-endian schema id); a
+  network registry is impossible in this environment, so the resolver
+  interface is dict- or directory-backed while the wire format and
+  resolution rules are the real ones.
 - ``avro_to_json_udf(schema_json, confluent=True)`` — an Arrow-batched
   pandas UDF decoding a binary payload column to a JSON string view
   (compose with ``F.from_json`` for a typed struct), stripping the
   Confluent 5-byte wire prefix when asked.
+- ``avro_registry_to_json_udf(registry, reader_schema=None)`` — same
+  view, but per-record writer schemas looked up from the embedded id.
 
 Production posture unchanged: with spark-avro on the classpath,
 ``decode.decode_avro`` (JVM ``from_avro``) is the fast path; this
 decoder is the correctness twin that keeps the feature testable in
 minimal environments.  Supported: null, boolean, int, long, float,
 double, bytes, string, record, enum, array, map, union, fixed.
-Schema resolution/evolution (reader≠writer schema) is out of scope.
 """
 
 from __future__ import annotations
@@ -31,7 +44,15 @@ from typing import Any
 
 import pandas as pd
 
-__all__ = ["decode_binary", "avro_to_json_udf", "parse_schema"]
+__all__ = [
+    "decode_binary",
+    "decode_resolved",
+    "decode_confluent",
+    "SchemaRegistry",
+    "avro_to_json_udf",
+    "avro_registry_to_json_udf",
+    "parse_schema",
+]
 
 
 def parse_schema(schema: str | dict | list) -> dict | list | str:
@@ -150,6 +171,298 @@ def decode_binary(buf: bytes, schema: str | dict | list) -> Any:
     return _decode(_Reader(bytes(buf)), parse_schema(schema), {})
 
 
+# ---------------------------------------------------------------------------
+# schema resolution (Avro spec §Schema Resolution)
+# ---------------------------------------------------------------------------
+
+#: writer type → reader types it may be promoted to
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+def _type_of(schema: Any) -> str:
+    """The discriminating type tag of a (parsed) schema."""
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"] if schema["type"] not in _PRIMITIVES else schema["type"]
+
+
+def _deref(schema: Any, names: dict[str, Any]) -> Any:
+    """Follow named-type references; register named types on the way."""
+    if isinstance(schema, str) and schema in names:
+        return names[schema]
+    if isinstance(schema, dict):
+        if schema["type"] in ("record", "error", "enum", "fixed"):
+            names[schema["name"]] = schema
+        elif schema["type"] in _PRIMITIVES and len(schema) == 1:
+            return schema["type"]  # {"type": "string"} wrapper
+    return schema
+
+
+def _names_match(w: dict, r: dict) -> bool:
+    """Record/enum/fixed name match: same name, or the writer's name
+    appears in the reader's aliases (spec: aliases are reader-side)."""
+    if w["name"] == r["name"]:
+        return True
+    return w["name"] in r.get("aliases", ())
+
+
+def _reader_field(w_name: str, r_fields: list[dict]) -> dict | None:
+    for f in r_fields:
+        if f["name"] == w_name or w_name in f.get("aliases", ()):
+            return f
+    return None
+
+
+def _default_value(schema: Any, default: Any, names: dict[str, Any]) -> Any:
+    """A JSON field default → the decoded-value representation."""
+    schema = _deref(schema, names)
+    t = _type_of(schema)
+    if t == "union":
+        return _default_value(schema[0], default, names)  # default is 1st branch
+    if t == "bytes" or t == "fixed":
+        return default.encode("latin-1")  # spec: JSON string, codepoints 0-255
+    if t in ("record", "error"):
+        return {
+            f["name"]: _default_value(
+                f["type"], default.get(f["name"], f.get("default")), names
+            )
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [_default_value(schema["items"], v, names) for v in default]
+    if t == "map":
+        return {k: _default_value(schema["values"], v, names) for k, v in default.items()}
+    if t == "float" or t == "double":
+        return float(default)
+    return default
+
+
+def _skip(r: _Reader, schema: Any, names: dict[str, Any]) -> None:
+    """Decode-and-discard a writer-only datum (no reader shaping)."""
+    _decode(r, schema, names)
+
+
+def _promote(value: Any, w_t: str, r_t: str) -> Any:
+    if w_t in ("int", "long") and r_t in ("float", "double"):
+        return float(value)
+    if w_t == "string" and r_t == "bytes":
+        return value.encode("utf-8")
+    if w_t == "bytes" and r_t == "string":
+        return value.decode("utf-8")
+    return value  # int→long, float→double: representation unchanged
+
+
+def _decode_res(
+    r: _Reader, writer: Any, reader: Any, wn: dict[str, Any], rn: dict[str, Any]
+) -> Any:
+    writer = _deref(writer, wn)
+    reader = _deref(reader, rn)
+    w_t, r_t = _type_of(writer), _type_of(reader)
+
+    if w_t == "union":
+        # read the branch the writer encoded, then resolve THAT branch
+        # against the (possibly non-union) reader schema
+        branch = r.read_len()
+        if branch >= len(writer):
+            raise ValueError(f"avro: union branch {branch} out of range (malformed input)")
+        return _decode_res(r, writer[branch], reader, wn, rn)
+    if r_t == "union":
+        # writer non-union: the spec selects the first reader branch that
+        # matches the writer schema (a schema-level check — no trial
+        # decoding, so no bytes are consumed picking the branch)
+        for candidate in reader:
+            if _branch_matches(writer, candidate, wn, rn):
+                return _decode_res(r, writer, candidate, wn, rn)
+        raise ValueError(
+            f"avro: writer schema {w_t!r} matches no reader union branch"
+        )
+
+    if w_t in _PRIMITIVES:
+        if r_t != w_t and r_t not in _PROMOTIONS.get(w_t, ()):
+            raise _NoMatch(f"writer {w_t} vs reader {r_t}")
+        return _promote(_decode(r, w_t, wn), w_t, r_t)
+
+    if w_t != r_t:
+        raise _NoMatch(f"writer {w_t} vs reader {r_t}")
+
+    if w_t in ("record", "error"):
+        if not _names_match(writer, reader):
+            raise _NoMatch(f"record {writer['name']} vs {reader['name']}")
+        wn[writer["name"]] = writer
+        rn[reader["name"]] = reader
+        out: dict[str, Any] = {}
+        r_fields = reader["fields"]
+        matched = set()
+        for wf in writer["fields"]:  # writer order drives the byte stream
+            rf = _reader_field(wf["name"], r_fields)
+            if rf is None:
+                _skip(r, wf["type"], wn)  # writer-only field: discard
+            else:
+                out[rf["name"]] = _decode_res(r, wf["type"], rf["type"], wn, rn)
+                matched.add(rf["name"])
+        for rf in r_fields:  # reader-only fields: defaults required
+            if rf["name"] not in matched:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"avro: reader field {reader['name']}.{rf['name']} "
+                        "missing from writer schema and has no default"
+                    )
+                out[rf["name"]] = _default_value(rf["type"], rf["default"], rn)
+        return out
+    if w_t == "enum":
+        if not _names_match(writer, reader):
+            raise _NoMatch(f"enum {writer['name']} vs {reader['name']}")
+        sym = writer["symbols"][r.read_long()]
+        if sym in reader["symbols"]:
+            return sym
+        if "default" in reader:  # spec: enum reader default
+            return reader["default"]
+        raise ValueError(f"avro: enum symbol {sym!r} not in reader schema")
+    if w_t == "fixed":
+        if not _names_match(writer, reader) or writer["size"] != reader["size"]:
+            raise _NoMatch("fixed name/size mismatch")
+        return r.read(writer["size"])
+    if w_t == "array":
+        out_list: list[Any] = []
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.read_long()
+            for _ in range(n):
+                out_list.append(_decode_res(r, writer["items"], reader["items"], wn, rn))
+        return out_list
+    if w_t == "map":
+        out_map: dict[str, Any] = {}
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.read_long()
+            for _ in range(n):
+                key = r.read(r.read_len()).decode("utf-8")
+                out_map[key] = _decode_res(r, writer["values"], reader["values"], wn, rn)
+        return out_map
+    raise ValueError(f"avro: unsupported schema {writer!r}")
+
+
+class _NoMatch(ValueError):
+    """Writer/reader schemas don't resolve."""
+
+
+def _branch_matches(writer: Any, reader: Any, wn: dict, rn: dict) -> bool:
+    """Schema-level writer↔reader-branch match (type tag + promotions +
+    named-type names) — how implementations pick a reader-union branch."""
+    writer, reader = _deref(writer, wn), _deref(reader, rn)
+    w_t, r_t = _type_of(writer), _type_of(reader)
+    if w_t in _PRIMITIVES:
+        return r_t == w_t or r_t in _PROMOTIONS.get(w_t, ())
+    if w_t != r_t:
+        return False
+    if w_t in ("record", "error", "enum", "fixed"):
+        return _names_match(writer, reader)
+    return True  # array/map: items/values checked during decode
+
+
+def decode_resolved(
+    buf: bytes, writer: str | dict | list, reader: str | dict | list
+) -> Any:
+    """Decode one Avro-binary datum written with ``writer``, shaped to
+    ``reader`` per the spec's Schema Resolution rules."""
+    return _decode_res(
+        _Reader(bytes(buf)), parse_schema(writer), parse_schema(reader), {}, {}
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry-shaped resolver (Confluent wire format)
+# ---------------------------------------------------------------------------
+
+
+class SchemaRegistry:
+    """``schema_id → writer schema`` resolver — the in-process stand-in
+    for a Confluent schema registry (the reference's
+    KafkaAvroDeserializer resolves writer schemas this way,
+    Factory.kt:59-65 + README.md:124-126).
+
+    Backed by a dict (``{id: schema_json}``) and/or a directory of
+    ``{id}.avsc`` files; parsed schemas are cached.  The lookup interface
+    is the only seam a network-backed implementation would replace.
+    """
+
+    def __init__(
+        self,
+        schemas: dict[int, str | dict | list] | None = None,
+        path: str | None = None,
+    ):
+        self._raw: dict[int, str | dict | list] = dict(schemas or {})
+        self._path = path
+        self._cache: dict[int, Any] = {}
+
+    def get(self, schema_id: int) -> Any:
+        if schema_id in self._cache:
+            return self._cache[schema_id]
+        raw = self._raw.get(schema_id)
+        if raw is None and self._path is not None:
+            import os
+
+            p = os.path.join(self._path, f"{schema_id}.avsc")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    raw = fh.read()
+        if raw is None:
+            raise KeyError(f"avro: schema id {schema_id} not in registry")
+        parsed = parse_schema(raw)
+        self._cache[schema_id] = parsed
+        return parsed
+
+    def to_dict(self) -> dict[int, str]:
+        """JSON-serializable snapshot of EVERY resolvable id — dict- and
+        directory-backed alike (for shipping to executors)."""
+        ids = set(self._raw)
+        if self._path is not None:
+            import glob
+            import os
+
+            for p in glob.glob(os.path.join(self._path, "*.avsc")):
+                stem = os.path.splitext(os.path.basename(p))[0]
+                if stem.isdigit():
+                    ids.add(int(stem))
+        return {sid: json.dumps(self.get(sid)) for sid in ids}
+
+
+def decode_confluent(
+    buf: bytes,
+    registry: SchemaRegistry,
+    reader_schema: str | dict | list | None = None,
+) -> Any:
+    """Decode one Confluent-wire-format payload: resolve the writer
+    schema from the embedded id, then decode — shaped to
+    ``reader_schema`` when given (schema evolution), as-written
+    otherwise."""
+    b = bytes(buf)
+    if len(b) < 5 or b[0] != 0:
+        raise ValueError("avro: not Confluent wire format (magic byte != 0x00)")
+    writer = registry.get(int.from_bytes(b[1:5], "big"))
+    if reader_schema is None:
+        return decode_binary(b[5:], writer)
+    return decode_resolved(b[5:], writer, reader_schema)
+
+
 def _jsonable(v: Any) -> Any:
     if isinstance(v, bytes):
         return v.decode("latin-1")  # byte-preserving textual view
@@ -178,6 +491,38 @@ def avro_to_json_udf(schema_json: str, confluent: bool = True):
             if b is None
             else json.dumps(
                 _jsonable(decode_binary(bytes(b)[skip:], schema)),
+                separators=(",", ":"),
+                sort_keys=True,
+            )
+        )
+
+    return _decode_series
+
+
+def avro_registry_to_json_udf(
+    registry: SchemaRegistry, reader_schema: str | dict | list | None = None
+):
+    """Arrow-batched pandas UDF: Confluent-wire payload → JSON string
+    view, with per-record writer schemas resolved from the embedded
+    schema id (the KafkaAvroDeserializer behavior, Factory.kt:59-65).
+    ``reader_schema`` pins the output shape across evolving writers —
+    exactly what a 100 TB scan needs for a stable column schema while
+    the topic's writer schema drifts.  The registry snapshot ships in
+    the UDF closure (schemas are small; the broker-side registry is
+    bounded), so executors never call out."""
+    from pyspark.sql.functions import pandas_udf
+
+    snapshot = registry.to_dict()  # plain {int: json str} — picklable
+    reader = parse_schema(reader_schema) if reader_schema is not None else None
+
+    @pandas_udf("string")
+    def _decode_series(payload: pd.Series) -> pd.Series:
+        reg = SchemaRegistry(snapshot)
+        return payload.map(
+            lambda b: None
+            if b is None
+            else json.dumps(
+                _jsonable(decode_confluent(bytes(b), reg, reader)),
                 separators=(",", ":"),
                 sort_keys=True,
             )

@@ -95,3 +95,17 @@ def decode_avro_py(
 
     udf = avro_to_json_udf(avro_schema_json, confluent=confluent)
     return F.from_json(udf(payload), spark_schema)
+
+
+def decode_avro_registry(
+    payload: Column, registry, spark_schema: str, reader_schema: str | None = None
+) -> Column:
+    """Avro delegate with dynamic writer-schema resolution: each
+    Confluent-wire payload's writer schema comes from the registry via
+    its embedded id (Factory.kt:59-65 semantics), resolved to
+    ``reader_schema`` when given so evolving writers still produce one
+    stable typed view.  Dependency-free tier (functions/avro_py.py)."""
+    from kafka_merge_purge_spark.functions.avro_py import avro_registry_to_json_udf
+
+    udf = avro_registry_to_json_udf(registry, reader_schema)
+    return F.from_json(udf(payload), spark_schema)

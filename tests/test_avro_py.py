@@ -143,6 +143,218 @@ def test_malformed_varint_rejected():
         decode_binary(b"\xff" * 11, "long")
 
 
+# ---------------------------------------------------------------------------
+# schema resolution (reader != writer) + registry resolver
+# ---------------------------------------------------------------------------
+
+from kafka_merge_purge_spark.functions.avro_py import (  # noqa: E402
+    SchemaRegistry,
+    decode_confluent,
+    decode_resolved,
+)
+
+WRITER_V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "User",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "float"},
+        ],
+    }
+)
+# evolved reader: fields reordered, id promoted int->long, score
+# promoted float->double, legacy 'name' renamed via alias, a new
+# defaulted field, and 'score' wrapped into a nullable union
+READER_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "User",
+        "fields": [
+            {"name": "full_name", "type": "string", "aliases": ["name"]},
+            {"name": "id", "type": "long"},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "country", "type": "string", "default": "unknown"},
+        ],
+    }
+)
+
+
+def encode_user_v1(id_, name, score) -> bytes:
+    return zz(id_) + enc_str(name) + struct.pack("<f", score)
+
+
+def test_resolution_reorder_promote_alias_default():
+    buf = encode_user_v1(7, "ada", 1.5)
+    got = decode_resolved(buf, WRITER_V1, READER_V2)
+    assert got == {"full_name": "ada", "id": 7, "score": 1.5, "country": "unknown"}
+
+
+def test_resolution_skips_writer_only_field_and_errors_without_default():
+    import pytest
+
+    reader_drops_name = json.dumps(
+        {
+            "type": "record",
+            "name": "User",
+            "fields": [{"name": "id", "type": "long"}],
+        }
+    )
+    # 'name' and 'score' are decoded-and-discarded; stream stays aligned
+    assert decode_resolved(encode_user_v1(9, "x", 0.5), WRITER_V1, reader_drops_name) == {"id": 9}
+
+    reader_needs_missing = json.dumps(
+        {
+            "type": "record",
+            "name": "User",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "email", "type": "string"},  # no default
+            ],
+        }
+    )
+    with pytest.raises(ValueError, match="no default"):
+        decode_resolved(encode_user_v1(9, "x", 0.5), WRITER_V1, reader_needs_missing)
+
+
+def test_resolution_union_and_enum_rules():
+    # writer union ["null","int"] vs plain reader long: branch decoded,
+    # then promoted
+    w = json.dumps(["null", "int"])
+    assert decode_resolved(zz(1) + zz(5), w, "long") == 5
+    # writer non-union int vs reader union ["null","long"]: first
+    # matching branch wins
+    assert decode_resolved(zz(5), "int", json.dumps(["null", "long"])) == 5
+    # enum symbol missing from reader falls back to the reader default
+    w_enum = json.dumps({"type": "enum", "name": "C", "symbols": ["A", "B"]})
+    r_enum = json.dumps(
+        {"type": "enum", "name": "C", "symbols": ["A"], "default": "A"}
+    )
+    assert decode_resolved(zz(1), w_enum, r_enum) == "A"
+
+
+def test_resolution_nested_array_of_records():
+    writer = json.dumps(
+        {
+            "type": "record",
+            "name": "Batch",
+            "fields": [
+                {
+                    "name": "users",
+                    "type": {
+                        "type": "array",
+                        "items": json.loads(WRITER_V1),
+                    },
+                }
+            ],
+        }
+    )
+    reader = json.dumps(
+        {
+            "type": "record",
+            "name": "Batch",
+            "fields": [
+                {
+                    "name": "users",
+                    "type": {
+                        "type": "array",
+                        "items": json.loads(READER_V2),
+                    },
+                }
+            ],
+        }
+    )
+    buf = zz(2) + encode_user_v1(1, "a", 0.5) + encode_user_v1(2, "b", 1.5) + zz(0)
+    got = decode_resolved(buf, writer, reader)
+    assert [u["id"] for u in got["users"]] == [1, 2]
+    assert got["users"][0]["country"] == "unknown"
+
+
+def test_registry_resolves_writer_by_confluent_id(tmp_path):
+    # ids 1 and 2 are two writer generations; one reader shapes both
+    reg = SchemaRegistry({1: WRITER_V1})
+    (tmp_path / "2.avsc").write_text(
+        json.dumps(
+            {
+                "type": "record",
+                "name": "User",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "name", "type": "string"},
+                    {"name": "score", "type": "double"},
+                    {"name": "country", "type": "string"},
+                ],
+            }
+        )
+    )
+    reg = SchemaRegistry({1: WRITER_V1}, path=str(tmp_path))
+
+    def wire(sid: int, body: bytes) -> bytes:
+        return b"\x00" + sid.to_bytes(4, "big") + body
+
+    v1 = wire(1, encode_user_v1(7, "ada", 1.5))
+    v2 = wire(2, zz(8) + enc_str("bob") + struct.pack("<d", 2.5) + enc_str("de"))
+    got1 = decode_confluent(v1, reg, READER_V2)
+    got2 = decode_confluent(v2, reg, READER_V2)
+    assert got1 == {"full_name": "ada", "id": 7, "score": 1.5, "country": "unknown"}
+    assert got2 == {"full_name": "bob", "id": 8, "score": 2.5, "country": "de"}
+    # without a reader schema, payloads decode as-written
+    assert decode_confluent(v1, reg)["name"] == "ada"
+    import pytest
+
+    with pytest.raises(KeyError, match="not in registry"):
+        decode_confluent(wire(99, b""), reg)
+    with pytest.raises(ValueError, match="magic"):
+        decode_confluent(b"\x01\x00\x00\x00\x01", reg)
+
+
+def test_registry_udf_mixed_writer_generations(spark, tmp_path):
+    from kafka_merge_purge_spark.functions.decode import decode_avro_registry
+
+    reg = SchemaRegistry(
+        {
+            1: WRITER_V1,
+            2: json.dumps(
+                {
+                    "type": "record",
+                    "name": "User",
+                    "fields": [
+                        {"name": "id", "type": "long"},
+                        {"name": "name", "type": "string"},
+                        {"name": "score", "type": "double"},
+                        {"name": "country", "type": "string"},
+                    ],
+                }
+            ),
+        }
+    )
+
+    def wire(sid: int, body: bytes) -> bytes:
+        return b"\x00" + sid.to_bytes(4, "big") + body
+
+    payloads = [
+        wire(1, encode_user_v1(1, "ada", 1.5)),
+        wire(2, zz(2) + enc_str("bob") + struct.pack("<d", 2.5) + enc_str("de")),
+        None,  # tombstone stays NULL
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "value binary")
+    typed = df.select(
+        decode_avro_registry(
+            F.col("value"),
+            reg,
+            "full_name string, id long, score double, country string",
+            reader_schema=READER_V2,
+        ).alias("d")
+    ).select("d.*")
+    rows = typed.collect()
+    assert [(r["id"], r["full_name"], r["country"]) for r in rows[:2]] == [
+        (1, "ada", "unknown"),
+        (2, "bob", "de"),
+    ]
+    assert rows[2]["id"] is None
+
+
 def test_negative_length_rejected():
     # zigzag(-3) = 0x05: a negative bytes/string length would slice
     # backwards and decode garbage — must raise instead
