@@ -3,18 +3,22 @@
 Near-dup operators (minhash_lsh_pairs, embedding_near_dup_pairs) emit
 pairs; deduplication needs the transitive closure: every document in a
 duplicate cluster maps to one canonical id.  This is min-label
-propagation (the Pregel-style formulation): every node starts labeled
-with itself; each round a node takes the min of its own label and its
-neighbors' labels; at fixpoint the label IS the cluster id (the minimum
-node id reachable).
+propagation (the Pregel-style formulation) with *pointer jumping*
+(a.k.a. shortcutting — the same doubling trick as hash-to-min /
+large-star contraction): each round every node takes the min of its
+own label, its neighbors' labels, AND its label's label.  The jump
+doubles the distance information travels per round, so convergence is
+O(log n) rounds even on an adversarial path graph, while staying
+O(diameter) ≈ 1-3 rounds on the near-clique clusters dedup actually
+produces.
 
-Scale shape: one shuffle per round (neighbor-min groupBy + label join),
-O(graph diameter) rounds — near-dup graphs are shallow (dup clusters
-are cliques or near-cliques, diameter ≲ 3), so this converges in a few
-rounds where a general graph might need many.  Lineage is truncated
-with ``localCheckpoint`` each round (executor-local materialization —
-NOT a driver collect) so the plan doesn't grow exponentially with
-iterations; convergence is detected with a scalar count per round.
+Scale shape per round: one shuffle for the neighbor-min groupBy, one
+self-join on the (small, two-column) label frame for the jump, then an
+eager ``localCheckpoint`` (executor-local materialization — NOT a
+driver collect) that truncates lineage so the plan doesn't grow with
+iterations.  Convergence is detected from a ``_changed`` flag computed
+*inside* the same pass and probed with a limit-1 scan of the already-
+materialized partitions — no extra join or full count per round.
 
 The DuckDB oracle expresses the same fixpoint as a recursive CTE
 (min reachable node id per node), so the result is hash-checkable.
@@ -41,27 +45,39 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
+        # 1. neighbor min: the classic propagation step (one shuffle)
         nbr_min = (
             bi.join(labels, bi["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        l1 = labels.join(nbr_min, labels["node"] == nbr_min["u"], "left").select(
+            labels["node"],
+            F.least(labels["lbl"], F.coalesce(nbr_min["nbr_lbl"], labels["lbl"])).alias("lbl"),
+            labels["lbl"].alias("_orig"),
+        )
+        # 2. pointer jump: lbl(u) ← lbl(lbl(u)).  Labels are always node
+        # ids (they start as the node itself and only ever copy other
+        # labels), and lbl(x) ≤ x, so the jump is monotone and reaches
+        # only ids transitively connected to u — correctness is
+        # unchanged, rounds drop from O(diameter) to O(log diameter).
+        parent = l1.select(F.col("node").alias("_p"), F.col("lbl").alias("_plbl"))
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            l1.join(parent, l1["lbl"] == parent["_p"], "left")
             .select(
-                labels["node"],
-                F.least(labels["lbl"], F.coalesce(nbr_min["nbr_lbl"], labels["lbl"])).alias("lbl"),
+                l1["node"],
+                F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"])).alias("lbl"),
+                (
+                    F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"]))
+                    < F.col("_orig")
+                ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # the round's one materializing job
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("_changed")
+        # limit-1 probe over materialized partitions — no recompute, no
+        # second shuffle; stop when no label moved this round
+        if new_labels.filter(F.col("_changed")).isEmpty():
             break
     bi.unpersist()
     return labels.select(F.col("node"), F.col("lbl").alias("component"))

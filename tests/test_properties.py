@@ -148,3 +148,19 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_connected_components_path_graph_converges_logarithmically(spark):
+    """Adversarial high-diameter input: a 1,000-node path.  Plain
+    min-label propagation needs 999 rounds; with pointer jumping the
+    label horizon doubles per round, so 15 rounds must suffice — if the
+    doubling regressed, max_iter=15 leaves wrong labels and this fails."""
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    n = 1000
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = connected_components(df, max_iter=15)
+    assert got.filter(F.col("component") != 0).isEmpty()
+    assert got.count() == n
