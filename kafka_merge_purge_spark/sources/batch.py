@@ -27,6 +27,20 @@ TABLES = (
     "embeddings",
 )
 
+#: Normalize an epoch-integer column of unknown scale (ns/µs/ms) to a
+#: µs timestamp.  The batch reader (nanosAsLong) surfaces true nanos,
+#: but a readStream with a user-declared ``ts long`` schema gets the
+#: column pre-scaled to micros by the parquet reader — so a fixed
+#: ``DIV 1000`` silently lands in 1970 on one of the two paths.  The
+#: magnitude cutoffs are unambiguous for any instant between 1973 and
+#: 5138 CE, so one expression serves both.
+EPOCH_TO_MICROS = (
+    "timestamp_micros(CAST(CASE"
+    " WHEN {c} >= 100000000000000000 THEN {c} DIV 1000"  # nanos
+    " WHEN {c} >= 100000000000000 THEN {c}"  # micros
+    " ELSE {c} * 1000 END AS LONG))"  # millis
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table (TESTDATA.md) as a DataFrame.
@@ -40,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+            df = df.withColumn("ts", F.expr(EPOCH_TO_MICROS.format(c="ts")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -24,21 +24,26 @@ from pyspark.sql.streaming import StreamingQuery
 from kafka_merge_purge_spark.model import records_from_events
 from kafka_merge_purge_spark.operators.routing import merge_all
 
-#: ts declared long: events.parquet stores nanosecond INT64, which Spark 4
-#: only reads as a timestamp via the legacy conf + explicit truncation —
-#: same µs handling as sources/batch.load_table, kept expression-identical.
+#: ts declared long: events.parquet stores nanosecond INT64.  Unlike the
+#: batch reader (nanosAsLong → true nanos), a readStream with this
+#: user-declared schema receives ts pre-scaled to MICROS — so the scale
+#: normalization must be magnitude-based, not a fixed DIV 1000 (which
+#: compressed every event into January 1970 and broke the stream-stream
+#: join's time bounds).  EPOCH_TO_MICROS handles both.
 EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
 
 def stream_records_from_dir(spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stand-in for the Kafka stream: events parquet → the
     canonical record stream (same frame shape as the Kafka reader path)."""
+    from kafka_merge_purge_spark.sources.batch import EPOCH_TO_MICROS
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     events = reader.parquet(events_dir).withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        "ts", F.expr(EPOCH_TO_MICROS.format(c="ts"))
     )
     return records_from_events(events)
 
@@ -136,18 +141,27 @@ def purge_lag_audit(
         .select("key", F.col("offset").alias("live_offset"), F.col("timestamp").alias("live_ts"))
         .withWatermark("live_ts", watermark)
     )
+    # Both sides derive from the same frame, so a live["key"] ==
+    # tombs["key"] condition resolves to the SAME attribute (Spark warns
+    # "trivially true equals predicate") and the join degrades to a
+    # time-bounded cross join.  Rename the tombstone-side key to force a
+    # real equi-condition.
     tombs = (
         records.filter(F.col("value").isNull())
-        .select("key", F.col("offset").alias("tomb_offset"), F.col("timestamp").alias("tomb_ts"))
+        .select(
+            F.col("key").alias("tomb_key"),
+            F.col("offset").alias("tomb_offset"),
+            F.col("timestamp").alias("tomb_ts"),
+        )
         .withWatermark("tomb_ts", watermark)
     )
     return live.join(
         tombs,
-        (live["key"] == tombs["key"])
-        & (tombs["tomb_ts"] >= live["live_ts"])
-        & (tombs["tomb_ts"] <= live["live_ts"] + F.expr(f"interval {within}")),
+        (F.col("key") == F.col("tomb_key"))
+        & (F.col("tomb_ts") >= F.col("live_ts"))
+        & (F.col("tomb_ts") <= F.col("live_ts") + F.expr(f"interval {within}")),
     ).select(
-        live["key"],
+        "key",
         "live_offset",
         "tomb_offset",
         (F.unix_timestamp("tomb_ts") - F.unix_timestamp("live_ts")).alias("purge_lag_sec"),
