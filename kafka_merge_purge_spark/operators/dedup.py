@@ -144,9 +144,11 @@ def minhash_lsh_pairs(
     shingle Jaccard.
 
     Plan shape (the part that matters at scale):
-      scan → signature (map) → explode bands (map, ×bands rows)
-      → self-join on (band, band_key)  [one shuffle each side]
-      → distinct pairs                  [one shuffle]
+      scan → signature (map) → explode bands (map, ×bands rows of
+      (id, band, band_key) ONLY — no shingle payload)
+      → self-join on (band, band_key)  [one shuffle each side, ids only]
+      → distinct (id_a, id_b) pairs     [one narrow shuffle]
+      → re-join shingles per side       [two hash joins, 1× shingle bytes]
       → Jaccard verify (map over joined shingle sets)
     """
     rows = num_hashes // bands
@@ -165,12 +167,17 @@ def minhash_lsh_pairs(
         .repartition(n_part, id_col)
         .select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
     )
-    sigs = sh_df.select(
-        "id", "sh", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
-    )
-    banded = sigs.select(
+    # The band frame carries ONLY (id, band, band_key): shingle arrays must
+    # not ride the ×bands explode or the self-join shuffle — at 100 TB that
+    # would push ~2·bands× the corpus shingle bytes through the network for
+    # candidates that are mostly discarded.  Shingles are re-joined once per
+    # side AFTER the candidate pairs are deduped (two narrow hash joins
+    # whose shuffle width is 1× corpus shingle bytes each, and whose
+    # pairs side is only the surviving candidates).
+    banded = sh_df.select(
+        "id", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
+    ).select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -184,24 +191,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     left = banded.alias("a")
     right = banded.alias("b")
-    pairs = (
+    cand = (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = cand.join(
+        sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
