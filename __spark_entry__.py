@@ -1306,19 +1306,40 @@ def q_rolling_hash(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: documents as opaque binary media payloads →
-    mapInPandas feature extraction (Arrow batches).  The md5/byte-count
-    outputs are oracle-checked; the decoder itself is the stubbed
-    boundary (no media libs in this container)."""
+    """Multimodal REAL decode round-trip: document text → spec-valid
+    WAV (even doc_id, sample_rate varied by doc_id%3) or BMP (odd doc_id,
+    width varied by n_chars%32) container bytes via synth_wav/synth_bmp →
+    pure-Python binary header parse (decode_meta).  The dims / duration /
+    rates come out of the actual RIFF chunk walk and BITMAPINFOHEADER
+    offsets; the oracle recomputes them arithmetically from text length,
+    so any header-layout or parse error hash-mismatches."""
+    import pandas as pd
+
     from kafka_merge_purge_spark.operators import multimodal as mm
 
     d = _t(spark, sf_dir, "documents")
-    media = mm.attach_meta(
-        d.select(F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")),
-        kind="image",
-        fmt="png",
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.col("n_chars"),
     )
-    return mm.extract_features(media, fake=True).select("media_id", "n_bytes", "payload_md5")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, data, n_chars in zip(pdf["media_id"], pdf["data"], pdf["n_chars"]):
+                if data is None:
+                    payloads.append(None)
+                elif int(mid) % 2 == 0:
+                    payloads.append(
+                        mm.synth_wav(bytes(data), sample_rate=8000 * (1 + int(mid) % 3))
+                    )
+                else:
+                    payloads.append(mm.synth_bmp(bytes(data), width=int(n_chars) % 32 + 1))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = src.mapInPandas(synth, schema="media_id long, payload binary")
+    return mm.decode_meta(media)
 
 
 def x_frame_sample(spark, sf_dir):
@@ -1649,8 +1670,34 @@ _LLM_ORACLES = {
                      generate_subscripts(string_split(text, ' '), 1) AS pos
               FROM documents WHERE doc_id < 100)""",
     "q_media_features": """
-        SELECT doc_id AS media_id, strlen(text) AS n_bytes, md5(text) AS payload_md5
-        FROM documents""",
+        WITH m AS (
+          SELECT doc_id, text, strlen(text) AS nb,
+                 (n_chars % 32) + 1 AS bmp_w,
+                 8000 * (1 + doc_id % 3) AS sr
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CASE WHEN text IS NULL THEN NULL
+               WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS format,
+          CASE WHEN text IS NOT NULL AND doc_id % 2 = 1
+               THEN CAST(bmp_w AS INTEGER) END AS width,
+          CASE WHEN text IS NOT NULL AND doc_id % 2 = 1
+               THEN CAST(greatest(1, ceil(nb / (bmp_w * 3.0))) AS INTEGER) END AS height,
+          CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+               THEN CAST(floor(nb * 1000.0 / (sr * 2)) AS BIGINT) END AS duration_ms,
+          CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+               THEN CAST(sr AS INTEGER) END AS sample_rate,
+          CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+               THEN CAST(1 AS INTEGER) END AS channels,
+          CASE WHEN text IS NULL THEN NULL
+               WHEN doc_id % 2 = 0 THEN CAST(16 AS INTEGER)
+               ELSE CAST(24 AS INTEGER) END AS bits,
+          CASE WHEN text IS NULL THEN NULL
+               WHEN doc_id % 2 = 0 THEN CAST(nb AS BIGINT)
+               ELSE CAST(greatest(1, ceil(nb / (bmp_w * 3.0)))
+                    * (4 * ceil(bmp_w * 3 / 4.0)) AS BIGINT) END AS data_bytes,
+          CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
+               THEN md5(text) END AS data_md5
+        FROM m""",
     "x_frame_sample": """
         WITH v AS (SELECT doc_id AS media_id,
                           greatest(CAST(floor(n_chars * 20 / 1000.0) AS BIGINT), 1) AS nf

@@ -209,16 +209,71 @@ def test_media_features_md5_and_bytes(spark):
     assert rows[2]["n_bytes"] == 0 and rows[2]["feature"] == [0.0] * 8
 
 
-def test_media_decode_stub_raises_without_fake(spark):
+def test_wav_synth_parse_roundtrip():
     from kafka_merge_purge_spark.operators import multimodal as mm
-    import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
+    import hashlib
 
-    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    data = b"0123456789abcdef" * 100  # 1600 bytes of "PCM"
+    wav = mm.synth_wav(data, sample_rate=8000, channels=2, bits=16)
+    m = mm.parse_media_meta(wav)
+    assert m["format"] == "wav"
+    assert m["sample_rate"] == 8000 and m["channels"] == 2 and m["bits"] == 16
+    assert m["data_bytes"] == 1600
+    # byte_rate = 8000*2*2 = 32000 → 1600 bytes = 50 ms
+    assert m["duration_ms"] == 50
+    assert m["data_md5"] == hashlib.md5(data).hexdigest()
+    # odd-length data chunk: parser must honor RIFF word alignment
+    odd = mm.synth_wav(b"abc", sample_rate=16000)
+    assert mm.parse_media_meta(odd)["data_bytes"] == 3
+
+
+def test_bmp_synth_parse_roundtrip():
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    bmp = mm.synth_bmp(b"x" * 100, width=10)  # 10px → 30B rows + 2B pad
+    m = mm.parse_media_meta(bmp)
+    assert m["format"] == "bmp"
+    assert m["width"] == 10 and m["height"] == 4  # ceil(100/30)
+    assert m["bits"] == 24
+    assert m["data_bytes"] == 4 * 32  # 4 rows × (30 + 2 pad)
+    # empty payload still produces a 1-row image
+    assert mm.parse_media_meta(mm.synth_bmp(b"", width=5))["height"] == 1
+
+
+def test_parse_media_meta_rejects_garbage():
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    for junk in (None, b"", b"not a container at all", b"RIFFxxxx????toolong"):
+        m = mm.parse_media_meta(junk)
+        assert m["format"] is None and m["width"] is None and m["duration_ms"] is None
+
+
+def test_media_real_decode_features(spark):
+    """fake=False runs the REAL header parse: features carry parsed dims."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    wav = mm.synth_wav(b"\x00\x01" * 8000, sample_rate=16000)  # 500 ms mono
+    bmp = mm.synth_bmp(b"y" * 60, width=4)
+    df = spark.createDataFrame(
+        [(1, wav), (2, bmp), (3, b"junk")], "media_id long, payload binary"
+    )
     media = mm.attach_meta(df, kind="audio", fmt="wav")
-    with _pytest.raises(Exception) as exc:
-        mm.extract_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
+    rows = {r["media_id"]: r for r in mm.extract_features(media, fake=False).collect()}
+    # feature = [fmt_code, width, height, duration_ms, sample_rate, channels, bits, data_bytes]
+    assert rows[1]["feature"] == [1.0, 0.0, 0.0, 500.0, 16000.0, 1.0, 16.0, 16000.0]
+    assert rows[2]["feature"][:3] == [2.0, 4.0, 5.0]  # bmp 4px wide, ceil(60/12)=5 rows
+    assert rows[3]["feature"] == [0.0] * 8  # unrecognized container → zeros
+
+
+def test_decode_meta_dataframe(spark):
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    wav = mm.synth_wav(b"ab" * 441, sample_rate=44100)
+    df = spark.createDataFrame([(7, wav), (8, None)], "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in mm.decode_meta(df).collect()}
+    assert rows[7]["format"] == "wav" and rows[7]["sample_rate"] == 44100
+    assert rows[7]["data_bytes"] == 882 and rows[7]["duration_ms"] == 10
+    assert rows[8]["format"] is None and rows[8]["data_bytes"] is None
 
 
 def test_frame_sample_plan_counts(spark):
