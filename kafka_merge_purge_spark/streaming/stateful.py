@@ -96,6 +96,37 @@ def retry_budget_decisions(
 COMPACT_OUTPUT_SCHEMA = "key string, offset long, value string"
 
 
+def fold_latest(
+    state: tuple[int, str | None] | None, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, str | None]:
+    """Pure upsert fold for streaming compaction: fold record batches of
+    ONE key into the (max_offset, value) state tuple.
+
+    Exposed at module level so the exact state transition the
+    transformWithStateInPandas processor runs is batch-equivalence-
+    testable without the state store (whose protobuf serializer is not
+    installed in this container).  Associative over batch splits because
+    only the argmax-by-offset survives — any micro-batch partitioning of
+    a key's records folds to the same final state."""
+    max_offset, value = state if state is not None else (-1, None)
+    for pdf in pdfs:
+        for _, r in pdf.sort_values("offset").iterrows():
+            if r["offset"] > max_offset:
+                max_offset = int(r["offset"])
+                value = r["value"] if pd.notna(r["value"]) else None
+    return (max_offset, value)
+
+
+def emit_latest(key: str, state: tuple[int, str | None]) -> pd.DataFrame | None:
+    """Pure emit step: the key's current latest live record, or ``None``
+    when the head record is a tombstone (key deleted — matches batch
+    operators/routing.compaction and Kafka log compaction)."""
+    max_offset, value = state
+    if value is None:
+        return None
+    return pd.DataFrame({"key": [key], "offset": [max_offset], "value": [value]})
+
+
 def streaming_compaction(records: DataFrame) -> DataFrame:
     """Streaming log compaction via ``transformWithStateInPandas`` (the
     Spark 4 stateful-processor API): ValueState holds each key's
@@ -108,10 +139,12 @@ def streaming_compaction(records: DataFrame) -> DataFrame:
     the state store shards by key alongside the shuffle.
 
     NOTE: this API serializes state via protobuf, which is not installed
-    in the test container — the test suite skips its test there (the
-    applyInPandasWithState path above has no such dependency and covers
-    the arbitrary-state gate).  On a real deployment: ``pip install
-    protobuf``.
+    in the test container.  The state transition is therefore factored
+    into the pure ``fold_latest``/``emit_latest`` above, and the test
+    suite proves batch equivalence against operators/routing.compaction
+    through those functions under randomized micro-batch splits (running
+    the live stream instead when protobuf is importable).  On a real
+    deployment: ``pip install protobuf``.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -123,19 +156,12 @@ def streaming_compaction(records: DataFrame) -> DataFrame:
             self._latest = handle.getValueState("latest", "max_offset long, value string")
 
         def handleInputRows(self, key, rows, timerValues):
-            max_offset, value = (
-                self._latest.get() if self._latest.exists() else (-1, None)
-            )
-            for pdf in rows:
-                for _, r in pdf.sort_values("offset").iterrows():
-                    if r["offset"] > max_offset:
-                        max_offset = int(r["offset"])
-                        value = r["value"] if pd.notna(r["value"]) else None
-            self._latest.update((max_offset, value))
-            if value is not None:  # head tombstone ⇒ key is deleted
-                yield pd.DataFrame(
-                    {"key": [key[0]], "offset": [max_offset], "value": [value]}
-                )
+            prior = self._latest.get() if self._latest.exists() else None
+            state = fold_latest(prior, rows)
+            self._latest.update(state)
+            out = emit_latest(key[0], state)
+            if out is not None:  # head tombstone ⇒ key is deleted
+                yield out
 
         def close(self) -> None:
             pass

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import glob
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -189,28 +190,66 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas serializes state via protobuf, "
-    "not installed in this container (applyInPandasWithState covers the "
-    "stateful gate; see test_retry_budget_state_machine)",
-)
 def test_streaming_compaction_matches_batch(spark, tmp_path, records):
-    from kafka_merge_purge_spark.operators.routing import compaction
-    from kafka_merge_purge_spark.streaming.stateful import streaming_compaction
+    """Batch equivalence of the transformWithStateInPandas upsert view.
 
-    stream = stream_records_from_dir(spark, _stage_stream_dir(tmp_path))
-    compacted = streaming_compaction(stream)
-    _drain_to_memory(compacted, "compact_out", str(tmp_path / "ckpt"), output_mode="update")
-    got = {
-        (r["key"], r["offset"], r["value"])
-        for r in spark.sql("SELECT * FROM compact_out").collect()
-    }
+    With protobuf importable, drives the live stream; otherwise proves the
+    SAME state transition through the pure fold_latest/emit_latest the
+    processor delegates to, under randomized micro-batch splits — so the
+    path is exercised either way (no skip)."""
+    from kafka_merge_purge_spark.operators.routing import compaction
+
     want = {
         (r["key"], r["offset"], r["value"])
         for r in compaction(records).select("key", "offset", "value").collect()
     }
-    assert got == want  # incl. head-tombstone keys absent from both
+
+    if _has_protobuf():
+        from kafka_merge_purge_spark.streaming.stateful import streaming_compaction
+
+        stream = stream_records_from_dir(spark, _stage_stream_dir(tmp_path))
+        compacted = streaming_compaction(stream)
+        _drain_to_memory(compacted, "compact_out", str(tmp_path / "ckpt"), output_mode="update")
+        got = {
+            (r["key"], r["offset"], r["value"])
+            for r in spark.sql("SELECT * FROM compact_out").collect()
+        }
+        assert got == want  # incl. head-tombstone keys absent from both
+        return
+
+    import random
+    from collections import defaultdict
+
+    from kafka_merge_purge_spark.streaming.stateful import emit_latest, fold_latest
+
+    by_key = defaultdict(list)
+    for r in records.filter(F.col("key").isNotNull()).select(
+        "key", "offset", "value"
+    ).collect():
+        by_key[r["key"]].append((r["offset"], r["value"]))
+
+    rng = random.Random(7)
+    got = set()
+    for key, kv in by_key.items():
+        # arbitrary arrival order + arbitrary micro-batch chop: the fold
+        # must land on the same final state regardless
+        rng.shuffle(kv)
+        state = None
+        i = 0
+        while i < len(kv):
+            n = rng.randint(1, 3)
+            chunk = kv[i : i + n]
+            i += n
+            pdfs = [
+                pd.DataFrame(
+                    {"offset": [o for o, _ in chunk], "value": [v for _, v in chunk]}
+                )
+            ]
+            state = fold_latest(state, iter(pdfs))
+        out = emit_latest(key, state)
+        if out is not None:
+            got.add((key, int(out["offset"][0]), out["value"][0]))
+    assert got == want  # head-tombstone keys emit nothing on both sides
 
 
 def test_purge_lag_audit_stream_stream_join(spark, tmp_path, records):
