@@ -189,3 +189,126 @@ def test_record_fn_matches_dataframe_merge_all(spark):
         for o in fn(rec_row.asDict())
     )
     assert loop_out == frame_out and sum(frame_out.values()) > 0
+
+
+class FakeBroker:
+    """Minimal in-memory broker: topic logs + consumer-group offsets.
+    Transactional produces/offsets become visible only at commit and are
+    discarded on abort — read_committed visibility."""
+
+    def __init__(self):
+        self.topics: dict[str, list] = {}
+        self.committed: dict[tuple[str, int], int] = {}
+
+
+class BrokerProducer(FakeProducer):
+    """FakeProducer that lands its buffered sends/offsets on a FakeBroker
+    at commit_transaction — nothing is visible before commit."""
+
+    def __init__(self, broker):
+        super().__init__()
+        self._broker = broker
+        self._buf: list = []
+        self._pending_offsets: dict = {}
+
+    def send(self, topic, partition=None, key=None, value=None, headers=None):
+        super().send(topic, partition, key, value, headers)
+        self._buf.append((topic, partition, key, value))
+
+    def send_offsets_to_transaction(self, offsets, group_id):
+        super().send_offsets_to_transaction(offsets, group_id)
+        self._pending_offsets = dict(offsets)
+
+    def commit_transaction(self):
+        super().commit_transaction()
+        for topic, partition, key, value in self._buf:
+            self._broker.topics.setdefault(topic, []).append((partition, key, value))
+        self._broker.committed.update(self._pending_offsets)
+        self._buf, self._pending_offsets = [], {}
+
+    def abort_transaction(self):
+        super().abort_transaction()
+        self._buf, self._pending_offsets = [], {}
+
+
+def test_end_to_end_transaction_flow_matches_frame_path(spark):
+    """The full reference flow as ONE test (Pipeline.kt:28-76 +
+    MergeAll.kt:31-61): subscribe → poll → route per record → produce →
+    sendOffsets(keyed by CONSUMED partition) → commit, against a fake
+    broker with read_committed visibility — then the SAME records through
+    the DataFrame routing + _run_transaction write path, asserting both
+    halves land identical topic contents and identical committed offsets.
+    """
+    from collections import Counter
+
+    from kafka_merge_purge_spark.operators import routing
+    from kafka_merge_purge_spark.streaming.sink import _run_transaction
+
+    # --- consume-loop half over the fake broker ---------------------------
+    # merge_tombstones=True so EVERY consumed record produces at least one
+    # routed row: the loop records offsets at consumption (Pipeline.kt:
+    # 43-52) while the frame sink derives them from routed rows, so only
+    # then can the two halves commit identical offset maps (the default
+    # mode's difference is asserted at the end).
+    broker = FakeBroker()
+    consumer = FakeConsumer([BATCH_1, BATCH_2])
+    producer = BrokerProducer(broker)
+    stats = consume_process_loop(
+        consumer,
+        producer,
+        "src",
+        merge_all_record_fn("dst", merge_tombstones=True),
+        group_id="g1",
+    )
+    assert stats["batches"] == 2 and stats["consumed"] == len(BATCH_1) + len(BATCH_2)
+
+    # protocol order per batch: begin precedes sends, offsets precede commit
+    assert consumer.calls[0] == ("subscribe", ("src",))
+    order = [c if isinstance(c, str) else c[0] for c in producer.calls]
+    assert order[0] == "init_transactions"
+    first_commit = order.index("commit_transaction")
+    assert order.index("begin_transaction") < order.index("send") < order.index(
+        "send_offsets_to_transaction"
+    ) < first_commit
+    assert order.count("begin_transaction") == order.count("commit_transaction") == 2
+    assert "abort_transaction" not in order and consumer.closed
+
+    # offsets keyed by the CONSUMED (topic, partition), max offset wins
+    all_recs = BATCH_1 + BATCH_2
+    want_offsets = {}
+    for r in all_recs:
+        k = (r["topic"], r["partition"])
+        want_offsets[k] = max(want_offsets.get(k, -1), r["offset"])
+    assert broker.committed == want_offsets
+
+    # --- frame half: routing.merge_all → _run_transaction -----------------
+    records = spark.createDataFrame(
+        [(r["topic"], r["partition"], r["offset"], r["key"], r["value"]) for r in all_recs],
+        "topic string, partition int, offset long, key string, value string",
+    )
+    routed = routing.merge_all(records, "dst", merge_tombstones=True)
+    broker2 = FakeBroker()
+    producer2 = BrokerProducer(broker2)
+    n, offsets = _run_transaction(
+        producer2, iter(routed.collect()), routed.columns, offsets_group="g1", batch_id=0
+    )
+    assert offsets == want_offsets and broker2.committed == want_offsets
+
+    # identical topic contents (multisets — the two paths interleave legs
+    # differently but must produce the same records)
+    got_loop = {t: Counter(v) for t, v in broker.topics.items()}
+    got_frame = {t: Counter(v) for t, v in broker2.topics.items()}
+    assert got_loop == got_frame
+    assert set(got_loop) == {"dst", "src"}  # merge leg + purge tombstones
+    assert all(v is None for _, _, v in broker2.topics["src"])  # purge leg tombstones only
+
+    # default mode (tombstones dropped): the frame sink can only advance
+    # partitions that produced routed rows — partition 1's sole record is
+    # a tombstone, so its offset stays unadvanced on the sink path while
+    # the consume loop (which owns consumption) does advance it
+    routed_def = routing.merge_all(records, "dst")
+    _, offsets_def = _run_transaction(
+        BrokerProducer(FakeBroker()), iter(routed_def.collect()), routed_def.columns,
+        offsets_group="g1", batch_id=1,
+    )
+    assert offsets_def == {("src", 0): 5}
