@@ -385,6 +385,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs form).
 
@@ -415,10 +416,26 @@ def embedding_near_dup_pairs(
     import pandas as pd
     from collections.abc import Iterator
 
-    n = emb.count()
-    if n <= broadcast_max_rows:
+    # Plan picking without a dedicated count scan (r3 verdict item 7): a
+    # caller-supplied ``n_rows`` hint wins; otherwise probe with
+    # ``limit(broadcast_max_rows + 1)`` — CollectLimit reads partitions
+    # incrementally and stops at the limit, so a 100 TB corpus costs one
+    # bounded read, not a full scan.  When the probe fits it IS the
+    # broadcast collect (no second job); the distributed path still needs
+    # the exact row count for its block layout and counts only then.
+    tbl = None
+    n = n_rows
+    if n_rows is not None:
+        if n_rows <= broadcast_max_rows:
+            tbl = emb.select(id_col, vec_col).toArrow()
+    else:
+        probe = emb.select(id_col, vec_col).limit(broadcast_max_rows + 1).toArrow()
+        if probe.num_rows <= broadcast_max_rows:
+            tbl = probe
+        else:
+            n = emb.count()
+    if tbl is not None:
         # Arrow collect: columnar batches, no per-row Python Row objects
-        tbl = emb.select(id_col, vec_col).toArrow()
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         mat = np.stack(tbl.column(vec_col).to_pylist()).astype(np.float64)
         q = _quantize(mat)

@@ -449,6 +449,32 @@ def test_embedding_neardup_plan_has_no_shuffle(tables):
     assert shuffle_count(out) == 0
 
 
+def test_embedding_neardup_broadcast_path_never_counts(tables, monkeypatch):
+    """The broadcast fast path must not run a dedicated count scan: the
+    limit-probe IS the collect (r3 verdict item 7 — at 100 TB an extra
+    count is a wasted full scan)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("count() called on the broadcast fast path")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    out = dd.embedding_near_dup_pairs(tables["embeddings"], threshold=0.4)
+    assert len(out.collect()) > 0
+
+
+def test_embedding_neardup_n_rows_hint_skips_probe(tables):
+    """An exact n_rows hint picks the physical plan with zero extra jobs
+    and must not change results."""
+    emb = tables["embeddings"]
+    n = emb.count()
+    hinted = dd.embedding_near_dup_pairs(emb, threshold=0.4, n_rows=n)
+    default = dd.embedding_near_dup_pairs(emb, threshold=0.4)
+    assert {(r.id_a, r.id_b, r.cos) for r in hinted.collect()} == {
+        (r.id_a, r.id_b, r.cos) for r in default.collect()
+    }
+
+
 def test_embedding_neardup_block_path_matches_broadcast(tables):
     emb = tables["embeddings"]
     fast = dd.embedding_near_dup_pairs(emb, threshold=0.4)

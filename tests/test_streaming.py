@@ -10,6 +10,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from kafka_merge_purge_spark.sources.batch import EPOCH_TO_MICROS
+
 from kafka_merge_purge_spark.streaming.pipeline import (
     stream_records_from_dir,
     streaming_merge_all,
@@ -349,7 +351,10 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path, records):
             spark.readStream.schema(EVENTS_SCHEMA)
             .option("maxFilesPerTrigger", "1")
             .parquet(str(stream_dir))
-            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+            # centralized scale-sniffing conversion (sources/batch.py):
+            # Spark restaged this dir as plain INT64 nanos, but a fixed
+            # DIV 1000 would silently break if the staging scale changed
+            .withColumn("ts", F.expr(EPOCH_TO_MICROS.format(c="ts")))
         )
         q = drain_events_stream(
             records_from_events(ev), exactly_once_parquet_sink(out_dir), ckpt
