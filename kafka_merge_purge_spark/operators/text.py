@@ -267,23 +267,71 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def repetition_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    vectorized: bool = True,
+) -> DataFrame:
     """Within-document repetition ratio: 1 - distinct/total k-gram count
     — the standard repetition filter for generated/boilerplate text
-    (high ratio = the same phrases loop).  Pure expression (sequence →
-    slice → concat), narrow map stage; documents shorter than k tokens
-    score 0 by construction (single whole-text gram)."""
+    (high ratio = the same phrases loop).  Documents shorter than k
+    tokens score 0 by construction (single whole-text gram).
+
+    Two physical forms, bit-identical results:
+
+    - vectorized (default): normalization + tokenization stay JVM
+      expressions (so string semantics cannot diverge), then ONE
+      ``mapInPandas`` pass builds grams and counts distincts per row —
+      replacing the interpreted sequence→slice→concat_ws HOF chain
+      (O(n·k) expression interpretation per row, the suite's #3 cost at
+      sf0.1) with native Python slicing over Arrow token arrays.  The
+      ratio round stays a Spark expression, so rounding is the engine's.
+    - expression form: everything in Catalyst for environments where
+      Python workers are undesirable."""
     from kafka_merge_purge_spark.operators.dedup import normalize
 
     toks = tokens(normalize(F.col(text_col)))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    if not vectorized:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        total = F.size(grams)
+        uniq = F.size(F.array_distinct(grams))
+        return df.select(
+            F.col(id_col),
+            total.alias("n_grams"),
+            uniq.alias("n_distinct_grams"),
+            F.round(F.lit(1.0) - uniq / total, 6).alias("repetition"),
+        )
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def count_grams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ng, nd = [], []
+            for tk in pdf["_toks"]:
+                # NULL text → NULL token array: the expression form's
+                # slice(NULL)→concat_ws chain folds to one empty gram —
+                # an empty token list reproduces that exactly
+                tk = [] if tk is None else list(tk)
+                m = max(len(tk) - (k - 1), 1)
+                grams = [" ".join(tk[i : i + k]) for i in range(m)]
+                ng.append(len(grams))
+                nd.append(len(set(grams)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_grams": ng, "n_distinct_grams": nd}
+            )
+
+    counted = df.select(F.col(id_col), toks.alias("_toks")).mapInPandas(
+        count_grams, schema=f"{id_col} long, n_grams int, n_distinct_grams int"
     )
-    total = F.size(grams)
-    uniq = F.size(F.array_distinct(grams))
-    return df.select(
+    uniq, total = F.col("n_distinct_grams"), F.col("n_grams")
+    return counted.select(
         F.col(id_col),
         total.alias("n_grams"),
         uniq.alias("n_distinct_grams"),

@@ -650,3 +650,25 @@ def test_simhash_null_and_empty_text_match_expression_form(spark):
     expr = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, vectorized=False).collect()}
     assert vec == expr
     assert vec[1] == 0
+
+
+def test_repetition_vectorized_matches_expression_form(spark):
+    """Both physical forms of repetition_score are bit-identical,
+    including NULL/empty/short-text edges (the NULL token array must fold
+    to one empty gram exactly like the expression chain does)."""
+    from kafka_merge_purge_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),
+            (2, None),
+            (3, ""),
+            (4, "x"),
+            (5, "  !!  "),
+            (6, "one two three four five one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    expr = {tuple(r) for r in repetition_score(df, vectorized=False).collect()}
+    vec = {tuple(r) for r in repetition_score(df, vectorized=True).collect()}
+    assert expr == vec and len(vec) == 6
