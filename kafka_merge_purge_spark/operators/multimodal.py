@@ -117,6 +117,37 @@ def synth_bmp(data: bytes, width: int) -> bytes:
     return header + info + rows
 
 
+def synth_ppm(data: bytes, width: int) -> bytes:
+    """Build a spec-valid binary PPM (P6, maxval 255) whose RGB raster
+    carries ``data``; height = ceil(len/3·width) (min 1), zero-padded."""
+    height = max(1, -(-len(data) // (3 * width)))
+    raster = data + b"\x00" * (height * width * 3 - len(data))
+    return f"P6\n{width} {height}\n255\n".encode() + raster
+
+
+def _ppm_header_ints(payload: bytes, count: int) -> list[int] | None:
+    """Read ``count`` whitespace-separated ASCII integers after the magic,
+    honoring ``#`` comments (the Netpbm header grammar)."""
+    vals: list[int] = []
+    i = 2  # past the 2-byte magic
+    while len(vals) < count and i < len(payload):
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            return None  # malformed header
+    return vals if len(vals) == count else None
+
+
 #: parse output when the payload is missing or not a known container
 _EMPTY_META = {
     "format": None,
@@ -175,6 +206,18 @@ def parse_media_meta(payload: bytes | None) -> dict:
         out["bits"] = struct.unpack("<H", payload[28:30])[0]
         out["data_bytes"] = struct.unpack("<I", payload[34:38])[0]
         return out
+    if payload[:2] in (b"P6", b"P5"):
+        dims = _ppm_header_ints(payload, 3)  # width height maxval
+        if dims is None:
+            return out
+        width, height, _maxval = dims
+        p6 = payload[:2] == b"P6"
+        out["format"] = "ppm" if p6 else "pgm"
+        out["width"] = width
+        out["height"] = height
+        out["bits"] = 24 if p6 else 8
+        out["data_bytes"] = width * height * (3 if p6 else 1)
+        return out
     return out
 
 
@@ -222,7 +265,7 @@ def _real_feature(payload: bytes | None, dim: int = 8) -> list[float]:
     as floats, NULL fields as 0.  Content-level features (pixel stats,
     PCM spectra) are where a media library would extend this."""
     m = parse_media_meta(payload)
-    fmt_code = {"wav": 1.0, "bmp": 2.0}.get(m["format"], 0.0)
+    fmt_code = {"wav": 1.0, "bmp": 2.0, "ppm": 3.0, "pgm": 4.0}.get(m["format"], 0.0)
     vals = [
         fmt_code,
         m["width"],

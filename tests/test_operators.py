@@ -672,3 +672,23 @@ def test_repetition_vectorized_matches_expression_form(spark):
     expr = {tuple(r) for r in repetition_score(df, vectorized=False).collect()}
     vec = {tuple(r) for r in repetition_score(df, vectorized=True).collect()}
     assert expr == vec and len(vec) == 6
+
+
+def test_ppm_synth_parse_roundtrip():
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    ppm = mm.synth_ppm(b"z" * 100, width=8)  # 8px → 24B/row → ceil(100/24)=5
+    m = mm.parse_media_meta(ppm)
+    assert m["format"] == "ppm" and m["bits"] == 24
+    assert m["width"] == 8 and m["height"] == 5
+    assert m["data_bytes"] == 8 * 5 * 3
+    # header grammar: comments + arbitrary whitespace between tokens
+    tricky = b"P6\n# a comment\n  12\t# inline\n 3\n255\n" + b"\x00" * (12 * 3 * 3)
+    t = mm.parse_media_meta(tricky)
+    assert (t["width"], t["height"]) == (12, 3)
+    # P5 greyscale: 8-bit, 1 byte/pixel
+    g = mm.parse_media_meta(b"P5\n4 2\n255\n" + b"\x00" * 8)
+    assert g["format"] == "pgm" and g["bits"] == 8 and g["data_bytes"] == 8
+    # truncated/malformed headers refuse cleanly
+    assert mm.parse_media_meta(b"P6\n12 x\n255\n")["format"] is None
+    assert mm.parse_media_meta(b"P6\n12")["format"] is None

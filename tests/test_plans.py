@@ -79,3 +79,28 @@ def test_like_filter_pushes_predicates(spark):
     pushed = pushed_filters(entry.x_like_filter(spark, SF_DIR))
     assert any("p_size" in f for f in pushed)
     assert any("p_brand" in f for f in pushed)
+
+
+def test_lsh_band_join_exchanges_carry_no_shingles(tables):
+    """Pin the r4 shuffle-width fix: every exchange keyed by band_key and
+    the ×bands explode itself must move (id, band, band_key) ONLY — a
+    shingle array in either means the band join is again shipping
+    ~2·bands× the corpus shingle bytes through the network."""
+    import re
+
+    from kafka_merge_purge_spark.operators import dedup as dd
+    from kafka_merge_purge_spark.plans.introspect import formatted_plan
+
+    plan = formatted_plan(dd.minhash_lsh_pairs(tables["documents"]))
+    blocks = [b.strip() for b in re.split(r"\n\s*\n", plan) if b.strip()]
+    band_moves = [
+        b
+        for b in blocks
+        if ("Exchange" in b.splitlines()[0] or "Generate" in b.splitlines()[0])
+        and "band_key" in b
+    ]
+    assert band_moves, "expected band-key exchanges/explode in the LSH plan"
+    for b in band_moves:
+        assert not re.search(r"\bsh(_a|_b)?#", b), (
+            "shingle array rides the band-join data movement:\n" + b
+        )
