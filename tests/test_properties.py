@@ -146,8 +146,15 @@ def test_connected_components_matches_union_find(spark, edges):
     expected = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # both physical plans: the driver union-find fast path (default at
+    # this size) and the distributed Pregel loop (forced)
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_driver_edges=0).collect()
+    }
+    assert dist == expected
 
 
 def test_connected_components_path_graph_converges_logarithmically(spark):
@@ -161,6 +168,8 @@ def test_connected_components_path_graph_converges_logarithmically(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    got = connected_components(df, max_iter=15)
+    # force the distributed Pregel path — the driver union-find fast path
+    # would otherwise absorb this graph and leave the doubling unpinned
+    got = connected_components(df, max_iter=15, max_driver_edges=0)
     assert got.filter(F.col("component") != 0).isEmpty()
     assert got.count() == n
