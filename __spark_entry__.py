@@ -1362,6 +1362,38 @@ def x_frame_sample(spark, sf_dir):
     return mm.frame_sample_plan(media, every_ms=1000)
 
 
+def x_media_decode(spark, sf_dir):
+    """PPM (binary Netpbm P6) decode round-trip: text → spec-valid P6
+    container (synth_ppm) → comment-tolerant header parse (decode_meta).
+    Complements q_media_features' WAV/BMP coverage; oracle recomputes
+    the parsed dims arithmetically from text length."""
+    import pandas as pd
+
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.col("n_chars"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                None
+                if data is None
+                else mm.synth_ppm(bytes(data), width=int(n_chars) % 16 + 1)
+                for data, n_chars in zip(pdf["data"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = src.mapInPandas(synth, schema="media_id long, payload binary")
+    return mm.decode_meta(media).select(
+        "media_id", "format", "width", "height", "bits", "data_bytes"
+    )
+
+
 def x_chunk_docs(spark, sf_dir):
     """Overlapping token-window chunking (50-token chunks, 10 overlap) —
     the pre-embedding segmentation stage."""
@@ -1697,6 +1729,20 @@ _LLM_ORACLES = {
                     * (4 * ceil(bmp_w * 3 / 4.0)) AS BIGINT) END AS data_bytes,
           CASE WHEN text IS NOT NULL AND doc_id % 2 = 0
                THEN md5(text) END AS data_md5
+        FROM m""",
+    "x_media_decode": """
+        WITH m AS (
+          SELECT doc_id, text, strlen(text) AS nb, (n_chars % 16) + 1 AS w
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CASE WHEN text IS NOT NULL THEN 'ppm' END AS format,
+          CASE WHEN text IS NOT NULL THEN CAST(w AS INTEGER) END AS width,
+          CASE WHEN text IS NOT NULL
+               THEN CAST(greatest(1, ceil(nb / (w * 3.0))) AS INTEGER) END AS height,
+          CASE WHEN text IS NOT NULL THEN CAST(24 AS INTEGER) END AS bits,
+          CASE WHEN text IS NOT NULL
+               THEN CAST(w * greatest(1, ceil(nb / (w * 3.0))) * 3 AS BIGINT)
+               END AS data_bytes
         FROM m""",
     "x_frame_sample": """
         WITH v AS (SELECT doc_id AS media_id,
