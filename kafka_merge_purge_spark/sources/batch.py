@@ -41,20 +41,43 @@ EPOCH_TO_MICROS = (
     " ELSE {c} * 1000 END AS LONG))"  # millis
 )
 
+#: fixed-scale conversions for when the source scale is KNOWN.  The
+#: magnitude sniff above misclassifies nano/micro epochs before ~1973 and
+#: treats all pre-1970 (negative) values as millis; callers with real
+#: historical data should thread the scale explicitly (r3 ADVICE).
+EPOCH_FIXED_SCALES = {
+    "ns": "timestamp_micros(CAST({c} DIV 1000 AS LONG))",
+    "us": "timestamp_micros(CAST({c} AS LONG))",
+    "ms": "timestamp_micros(CAST({c} * 1000 AS LONG))",
+}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def epoch_to_micros_expr(col: str, scale: str | None = None) -> str:
+    """SQL expression converting an epoch-integer column to a µs
+    timestamp: fixed conversion when ``scale`` ∈ {ns, us, ms} is known,
+    magnitude sniffing (1973–5138 CE window) when ``None``."""
+    if scale is None:
+        return EPOCH_TO_MICROS.format(c=col)
+    return EPOCH_FIXED_SCALES[scale].format(c=col)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, ts_scale: str | None = None
+) -> DataFrame:
     """Load one synthetic table (TESTDATA.md) as a DataFrame.
 
     ``events.ts`` is nanosecond-precision parquet, which Spark 4 rejects
     by default; read it as long nanos (legacy conf, safe to set at
     runtime) and truncate to a microsecond timestamp — the same µs
     truncation DuckDB applies, so both engines see identical instants.
+    ``ts_scale`` pins the epoch scale ("ns"/"us"/"ms") for sources whose
+    instants may fall outside the magnitude sniff's 1973–5138 window.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr(EPOCH_TO_MICROS.format(c="ts")))
+            df = df.withColumn("ts", F.expr(epoch_to_micros_expr("ts", ts_scale)))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

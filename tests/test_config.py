@@ -86,3 +86,30 @@ def test_kafka_source_options_carry_semantics_and_headers():
     stream = kafka_source_options("b:9092", "events", client, max_offsets_per_trigger=500)
     assert "endingOffsets" not in stream
     assert stream["maxOffsetsPerTrigger"] == "500"     # max.poll.records parity
+
+
+def test_epoch_scale_explicit_overrides_sniff(spark):
+    """Pre-1973 nano epochs fall into the sniff's millis branch; an
+    explicit scale must decode them correctly (r3 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from kafka_merge_purge_spark.sources.batch import epoch_to_micros_expr
+
+    ns_1971 = 31_536_000_000_000_000  # 1971-01-01 in nanos — sniff misreads
+    df = spark.createDataFrame([(ns_1971,)], "ts long")
+    fixed = df.select(F.expr(epoch_to_micros_expr("ts", "ns")).alias("t")).first()["t"]
+    assert fixed.year == 1971
+    sniffed = df.select(F.expr(epoch_to_micros_expr("ts")).alias("t")).first()["t"]
+    assert sniffed.year != 1971  # documents WHY the explicit scale exists
+    # in-window instants agree across all three declared scales
+    us_2024 = 1_704_067_200_000_000
+    df24 = spark.createDataFrame(
+        [(us_2024 * 1000, us_2024, us_2024 // 1000)], "ns long, us long, ms long"
+    )
+    row = df24.select(
+        F.expr(epoch_to_micros_expr("ns", "ns")).alias("a"),
+        F.expr(epoch_to_micros_expr("us", "us")).alias("b"),
+        F.expr(epoch_to_micros_expr("ms", "ms")).alias("c"),
+        F.expr(epoch_to_micros_expr("us")).alias("d"),
+    ).first()
+    assert row["a"] == row["b"] == row["c"] == row["d"]
