@@ -1299,6 +1299,13 @@ def q_simhash(spark, sf_dir):
     return dd.simhash(_t(spark, sf_dir, "documents"))
 
 
+def x_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-near pairs via pigeonhole bit-banding — exact
+    recall (any pair within max_hamming must share a band), linear
+    candidate generation; oracle is the quadratic bit_count(xor) form."""
+    return dd.simhash_hamming_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_rolling_hash(spark, sf_dir):
     """Polynomial rolling-hash fingerprint over the token stream
     (order-sensitive, Rabin-Karp family)."""
@@ -1754,7 +1761,7 @@ _LLM_ORACLES = {
 }
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_oracle(bits: int = 32, where: str = "") -> str:
     """Generate the per-bit vote SQL matching dedup.simhash exactly."""
     hash_expr = _MD5_INT.format(x="t")
     bit_terms = " + ".join(
@@ -1766,11 +1773,20 @@ def _simhash_oracle(bits: int = 32) -> str:
         WITH base AS (
             SELECT doc_id,
                    list_transform(list_distinct({_TOKS}), t -> {hash_expr}) AS hs
-            FROM documents)
+            FROM documents {where})
         SELECT doc_id, {bit_terms} AS simhash FROM base"""
 
 
 _LLM_ORACLES["q_simhash"] = _simhash_oracle()
+
+# quadratic exact twin of the banded hamming pairing (same degenerate-doc
+# guard as the Spark side)
+_LLM_ORACLES["x_simhash_pairs"] = f"""
+    WITH fp AS ({_simhash_oracle(where="WHERE regexp_matches(text, '[a-zA-Z0-9]')")})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
 #: raw (non-distinct) k-gram list — repetition filter needs both counts
 _GRAMS_RAW = (

@@ -358,6 +358,76 @@ def simhash(
     return hashed.mapInPandas(vote, schema=f"{id_col} long, simhash long")
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance with EXACT recall
+    at linear cost: the fingerprint is split into ``max_hamming + 1``
+    disjoint bit-bands, and by pigeonhole a pair within ``max_hamming``
+    differing bits can disagree in at most ``max_hamming`` bands — so it
+    MUST match exactly on at least one band.  Candidates come from a
+    banded equi-join (cost ∝ band collisions, not n²); verification is
+    one ``bit_count(xor)`` per candidate.  Unlike MinHash-LSH banding
+    this is not probabilistic: no qualifying pair can be missed.
+
+    Degenerate documents (no alphanumerics → fingerprint 0) are dropped
+    up front, mirroring minhash_lsh_pairs' mega-bucket guard.  The
+    fingerprint is a single int64, so carrying it through the band join
+    is 8 bytes/row — none of the shingle-array width concerns apply.
+    """
+    n_bands = max_hamming + 1
+    fp = simhash(df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")), text_col, id_col, bits)
+    spans, start = [], 0
+    for i in range(n_bands):
+        width = bits // n_bands + (1 if i < bits % n_bands else 0)
+        spans.append((i, start, width))
+        start += width
+    banded = fp.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", s)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("band_key"),
+                    )
+                    for i, s, w in spans
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 #: component quantization scale for the exact integer-dot path
 QUANT_SCALE = 1_000_000
 

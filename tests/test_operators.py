@@ -692,3 +692,37 @@ def test_ppm_synth_parse_roundtrip():
     # truncated/malformed headers refuse cleanly
     assert mm.parse_media_meta(b"P6\n12 x\n255\n")["format"] is None
     assert mm.parse_media_meta(b"P6\n12")["format"] is None
+
+
+def test_simhash_hamming_pairs_exact_recall(spark):
+    """Pigeonhole banding is exact, not probabilistic: the banded join
+    must find precisely the brute-force bit_count(xor) <= h pairs."""
+    import itertools
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (4, "one two three four five six seven eight"),
+        (5, "!!! ..."),                                        # degenerate
+        (6, None),                                             # degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_hamming_pairs(df, max_hamming=6).collect()
+    }
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dd.simhash(
+            df.filter(F.col("text").rlike("[a-zA-Z0-9]"))
+        ).collect()
+    }
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 6
+    }
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 0          # exact dup
+    assert not any(5 in p or 6 in p for p in got)      # degenerates dropped
