@@ -131,6 +131,74 @@ def minhash_signatures(
     )
 
 
+def _banded_minhash_keys(
+    sh_df: DataFrame, num_hashes: int, bands: int, vectorized: bool
+) -> DataFrame:
+    """(id, band, band_key) for every document in ``sh_df`` (= (id, sh)).
+
+    Two physical forms, identical keys:
+
+    - vectorized (default): the per-shingle md5 stays a JVM expression;
+      ONE ``mapInPandas`` pass then computes all ``num_hashes`` affine
+      min-hashes as a single numpy outer product and emits the banded
+      rows directly — replacing ``num_hashes`` interpreted HOF array
+      passes plus the explode with one Arrow-batched kernel.  All
+      operands stay < 2⁶³ so numpy int64 reproduces the JVM arithmetic
+      exactly, and ``str(int)`` equals ``concat_ws`` for the key join.
+    - expression form: signature + explode fully in Catalyst.
+    """
+    rows = num_hashes // bands
+    if not vectorized:
+        sigs = sh_df.select(
+            "id", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
+        )
+        return sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    id_type = dict(sh_df.dtypes)["id"]
+    base = F.transform(F.col("sh"), lambda s: md5_int(s).bitwiseAND(F.lit((1 << 31) - 1)))
+    hashed = sh_df.select("id", base.alias("_hs"))
+
+    def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_band, out_key = [], [], []
+            for rid, hs in zip(pdf["id"], pdf["_hs"]):
+                h = np.asarray(hs, dtype=np.int64)
+                # h < 2³¹ and a < 2³¹ → h·a < 2⁶²; + b < 2⁶¹ stays < 2⁶³:
+                # exact int64, bit-identical to the JVM long arithmetic
+                sig = ((h[:, None] * A[None, :] + B[None, :]) % MERSENNE_61).min(axis=0)
+                for b in range(bands):
+                    out_id.append(rid)
+                    out_band.append(b)
+                    out_key.append(
+                        "_".join(str(int(x)) for x in sig[b * rows : (b + 1) * rows])
+                    )
+            yield pd.DataFrame({"id": out_id, "band": out_band, "band_key": out_key})
+
+    return hashed.mapInPandas(keys, schema=f"id {id_type}, band int, band_key string")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -139,6 +207,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     k: int = 3,
     jaccard_threshold: float = 0.7,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Fuzzy-dup candidate pairs via LSH banding, verified with exact
     shingle Jaccard.
@@ -151,7 +220,6 @@ def minhash_lsh_pairs(
       → re-join shingles per side       [two hash joins, 1× shingle bytes]
       → Jaccard verify (map over joined shingle sets)
     """
-    rows = num_hashes // bands
     # Scale posture: small corpora arrive as one file → one partition; the
     # signature map stage must parallelize, so spread rows first (at real
     # scale the scan already has many partitions and AQE coalesces).
@@ -174,24 +242,7 @@ def minhash_lsh_pairs(
     # side AFTER the candidate pairs are deduped (two narrow hash joins
     # whose shuffle width is 1× corpus shingle bytes each, and whose
     # pairs side is only the surviving candidates).
-    banded = sh_df.select(
-        "id", minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
-    ).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws("_", *[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
-                            "band_key"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    banded = _banded_minhash_keys(sh_df, num_hashes, bands, vectorized)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (

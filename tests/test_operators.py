@@ -726,3 +726,25 @@ def test_simhash_hamming_pairs_exact_recall(spark):
     assert got == want
     assert (1, 3) in got and got[(1, 3)] == 0          # exact dup
     assert not any(5 in p or 6 in p for p in got)      # degenerates dropped
+
+
+def test_minhash_banding_vectorized_matches_expression_form(tables):
+    """Both physical forms of the LSH banding emit identical candidate
+    pairs (numpy int64 reproduces the JVM affine arithmetic exactly and
+    str-join equals concat_ws), at both the default and the fuzzy-dedup
+    hash configurations."""
+    docs = tables["documents"].limit(300)
+    for nh, nb in ((16, 4), (24, 8)):
+        expr = {
+            tuple(r)
+            for r in dd.minhash_lsh_pairs(
+                docs, num_hashes=nh, bands=nb, jaccard_threshold=0.5, vectorized=False
+            ).collect()
+        }
+        vec = {
+            tuple(r)
+            for r in dd.minhash_lsh_pairs(
+                docs, num_hashes=nh, bands=nb, jaccard_threshold=0.5, vectorized=True
+            ).collect()
+        }
+        assert expr == vec and len(vec) > 0
