@@ -13,10 +13,12 @@ Four tiers, cheapest to most expressive:
 Engine-portability invariant: every hash bottoms out in md5 (identical in
 Spark and DuckDB), mapped to int64 via the first 15 hex chars (60 bits,
 no sign issues), so the DuckDB oracle reproduces signatures bit-for-bit.
-All expression-level (higher-order functions; no Python UDFs): shingling,
-hashing, and banding are narrow map stages; the only shuffles are the
-band groupBy (LSH) and the final pair-dedup — exactly the shuffles the
-algorithm requires.
+Shingling and hashing are narrow map stages (md5 always JVM-side; the
+affine min-hash / majority-vote folds have vectorized mapInPandas forms
+kept bit-identical to their expression twins).  The LSH shuffles are the
+band self-join on (id, band, band_key), the pair-dedup, and one narrow
+shingle re-join per side for the Jaccard verify — exactly the shuffles
+the algorithm requires, each at its minimal width.
 
 At 100 TB: the LSH band join shuffles (band_id, band_key) — a
 near-uniform key space, so no skew; candidate verification (Jaccard) runs
