@@ -17,13 +17,13 @@ Two paths:
   by construction — and the final per-query top-k.
 
 - ``ivf_topk`` — IVF-style approximate search: assign every vector to its
-  nearest of C centroids (broadcast the tiny centroid table), then search
-  only the ``nprobe`` closest cells per query.  Pairing cost drops by
-  ~C/nprobe; the cell assignment is a narrow map stage and the join key
-  (cell id) is near-uniform by construction.  Centroids come from a
-  deterministic spherical k-means over a fixed md5-bucket sample
-  (reproducible across runs and engines; the sample is bounded, never
-  the corpus).
+  nearest of C centroids (the tiny centroid set is inlined as a literal
+  array, so assignment is a zero-shuffle projection — per-row argmax
+  over the centroid dots), then search only the ``nprobe`` closest cells
+  per query.  Pairing cost drops by ~C/nprobe; the join key (cell id) is
+  near-uniform by construction.  Centroids come from a deterministic
+  spherical k-means over a fixed md5-bucket sample (reproducible across
+  runs and engines; the sample is bounded, never the corpus).
 
 All math is JVM-side (functions/vectors.py); no Python in the hot path.
 """
@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_merge_purge_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from kafka_merge_purge_spark.functions.vectors import dot, l2_norm
 
 
 def brute_force_topk(
@@ -70,9 +70,14 @@ def brute_force_topk(
     denom = F.col("qn") * F.col("cn")
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.round(F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom), 6),
+        # vectors dropped before the top-k exchange: it moves only
+        # (query_id, neighbor_id, cos)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -112,6 +117,15 @@ def lsh_topk(
     only the candidate equi-join and the top-k window shuffle, both on
     near-uniform keys.
 
+    Shuffle width (the part that matters at 100 TB): the signature frames
+    carry ``(id, table, sig)`` ONLY — embedding arrays must not ride the
+    ×n_tables explode into the (table, sig) candidate shuffle, or the
+    network moves ~n_tables× the corpus vector bytes for candidates that
+    are mostly discarded.  Vectors are re-joined once per side AFTER the
+    candidate pairs are deduped (two hash joins at 1× vector bytes whose
+    pair side is only the surviving candidates) — the same shuffle-width
+    rule as the MinHash band join (dedup.py: minhash_lsh_pairs).
+
     Output: (query_id, rank, neighbor_id, cos) — approximate; recall vs
     brute_force_topk is asserted in tests, not by the SQL oracle.
     """
@@ -136,10 +150,11 @@ def lsh_topk(
     bc = corpus.sparkSession.sparkContext.broadcast(planes)
     weights = np.array([1 << b for b in range(n_planes)], dtype=np.int64)
 
-    def with_sigs(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        """(id, vec) → one row per (id, table, signature): a numpy GEMM
-        against the broadcast plane matrix per Arrow batch — the sign-bit
-        stage is a narrow vectorized map, no shuffle, no per-plane folds.
+    def with_sigs(df: DataFrame, out_id: str) -> DataFrame:
+        """(id, vec) → one row per (id, table, signature) and NOTHING
+        else: a numpy GEMM against the broadcast plane matrix per Arrow
+        batch — the sign-bit stage is a narrow vectorized map, no
+        shuffle, no per-plane folds, no vector payload in the output.
         Signatures only need to be self-consistent across the two sides
         (same vector → same bits), which a deterministic GEMM gives."""
 
@@ -155,27 +170,49 @@ def lsh_topk(
                 yield pd.DataFrame(
                     {
                         out_id: pdf[id_col].to_numpy().repeat(n_tables),
-                        out_vec: [v for v in pdf[vec_col] for _ in range(n_tables)],
                         "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
                         "sig": sigs.reshape(-1),
                     }
                 )
 
         return df.select(id_col, vec_col).mapInPandas(
-            sig_gen,
-            schema=f"{out_id} long, {out_vec} array<float>, table int, sig long",
+            sig_gen, schema=f"{out_id} long, table int, sig long"
         )
 
-    corpus_sigs = with_sigs(corpus, "neighbor_id", "cv")
-    query_sigs = with_sigs(queries, "query_id", "qv")
+    corpus_sigs = with_sigs(corpus, "neighbor_id")
+    query_sigs = with_sigs(queries, "query_id")
 
     candidates = (
         corpus_sigs.join(query_sigs, ["table", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.withColumn(
-        "cos", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    # vectors re-enter only now, at 1× width, against the deduped pairs;
+    # norms are per-vector so they are computed in these projections once
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    denom = F.col("qn") * F.col("cn")
+    scored = (
+        candidates.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        # project vectors away BEFORE the top-k window so its exchange
+        # moves (query_id, neighbor_id, cos) only
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom), 6
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -185,15 +222,16 @@ def lsh_topk(
     )
 
 
-def kmeans_centroids(
+def _kmeans_cells(
     corpus: DataFrame,
     n_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 4096,
     iters: int = 4,
-) -> DataFrame:
-    """Deterministic spherical k-means centroids from a fixed sample.
+) -> list[list[float]]:
+    """Deterministic spherical k-means centroids from a fixed sample,
+    as a driver-side list (cell j+1 = element j).
 
     Sampling: the ``sample_size`` corpus rows with the lowest
     ``md5(id)`` bucket value — a content-independent, growth-stable
@@ -208,7 +246,6 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    spark = corpus.sparkSession
     bucket = F.conv(
         F.substring(F.md5(F.col("_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -220,7 +257,7 @@ def kmeans_centroids(
         .collect()
     )
     if not rows:  # empty corpus → no cells
-        return spark.createDataFrame([], "cell_id int, centroid array<double>")
+        return []
     rows.sort(key=lambda r: r["_id"])  # id-ordered init, bucket-ordered sample
     x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(x, axis=1)
@@ -237,8 +274,21 @@ def kmeans_centroids(
                 nc = np.linalg.norm(c)
                 if nc > 0:
                     cents[j] = c / nc
-    return spark.createDataFrame(
-        [(j + 1, [float(v) for v in cents[j]]) for j in range(n_cells)],
+    return [[float(v) for v in row] for row in cents]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 4,
+) -> DataFrame:
+    """DataFrame view of ``_kmeans_cells``: (cell_id, centroid), 1-based."""
+    cents = _kmeans_cells(corpus, n_cells, id_col, vec_col, sample_size, iters)
+    return corpus.sparkSession.createDataFrame(
+        [(j + 1, c) for j, c in enumerate(cents)],
         "cell_id int, centroid array<double>",
     )
 
@@ -264,38 +314,74 @@ def ivf_topk(
     lucky unbalanced cells — measured recall@5 on the synthetic corpus:
     0.89 at nprobe=6 vs the round-1 first-C-by-id baseline's 0.85 at
     nprobe=4, still a ~2.7x pairing-cost reduction vs exact.
+
+    Cell assignment is a NARROW projection, not a join: the ≤``n_cells``
+    centroids are inlined as a literal array, each row computes its dot
+    against every centroid in one ``transform`` pass, and the argmax is
+    ``array_position(dots, array_max(dots))`` (first max → lowest cell
+    id, same tie-break as the old window form).  Zero shuffle between
+    the corpus scan and the cell-tagged corpus — the only exchanges in
+    the whole plan are the cell-id candidate join (which broadcasts the
+    exploded query probes, so the corpus never shuffles) and the final
+    per-query top-k on (query_id, neighbor_id, cos) only.
     """
-    centroids = kmeans_centroids(corpus, n_cells, id_col, vec_col)
-    cent_b = F.broadcast(centroids)
-
-    def cell_scores(df: DataFrame, side_id: str, vname: str) -> DataFrame:
-        norm_name = vname[0] + "n"  # qv→qn, cv→cn: per-vector norm, computed once
-        scored = df.withColumn(norm_name, l2_norm(F.col(vname))).crossJoin(cent_b).withColumn(
-            "cell_dot", dot(F.col(vname), F.col("centroid"))
+    cents = _kmeans_cells(corpus, n_cells, id_col, vec_col)
+    if not cents:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos double"
         )
-        return scored.select(side_id, vname, norm_name, "cell_id", "cell_dot")
+    n_cells = len(cents)
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    corpus_cells = cell_scores(c, "neighbor_id", "cv")
-    w_c = Window.partitionBy("neighbor_id").orderBy(F.col("cell_dot").desc(), F.col("cell_id"))
-    corpus_assigned = (
-        corpus_cells.withColumn("_rn", F.row_number().over(w_c)).filter(F.col("_rn") == 1).drop("_rn", "cell_dot")
+    def cell_dots(vname: str):
+        return F.transform(cent_lit, lambda ce: dot(F.col(vname), ce))
+
+    dots_c = cell_dots("cv")
+    corpus_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        l2_norm(F.col("cv")).alias("cn"),
+        F.array_position(dots_c, F.array_max(dots_c)).cast("int").alias("cell_id"),
     )
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    query_cells = cell_scores(q, "query_id", "qv")
-    w_q = Window.partitionBy("query_id").orderBy(F.col("cell_dot").desc(), F.col("cell_id"))
-    query_probes = (
-        query_cells.withColumn("_rn", F.row_number().over(w_q)).filter(F.col("_rn") <= nprobe).drop("_rn", "cell_dot")
+    # query probes: rank all cells per row inside ONE array expression —
+    # sort (−dot, cell_id) structs, slice nprobe, explode.  Narrow map;
+    # ties resolve exactly like the old window (dot desc, cell_id asc).
+    dots_q = cell_dots("qv")
+    ranked = F.slice(
+        F.array_sort(
+            F.zip_with(
+                dots_q,
+                F.sequence(F.lit(1), F.lit(n_cells)),
+                lambda d, i: F.struct((-d).alias("neg_dot"), i.alias("cell_id")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    query_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    ).select(
+        "query_id",
+        "qv",
+        l2_norm(F.col("qv")).alias("qn"),
+        F.explode(F.transform(ranked, lambda s: s["cell_id"])).alias("cell_id"),
     )
 
     denom = F.col("qn") * F.col("cn")
     scored = (
-        corpus_assigned.join(query_probes, "cell_id")
+        corpus_assigned.join(F.broadcast(query_probes), "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            F.round(F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom), 6),
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

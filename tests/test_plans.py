@@ -104,3 +104,54 @@ def test_lsh_band_join_exchanges_carry_no_shingles(tables):
         assert not re.search(r"\bsh(_a|_b)?#", b), (
             "shingle array rides the band-join data movement:\n" + b
         )
+
+
+def test_lsh_ann_candidate_join_exchanges_carry_no_vectors(tables):
+    """Pin the r5 shuffle-width fix (r4 verdict item 1): every data
+    movement keyed by the LSH signature — the ×n_tables signature frames
+    and the (table, sig) candidate join — must carry (id, table, sig)
+    ONLY.  An embedding array (qv/cv) in any sig-keyed exchange means
+    the join is again shipping ~n_tables× the corpus vector bytes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafka_merge_purge_spark.operators import similarity as sim
+
+    emb = tables["embeddings"]
+    plan = formatted_plan(sim.lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5))
+    blocks = [b.strip() for b in re.split(r"\n\s*\n", plan) if b.strip()]
+    sig_moves = [
+        b
+        for b in blocks
+        if "Exchange" in b.splitlines()[0] and re.search(r"\bsig#", b)
+    ]
+    assert sig_moves, "expected sig-keyed exchanges in the LSH ANN plan"
+    for b in sig_moves:
+        assert not re.search(r"\b(qv|cv|embedding)#", b), (
+            "vector array rides the candidate-join data movement:\n" + b
+        )
+
+
+def test_ivf_cell_assignment_is_narrow(tables):
+    """Pin the r5 IVF fix (r4 verdict item 2): corpus cell assignment is
+    a literal-centroid argmax projection — zero Exchange between the
+    corpus scan and the cell-tagged corpus.  The whole plan keeps exactly
+    one shuffle (the per-query top-k window, keyed by query_id); the
+    candidate join broadcasts the exploded query probes instead of
+    shuffling the corpus, and no crossJoin row expansion exists."""
+    from pyspark.sql import functions as F
+
+    from kafka_merge_purge_spark.operators import similarity as sim
+
+    emb = tables["embeddings"]
+    plan = formatted_plan(
+        sim.ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=8, nprobe=4)
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    shuffles = [
+        line for line in plan.splitlines() if "hashpartitioning" in line
+    ]
+    assert len(shuffles) == 1 and "query_id" in shuffles[0], (
+        "expected exactly one shuffle (top-k window on query_id):\n" + plan
+    )
