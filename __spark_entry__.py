@@ -144,7 +144,8 @@ _REF_ORACLES = {
     "q_action_counts": f"{_ASK_ORACLE} SELECT action, count(*) AS n FROM decided GROUP BY action",
     "q_compaction": f"""{_RECORDS_CTE}
         SELECT topic, "partition", "offset", "key", "value" FROM (
-            SELECT *, row_number() OVER (PARTITION BY "key" ORDER BY "offset" DESC) AS rn
+            SELECT *, row_number() OVER (PARTITION BY "key"
+                ORDER BY "offset" DESC, "value" DESC NULLS LAST) AS rn
             FROM records WHERE "key" IS NOT NULL
         ) WHERE rn = 1 AND "value" IS NOT NULL""",
     "q_decode_props": f"""{_RECORDS_CTE}
@@ -799,13 +800,22 @@ def x_stratified_sample(spark, sf_dir):
 
 
 def x_dedup_clusters(spark, sf_dir):
-    """Dedup clustering: connected components over the exact embedding
-    near-dup pairs — every vector in a duplicate cluster maps to the
-    cluster's minimum vec_id.  Iterative min-label propagation
-    (operators/components.py); oracle = recursive CTE fixpoint."""
+    """Dedup clustering: connected components over embedding near-dup
+    pairs — every vector in a duplicate cluster maps to the cluster's
+    minimum vec_id.  Pairs come from the DISTRIBUTED block-pair GEMM
+    form (broadcast guard 0) so this copyable composition is the one
+    that scales — no driver collect of the corpus; the block form is
+    exact, so the result (and the recursive-CTE oracle hash) is
+    identical to the all-pairs broadcast path.  Clustering is iterative
+    min-label propagation (operators/components.py)."""
     from kafka_merge_purge_spark.operators.components import connected_components
 
-    pairs = dd.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    pairs = dd.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        broadcast_max_rows=0,
+        block_size=2048,
+    )
     return connected_components(pairs)
 
 

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 #: dedup.BROADCAST_MAX_ROWS.  Above it, the distributed Pregel path runs.
 UNION_FIND_MAX_EDGES = 1_000_000
 
-_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_INTEGRAL_RANK = ("tinyint", "smallint", "int", "bigint")
+_INTEGRAL = set(_INTEGRAL_RANK)
 
 
 def connected_components(
@@ -59,16 +60,26 @@ def connected_components(
     * larger (or non-integral ids) — the distributed Pregel pointer-
       jumping loop below: O(log diameter) rounds, one shuffle + one
       label self-join + one localCheckpoint per round.
+
+    Edges with a NULL endpoint are dropped up front (a pair with an
+    unknown side clusters nothing), and the union-find path emits the
+    same id dtype the Pregel path would (the union-coerced type of
+    src/dst) — so which physical plan fires is observable neither in
+    the schema nor in NULL handling (r4 advice).
     """
+    edges = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     dtypes = dict(edges.dtypes)
     if max_driver_edges > 0 and dtypes[src] in _INTEGRAL and dtypes[dst] in _INTEGRAL:
+        # unionByName coerces src/dst to their wider type; mirror it so
+        # both physical paths agree on the output schema
+        out_type = max(dtypes[src], dtypes[dst], key=_INTEGRAL_RANK.index)
         probe = (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .limit(max_driver_edges + 1)
             .toArrow()
         )
         if probe.num_rows <= max_driver_edges:
-            return _driver_union_find(edges.sparkSession, probe)
+            return _driver_union_find(edges.sparkSession, probe, out_type)
 
     bi = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     bi = bi.unionByName(bi.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
@@ -115,10 +126,12 @@ def connected_components(
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
 
-def _driver_union_find(spark, edge_tbl) -> DataFrame:
+def _driver_union_find(spark, edge_tbl, id_type: str = "bigint") -> DataFrame:
     """Path-compressed union-find over an Arrow edge table; union-by-min
     keeps every tree's root at the component's minimum id, so the final
-    ``find`` IS the component label (same fixpoint as the Pregel loop)."""
+    ``find`` IS the component label (same fixpoint as the Pregel loop).
+    Output columns use ``id_type`` — the caller-computed union-coerced
+    dtype of the edge endpoints — matching the Pregel path's schema."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -135,4 +148,4 @@ def _driver_union_find(spark, edge_tbl) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "node long, component long")
+    return spark.createDataFrame(rows, f"node {id_type}, component {id_type}")

@@ -83,20 +83,24 @@ def synth_wav(
     """Build a spec-valid RIFF/WAVE container around raw sample bytes.
 
     Canonical 44-byte layout: RIFF header, 16-byte PCM ``fmt `` chunk,
-    ``data`` chunk.  The data chunk is the caller's bytes verbatim (no
-    padding), so byte fidelity through the pipeline is checkable with a
-    plain md5 of the source bytes."""
+    ``data`` chunk.  The data chunk body is the caller's bytes verbatim;
+    an odd-length body gets the RIFF-mandated trailing pad byte (the
+    ``data`` size field stays ``len(data)``, the enclosing RIFF size
+    includes the pad — r4 advice), so byte fidelity through the pipeline
+    is still checkable with a plain md5 of the source bytes."""
     byte_rate = sample_rate * channels * bits // 8
     block_align = channels * bits // 8
+    pad = b"\x00" if len(data) & 1 else b""
     return (
         b"RIFF"
-        + struct.pack("<I", 36 + len(data))
+        + struct.pack("<I", 36 + len(data) + len(pad))
         + b"WAVE"
         + b"fmt "
         + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits)
         + b"data"
         + struct.pack("<I", len(data))
         + data
+        + pad
     )
 
 

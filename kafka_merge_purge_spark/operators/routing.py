@@ -224,8 +224,18 @@ def compaction(records: DataFrame) -> DataFrame:
     canonical per-key argmax — AQE handles skewed keys; if a key set is
     known-skewed, pre-aggregating ``max(offset) per key`` and semi-joining
     back is the two-shuffle alternative with smaller sort state.
+
+    Ordering is a TOTAL order — (offset desc, value desc NULLS LAST) —
+    so duplicate offsets within a key (possible when a key spans source
+    partitions) resolve deterministically: the max non-null value wins
+    the tie, tombstones lose it.  The streaming twin
+    (streaming/stateful.fold_latest) folds by the same order, which is
+    what makes its batch-equivalence associativity claim hold on ties
+    (r4 advice).
     """
-    w = Window.partitionBy("key").orderBy(F.col("offset").desc())
+    w = Window.partitionBy("key").orderBy(
+        F.col("offset").desc(), F.col("value").desc()
+    )
     return (
         records.filter(F.col("key").isNotNull())
         .withColumn("_rn", F.row_number().over(w))

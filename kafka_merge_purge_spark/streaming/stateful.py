@@ -96,6 +96,13 @@ def retry_budget_decisions(
 COMPACT_OUTPUT_SCHEMA = "key string, offset long, value string"
 
 
+def _compaction_order_key(offset: int, value: str | None) -> tuple:
+    """The TOTAL order compaction resolves by: (offset, value) with NULL
+    (tombstone) as the minimum value — the pandas twin of batch
+    compaction's ``ORDER BY offset DESC, value DESC NULLS LAST``."""
+    return (offset, value is not None, value if value is not None else "")
+
+
 def fold_latest(
     state: tuple[int, str | None] | None, pdfs: Iterator[pd.DataFrame]
 ) -> tuple[int, str | None]:
@@ -105,15 +112,21 @@ def fold_latest(
     Exposed at module level so the exact state transition the
     transformWithStateInPandas processor runs is batch-equivalence-
     testable without the state store (whose protobuf serializer is not
-    installed in this container).  Associative over batch splits because
-    only the argmax-by-offset survives — any micro-batch partitioning of
-    a key's records folds to the same final state."""
+    installed in this container).  Associative over ANY batch split
+    because only the argmax by the total order ``_compaction_order_key``
+    survives — duplicate offsets within a key (possible when a key spans
+    source partitions) tie-break on the value itself, identically to
+    batch compaction's window order (r4 advice), so no arrival-order
+    dependence remains."""
     max_offset, value = state if state is not None else (-1, None)
+    cur = None if state is None else _compaction_order_key(max_offset, value)
     for pdf in pdfs:
-        for _, r in pdf.sort_values("offset").iterrows():
-            if r["offset"] > max_offset:
-                max_offset = int(r["offset"])
-                value = r["value"] if pd.notna(r["value"]) else None
+        for _, r in pdf.iterrows():
+            v = r["value"] if pd.notna(r["value"]) else None
+            k = _compaction_order_key(int(r["offset"]), v)
+            if cur is None or k > cur:
+                cur = k
+                max_offset, value = int(r["offset"]), v
     return (max_offset, value)
 
 

@@ -222,9 +222,19 @@ def test_wav_synth_parse_roundtrip():
     # byte_rate = 8000*2*2 = 32000 → 1600 bytes = 50 ms
     assert m["duration_ms"] == 50
     assert m["data_md5"] == hashlib.md5(data).hexdigest()
-    # odd-length data chunk: parser must honor RIFF word alignment
+    # odd-length data chunk: RIFF requires a pad byte after the body
+    # (size field stays 3, RIFF size includes the pad — r4 advice), so
+    # the container ends word-aligned and a chunk appended after ``data``
+    # still parses from the right offset
     odd = mm.synth_wav(b"abc", sample_rate=16000)
-    assert mm.parse_media_meta(odd)["data_bytes"] == 3
+    assert len(odd) % 2 == 0
+    m_odd = mm.parse_media_meta(odd)
+    assert m_odd["data_bytes"] == 3
+    assert m_odd["data_md5"] == hashlib.md5(b"abc").hexdigest()
+    trailed = odd + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    m_trail = mm.parse_media_meta(trailed)
+    assert m_trail["data_bytes"] == 3
+    assert m_trail["data_md5"] == hashlib.md5(b"abc").hexdigest()
 
 
 def test_bmp_synth_parse_roundtrip():
@@ -390,6 +400,40 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 2: 2, 3: 2, 4: 2, 7: 7, 8: 7}
+
+
+def test_connected_components_paths_agree_on_schema_and_nulls(spark):
+    """Which physical plan fires (driver union-find vs distributed
+    Pregel) must be unobservable: same output dtype (the union-coerced
+    id type, here int) and same NULL handling (null-endpoint edges are
+    dropped, not crashed on) on both paths (r4 advice)."""
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 9), (9, None), (5, 6)],
+        "id_a int, id_b int",
+    )
+    fast = connected_components(edges)
+    pregel = connected_components(edges, max_driver_edges=0)
+    assert fast.dtypes == pregel.dtypes == [("node", "int"), ("component", "int")]
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}  # 9's edges are null-sided → absent
+    assert {r["node"]: r["component"] for r in fast.collect()} == want
+    assert {r["node"]: r["component"] for r in pregel.collect()} == want
+
+
+def test_embedding_neardup_underestimated_hint_falls_back(tables):
+    """A too-small n_rows hint must NOT trigger an unbounded driver
+    collect: the probe is limit-guarded even with a hint, so the call
+    falls through to the distributed path and still returns exact
+    results (r4 advice)."""
+    emb = tables["embeddings"]
+    lied = dd.embedding_near_dup_pairs(
+        emb, threshold=0.4, n_rows=1, broadcast_max_rows=10, block_size=64
+    )
+    default = dd.embedding_near_dup_pairs(emb, threshold=0.4)
+    assert {(r.id_a, r.id_b, r.cos) for r in lied.collect()} == {
+        (r.id_a, r.id_b, r.cos) for r in default.collect()
+    }
 
 
 def test_aqe_splits_skewed_join_partition(spark):

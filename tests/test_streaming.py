@@ -10,7 +10,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_merge_purge_spark.sources.batch import EPOCH_TO_MICROS
+from kafka_merge_purge_spark.sources.batch import epoch_to_micros_expr
 
 from kafka_merge_purge_spark.streaming.pipeline import (
     stream_records_from_dir,
@@ -354,7 +354,7 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path, records):
             # centralized scale-sniffing conversion (sources/batch.py):
             # Spark restaged this dir as plain INT64 nanos, but a fixed
             # DIV 1000 would silently break if the staging scale changed
-            .withColumn("ts", F.expr(EPOCH_TO_MICROS.format(c="ts")))
+            .withColumn("ts", F.expr(epoch_to_micros_expr("ts")))
         )
         q = drain_events_stream(
             records_from_events(ev), exactly_once_parquet_sink(out_dir), ckpt
@@ -401,3 +401,39 @@ def test_multimodal_feature_extraction_plumbing(spark):
     assert len(feats[1]["feature"]) == 8
     assert feats[1]["payload_md5"] != feats[2]["payload_md5"]
     assert feats[3]["n_bytes"] == 0
+
+
+def test_compaction_duplicate_offset_ties_are_deterministic(spark):
+    """Duplicate offsets within a key (possible when a key spans source
+    partitions) must resolve identically on the batch window and the
+    streaming fold for ANY arrival order and micro-batch chop (r4
+    advice): the shared total order is (offset, value) with tombstones
+    ranked below every non-null value."""
+    import itertools
+
+    from kafka_merge_purge_spark.operators.routing import compaction
+    from kafka_merge_purge_spark.streaming.stateful import emit_latest, fold_latest
+
+    rows = [("k", 5, "b"), ("k", 5, "a"), ("k", 5, None), ("k", 3, "z")]
+    df = spark.createDataFrame(rows, "key string, offset long, value string")
+    batch = compaction(df).select("key", "offset", "value").collect()
+    assert [(r["key"], r["offset"], r["value"]) for r in batch] == [("k", 5, "b")]
+
+    for perm in itertools.permutations(rows):
+        for cut in range(1, len(perm)):
+            state = None
+            for chunk in (perm[:cut], perm[cut:]):
+                if not chunk:
+                    continue
+                pdfs = [
+                    pd.DataFrame(
+                        {
+                            "offset": [o for _, o, _ in chunk],
+                            "value": [v for _, _, v in chunk],
+                        }
+                    )
+                ]
+                state = fold_latest(state, iter(pdfs))
+            out = emit_latest("k", state)
+            assert out is not None
+            assert (int(out["offset"][0]), out["value"][0]) == (5, "b")
