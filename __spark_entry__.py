@@ -1411,6 +1411,50 @@ def x_media_decode(spark, sf_dir):
     )
 
 
+def x_pixel_stats(spark, sf_dir):
+    """CONTENT-level media decode (below the container header): text →
+    spec-valid binary PGM (P5) via synth_pgm → pixel-payload statistics
+    (min/max/sum/mean over the raw raster bytes) via decode_pixel_stats.
+    The mean is emitted as exact integer micros (floor(sum·1e6/n)) so
+    the hash is engine-portable; the oracle recomputes every stat
+    arithmetically from the document's ASCII byte values — any header,
+    offset, or padding error in the decoder hash-mismatches."""
+    import pandas as pd
+
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.col("n_chars"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                mm.synth_pgm(bytes(data), width=int(n) % 24 + 1)
+                for data, n in zip(pdf["data"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = src.mapInPandas(synth, schema="media_id long, payload binary")
+    st = mm.decode_pixel_stats(media)
+    return st.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_bytes",
+        "px_min",
+        "px_max",
+        "px_sum",
+        F.floor(F.col("px_sum") * 1000000 / F.col("n_bytes"))
+        .cast("long")
+        .alias("px_mean_micros"),
+    )
+
+
 def x_chunk_docs(spark, sf_dir):
     """Overlapping token-window chunking (50-token chunks, 10 overlap) —
     the pre-embedding segmentation stage."""
@@ -1761,6 +1805,29 @@ _LLM_ORACLES = {
                THEN CAST(w * greatest(1, ceil(nb / (w * 3.0))) * 3 AS BIGINT)
                END AS data_bytes
         FROM m""",
+    "x_pixel_stats": """
+        WITH m AS (
+          SELECT doc_id, text, strlen(text) AS nb, (n_chars % 24) + 1 AS w
+          FROM documents),
+        d AS (
+          SELECT doc_id, nb, w,
+                 greatest(1, CAST(ceil(nb / CAST(w AS DOUBLE)) AS BIGINT)) AS h,
+                 list_transform(range(1, nb + 1),
+                                i -> ascii(substr(text, i, 1))) AS codes
+          FROM m WHERE text IS NOT NULL)
+        SELECT doc_id AS media_id,
+               'pgm' AS format,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(w * h AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN w * h > nb OR nb = 0 THEN 0
+                         ELSE list_min(codes) END AS INTEGER) AS px_min,
+               CAST(CASE WHEN nb = 0 THEN 0
+                         ELSE list_max(codes) END AS INTEGER) AS px_max,
+               CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS px_sum,
+               CAST(floor(coalesce(list_sum(codes), 0) * 1000000.0 / (w * h))
+                    AS BIGINT) AS px_mean_micros
+        FROM d""",
     "x_frame_sample": """
         WITH v AS (SELECT doc_id AS media_id,
                           greatest(CAST(floor(n_chars * 20 / 1000.0) AS BIGINT), 1) AS nf

@@ -129,9 +129,20 @@ def synth_ppm(data: bytes, width: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + raster
 
 
-def _ppm_header_ints(payload: bytes, count: int) -> list[int] | None:
+def synth_pgm(data: bytes, width: int) -> bytes:
+    """Build a spec-valid binary PGM (P5, maxval 255, one byte per pixel)
+    whose raster carries ``data``; height = ceil(len/width) (min 1),
+    zero-padded — the grayscale sibling of ``synth_ppm``."""
+    height = max(1, -(-len(data) // width))
+    raster = data + b"\x00" * (height * width - len(data))
+    return f"P5\n{width} {height}\n255\n".encode() + raster
+
+
+def _ppm_header(payload: bytes, count: int) -> tuple[list[int], int] | None:
     """Read ``count`` whitespace-separated ASCII integers after the magic,
-    honoring ``#`` comments (the Netpbm header grammar)."""
+    honoring ``#`` comments (the Netpbm header grammar).  Returns the
+    values plus the offset just past the single whitespace byte that
+    terminates the last one — i.e. where the binary raster starts."""
     vals: list[int] = []
     i = 2  # past the 2-byte magic
     while len(vals) < count and i < len(payload):
@@ -149,7 +160,18 @@ def _ppm_header_ints(payload: bytes, count: int) -> list[int] | None:
             i = j
         else:
             return None  # malformed header
-    return vals if len(vals) == count else None
+    if len(vals) < count:
+        return None
+    # exactly ONE whitespace byte separates the last header value from
+    # the raster (Netpbm spec) — a missing terminator is malformed
+    if i >= len(payload) or not payload[i : i + 1].isspace():
+        return None
+    return vals, i + 1
+
+
+def _ppm_header_ints(payload: bytes, count: int) -> list[int] | None:
+    parsed = _ppm_header(payload, count)
+    return parsed[0] if parsed else None
 
 
 #: parse output when the payload is missing or not a known container
@@ -251,6 +273,77 @@ def decode_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(run, schema=DECODE_META_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "media_id long, format string, width int, height int, n_bytes long, "
+    "px_min int, px_max int, px_sum long, px_mean double"
+)
+
+
+def pixel_stats(payload: bytes | None) -> dict:
+    """CONTENT-level decode for binary Netpbm images: parse the P5/P6
+    header with the real grammar, then aggregate the raw raster bytes —
+    min / max / sum / mean over every sample value (grayscale bytes for
+    P5, interleaved RGB bytes for P6).  This is the tier BELOW the
+    container header that ``parse_media_meta`` stops at: the numbers
+    come from the pixel payload itself, no media library involved
+    (r4 verdict item 5).  A payload that is not a well-formed Netpbm
+    binary image (or whose raster is truncated) yields all-NULL stats,
+    the same schema-on-read tolerance as ``parse_media_meta``."""
+    out = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "n_bytes": None,
+        "px_min": None,
+        "px_max": None,
+        "px_sum": None,
+        "px_mean": None,
+    }
+    if payload is None or payload[:2] not in (b"P5", b"P6"):
+        return out
+    parsed = _ppm_header(payload, 3)  # width height maxval
+    if parsed is None:
+        return out
+    (width, height, _maxval), off = parsed
+    bpp = 3 if payload[:2] == b"P6" else 1
+    n = width * height * bpp
+    raster = payload[off : off + n]
+    if len(raster) < n:
+        return out  # truncated raster
+    import numpy as np
+
+    px = np.frombuffer(raster, dtype=np.uint8)
+    out["format"] = "ppm" if bpp == 3 else "pgm"
+    out["width"] = width
+    out["height"] = height
+    out["n_bytes"] = n
+    out["px_min"] = int(px.min())
+    out["px_max"] = int(px.max())
+    out["px_sum"] = int(px.sum(dtype=np.int64))
+    out["px_mean"] = round(int(px.sum(dtype=np.int64)) / n, 6)
+    return out
+
+
+def decode_pixel_stats(df: DataFrame) -> DataFrame:
+    """Pixel-payload statistics over (media_id, payload): one narrow
+    Arrow-batched mapInPandas stage, same shape as ``decode_meta`` but
+    reading the raster *content*, not just the header."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [pixel_stats(p) for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"]}
+            for field in (
+                "format width height n_bytes px_min px_max px_sum px_mean"
+            ).split():
+                out[field] = [s[field] for s in stats]
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
+    )
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

@@ -738,6 +738,41 @@ def test_ppm_synth_parse_roundtrip():
     assert mm.parse_media_meta(b"P6\n12")["format"] is None
 
 
+def test_pgm_pixel_stats_content_decode(spark):
+    """The content tier below the container header: stats computed from
+    the actual raster bytes, padding included, header comments honored,
+    truncated rasters refused."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    data = bytes([10, 200, 30])
+    s = mm.pixel_stats(mm.synth_pgm(data, width=2))  # 2x2, one pad zero
+    assert (s["format"], s["width"], s["height"], s["n_bytes"]) == ("pgm", 2, 2, 4)
+    assert (s["px_min"], s["px_max"], s["px_sum"]) == (0, 200, 240)
+    assert s["px_mean"] == 60.0
+    # no padding → min comes from the data itself
+    s2 = mm.pixel_stats(mm.synth_pgm(bytes([7, 9]), width=2))
+    assert (s2["px_min"], s2["px_max"], s2["n_bytes"]) == (7, 9, 2)
+    # P6 raster stats count all RGB bytes
+    s3 = mm.pixel_stats(mm.synth_ppm(bytes([1, 2, 3]), width=1))
+    assert (s3["format"], s3["n_bytes"], s3["px_sum"]) == ("ppm", 3, 6)
+    # comment-bearing header parses; raster offset lands after the single
+    # whitespace byte that terminates maxval
+    tricky = b"P5\n# c\n 2 1\n255\n" + bytes([5, 6])
+    t = mm.pixel_stats(tricky)
+    assert (t["width"], t["height"], t["px_sum"]) == (2, 1, 11)
+    # truncated raster / wrong magic / None → all-NULL stats
+    assert mm.pixel_stats(b"P5\n4 4\n255\n" + b"\x00" * 3)["format"] is None
+    assert mm.pixel_stats(b"BM123456")["format"] is None
+    assert mm.pixel_stats(None)["format"] is None
+    # DataFrame plumbing: one narrow mapInPandas stage
+    media = spark.createDataFrame(
+        [(1, bytearray(mm.synth_pgm(data, width=2))), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mm.decode_pixel_stats(media).collect()}
+    assert rows[1]["px_sum"] == 240 and rows[2]["px_sum"] is None
+
+
 def test_simhash_hamming_pairs_exact_recall(spark):
     """Pigeonhole banding is exact, not probabilistic: the banded join
     must find precisely the brute-force bit_count(xor) <= h pairs."""
