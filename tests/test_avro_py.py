@@ -309,6 +309,56 @@ def test_registry_resolves_writer_by_confluent_id(tmp_path):
         decode_confluent(b"\x01\x00\x00\x00\x01", reg)
 
 
+def test_registry_http_tier_against_local_server(tmp_path):
+    """The constructor-gated HTTP tier speaks the Confluent REST shape
+    (GET /schemas/ids/{id} → {"schema": "<json string>"}) against a
+    loopback http.server: fetch, cache (one request per id), 404 →
+    KeyError, and full wire-frame decode through the fetched writer."""
+    import http.server
+    import threading
+
+    hits: list[str] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            if self.path == "/schemas/ids/1":
+                body = json.dumps({"schema": WRITER_V1}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        reg = SchemaRegistry(base_url=url)
+        frame = b"\x00" + (1).to_bytes(4, "big") + encode_user_v1(7, "ada", 1.5)
+        got = decode_confluent(frame, reg, READER_V2)
+        assert got == {"full_name": "ada", "id": 7, "score": 1.5, "country": "unknown"}
+        decode_confluent(frame, reg, READER_V2)  # second decode: cache hit
+        assert hits == ["/schemas/ids/1"]
+        import pytest
+
+        with pytest.raises(KeyError, match="not in registry"):
+            reg.get(99)
+        # local tiers win before the network is touched
+        reg2 = SchemaRegistry({1: WRITER_V1}, base_url="http://255.255.255.255:1")
+        assert decode_confluent(frame, reg2)["name"] == "ada"
+        # cached HTTP fetches ride the executor snapshot
+        assert set(reg.to_dict()) == {1}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_registry_udf_mixed_writer_generations(spark, tmp_path):
     from kafka_merge_purge_spark.functions.decode import decode_avro_registry
 
