@@ -4,7 +4,8 @@ wall-clock slope.  A linear-work query on 32 local cores should scale
 well under 10x (fixed overheads amortize); anything super-linear (>10x)
 is flagged — that's the shape that would break at 100 TB.
 
-Usage: python tools/scale_bench.py [scale_dir]   (default .scale_sf1)
+Usage: python tools/scale_bench.py [scale_dir] [query ...]
+(defaults: .scale_sf1 and the round-1 top-5 list below)
 Prints one JSON line; paste/commit into BENCH_SCALE.md.
 """
 
@@ -28,6 +29,7 @@ QUERIES = [  # the top-5 most expensive from the round-1 bench profile
 
 def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale_sf1"
+    queries = sys.argv[2:] or QUERIES
     base_dir = "/root/testdata/sf0.1"
 
     import __spark_entry__ as entry_mod
@@ -38,7 +40,7 @@ def main() -> None:
     spark.read.parquet(f"{base_dir}/lineitem.parquet").count()  # warm JVM
 
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         fn = qs[name]
         times = {}
         for label, d in (("sf0.1", base_dir), ("sf1", scale_dir)):
