@@ -1277,9 +1277,11 @@ def q_similarity_topk(spark, sf_dir):
 
 
 def x_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH fuzzy-dup candidates, Jaccard-verified (no SQL oracle —
-    checked rows-only by the driver; the exact-Jaccard twin q_ngram_jaccard
-    is the hash-checked form)."""
+    """MinHash-LSH fuzzy-dup candidates, Jaccard-verified.  Hash-checked
+    since round 5: the md5-affine signature chain is portable by
+    construction, so the oracle (_minhash_pairs_oracle) reproduces the
+    banding bit-for-bit — complementing the exact-Jaccard twin
+    q_ngram_jaccard and the end-to-end composition q_fuzzy_dedup."""
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
 
 
@@ -1865,6 +1867,53 @@ _LLM_ORACLES["x_simhash_pairs"] = f"""
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
+def _minhash_pairs_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Full MinHash-LSH twin in SQL: the md5-affine signature chain is
+    portable by construction (one md5 per shingle, low 31 bits, 16
+    affine maps mod 2⁶¹-1 — all operands < 2⁶³, exact BIGINT on both
+    engines), so the oracle reproduces banding bit-for-bit and then
+    verifies candidates with the same shingle Jaccard.  The candidate
+    join is the quadratic OR-of-bands form (fine at oracle scale; the
+    Spark side's banded equi-join is the linear production shape)."""
+    rows = num_hashes // bands
+    hash_expr = _MD5_INT.format(x="s")
+    sig_terms = ",\n                 ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {dd.MERSENNE_61}))"
+        for a, b in dd._minhash_coeffs(num_hashes)
+    )
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(f"a.sig[{b * rows + r + 1}] = b.sig[{b * rows + r + 1}]" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+            WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+        sh_t AS (SELECT id, {_SHINGLES} AS sh FROM base),
+        hs_t AS (SELECT id, sh,
+                        list_transform(sh, s -> {hash_expr} & 2147483647) AS hs
+                 FROM sh_t),
+        sig_t AS (SELECT id, sh,
+                 [{sig_terms}] AS sig
+                  FROM hs_t),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM sig_t a JOIN sig_t b
+              ON a.id < b.id AND ({band_match}))
+        SELECT id_a, id_b,
+               round(len(list_intersect(sh_a, sh_b)) /
+                     len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+        FROM cand
+        WHERE round(len(list_intersect(sh_a, sh_b)) /
+                    len(list_distinct(list_concat(sh_a, sh_b))), 6) >= {threshold}"""
+
+
+_LLM_ORACLES["x_minhash_pairs"] = _minhash_pairs_oracle()
+
 #: raw (non-distinct) k-gram list — repetition filter needs both counts
 _GRAMS_RAW = (
     "[array_to_string(toks[i:i+2], ' ') "
@@ -1908,5 +1957,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_REF_ORACLES)
     out.update(_RELATIONAL_ORACLES)
     out.update(_LLM_ORACLES)
-    # x_minhash_pairs intentionally has no oracle (rows-only check).
+    # Every declared query with SQL-expressible semantics now carries an
+    # oracle; the remaining oracle-less names are sketches/ANN whose
+    # outputs are approximate by design (x_approx_*, x_lsh_ann,
+    # x_similarity_ivf) and are recall-pinned by pytest instead.
     return {k: v for k, v in out.items() if v is not None}
