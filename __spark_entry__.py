@@ -1457,6 +1457,56 @@ def x_pixel_stats(spark, sf_dir):
     )
 
 
+def x_pcm_stats(spark, sf_dir):
+    """CONTENT-level audio decode: text bytes (truncated to whole 16-bit
+    samples) → spec-valid RIFF/WAVE via synth_wav → signed-PCM sample
+    statistics read back out of the data chunk (decode_pcm_stats) — the
+    audio twin of x_pixel_stats.  The oracle recomputes each sample as
+    ``lo + 256·hi`` from the document's ASCII char codes (always
+    positive for 7-bit text; the signed wrap is pinned by pytest), so a
+    chunk-walk, endianness, or alignment error hash-mismatches."""
+    import pandas as pd
+
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                mm.synth_wav(
+                    bytes(data)[: (len(data) // 2) * 2],
+                    sample_rate=8000 * (1 + int(mid) % 3),
+                )
+                for mid, data in zip(pdf["media_id"], pdf["data"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = src.mapInPandas(synth, schema="media_id long, payload binary")
+    st = mm.decode_pcm_stats(media)
+    return st.select(
+        "media_id",
+        "format",
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_samples",
+        "smp_min",
+        "smp_max",
+        "smp_sum",
+        F.when(
+            F.col("n_samples") > 0,
+            F.floor(F.col("smp_sum") * 1000000 / F.col("n_samples")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("smp_mean_micros"),
+    )
+
+
 def x_chunk_docs(spark, sf_dir):
     """Overlapping token-window chunking (50-token chunks, 10 overlap) —
     the pre-embedding segmentation stage."""
@@ -1829,6 +1879,32 @@ _LLM_ORACLES = {
                CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS px_sum,
                CAST(floor(coalesce(list_sum(codes), 0) * 1000000.0 / (w * h))
                     AS BIGINT) AS px_mean_micros
+        FROM d""",
+    "x_pcm_stats": """
+        WITH m AS (
+          SELECT doc_id, text, strlen(text) AS nb,
+                 8000 * (1 + doc_id % 3) AS sr
+          FROM documents WHERE text IS NOT NULL),
+        d AS (
+          SELECT doc_id, sr, nb // 2 AS ns,
+                 list_transform(range(1, nb // 2 + 1),
+                                i -> ascii(substr(text, 2*i - 1, 1))
+                                     + 256 * ascii(substr(text, 2*i, 1))) AS smp
+          FROM m)
+        SELECT doc_id AS media_id,
+               'wav' AS format,
+               CAST(sr AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(16 AS INTEGER) AS bits,
+               CAST(ns AS BIGINT) AS n_samples,
+               CAST(CASE WHEN ns = 0 THEN 0
+                         ELSE list_min(smp) END AS INTEGER) AS smp_min,
+               CAST(CASE WHEN ns = 0 THEN 0
+                         ELSE list_max(smp) END AS INTEGER) AS smp_max,
+               CAST(coalesce(list_sum(smp), 0) AS BIGINT) AS smp_sum,
+               CAST(CASE WHEN ns = 0 THEN 0
+                         ELSE floor(list_sum(smp) * 1000000.0 / ns)
+                    END AS BIGINT) AS smp_mean_micros
         FROM d""",
     "x_frame_sample": """
         WITH v AS (SELECT doc_id AS media_id,

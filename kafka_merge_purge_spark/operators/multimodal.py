@@ -326,6 +326,80 @@ def pixel_stats(payload: bytes | None) -> dict:
     return out
 
 
+PCM_STATS_SCHEMA = (
+    "media_id long, format string, sample_rate int, channels int, bits int, "
+    "n_samples long, smp_min int, smp_max int, smp_sum long"
+)
+
+
+def pcm_stats(payload: bytes | None) -> dict:
+    """CONTENT-level decode for WAV audio: walk the real RIFF chunks,
+    then interpret the ``data`` chunk body as little-endian signed
+    16-bit PCM and aggregate the sample values (min / max / sum) — the
+    audio twin of ``pixel_stats``, one tier below the header fields
+    ``parse_media_meta`` stops at.  Non-WAV payloads, non-16-bit
+    formats, and a ``data`` chunk whose size is not sample-aligned
+    yield all-NULL stats (schema-on-read tolerance).  An empty data
+    chunk is VALID silence: zero samples, zeroed stats."""
+    out = {
+        "format": None,
+        "sample_rate": None,
+        "channels": None,
+        "bits": None,
+        "n_samples": None,
+        "smp_min": None,
+        "smp_max": None,
+        "smp_sum": None,
+    }
+    m = parse_media_meta(payload)
+    if m["format"] != "wav" or m["bits"] != 16 or m["data_bytes"] is None:
+        return out
+    if m["data_bytes"] % 2:
+        return out  # 16-bit stream with a half sample — malformed
+    # second pass for the body: parse_media_meta keeps only the digest,
+    # so locate the data chunk again (same walk, same pad rule)
+    pos, body = 12, b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"data":
+            body = payload[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if len(body) != m["data_bytes"]:
+        return out  # truncated container
+    import numpy as np
+
+    smp = np.frombuffer(body, dtype="<i2")
+    out["format"] = "wav"
+    out["sample_rate"] = m["sample_rate"]
+    out["channels"] = m["channels"]
+    out["bits"] = 16
+    out["n_samples"] = len(smp)
+    out["smp_min"] = int(smp.min()) if len(smp) else 0
+    out["smp_max"] = int(smp.max()) if len(smp) else 0
+    out["smp_sum"] = int(smp.sum(dtype=np.int64))
+    return out
+
+
+def decode_pcm_stats(df: DataFrame) -> DataFrame:
+    """PCM sample statistics over (media_id, payload): one narrow
+    Arrow-batched mapInPandas stage, the audio analog of
+    ``decode_pixel_stats``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [pcm_stats(p) for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"]}
+            for field in (
+                "format sample_rate channels bits n_samples smp_min smp_max smp_sum"
+            ).split():
+                out[field] = [s[field] for s in stats]
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=PCM_STATS_SCHEMA)
+
+
 def decode_pixel_stats(df: DataFrame) -> DataFrame:
     """Pixel-payload statistics over (media_id, payload): one narrow
     Arrow-batched mapInPandas stage, same shape as ``decode_meta`` but

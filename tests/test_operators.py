@@ -773,6 +773,38 @@ def test_pgm_pixel_stats_content_decode(spark):
     assert rows[1]["px_sum"] == 240 and rows[2]["px_sum"] is None
 
 
+def test_wav_pcm_stats_content_decode(spark):
+    """Signed 16-bit LE sample decode from the real data chunk: sign
+    wrap, empty-silence, odd-size rejection, and the pad byte after an
+    odd chunk not leaking into the samples."""
+    import struct as st
+
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    # samples 1000, -2, 300 → little-endian int16 stream
+    body = st.pack("<3h", 1000, -2, 300)
+    s = mm.pcm_stats(mm.synth_wav(body, sample_rate=8000))
+    assert (s["format"], s["sample_rate"], s["bits"]) == ("wav", 8000, 16)
+    assert (s["n_samples"], s["smp_min"], s["smp_max"], s["smp_sum"]) == (
+        3, -2, 1000, 1298,
+    )
+    # empty data chunk = valid silence
+    z = mm.pcm_stats(mm.synth_wav(b""))
+    assert (z["n_samples"], z["smp_sum"]) == (0, 0)
+    # odd data size cannot be 16-bit samples
+    assert mm.pcm_stats(mm.synth_wav(b"abc"))["format"] is None
+    # non-wav payloads refuse cleanly
+    assert mm.pcm_stats(mm.synth_pgm(b"xy", width=2))["format"] is None
+    assert mm.pcm_stats(None)["format"] is None
+    # DataFrame plumbing
+    media = spark.createDataFrame(
+        [(1, bytearray(mm.synth_wav(body))), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mm.decode_pcm_stats(media).collect()}
+    assert rows[1]["smp_sum"] == 1298 and rows[2]["smp_sum"] is None
+
+
 def test_simhash_hamming_pairs_exact_recall(spark):
     """Pigeonhole banding is exact, not probabilistic: the banded join
     must find precisely the brute-force bit_count(xor) <= h pairs."""
