@@ -1507,6 +1507,16 @@ def x_pcm_stats(spark, sf_dir):
     )
 
 
+def x_contamination(spark, sf_dir):
+    """Benchmark-decontamination screen: per-doc overlap of distinct
+    3-shingles with a benchmark gram set (here the corpus' top-5 most
+    frequent shingles, deterministic tie-break — a deployment passes
+    the eval suite's grams).  Membership is a narrow array_intersect
+    against an inlined literal; only the demo's frequency mining
+    shuffles."""
+    return tx.ngram_contamination(_t(spark, sf_dir, "documents"))
+
+
 def x_chunk_docs(spark, sf_dir):
     """Overlapping token-window chunking (50-token chunks, 10 overlap) —
     the pre-embedding segmentation stage."""
@@ -1931,6 +1941,22 @@ def _simhash_oracle(bits: int = 32, where: str = "") -> str:
             FROM documents {where})
         SELECT doc_id, {bit_terms} AS simhash FROM base"""
 
+
+_LLM_ORACLES["x_contamination"] = f"""
+    WITH base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    sh_t AS (SELECT id, {_SHINGLES} AS sh FROM base),
+    mine AS (SELECT {_TOKS} AS toks FROM documents
+             WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    msh AS (SELECT {_SHINGLES} AS sh FROM mine),
+    grams AS (SELECT g, count(*) AS c
+              FROM (SELECT unnest(sh) AS g FROM msh)
+              GROUP BY g ORDER BY c DESC, g LIMIT 5),
+    b AS (SELECT list(g) AS bg FROM grams)
+    SELECT id AS doc_id,
+           len(list_intersect(sh, bg)) AS n_hits,
+           round(len(list_intersect(sh, bg)) / len(sh), 6) AS contamination,
+           CAST(len(list_intersect(sh, bg)) > 0 AS INT) AS is_contaminated
+    FROM sh_t, b"""
 
 _LLM_ORACLES["q_simhash"] = _simhash_oracle()
 

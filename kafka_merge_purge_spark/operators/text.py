@@ -337,3 +337,56 @@ def repetition_score(
         uniq.alias("n_distinct_grams"),
         F.round(F.lit(1.0) - uniq / total, 6).alias("repetition"),
     )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark_grams: list[str] | None = None,
+    k: int = 3,
+    top_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination screen: per document, how many of its
+    distinct word k-shingles appear in a benchmark gram set — the
+    n-gram-overlap contamination check LLM training pipelines run
+    against eval suites before training.
+
+    Output: (doc_id, n_hits, contamination, is_contaminated) where
+    ``contamination`` = hits / |doc shingles| and ``is_contaminated``
+    flags any overlap.
+
+    ``benchmark_grams``: the deployment passes the eval suite's shingle
+    list.  When ``None`` (the demo/test form) the corpus' ``top_n`` most
+    frequent shingles stand in, computed with a deterministic tie-break
+    (count desc, gram asc) so results are reproducible across engines.
+
+    Scale shape: the benchmark set is SMALL by definition (an eval
+    suite), so the membership test is a narrow ``array_intersect``
+    against an inlined literal array — zero shuffle for the screen
+    itself.  The self-derived demo adds one explode + partial-agg
+    frequency pass and a distributed top-N (TakeOrdered heap — the
+    ``top_n``-row collect is the bounded-probe posture, never the
+    corpus).  Degenerate documents are excluded from frequency mining
+    (mega-gram guard, mirroring minhash_lsh_pairs) but still screened.
+    """
+    from kafka_merge_purge_spark.operators.dedup import shingles
+
+    sh = shingles(F.col(text_col), k)
+    if benchmark_grams is None:
+        freq = (
+            df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+            .select(F.explode(shingles(F.col(text_col), k)).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = freq.orderBy(F.col("c").desc(), F.col("g")).limit(top_n).collect()
+        benchmark_grams = [r["g"] for r in top]
+    bench = F.array(*[F.lit(g) for g in benchmark_grams]) if benchmark_grams else F.array().cast("array<string>")
+    hits = F.size(F.array_intersect(sh, bench))
+    return df.select(
+        F.col(id_col),
+        hits.alias("n_hits"),
+        F.round(hits / F.size(sh), 6).alias("contamination"),
+        (hits > 0).cast("int").alias("is_contaminated"),
+    )

@@ -859,3 +859,34 @@ def test_minhash_banding_vectorized_matches_expression_form(tables):
             ).collect()
         }
         assert expr == vec and len(vec) > 0
+
+
+def test_ngram_contamination_screen(spark):
+    """Explicit benchmark grams flag exactly the docs sharing a shingle;
+    the self-derived demo form is deterministic across builds."""
+    from kafka_merge_purge_spark.operators.text import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a quick brown fox sleeps"),
+            (3, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_contamination(
+            docs, benchmark_grams=["quick brown fox"]
+        ).collect()
+    }
+    assert got[1]["n_hits"] == 1 and got[1]["is_contaminated"] == 1
+    assert got[2]["n_hits"] == 1 and got[2]["is_contaminated"] == 1
+    assert got[3]["n_hits"] == 0 and got[3]["is_contaminated"] == 0
+    # doc 1 has 3 distinct shingles -> contamination 1/3
+    assert got[1]["contamination"] == round(1 / 3, 6)
+    # self-derived benchmark: deterministic and flags something on a
+    # corpus with repeated phrases
+    a = sorted(map(tuple, ngram_contamination(docs).collect()))
+    b = sorted(map(tuple, ngram_contamination(docs).collect()))
+    assert a == b
