@@ -819,6 +819,20 @@ def x_dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def x_embedding_dedup(spark, sf_dir):
+    """End-to-end embedding dedup (vector twin of q_fuzzy_dedup): blocked
+    exact near-dup pairs → connected components → canonical selection —
+    one row per vector with (cluster_id, cluster_size, is_canonical).
+    Runs the distributed block-GEMM pair form so the composition is the
+    no-driver-collect one; oracle = recursive-CTE fixpoint + labeling."""
+    return dd.embedding_fuzzy_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        broadcast_max_rows=0,
+        block_size=2048,
+    )
+
+
 def x_map_funcs(spark, sf_dir):
     """Map-type scalar + higher-order functions: JSON → map<string,int>,
     map_concat with a computed literal entry, map_keys/map_values,
@@ -909,6 +923,32 @@ _RELATIONAL_ORACLES = {
             UNION
             SELECT bi.v, reach.lbl FROM reach JOIN bi ON reach.node = bi.u)
         SELECT node, MIN(lbl) AS component FROM reach GROUP BY node""",
+    "x_embedding_dedup": """
+        WITH RECURSIVE
+        v AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+              FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS aa FROM v),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.q, b.q) / (sqrt(a.aa) * sqrt(b.aa)), 6) >= 0.4),
+        bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION ALL
+               SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+            SELECT u, u FROM bi
+            UNION
+            SELECT bi.v, reach.lbl FROM reach JOIN bi ON reach.node = bi.u),
+        comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+        SELECT e.vec_id,
+               coalesce(c.component, e.vec_id) AS cluster_id,
+               count(*) OVER (PARTITION BY coalesce(c.component, e.vec_id))
+                   AS cluster_size,
+               CAST(e.vec_id = coalesce(c.component, e.vec_id) AS INT)
+                   AS is_canonical
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node""",
     "x_map_funcs": """
         SELECT event_id,
                CAST(2 AS INT) AS n_entries,

@@ -337,6 +337,50 @@ def fuzzy_dedup(
     )
 
 
+def embedding_fuzzy_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """End-to-end embedding deduplication — the vector twin of
+    ``fuzzy_dedup``:
+
+        cosine near-dup pairs (quantized exact scorer; pass
+        ``broadcast_max_rows=0`` to force the distributed block form)
+        → connected components over the pair graph
+        → canonical-vector selection (min id per cluster)
+
+    Returns one row per input vector:
+    ``(vec_id, cluster_id, cluster_size, is_canonical)`` with the same
+    labeling semantics as the text flagship.  At scale, swap the exact
+    all-pairs scorer for the LSH/IVF candidate generators in
+    operators/similarity.py and verify candidates with the same
+    quantized dot — the composition shape is unchanged.
+    """
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        emb, id_col, vec_col, threshold, **near_dup_kwargs
+    )
+    comps = connected_components(pairs)
+    ids = emb.select(F.col(id_col))
+    labeled = ids.join(comps, ids[id_col] == comps["node"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -890,3 +890,30 @@ def test_ngram_contamination_screen(spark):
     a = sorted(map(tuple, ngram_contamination(docs).collect()))
     b = sorted(map(tuple, ngram_contamination(docs).collect()))
     assert a == b
+
+
+def test_embedding_fuzzy_dedup_labels_clusters(spark):
+    """Vector twin of fuzzy_dedup: near-identical vectors cluster under
+    the min id; singletons are their own canonical cluster."""
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0]),   # ~cos 0.9999 with 10
+        (12, [0.0, 1.0, 0.0]),      # orthogonal singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in dd.embedding_fuzzy_dedup(emb, threshold=0.95).collect()}
+    assert got[10]["cluster_id"] == 10 and got[11]["cluster_id"] == 10
+    assert got[10]["cluster_size"] == 2 and got[11]["is_canonical"] == 0
+    assert got[10]["is_canonical"] == 1
+    assert got[12]["cluster_id"] == 12 and got[12]["cluster_size"] == 1
+    # the forced-distributed block form labels identically
+    blocked = {
+        r["vec_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dd.embedding_fuzzy_dedup(
+            emb, threshold=0.95, broadcast_max_rows=0, block_size=2
+        ).collect()
+    }
+    assert blocked == {
+        k: (v["cluster_id"], v["cluster_size"], v["is_canonical"])
+        for k, v in got.items()
+    }
