@@ -1547,6 +1547,15 @@ def x_pcm_stats(spark, sf_dir):
     )
 
 
+def x_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: global running token total via the
+    two-level prefix sum (parallel per-bucket cumsum + broadcast bucket
+    offsets — no single-task global window), shard = floor(before/2048).
+    Oracle is the naive global ordered window, which the rewrite
+    provably equals."""
+    return tx.pack_sequences(_t(spark, sf_dir, "documents"), capacity=2048)
+
+
 def x_contamination(spark, sf_dir):
     """Benchmark-decontamination screen: per-doc overlap of distinct
     3-shingles with a benchmark gram set (here the corpus' top-5 most
@@ -1981,6 +1990,19 @@ def _simhash_oracle(bits: int = 32, where: str = "") -> str:
             FROM documents {where})
         SELECT doc_id, {bit_terms} AS simhash FROM base"""
 
+
+_LLM_ORACLES["x_pack_shards"] = """
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS tokens_before
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(tokens_before AS BIGINT) AS tokens_before,
+           CAST(floor(tokens_before / 2048.0) AS BIGINT) AS shard_id
+    FROM c"""
 
 _LLM_ORACLES["x_contamination"] = f"""
     WITH base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),

@@ -390,3 +390,60 @@ def ngram_contamination(
         F.round(hits / F.size(sh), 6).alias("contamination"),
         (hits > 0).cast("int").alias("is_contaminated"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Training-shard assignment by token budget: documents in id order
+    are packed contiguously into shards of ~``capacity`` tokens —
+    ``shard_id = floor(tokens_before / capacity)`` where
+    ``tokens_before`` is the global running token total of all earlier
+    ids (contiguous greedy packing; a doc straddling a boundary opens
+    the next shard rather than splitting).
+
+    The 100 TB part is HOW the running total is computed: a naive
+    ``SUM() OVER (ORDER BY id)`` has no partition key, so Spark would
+    collapse the whole corpus into ONE task.  Instead the classic
+    two-level prefix sum: ids hash into contiguous buckets
+    (``id // bucket_size``), each bucket cumsums in parallel under a
+    partitioned window, the per-bucket totals (|buckets| rows, tiny)
+    take the only ordered global window, and the bucket prefix offsets
+    broadcast back onto the rows.  Identical result, no serial stage
+    over the data.
+
+    Output: (id, n_tokens, tokens_before, shard_id).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
+    )
+    totals = base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    w_pref = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(w_pref), F.lit(0)).alias("_prefix")
+    )
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    return (
+        base.join(F.broadcast(prefixes), "_bkt")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("_prefix") + local_before).alias("tokens_before"),
+        )
+        .withColumn(
+            "shard_id", F.floor(F.col("tokens_before") / capacity).cast("long")
+        )
+    )

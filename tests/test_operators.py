@@ -917,3 +917,46 @@ def test_embedding_fuzzy_dedup_labels_clusters(spark):
         k: (v["cluster_id"], v["cluster_size"], v["is_canonical"])
         for k, v in got.items()
     }
+
+
+def test_pack_sequences_two_level_prefix_matches_naive(spark, tables):
+    """The bucketed prefix sum must equal the naive global ordered
+    window, and the only single-partition exchange in the plan must be
+    the tiny bucket-totals frame, never the document rows."""
+    import re
+
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.plans.introspect import formatted_plan
+
+    docs = tables["documents"]
+    out = tx.pack_sequences(docs, capacity=500, bucket_size=37)
+    naive_w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(naive_w), F.lit(0)).alias("tokens_before"),
+    ).withColumn("shard_id", F.floor(F.col("tokens_before") / 500).cast("long"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+    # shards are contiguous in id order and start at 0
+    rows = sorted(map(tuple, out.collect()))
+    shard_seq = [r[3] for r in rows]
+    assert shard_seq[0] == 0
+    assert all(b - a in (0, 1) or b == a for a, b in zip(shard_seq, shard_seq[1:]))
+    # plan: SinglePartition exchanges may touch only the bucket totals
+    plan = formatted_plan(out)
+    blocks = [b.strip() for b in re.split(r"\n\s*\n", plan) if b.strip()]
+    single = [
+        b
+        for b in blocks
+        if b.splitlines()[0].lstrip("() 0123456789").startswith("Exchange")
+        and "SinglePartition" in b
+    ]
+    assert single, "expected the tiny bucket-totals global window"
+    for b in single:
+        assert "text" not in b and "doc_id" not in b, (
+            "document rows flow through a single-partition exchange:\n" + b
+        )
