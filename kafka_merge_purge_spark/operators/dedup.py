@@ -80,6 +80,66 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(k_shingles)
 
 
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    vectorized: bool = True,
+) -> DataFrame:
+    """``(id, sh)`` — each document's distinct word k-shingle array.
+
+    Two physical forms, identical shingle SETS (and identical
+    first-occurrence order):
+
+    - vectorized (default): normalization + tokenization stay JVM
+      expressions (string semantics cannot diverge), then ONE
+      ``mapInPandas`` pass slices token arrays in native Python —
+      replacing the interpreted sequence→slice→concat_ws HOF chain
+      (O(n·k) expression interpretation per row; the same cost the r4
+      repetition_score vectorization removed) with list slicing over
+      Arrow batches.  ``dict.fromkeys`` dedup reproduces
+      ``array_distinct``'s keep-first-occurrence order exactly.
+    - expression form: the ``shingles()`` column in Catalyst, for
+      environments where Python workers are undesirable.
+
+    NULL text folds to ``[""]`` on both forms — in Catalyst,
+    ``greatest(NULL, 1)`` is 1 and ``concat_ws`` over a NULL slice is
+    ``""``, so the expression chain never yields NULL; the kernel
+    reproduces that (callers that must exclude degenerate docs filter
+    before this stage, as minhash_lsh_pairs does).
+    """
+    if not vectorized:
+        return df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+        )
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    id_type = dict(df.dtypes)[id_col]
+    toks = tokens(normalize(F.col(text_col)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for tk in pdf["_toks"]:
+                if tk is None:
+                    # expression twin: greatest(NULL-2, 1) → one slot,
+                    # concat_ws over the NULL slice → "" — never NULL
+                    out.append([""])
+                    continue
+                t = list(tk)
+                n = len(t)
+                grams = [" ".join(t[i : i + k]) for i in range(max(n - k + 1, 1))]
+                out.append(list(dict.fromkeys(grams)))
+            yield pd.DataFrame({"id": pdf["id"], "sh": out})
+
+    return df.select(F.col(id_col).alias("id"), toks.alias("_toks")).mapInPandas(
+        gen, schema=f"id {id_type}, sh array<string>"
+    )
+
+
 #: universal-hash constants for MinHash: h_i(x) = (a_i·x31 + b_i) mod P.
 #: One md5 per shingle (expensive part) + num_hashes cheap affine maps —
 #: ~20× cheaper than hashing num_hashes times.  Deterministic: a_i/b_i
@@ -244,10 +304,12 @@ def minhash_lsh_pairs(
     # short-circuiting rlike (text normalizes to empty iff it contains no
     # alphanumeric at all), not a re-evaluation of the normalize/shingle
     # expression chain.
-    sh_df = (
-        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
-        .repartition(n_part, id_col)
-        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
+    sh_df = shingle_frame(
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")).repartition(n_part, id_col),
+        text_col,
+        id_col,
+        k,
+        vectorized,
     )
     if persist_shingles:
         from pyspark import StorageLevel
@@ -394,9 +456,7 @@ def ngram_jaccard_pairs(
     small/blocked inputs.  At scale, call minhash_lsh_pairs and use this
     form inside buckets only."""
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    sh = df.repartition(n_part, id_col).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
-    )
+    sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col, k)
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id"))
     inter = F.size(F.array_intersect("a.sh", "b.sh"))

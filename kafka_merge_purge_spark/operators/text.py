@@ -370,24 +370,26 @@ def ngram_contamination(
     corpus).  Degenerate documents are excluded from frequency mining
     (mega-gram guard, mirroring minhash_lsh_pairs) but still screened.
     """
-    from kafka_merge_purge_spark.operators.dedup import shingles
+    from kafka_merge_purge_spark.operators.dedup import shingle_frame
 
-    sh = shingles(F.col(text_col), k)
     if benchmark_grams is None:
         freq = (
-            df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
-            .select(F.explode(shingles(F.col(text_col), k)).alias("g"))
+            shingle_frame(
+                df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")), text_col, id_col, k
+            )
+            .select(F.explode("sh").alias("g"))
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         top = freq.orderBy(F.col("c").desc(), F.col("g")).limit(top_n).collect()
         benchmark_grams = [r["g"] for r in top]
     bench = F.array(*[F.lit(g) for g in benchmark_grams]) if benchmark_grams else F.array().cast("array<string>")
-    hits = F.size(F.array_intersect(sh, bench))
-    return df.select(
-        F.col(id_col),
+    sf = shingle_frame(df, text_col, id_col, k)
+    hits = F.size(F.array_intersect(F.col("sh"), bench))
+    return sf.select(
+        F.col("id").alias(id_col),
         hits.alias("n_hits"),
-        F.round(hits / F.size(sh), 6).alias("contamination"),
+        F.round(hits / F.size(F.col("sh")), 6).alias("contamination"),
         (hits > 0).cast("int").alias("is_contaminated"),
     )
 

@@ -960,3 +960,23 @@ def test_pack_sequences_two_level_prefix_matches_naive(spark, tables):
         assert "text" not in b and "doc_id" not in b, (
             "document rows flow through a single-partition exchange:\n" + b
         )
+
+
+def test_shingle_frame_vectorized_matches_expression(spark):
+    """Both physical forms of the shingle stage produce identical arrays
+    (set AND first-occurrence order), incl. NULL / empty / short docs."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the quick brown fox"),
+            (2, "a b"),            # shorter than k → whole-text shingle
+            (3, ""),
+            (4, None),
+            (5, "Tabs,  punct!! And CASE?"),
+        ],
+        "doc_id long, text string",
+    )
+    vec = {r["id"]: r["sh"] for r in dd.shingle_frame(df).collect()}
+    expr = {r["id"]: r["sh"] for r in dd.shingle_frame(df, vectorized=False).collect()}
+    assert vec == expr
+    assert vec[4] == [""] and vec[3] == [""]  # NULL/empty fold like the HOF chain
+    assert vec[2] == ["a b"]  # shorter than k -> whole-text shingle
