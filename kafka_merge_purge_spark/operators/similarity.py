@@ -25,7 +25,9 @@ Two paths:
   spherical k-means over a fixed md5-bucket sample (reproducible across
   runs and engines; the sample is bounded, never the corpus).
 
-All math is JVM-side (functions/vectors.py); no Python in the hot path.
+Scoring math is JVM-side (functions/vectors.py); the LSH sign-bit stage
+is the one Arrow-batched numpy kernel (a narrow map, no shuffle), the
+same vectorized-with-expression-semantics posture as dedup's banding.
 """
 
 from __future__ import annotations
