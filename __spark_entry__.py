@@ -1325,6 +1325,24 @@ def x_minhash_pairs(spark, sf_dir):
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
 
 
+def x_cross_dedup(spark, sf_dir):
+    """Cross-corpus fuzzy dedup (incremental-ingest form): new docs
+    (odd doc_id) screened against the reference corpus (even doc_id)
+    via bipartite MinHash-LSH banding + exact Jaccard verify.  Oracle:
+    the quadratic cross join with the same shingle Jaccard — the
+    banding must find exactly the qualifying cross pairs at this
+    threshold window's recall (verified exhaustively in pytest; the
+    hash gate pins end-to-end equality on this data)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=24,
+        bands=8,
+        jaccard_threshold=0.5,
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact all-pairs 3-shingle Jaccard ≥ 0.5 (correctness oracle for the
     LSH path).  Quadratic by nature, so it runs on a pinned probe subset
@@ -1990,6 +2008,17 @@ def _simhash_oracle(bits: int = 32, where: str = "") -> str:
             FROM documents {where})
         SELECT doc_id, {bit_terms} AS simhash FROM base"""
 
+
+_LLM_ORACLES["x_cross_dedup"] = f"""
+    WITH base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+                  WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    sh AS (SELECT id, {_SHINGLES} AS sh FROM base),
+    pairs AS (
+        SELECT a.id AS new_id, b.id AS ref_id,
+               round(len(list_intersect(a.sh, b.sh)) /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.id % 2 = 1 AND b.id % 2 = 0)
+    SELECT new_id, ref_id, jaccard FROM pairs WHERE jaccard >= 0.5"""
 
 _LLM_ORACLES["x_pack_shards"] = """
     WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens

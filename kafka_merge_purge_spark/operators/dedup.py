@@ -399,6 +399,68 @@ def fuzzy_dedup(
     )
 
 
+def minhash_lsh_pairs_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-corpus fuzzy-dup candidates: which NEW documents near-match
+    an existing REFERENCE corpus — the incremental-ingest form of
+    ``minhash_lsh_pairs`` (dedup a fresh crawl against data already in
+    the training set without re-pairing the reference against itself).
+
+    Output: (new_id, ref_id, jaccard), one row per qualifying cross
+    pair.  Identical signature/banding math as the self-join form, so a
+    pair scores the same Jaccard here as it would there; the join is
+    bipartite (new × ref on (band, band_key)) — no new×new or ref×ref
+    pairs, and reference band keys can be precomputed/persisted between
+    ingests.  Same shuffle-width rule: band frames carry
+    ``(id, band, band_key)`` only, shingles re-join per deduped
+    candidate side at 1× width.
+    """
+    n_part = max(new_df.sparkSession.sparkContext.defaultParallelism, 8)
+
+    def prep(df: DataFrame) -> DataFrame:
+        return shingle_frame(
+            df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")).repartition(
+                n_part, id_col
+            ),
+            text_col,
+            id_col,
+            k,
+        )
+
+    sh_new, sh_ref = prep(new_df), prep(ref_df)
+    banded_new = _banded_minhash_keys(sh_new, num_hashes, bands, vectorized=True)
+    banded_ref = _banded_minhash_keys(sh_ref, num_hashes, bands, vectorized=True)
+    cand = (
+        banded_new.select(
+            F.col("id").alias("new_id"), "band", "band_key"
+        )
+        .join(
+            banded_ref.select(F.col("id").alias("ref_id"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("new_id", "ref_id")
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    pairs = cand.join(
+        sh_new.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a")), "new_id"
+    ).join(sh_ref.select(F.col("id").alias("ref_id"), F.col("sh").alias("sh_b")), "ref_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "ref_id", "jaccard")
+    )
+
+
 def embedding_fuzzy_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -980,3 +980,35 @@ def test_shingle_frame_vectorized_matches_expression(spark):
     assert vec == expr
     assert vec[4] == [""] and vec[3] == [""]  # NULL/empty fold like the HOF chain
     assert vec[2] == ["a b"]  # shorter than k -> whole-text shingle
+
+
+def test_cross_corpus_dedup_bipartite(spark, tables):
+    """Bipartite banding finds exactly the qualifying cross pairs (no
+    new-new or ref-ref pairs), matching the quadratic cross Jaccard."""
+    docs = tables["documents"].limit(300)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r["new_id"], r["ref_id"], r["jaccard"])
+        for r in dd.minhash_lsh_pairs_against(
+            new, ref, num_hashes=24, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    sh = dd.shingle_frame(docs.filter(F.col("text").rlike("[a-zA-Z0-9]")))
+    a = sh.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a")).filter(
+        F.col("new_id") % 2 == 1
+    )
+    b = sh.select(F.col("id").alias("ref_id"), F.col("sh").alias("sh_b")).filter(
+        F.col("ref_id") % 2 == 0
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    want = {
+        (r["new_id"], r["ref_id"], r["jaccard"])
+        for r in a.crossJoin(b)
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    assert all(n % 2 == 1 and r % 2 == 0 for n, r, _ in got)
