@@ -173,3 +173,93 @@ def test_connected_components_path_graph_converges_logarithmically(spark):
     got = connected_components(df, max_iter=15, max_driver_edges=0)
     assert got.filter(F.col("component") != 0).isEmpty()
     assert got.count() == n
+
+
+texts_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            "abcdefgh XYZ019 .,!?-\t", min_size=0, max_size=40
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_shingle_frame_forms_agree_on_arbitrary_text(spark, texts):
+    """The vectorized shingle kernel and the Catalyst HOF chain are the
+    same function for ANY text (case, punctuation runs, empties, NULLs)
+    — set, order, and the NULL→[\"\"] fold all identical."""
+    from kafka_merge_purge_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    vec = {r["id"]: r["sh"] for r in dd.shingle_frame(df).collect()}
+    expr = {r["id"]: r["sh"] for r in dd.shingle_frame(df, vectorized=False).collect()}
+    assert vec == expr
+
+
+@given(data=st.binary(min_size=0, max_size=64), width=st.integers(1, 9))
+@SETTINGS
+def test_pgm_pixel_stats_match_python_model(data, width):
+    """pixel_stats over a synthesized P5 equals the direct byte model
+    (zero padding included) for arbitrary payload bytes."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    s = mm.pixel_stats(mm.synth_pgm(data, width=width))
+    height = max(1, -(-len(data) // width))
+    raster = data + b"\x00" * (height * width - len(data))
+    assert s["format"] == "pgm" and s["n_bytes"] == len(raster)
+    assert s["px_min"] == min(raster) and s["px_max"] == max(raster)
+    assert s["px_sum"] == sum(raster)
+
+
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=40))
+@SETTINGS
+def test_wav_pcm_stats_match_python_model(samples):
+    """pcm_stats over a synthesized WAV equals the signed-sample model
+    for arbitrary 16-bit values (both sign extremes included)."""
+    import struct as stt
+
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    body = stt.pack(f"<{len(samples)}h", *samples)
+    s = mm.pcm_stats(mm.synth_wav(body))
+    assert s["format"] == "wav" and s["n_samples"] == len(samples)
+    if samples:
+        assert s["smp_min"] == min(samples) and s["smp_max"] == max(samples)
+    else:
+        assert (s["smp_min"], s["smp_max"]) == (0, 0)
+    assert s["smp_sum"] == sum(samples)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 30)),
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+@SETTINGS
+def test_pack_sequences_matches_naive_for_sparse_ids(spark, docs):
+    """The two-level prefix sum equals the naive global ordered window
+    for arbitrary SPARSE, unordered ids and token counts (bucket math
+    must not assume dense or contiguous ids)."""
+    from kafka_merge_purge_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join("w" for _ in range(max(n, 1)))) for i, n in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["tokens_before"], r["shard_id"])
+        for r in pack_sequences(df, capacity=7, bucket_size=3).collect()
+    )
+    cum, want = 0, []
+    for i, n in sorted(docs):
+        n_tok = max(n, 1)  # " ".join of k words → k tokens, min 1
+        want.append((i, cum, cum // 7))
+        cum += n_tok
+    assert got == want
