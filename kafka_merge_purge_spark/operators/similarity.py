@@ -332,14 +332,25 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cos double"
         )
-    n_cells = len(cents)
+    corpus_assigned = _tag_cells(corpus, cents, id_col, vec_col)
+    query_probes = _probe_cells(queries, cents, nprobe, id_col, vec_col)
+    return _ivf_score_topk(corpus_assigned, query_probes, k)
+
+
+def _cell_dots(cents: list[list[float]], vname: str):
     cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    return F.transform(cent_lit, lambda ce: dot(F.col(vname), ce))
 
-    def cell_dots(vname: str):
-        return F.transform(cent_lit, lambda ce: dot(F.col(vname), ce))
 
-    dots_c = cell_dots("cv")
-    corpus_assigned = corpus.select(
+def _tag_cells(
+    corpus: DataFrame, cents: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """Cell-tagged corpus (neighbor_id, cv, cn, cell_id) — a NARROW
+    projection: per-row dots against the literal centroid array, argmax
+    via ``array_position(dots, array_max(dots))`` (first max → lowest
+    cell id).  Zero shuffle between scan and tagged corpus."""
+    dots_c = _cell_dots(cents, "cv")
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
     ).select(
@@ -349,22 +360,30 @@ def ivf_topk(
         F.array_position(dots_c, F.array_max(dots_c)).cast("int").alias("cell_id"),
     )
 
-    # query probes: rank all cells per row inside ONE array expression —
-    # sort (−dot, cell_id) structs, slice nprobe, explode.  Narrow map;
-    # ties resolve exactly like the old window (dot desc, cell_id asc).
-    dots_q = cell_dots("qv")
+
+def _probe_cells(
+    queries: DataFrame,
+    cents: list[list[float]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query probe rows (query_id, qv, qn, cell_id): rank all cells
+    inside ONE array expression — sort (−dot, cell_id) structs, slice
+    nprobe, explode.  Narrow map; ties resolve dot desc, cell_id asc."""
+    dots_q = _cell_dots(cents, "qv")
     ranked = F.slice(
         F.array_sort(
             F.zip_with(
                 dots_q,
-                F.sequence(F.lit(1), F.lit(n_cells)),
+                F.sequence(F.lit(1), F.lit(len(cents))),
                 lambda d, i: F.struct((-d).alias("neg_dot"), i.alias("cell_id")),
             )
         ),
         1,
         nprobe,
     )
-    query_probes = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
     ).select(
@@ -374,6 +393,12 @@ def ivf_topk(
         F.explode(F.transform(ranked, lambda s: s["cell_id"])).alias("cell_id"),
     )
 
+
+def _ivf_score_topk(
+    corpus_assigned: DataFrame, query_probes: DataFrame, k: int
+) -> DataFrame:
+    """Candidate join (broadcast the exploded probes — the corpus never
+    shuffles) + per-query top-k on (query_id, neighbor_id, cos) only."""
     denom = F.col("qn") * F.col("cn")
     scored = (
         corpus_assigned.join(F.broadcast(query_probes), "cell_id")
@@ -392,3 +417,80 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index as a PARTITIONED parquet layout — the
+    Spark-idiomatic ANN index:
+
+    - ``{path}/corpus``: the cell-tagged corpus (id, vector, norm)
+      written ``partitionBy("cell_id")`` — each cell is its own
+      directory, so a probing query's cell filter becomes a
+      PartitionFilter and whole directories are never read.
+    - ``{path}/centroids``: the tiny centroid table sidecar.
+
+    At 100 TB this is the point of IVF: the ~(1 − nprobe/n_cells)
+    fraction of the corpus a query batch does not probe is pruned at
+    the FILE LISTING level, not filtered after a scan.  Rebuilds are
+    append-free full rewrites (centroids define the layout); for
+    incremental corpora, assign new rows with ``_tag_cells`` against
+    the SAME stored centroids and append — cell ids stay stable.
+    """
+    cents = _kmeans_cells(corpus, n_cells, id_col, vec_col)
+    if not cents:
+        raise ValueError("build_ivf_index: empty corpus")
+    tagged = _tag_cells(corpus, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("cv").alias(vec_col),
+        F.col("cn").alias("norm"),
+        "cell_id",
+    )
+    tagged.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/corpus")
+    corpus.sparkSession.createDataFrame(
+        [(j + 1, c) for j, c in enumerate(cents)],
+        "cell_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a ``build_ivf_index`` layout.
+
+    The probed cell set (≤ n_cells values, a bounded collect) becomes a
+    static ``cell_id IN (...)`` predicate on the partition column, so
+    the scan lists only the probed directories (PartitionFilters —
+    pinned by a plan test).  With identical centroids the results equal
+    ``ivf_topk`` exactly; the index amortizes the corpus tagging across
+    query batches and adds storage-level pruning."""
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    probes = _probe_cells(queries, cents, nprobe, id_col, vec_col)
+    cells = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    )
+    corpus_assigned = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cell_id").isin(cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col("norm").alias("cn"),
+            "cell_id",
+        )
+    )
+    return _ivf_score_topk(corpus_assigned, probes, k)

@@ -1012,3 +1012,25 @@ def test_cross_corpus_dedup_bipartite(spark, tables):
     }
     assert got == want and len(want) > 0
     assert all(n % 2 == 1 and r % 2 == 0 for n, r, _ in got)
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tables, tmp_path):
+    """The persisted IVF layout returns exactly the direct ivf_topk
+    results (same centroids), and the probed-cell filter reaches the
+    scan as a PartitionFilter so unprobed cell directories are never
+    listed."""
+    from kafka_merge_purge_spark.plans.introspect import formatted_plan
+
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_cells=8)
+    direct = sim.ivf_topk(probes, emb, k=3, n_cells=8, nprobe=3)
+    indexed = sim.ivf_topk_indexed(spark, path, probes, k=3, nprobe=3)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    plan = formatted_plan(indexed)
+    assert "PartitionFilters: [cell_id" in plan.replace("\n", " ") or (
+        "PartitionFilters" in plan and "cell_id" in plan
+    ), "probed-cell filter did not reach the scan as a partition filter:\n" + plan
