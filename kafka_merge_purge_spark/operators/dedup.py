@@ -355,6 +355,7 @@ def fuzzy_dedup(
     bands: int = 8,
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """End-to-end fuzzy deduplication — the composed flagship pipeline:
 
@@ -380,7 +381,14 @@ def fuzzy_dedup(
     from kafka_merge_purge_spark.operators.components import connected_components
 
     pairs = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, k, jaccard_threshold
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        k,
+        jaccard_threshold,
+        persist_shingles=persist_shingles,
     )
     comps = connected_components(pairs)
     docs = df.select(F.col(id_col))
