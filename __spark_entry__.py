@@ -1574,6 +1574,14 @@ def x_pack_shards(spark, sf_dir):
     return tx.pack_sequences(_t(spark, sf_dir, "documents"), capacity=2048)
 
 
+def x_bm25(spark, sf_dir):
+    """Top-5 BM25 terms per document (Okapi BM25, Robertson idf) — the
+    saturating length-normalized retrieval score; idf rounded before
+    the product and all float constants shared bit-for-bit with the
+    oracle (generated from the same Python doubles)."""
+    return tx.bm25_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def x_contamination(spark, sf_dir):
     """Benchmark-decontamination screen: per-doc overlap of distinct
     3-shingles with a benchmark gram set (here the corpus' top-5 most
@@ -2019,6 +2027,33 @@ _LLM_ORACLES["x_cross_dedup"] = f"""
                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         FROM sh a JOIN sh b ON a.id % 2 = 1 AND b.id % 2 = 0)
     SELECT new_id, ref_id, jaccard FROM pairs WHERE jaccard >= 0.5"""
+
+#: BM25 constants as the exact Python doubles the Spark expression uses —
+#: repr() round-trips bit-for-bit, so both engines fold identical values
+_BM25_K1, _BM25_B = 1.2, 0.75
+_LLM_ORACLES["x_bm25"] = f"""
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+    stats AS (SELECT count(*) AS n, SUM(dl) / count(*) AS avgdl FROM dl),
+    idf AS (SELECT word,
+                   round(ln((n - count(DISTINCT doc_id) + 0.5)
+                            / (count(DISTINCT doc_id) + 0.5) + 1), 6) AS idf,
+                   any_value(avgdl) AS avgdl
+            FROM words, stats GROUP BY word, n),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(idf * ((tf * {_BM25_K1 + 1!r})
+                     / (tf + {_BM25_K1!r}
+                        * ({1 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))), 6)
+                   AS bm25
+        FROM tf JOIN idf USING (word) JOIN dl ON tf.doc_id = dl.doc_id)
+    SELECT doc_id, rank, word, bm25 FROM (
+        SELECT doc_id, word, bm25,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY bm25 DESC, word) AS rank
+        FROM scored) WHERE rank <= 5"""
 
 _LLM_ORACLES["x_pack_shards"] = """
     WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens

@@ -449,3 +449,78 @@ def pack_sequences(
             "shard_id", F.floor(F.col("tokens_before") / capacity).cast("long")
         )
     )
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 terms per document — the saturating, length-normalized
+    upgrade of ``tfidf_top_terms`` (Okapi BM25, Robertson idf):
+
+        idf(t)  = round(ln((N − df + 0.5)/(df + 0.5) + 1), 6)
+        score   = round(idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), 6)
+
+    Engine-portability: idf is rounded BEFORE the product (same policy
+    as tfidf — last-ulp ln() differences cannot leak into ranking), and
+    every float constant the score uses (k1+1, 1−b, b) is precomputed
+    as the same Python double the oracle SQL embeds, so both engines
+    evaluate an identical expression tree.  Plan shape: two groupBys
+    (tf, df) + the per-doc length frame + a 1-row broadcast corpus
+    stats join; the (word, idf) join is left to AQE exactly like tfidf.
+    Ties break on the term.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    words = df.select("doc_id", F.explode(toks).alias("word"))
+    dl = df.select("doc_id", F.size(toks).alias("dl"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = (
+        words.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            "avgdl",
+            F.round(
+                F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+                6,
+            ).alias("idf"),
+        )
+    )
+    k1p1, one_m_b = k1 + 1, 1 - b
+    scored = (
+        tf.join(dfreq, "word")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("idf")
+                * (
+                    (F.col("tf") * F.lit(k1p1))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(one_m_b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "bm25")
+    )

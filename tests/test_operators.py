@@ -1034,3 +1034,31 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tables, tmp_path):
     assert "PartitionFilters: [cell_id" in plan.replace("\n", " ") or (
         "PartitionFilters" in plan and "cell_id" in plan
     ), "probed-cell filter did not reach the scan as a partition filter:\n" + plan
+
+
+def test_bm25_ranks_rare_terms_and_saturates(spark):
+    """BM25: doc-discriminating terms outrank corpus-wide ones, and tf
+    saturation keeps a term repeated 10x from scoring 10x."""
+    df = spark.createDataFrame(
+        [
+            (1, "common rare common common"),
+            (2, "common common other common"),
+            (3, "common spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.bm25_top_terms(df, k=2).collect()
+    top = {r["doc_id"]: r["word"] for r in out if r["rank"] == 1}
+    assert top == {1: "rare", 2: "other", 3: "spam"}
+    scores = {(r["doc_id"], r["word"]): r["bm25"] for r in out}
+    one_spam = tx.bm25_top_terms(
+        spark.createDataFrame(
+            [(1, "common rare common common"), (2, "common common other common"),
+             (3, "common spam")],
+            "doc_id long, text string",
+        ),
+        k=2,
+    ).collect()
+    one = {(r["doc_id"], r["word"]): r["bm25"] for r in one_spam}
+    # 10 occurrences must score < 10x one occurrence (saturation)
+    assert scores[(3, "spam")] < 10 * one[(3, "spam")]
