@@ -437,3 +437,36 @@ def test_compaction_duplicate_offset_ties_are_deterministic(spark):
             out = emit_latest("k", state)
             assert out is not None
             assert (int(out["offset"][0]), out["value"][0]) == (5, "b")
+
+
+def test_contamination_screen_composes_with_streams(spark, tmp_path):
+    """Narrow screens (decontamination with explicit benchmark grams)
+    run unchanged on a streaming frame — the operator is a pure
+    projection, so readStream → screen → sink needs no new code."""
+    from kafka_merge_purge_spark.operators.text import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a quick brown fox sleeps"),
+            (3, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "_stage"))
+    next((tmp_path / "_stage").glob("part-*.parquet")).rename(src / "docs.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    screened = ngram_contamination(stream, benchmark_grams=["quick brown fox"])
+    _drain_to_memory(screened, "contam_out", str(tmp_path / "ckpt"))
+    got = {
+        r["doc_id"]: (r["n_hits"], r["is_contaminated"])
+        for r in spark.sql("SELECT * FROM contam_out").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_hits"], r["is_contaminated"])
+        for r in ngram_contamination(docs, benchmark_grams=["quick brown fox"]).collect()
+    }
+    assert got == batch == {1: (1, 1), 2: (1, 1), 3: (0, 0)}
