@@ -2165,6 +2165,167 @@ def x_repetition(spark, sf_dir):
     return repetition_score(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Corpus-curation tier (round 5b): PII redaction, boilerplate line removal,
+# Gopher-rule filtering, importance sampling, domain-mixture reweighting
+# --------------------------------------------------------------------------
+
+def x_pii_redact(spark, sf_dir):
+    """PII redaction (e-mail / IPv4 / phone → typed masks) with per-type
+    redaction counts.  The corpus carries no PII, so deterministic
+    synthetic spans are appended first (doc_id ≡ 0 mod 3 gets a second
+    e-mail, making the counts non-constant).  Pure chained regex
+    projection — narrow map, no shuffle."""
+    from kafka_merge_purge_spark.operators.curation import redact_pii, synth_pii_text
+
+    return redact_pii(synth_pii_text(_t(spark, sf_dir, "documents")))
+
+
+def x_line_dedup(spark, sf_dir):
+    """Boilerplate line removal (CCNet-style): drop lines recurring in ≥2
+    distinct documents; reassemble cleaned text in original order."""
+    from kafka_merge_purge_spark.operators.curation import boilerplate_line_dedup
+
+    return boilerplate_line_dedup(_t(spark, sf_dir, "documents"))
+
+
+def x_gopher_rules(spark, sf_dir):
+    """Gopher-style multi-rule quality filter with per-rule attribution
+    columns (word count, mean word length, stopword presence, top-word
+    repetition) plus the conjunction keep flag."""
+    from kafka_merge_purge_spark.operators.curation import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def x_importance_sample(spark, sf_dir):
+    """Deterministic importance (weighted) sampling: accept probability
+    ∝ clamp(n_chars/200, .05, 1), decided by md5 threshold — the
+    reproducible resampling step behind corpus mixing."""
+    from kafka_merge_purge_spark.operators.curation import importance_sample
+
+    return importance_sample(_t(spark, sf_dir, "documents"))
+
+
+def x_domain_mix(spark, sf_dir):
+    """Domain-mixture reweighting: per-source sampling weight =
+    target_share / actual_token_share (DoReMi/Pile-style mixing), from
+    exact integer token counts."""
+    from kafka_merge_purge_spark.operators.curation import domain_mixture_weights
+
+    return domain_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+#: DuckDB twins of kafka_merge_purge_spark/operators/curation.py —
+#: patterns/thresholds are shared constants; every float division happens
+#: once over exact integers so both engines emit identical doubles.
+_PII_E = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PH = r"\+?\d[\d-]{7,}\d"
+_LLM_ORACLES["x_pii_redact"] = f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' cc admin' || doc_id || '@ops.example.org'
+                            ELSE '' END
+                    || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' host 10.' || (doc_id % 256) || '.0.1' AS pii_text
+        FROM documents
+    ), staged AS (
+        SELECT doc_id, pii_text,
+               regexp_replace(pii_text, '{_PII_E}', '<EMAIL>', 'g') AS after_email,
+               regexp_replace(regexp_replace(pii_text, '{_PII_E}', '<EMAIL>', 'g'),
+                              '{_PII_IP}', '<IP>', 'g') AS after_ip
+        FROM synth
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(pii_text, '{_PII_E}')) AS n_email,
+           len(regexp_extract_all(after_email, '{_PII_IP}')) AS n_ip,
+           len(regexp_extract_all(after_ip, '{_PII_PH}')) AS n_phone,
+           regexp_replace(after_ip, '{_PII_PH}', '<PHONE>', 'g') AS text_redacted
+    FROM staged"""
+
+#: fixed-width token "lines" (the corpus is single-line; see curation.py)
+_LINES = (
+    "list_transform(range(1, greatest(len(toks), 1) + 1, 8), "
+    "i -> array_to_string(list_slice(toks, i, i + 7), ' '))"
+)
+_LLM_ORACLES["x_line_dedup"] = f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    lines AS (
+        SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+        FROM (SELECT doc_id, {_LINES} AS l FROM base)
+    ), boiler AS (
+        SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ), kept AS (
+        SELECT doc_id, pos, line FROM lines
+        WHERE line NOT IN (SELECT line FROM boiler)
+    ), reassembled AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+               COUNT(*) AS n_lines_kept
+        FROM kept GROUP BY doc_id
+    ), totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+           t.n_lines - coalesce(r.n_lines_kept, 0) AS n_lines_removed,
+           coalesce(r.text_clean, '') AS text_clean
+    FROM totals t LEFT JOIN reassembled r ON t.doc_id = r.doc_id"""
+
+_LLM_ORACLES["x_gopher_rules"] = f"""
+    WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round((length(text) - (len(toks) - 1)) / len(toks), 6) AS mean_word_len,
+               len(list_filter({_STOPLIST}, s -> list_contains(toks, s)))
+                   AS n_stop_distinct,
+               round(list_max(list_transform(list_distinct(toks),
+                              w -> len(list_filter(toks, t -> t = w))))
+                     / len(toks), 6) AS top_word_frac
+        FROM base
+    )
+    SELECT doc_id, n_tokens, mean_word_len, n_stop_distinct, top_word_frac,
+           CAST(n_tokens >= 10 AND n_tokens <= 1000 AS INTEGER) AS rule_word_count,
+           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER) AS rule_mean_len,
+           CAST(n_stop_distinct >= 2 AS INTEGER) AS rule_stopwords,
+           CAST(top_word_frac <= 0.2 AS INTEGER) AS rule_repetition,
+           CAST(n_tokens >= 10 AND n_tokens <= 1000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND n_stop_distinct >= 2 AND top_word_frac <= 0.2 AS INTEGER) AS keep
+    FROM m"""
+
+_LLM_ORACLES["x_importance_sample"] = f"""
+    WITH acc AS (
+        SELECT source, n_chars,
+               CASE WHEN {_MD5_INT.format(x='CAST(doc_id AS VARCHAR)')} % 1000000
+                         < CAST(round(least(1.0, greatest(0.05, n_chars / 200.0))
+                                      * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS a
+        FROM documents)
+    SELECT source, COUNT(*) AS n_total, CAST(SUM(a) AS BIGINT) AS n_accepted,
+           CAST(SUM(a * n_chars) AS BIGINT) AS chars_accepted
+    FROM acc GROUP BY source"""
+
+_LLM_ORACLES["x_domain_mix"] = r"""
+    WITH per_src AS (
+        SELECT source,
+               1 + CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 AS target_raw,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(n_tokens) AS tot_tokens, SUM(target_raw) AS tot_target FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS actual_share,
+           round(target_raw / CAST(tot_target AS DOUBLE), 6) AS target_share,
+           round((target_raw * tot_tokens) / CAST(tot_target * n_tokens AS DOUBLE), 6)
+               AS mix_weight
+    FROM per_src, tot"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

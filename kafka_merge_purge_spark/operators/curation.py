@@ -1,0 +1,293 @@
+"""Corpus-curation operators for LLM-training-data pipelines.
+
+The filtering/cleaning tier that runs BEFORE dedup and embedding in a
+real pipeline (C4 / CCNet / Gopher-style): PII redaction, boilerplate
+line removal, multi-rule quality filtering with per-rule attribution,
+importance (weighted) sampling, and domain-mixture reweighting.
+
+Every operator is a narrow projection or a single hash-aggregate —
+no Python UDFs, no windows over the full corpus — so each scales as a
+map stage (or one shuffle with map-side combine) at 100 TB.  Semantics
+are deliberately SQL-expressible so the DuckDB oracle can hash-check
+them; float divisions happen once over exact integer inputs (or
+decimal-stable sums) so both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+from .text import STOPWORDS, tokens
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+#: Redaction patterns, applied in order (emails first — they contain the
+#: dots and digits the later patterns would otherwise partially match).
+#: Kept inside the RE2 ∩ java.util.regex common subset so the Spark plan
+#: (Java regex) and the DuckDB oracle (RE2) replace identical spans.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d-]{7,}\d", "<PHONE>"),
+)
+
+
+def synth_pii_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic synthetic PII to each document (the corpus is
+    word-soup with no digits, so injected spans are the only matches).
+
+    doc_id ≡ 0 (mod 3) gets a second e-mail — redaction counts are not
+    constant, so the hash check exercises per-type match counting.
+    """
+    did = F.col("doc_id")
+    extra_mail = F.when(
+        did % 3 == 0, F.concat(F.lit(" cc admin"), did, F.lit("@ops.example.org"))
+    ).otherwise(F.lit(""))
+    return df.withColumn(
+        "pii_text",
+        F.concat(
+            F.col(text_col),
+            F.lit(" contact user"), did, F.lit("@mail.example.com"),
+            extra_mail,
+            F.lit(" tel +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10."), (did % 256).cast("string"), F.lit(".0.1"),
+        ),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "pii_text") -> DataFrame:
+    """Mask e-mail / IPv4 / phone spans and count redactions per type.
+
+    Pure chained ``regexp_replace`` + ``regexp_count`` projection — a
+    narrow map with full predicate/column pushdown; at 100 TB this is
+    the cheapest possible shape (no shuffle, codegen'd JVM regex).
+    Counts are taken on the ORIGINAL text, in the same order the
+    replacements run, so overlapping classes attribute to the first
+    pattern that claims the span (e-mails win over bare IP-ish digits).
+    """
+    out = df
+    counts = []
+    scratch = F.col(text_col)
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(F.regexp_count(scratch, F.lit(pat)).alias(f"n_{name}"))
+        scratch = F.regexp_replace(scratch, pat, tag)
+    return out.select(
+        "doc_id",
+        *counts,
+        scratch.alias("text_redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate line removal (CCNet / RefinedWeb-style)
+# --------------------------------------------------------------------------
+
+def split_lines(text: Column, line_len: int = 8) -> Column:
+    """Segment a single-spaced document into fixed-width token "lines"
+    (the corpus carries no newlines; on real data swap for split('\\n')).
+    Returns array<string> of space-joined ``line_len``-token slices."""
+    toks = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(line_len))
+    return F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, line_len), " ")
+    )
+
+
+def boilerplate_line_dedup(
+    df: DataFrame,
+    line_len: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove lines that recur across ≥ ``min_docs`` distinct documents
+    (navigation chrome, cookie banners, licence footers in real crawls).
+
+    Plan shape — two shuffles total, both on narrow rows:
+      1. line-frequency aggregate: explode → groupBy(line) with map-side
+         combine, carrying (line, doc_count) only; the surviving
+         boilerplate set is tiny (lines crossing many docs) and
+         broadcast into the filter join;
+      2. re-assembly: groupBy(doc_id) collecting (pos, line) structs,
+         sorted in-expression — deterministic without a window.
+
+    Output: one row per document with the cleaned text and audit counts.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(split_lines(F.col(text_col), line_len)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style multi-rule quality filter with per-rule attribution
+# --------------------------------------------------------------------------
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Multi-rule document quality filter (Gopher §A1-style) with one
+    boolean column PER RULE — the attribution form real pipelines keep so
+    drops are explainable (which rule fired, corpus-wide rule hit-rates).
+
+    Rules (thresholds pinned for oracle reproducibility):
+      * word count within [10, 1000]
+      * mean word length within [3, 10]
+      * ≥ 2 distinct stopwords present (the "natural language" signal)
+      * most-frequent-word fraction ≤ 0.2 (degenerate-repetition guard)
+
+    Everything is a per-row array expression — a narrow map stage.  The
+    top-word fraction is O(|distinct| · n) per document in-expression,
+    which beats a corpus-wide explode + groupBy at any scale because it
+    never shuffles.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_len = F.round((F.length(text_col) - (n - F.lit(1))) / n, 6)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop_distinct = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(toks, s))
+    )
+    top_word_n = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    top_word_frac = F.round(top_word_n / n, 6)
+    r_count = (n >= 10) & (n <= 1000)
+    r_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_stop = n_stop_distinct >= 2
+    r_rep = top_word_frac <= 0.2
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        top_word_frac.alias("top_word_frac"),
+        r_count.cast("int").alias("rule_word_count"),
+        r_len.cast("int").alias("rule_mean_len"),
+        r_stop.cast("int").alias("rule_stopwords"),
+        r_rep.cast("int").alias("rule_repetition"),
+        (r_count & r_len & r_stop & r_rep).cast("int").alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Importance (weighted) sampling
+# --------------------------------------------------------------------------
+
+def importance_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted downsampling: accept each document with
+    probability proportional to a quality weight, via md5 thresholding —
+    the reproducible, engine-portable form of importance resampling used
+    to up/down-weight corpus slices when mixing training data.
+
+    weight = clamp(n_chars / 200, 0.05, 1.0); accept iff
+    md5_60bit(doc_id) mod 1e6 < round(weight * 1e6).  The threshold is
+    rounded to an exact integer before the comparison so both engines
+    make identical accept decisions (no float comparison in the gate).
+
+    A narrow filter + one grouped aggregate (map-side combined).
+    """
+    weight = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.05), F.col("n_chars") / F.lit(200.0))
+    )
+    threshold = F.round(weight * 1000000).cast("long")
+    accepted = F.when(
+        md5_int(F.col(id_col).cast("string")) % 1000000 < threshold, 1
+    ).otherwise(0)
+    return (
+        df.select(F.col(group_col), F.col("n_chars"), accepted.alias("acc"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("acc").alias("n_accepted"),
+            F.sum(F.col("acc") * F.col("n_chars")).alias("chars_accepted"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture reweighting
+# --------------------------------------------------------------------------
+
+def domain_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source sampling weights that reshape the corpus toward a
+    target domain mixture (the DoReMi / Pile-style mixing computation).
+
+    The target share here is a deterministic function of the source name
+    (weight ∝ 1 + src_number mod 4, normalized) so the query is
+    self-contained at any scale; a deployment passes its tuned mixture.
+
+    mix_weight_s = target_share_s / actual_token_share_s, computed as ONE
+    double division over exact integer token counts — bit-identical
+    across engines.  Plan: one grouped aggregate over (source) + a
+    broadcast of the 1-row corpus totals; source cardinality is tiny by
+    definition, so nothing here grows with corpus size except the
+    map-side-combined token count.
+    """
+    per_src = (
+        df.select(
+            "source",
+            F.size(tokens(F.col(text_col))).alias("n_toks"),
+            (F.lit(1) + F.regexp_extract("source", r"(\d+)", 1).cast("long") % 4).alias(
+                "target_raw"
+            ),
+        )
+        .groupBy("source", "target_raw")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum("target_raw").alias("tot_target"),
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("actual_share"),
+        F.round(F.col("target_raw") / F.col("tot_target"), 6).alias("target_share"),
+        F.round(
+            (F.col("target_raw") * F.col("tot_tokens"))
+            / (F.col("tot_target") * F.col("n_tokens")),
+            6,
+        ).alias("mix_weight"),
+    )

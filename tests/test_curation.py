@@ -1,0 +1,170 @@
+"""Corpus-curation tier: PII redaction, boilerplate line removal,
+Gopher-rule filtering, importance sampling, domain-mixture weights.
+
+Oracle parity (vs DuckDB) is checked by tools/parity.py; these tests pin
+the SEMANTICS on hand-built frames where the expected answer is derivable
+by hand, plus the plan shapes that make the tier scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.operators.curation import (
+    boilerplate_line_dedup,
+    domain_mixture_weights,
+    gopher_rules,
+    importance_sample,
+    redact_pii,
+    synth_pii_text,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_redact_masks_every_injected_span(spark):
+    df = _docs(spark, [(0, "plain words only", "en", "src0", 16),
+                       (7, "more plain words", "en", "src1", 16)])
+    out = redact_pii(synth_pii_text(df)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 0 (≡0 mod 3) carries two e-mails; doc 7 one
+    assert by_id[0]["n_email"] == 2 and by_id[7]["n_email"] == 1
+    assert by_id[0]["n_ip"] == 1 and by_id[0]["n_phone"] == 1
+    for r in out:
+        t = r["text_redacted"]
+        assert "@" not in t and "555" not in t
+        assert "<EMAIL>" in t and "<IP>" in t and "<PHONE>" in t
+        # original words untouched
+        assert t.startswith(("plain words only", "more plain words"))
+
+
+def test_redact_is_a_narrow_map(spark):
+    df = _docs(spark, [(1, "a b", "en", "src0", 3)])
+    plan = redact_pii(synth_pii_text(df))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection — no shuffle at any scale
+
+
+def test_redact_leaves_pii_free_text_alone(spark):
+    df = _docs(spark, [(2, "no pii here at all", "en", "src0", 18)])
+    out = redact_pii(df.withColumn("pii_text", F.col("text"))).collect()[0]
+    assert out["n_email"] == out["n_ip"] == out["n_phone"] == 0
+    assert out["text_redacted"] == "no pii here at all"
+
+
+# ------------------------------------------------- boilerplate lines
+
+
+def test_line_dedup_removes_shared_lines_keeps_order(spark):
+    # 8-token lines; docs 1 and 2 share their first line verbatim
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " u1 u2 u3 u4 u5 u6 u7 u8", "en", "src0", 0),
+            (2, shared + " v1 v2 v3 v4 v5 v6 v7 v8", "en", "src0", 0),
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8", "en", "src0", 0),
+        ],
+    )
+    out = {r["doc_id"]: r for r in boilerplate_line_dedup(df).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_lines_removed"] == 1
+    assert out[1]["text_clean"] == "u1 u2 u3 u4 u5 u6 u7 u8"
+    assert out[2]["text_clean"] == "v1 v2 v3 v4 v5 v6 v7 v8"
+    assert out[3]["n_lines_removed"] == 0
+    assert out[3]["text_clean"] == "x1 x2 x3 x4 x5 x6 x7 x8"
+
+
+def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
+    same = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = _docs(spark, [(1, same, "en", "s", 0), (2, same, "en", "s", 0)])
+    out = {r["doc_id"]: r for r in boilerplate_line_dedup(df).collect()}
+    for i in (1, 2):
+        assert out[i]["n_lines_kept"] == 0 and out[i]["text_clean"] == ""
+
+
+def test_line_dedup_broadcasts_the_boilerplate_set(spark):
+    df = _docs(spark, [(1, "a b c d e f g h", "en", "s", 0)])
+    plan = boilerplate_line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    # the anti join against the (tiny) boilerplate set must be broadcast —
+    # the full line stream never shuffles for it
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ------------------------------------------------------ Gopher rules
+
+
+def test_gopher_rules_attribution(spark):
+    good = " ".join(["the", "and"] + [f"word{i}" for i in range(18)])  # 20 toks
+    short = "tiny text"                       # fails word-count rule
+    repeated = " ".join(["dup"] * 30)         # fails top-word + stopword rules
+    df = _docs(
+        spark,
+        [(1, good, "en", "s", len(good)),
+         (2, short, "en", "s", len(short)),
+         (3, repeated, "en", "s", len(repeated))],
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"] == 1 and all(
+        out[1][c] == 1
+        for c in ("rule_word_count", "rule_mean_len", "rule_stopwords", "rule_repetition")
+    )
+    assert out[2]["rule_word_count"] == 0 and out[2]["keep"] == 0
+    assert out[3]["rule_repetition"] == 0 and out[3]["rule_stopwords"] == 0
+    assert out[3]["top_word_frac"] == 1.0
+    assert out[3]["keep"] == 0
+
+
+def test_gopher_rules_is_a_narrow_map(spark):
+    df = _docs(spark, [(1, "a b", "en", "s", 3)])
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------ importance sampling
+
+
+def test_importance_sample_weights_bound_acceptance(spark):
+    # weight 1.0 rows (n_chars ≥ 200) are ALWAYS accepted: md5%1e6 < 1e6
+    rows = [(i, "t", "en", "big", 500) for i in range(50)]
+    rows += [(1000 + i, "t", "en", "small", 10) for i in range(50)]  # weight .05
+    df = _docs(spark, rows)
+    out = {r["source"]: r for r in importance_sample(df).collect()}
+    assert out["big"]["n_accepted"] == 50
+    assert out["big"]["chars_accepted"] == 50 * 500
+    assert out["small"]["n_accepted"] < 50  # heavily downsampled
+
+
+def test_importance_sample_is_deterministic(spark):
+    df = _docs(spark, [(i, "t", "en", "s", i % 300) for i in range(100)])
+    a = sorted(map(tuple, importance_sample(df).collect()))
+    b = sorted(map(tuple, importance_sample(df).collect()))
+    assert a == b
+
+
+# ------------------------------------------------ domain mixture
+
+
+def test_domain_mixture_weights_rebalance(spark):
+    # src1 (target_raw 2) vs src3 (target_raw 4): equal token counts ⇒
+    # mix_weight ratio equals target ratio
+    rows = [(i, "a b c d", "en", "src1", 7) for i in range(10)]
+    rows += [(100 + i, "a b c d", "en", "src3", 7) for i in range(10)]
+    df = _docs(spark, rows)
+    out = {r["source"]: r for r in domain_mixture_weights(df).collect()}
+    assert out["src1"]["n_tokens"] == out["src3"]["n_tokens"] == 40
+    assert abs(out["src3"]["mix_weight"] / out["src1"]["mix_weight"] - 2.0) < 1e-4
+    # shares sum to 1 (up to rounding)
+    assert abs(sum(r["actual_share"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["target_share"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_domain_mixture_totals_are_broadcast(spark):
+    df = _docs(spark, [(1, "a b", "en", "src0", 3), (2, "c d", "en", "src1", 3)])
+    plan = domain_mixture_weights(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
