@@ -2326,6 +2326,184 @@ _LLM_ORACLES["x_domain_mix"] = r"""
     FROM per_src, tot"""
 
 
+# --------------------------------------------------------------------------
+# Relational round-out (round 5b): deterministic mode/median, ordered
+# string aggregation, per-group z-score, interval-overlap join
+# --------------------------------------------------------------------------
+
+def x_mode_median(spark, sf_dir):
+    """Deterministic mode (most frequent integer value bin; ties → lowest
+    bin) + exact interpolated median per event_type.  Mode is a two-stage
+    hash-agg — count per (group, bin), then a struct-max that encodes the
+    (count DESC, bin ASC) tie-break — no window, no sort."""
+    e = _t(spark, sf_dir, "events")
+    binned = (
+        e.groupBy("event_type", F.floor("value").cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mode = (
+        binned.groupBy("event_type")
+        .agg(
+            F.max(F.struct(F.col("n"), (-F.col("bin")).alias("nb"))).alias("m"),
+            F.sum("n").alias("n_vals"),
+        )
+        .select(
+            "event_type",
+            (-F.col("m.nb")).alias("mode_bin"),
+            F.col("m.n").alias("mode_n"),
+            "n_vals",
+        )
+    )
+    med = e.groupBy("event_type").agg(F.round(F.median("value"), 6).alias("median_value"))
+    return mode.join(med, "event_type")
+
+
+def x_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): per-user event-type sequence
+    ordered by event_id.  Spark's collect_list is unordered, so the
+    deterministic form collects (event_id, type) structs and sorts
+    in-expression — one shuffle, no window."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("type_seq"),
+    )
+
+
+def x_zscore(spark, sf_dir):
+    """Per-group standardization: z = (value − μ) / σ per event_type.
+    Group moments come from ONE decimal-stable hash-agg (map-side
+    combined) broadcast back onto the fact rows — no window over the full
+    corpus, so the fact table never shuffles.  All float math runs over
+    decimal-derived doubles, bit-identical across engines."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dsum("value", "s"),
+        dsum(F.col("value") * F.col("value"), "s2"),
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    stats = g.select(
+        "event_type",
+        (s / n).alias("_mean"),
+        F.sqrt((s2 - s * s / n) / (n - F.lit(1))).alias("_std"),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("_mean")) / F.col("_std"), 4).alias("zscore"),
+        )
+    )
+
+
+def x_overlap_join(spark, sf_dir):
+    """Interval-overlap join: error-event windows [ts, ts + value sec]
+    against the same user's 30-min sessions — 'which sessions does each
+    error window touch'.  Equi key (user_id) bounds the pair space;
+    endpoints are whole-second longs so the overlap arithmetic is exact."""
+    from kafka_merge_purge_spark.operators.rangejoin import interval_overlap_join
+    from kafka_merge_purge_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    sess = (
+        sessionize(e)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("s_start"),
+            F.max(F.unix_timestamp("ts")).alias("s_end"),
+        )
+        .withColumnRenamed("user_id", "s_user")  # self-join: disambiguate
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("e_start"),
+        (F.unix_timestamp("ts") + F.floor("value").cast("long")).alias("e_end"),
+    )
+    j = interval_overlap_join(
+        err, sess, [("user_id", "s_user")], "e_start", "e_end", "s_start", "s_end"
+    )
+    return j.select(
+        err["event_id"],
+        err["user_id"],
+        sess["session_id"],
+        (
+            F.least(err["e_end"], sess["s_end"])
+            - F.greatest(err["e_start"], sess["s_start"])
+        ).alias("overlap_sec"),
+    )
+
+
+_RELATIONAL_ORACLES["x_mode_median"] = """
+    WITH b AS (
+        SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, COUNT(*) AS n
+        FROM events GROUP BY event_type, bin
+    ), r AS (
+        SELECT event_type, bin, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY n DESC, bin ASC) AS rk,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_vals
+        FROM b
+    ), m AS (
+        SELECT event_type, round(median(value), 6) AS median_value
+        FROM events GROUP BY event_type)
+    SELECT r.event_type, r.bin AS mode_bin, r.n AS mode_n, r.n_vals, m.median_value
+    FROM r JOIN m ON r.event_type = m.event_type WHERE r.rk = 1"""
+
+_RELATIONAL_ORACLES["x_string_agg"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           string_agg(event_type, ',' ORDER BY event_id) AS type_seq
+    FROM events GROUP BY user_id"""
+
+_RELATIONAL_ORACLES["x_zscore"] = """
+    WITH g AS (
+        SELECT event_type, COUNT(value) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type, value,
+           round((value - s / n) / sqrt((s2 - s * s / n) / (n - 1)), 4) AS zscore
+    FROM events e JOIN g ON e.event_type = g.event_type"""
+
+_RELATIONAL_ORACLES["x_overlap_join"] = """
+    WITH tagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM tagged
+    ), bounds AS (
+        SELECT user_id, session_id,
+               MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s_start,
+               MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS s_end
+        FROM sessions GROUP BY user_id, session_id
+    ), err AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS e_start,
+               CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) AS e_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, e.user_id, b.session_id,
+           least(e.e_end, b.s_end) - greatest(e.e_start, b.s_start) AS overlap_sec
+    FROM err e JOIN bounds b
+      ON e.user_id = b.user_id AND e.e_start <= b.s_end AND b.s_start <= e.e_end"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

@@ -60,3 +60,35 @@ def binned_range_join(
         how,
     )
     return out.drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str | tuple[str, str]],
+    lstart: str,
+    lend: str,
+    rstart: str,
+    rend: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join: pairs whose CLOSED intervals intersect
+    (``l.start <= r.end AND r.start <= l.end``), bounded by equi ``keys``
+    (each a shared column name, or a ``(left_name, right_name)`` pair for
+    self-joins where the sides must stay disambiguated).
+
+    The equi keys make this a hash join: Catalyst extracts them into the
+    join key and evaluates the overlap predicate as a post-join filter,
+    so each row only meets the rows of its key group — the shape that
+    survives 100 TB when keys (user, tenant, day, …) bound group sizes.
+    For the keyless case, bin ONE side's interval over fixed-width time
+    buckets exactly like :func:`binned_range_join` and pass the bucket id
+    as the key; overlap re-check discards edge false positives.
+    """
+    cond = None
+    for k in keys:
+        lk, rk = (k, k) if isinstance(k, str) else k
+        c = left[lk] == right[rk]
+        cond = c if cond is None else cond & c
+    cond = cond & (left[lstart] <= right[rend]) & (right[rstart] <= left[lend])
+    return left.join(right, cond, how)
