@@ -2443,6 +2443,33 @@ def x_overlap_join(spark, sf_dir):
     )
 
 
+def x_dup_spans(spark, sf_dir):
+    """Substring-level dedup: maximal token spans whose every 5-gram
+    recurs in ≥2 distinct documents (Lee et al.-style duplicated-passage
+    localization).  Gram hashes (8-byte) are the only join/shuffle keys;
+    islands coalesce adjacent duplicated grams into maximal spans."""
+    return dd.duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
+#: positional (non-distinct) 5-grams with 1-based positions — the
+#: duplicate-span oracle twin of operators/dedup.duplicate_spans
+_LLM_ORACLES["x_dup_spans"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    gl AS (SELECT doc_id,
+                  [array_to_string(toks[i:i+4], ' ')
+                   FOR i IN generate_series(1, greatest(len(toks) - 4, 1))] AS l
+           FROM base),
+    g AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS gram FROM gl),
+    gh AS (SELECT doc_id, pos, {_MD5_INT.format(x='gram')} AS h FROM g),
+    dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM gh WHERE h IN (SELECT h FROM dup))
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+           MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+    FROM d GROUP BY doc_id, pos - rn"""
+
+
 _RELATIONAL_ORACLES["x_mode_median"] = """
     WITH b AS (
         SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, COUNT(*) AS n

@@ -840,3 +840,76 @@ def embedding_near_dup_pairs(
     return tagged.groupBy("b1", "b2").applyInPandas(
         gemm, schema="id_a long, id_b long, cos double"
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-level duplicate-span detection
+# --------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans: for each document, the maximal runs
+    of ≥ ``k`` consecutive tokens whose every k-gram also occurs in at
+    least ``min_docs`` distinct documents — the *substring*-level dedup
+    tier (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"), below document-level (exact_dedup) and near-document-level
+    (MinHash LSH): it localizes WHICH passage is boilerplate, so the
+    cleaner can cut the span instead of dropping the document.
+
+    Spark-first shape, per stage:
+      1. positional k-grams (doc, pos, gram) — narrow expression map;
+         grams immediately hashed to 60-bit ints (md5_int) so every
+         downstream exchange carries 8-byte keys, never gram strings;
+      2. duplicated-gram set: groupBy(gram_hash) with map-side combine,
+         keeping hashes seen in ≥ min_docs docs;
+      3. membership join back on the hash (near-uniform 8-byte key —
+         Catalyst picks broadcast when the dup set is small, shuffle
+         hash otherwise);
+      4. island detection per document: ``pos − row_number()`` over a
+         window partitioned by doc — bounded by document length, so the
+         window never sees more than one doc's grams;
+      5. span rollup: min/max positions per island; adjacent/overlapping
+         duplicated grams coalesce into ONE maximal span.
+
+    Output: (doc_id, span_start, span_end, span_len) per maximal span,
+    positions 1-based token indices, span_end inclusive.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(normalize(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    g = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos0", "gram")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        md5_int(F.col("gram")).alias("h"),
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    d = g.join(dup, "h")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = d.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "isl")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end_g"))
+        .select(
+            id_col,
+            "span_start",
+            (F.col("span_end_g") + (k - 1)).alias("span_end"),
+            (F.col("span_end_g") + (k - 1) - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

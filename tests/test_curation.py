@@ -168,3 +168,39 @@ def test_domain_mixture_totals_are_broadcast(spark):
     df = _docs(spark, [(1, "a b", "en", "src0", 3), (2, "c d", "en", "src1", 3)])
     plan = domain_mixture_weights(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------------ duplicate spans
+
+
+def test_duplicate_spans_finds_maximal_shared_passage(spark):
+    from kafka_merge_purge_spark.operators.dedup import duplicate_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7"          # 7 tokens → 5-grams at pos 1..3
+    df = _docs(
+        spark,
+        [
+            (1, shared + " a1 a2 a3 a4 a5", "en", "s", 0),
+            (2, "b1 b2 " + shared + " b3", "en", "s", 0),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8", "en", "s", 0),  # no shared grams
+        ],
+    )
+    out = {(r["doc_id"]): r for r in duplicate_spans(df, k=5, min_docs=2).collect()}
+    # doc 1: shared passage is tokens 1..7 — ONE maximal span, not 3 gram hits
+    assert out[1]["span_start"] == 1 and out[1]["span_end"] == 7
+    assert out[1]["span_len"] == 7
+    # doc 2: same passage shifted by its 2-token prefix
+    assert out[2]["span_start"] == 3 and out[2]["span_end"] == 9
+    assert 3 not in out
+
+
+def test_duplicate_spans_shuffles_hashes_not_grams(spark):
+    from kafka_merge_purge_spark.operators.dedup import duplicate_spans
+
+    df = _docs(spark, [(1, "a b c d e f", "en", "s", 0)])
+    plan = duplicate_spans(df)._jdf.queryExecution().executedPlan().toString()
+    # every exchange between the gram map and the span rollup carries the
+    # 60-bit hash / positions — the gram STRING must never ride a shuffle
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "gram" not in line
