@@ -846,6 +846,74 @@ def embedding_near_dup_pairs(
 # Substring-level duplicate-span detection
 # --------------------------------------------------------------------------
 
+
+def positional_gram_hashes(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vectorized: bool = True,
+) -> DataFrame:
+    """``(id, pos, h)`` — 1-based positional k-gram 60-bit hashes of the
+    normalized token stream (NON-distinct: position matters here, unlike
+    :func:`shingle_frame`'s set form).
+
+    Two physical forms, identical output (pinned in pytest):
+
+    - vectorized (default): JVM normalization/tokenization (string
+      semantics cannot diverge), then ONE ``mapInPandas`` pass that
+      slices and hashes grams in native Python — ``hashlib.md5`` on the
+      UTF-8 gram reproduces the JVM/DuckDB ``md5`` byte-for-byte, and
+      ``int(hexdigest[:15], 16)`` IS :func:`md5_int`.  Replaces the
+      interpreted sequence→slice→concat_ws→md5 HOF chain that made the
+      first cut of duplicate_spans ~10× slower than the rest of the
+      dedup family (same lesson as shingle_frame / repetition_score).
+    - expression form: posexplode over the Catalyst gram array.
+
+    Documents shorter than k tokens emit their whole text as the single
+    gram at pos 1 (mirroring :func:`shingles`); NULL text folds to the
+    ``""`` gram.
+    """
+    if not vectorized:
+        toks_c = tokens(normalize(F.col(text_col)))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks_c) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks_c, i, k)),
+        )
+        return df.select(
+            F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "gram")
+        ).select(
+            "id", (F.col("pos0") + 1).alias("pos"), md5_int(F.col("gram")).alias("h")
+        )
+
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    toks_c = tokens(normalize(F.col(text_col)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, tk in zip(pdf["id"], pdf["_toks"]):
+                t = [""] if tk is None else list(tk)
+                n = len(t)
+                for p in range(max(n - k + 1, 1)):
+                    g = " ".join(t[p : p + k])
+                    ids.append(i)
+                    poss.append(p + 1)
+                    hs.append(int(md5(g.encode()).hexdigest()[:15], 16))
+            if ids:
+                yield pd.DataFrame({"id": ids, "pos": poss, "h": hs})
+
+    return df.select(F.col(id_col).alias("id"), toks_c.alias("_toks")).mapInPandas(
+        gen, schema=f"id {id_type}, pos int, h long"
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = 5,
@@ -862,52 +930,49 @@ def duplicate_spans(
     cleaner can cut the span instead of dropping the document.
 
     Spark-first shape, per stage:
-      1. positional k-grams (doc, pos, gram) — narrow expression map;
-         grams immediately hashed to 60-bit ints (md5_int) so every
-         downstream exchange carries 8-byte keys, never gram strings;
-      2. duplicated-gram set: groupBy(gram_hash) with map-side combine,
-         keeping hashes seen in ≥ min_docs docs;
-      3. membership join back on the hash (near-uniform 8-byte key —
-         Catalyst picks broadcast when the dup set is small, shuffle
-         hash otherwise);
-      4. island detection per document: ``pos − row_number()`` over a
-         window partitioned by doc — bounded by document length, so the
-         window never sees more than one doc's grams;
-      5. span rollup: min/max positions per island; adjacent/overlapping
+      1. positional k-gram hashes via :func:`positional_gram_hashes` —
+         one vectorized kernel; every downstream exchange carries 8-byte
+         hashes + positions, never gram strings;
+      2. duplicated-gram membership.  For the default ``min_docs=2``, a
+         single window over ``h`` decides it as ``min(id) ≠ max(id)`` —
+         ONE exchange on a near-uniform 8-byte key, no aggregate+join
+         double-scan of the gram stream (the first cut computed the gram
+         subtree twice; this halves the work and removes a shuffle).
+         For ``min_docs > 2``, the generic count-distinct aggregate +
+         membership join;
+      3. island detection per document: ``pos − row_number()`` over a
+         window partitioned by doc — bounded by document length;
+      4. span rollup: min/max positions per island; adjacent/overlapping
          duplicated grams coalesce into ONE maximal span.
 
-    Output: (doc_id, span_start, span_end, span_len) per maximal span,
+    Output: (id_col, span_start, span_end, span_len) per maximal span,
     positions 1-based token indices, span_end inclusive.
     """
     from pyspark.sql import Window
 
-    toks = tokens(normalize(F.col(text_col)))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    g = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos0", "gram")
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).alias("pos"),
-        md5_int(F.col("gram")).alias("h"),
-    )
-    dup = (
-        g.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h")
-    )
-    d = g.join(dup, "h")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    islands = d.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    g = positional_gram_hashes(df, k=k, text_col=text_col, id_col=id_col)
+    if min_docs <= 2:
+        wh = Window.partitionBy("h")
+        d = (
+            g.withColumn("_dup", F.min("id").over(wh) != F.max("id").over(wh))
+            .filter(F.col("_dup"))
+            .drop("_dup")
+        )
+    else:
+        dup = (
+            g.groupBy("h")
+            .agg(F.count_distinct("id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("h")
+        )
+        d = g.join(dup, "h")
+    wi = Window.partitionBy("id").orderBy("pos")
+    islands = d.withColumn("isl", F.col("pos") - F.row_number().over(wi))
     return (
-        islands.groupBy(id_col, "isl")
+        islands.groupBy("id", "isl")
         .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end_g"))
         .select(
-            id_col,
+            F.col("id").alias(id_col),
             "span_start",
             (F.col("span_end_g") + (k - 1)).alias("span_end"),
             (F.col("span_end_g") + (k - 1) - F.col("span_start") + 1).alias("span_len"),

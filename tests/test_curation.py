@@ -204,3 +204,13 @@ def test_duplicate_spans_shuffles_hashes_not_grams(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "gram" not in line
+
+
+def test_positional_gram_kernel_matches_expression_twin(spark):
+    from kafka_merge_purge_spark.operators.dedup import positional_gram_hashes
+    from kafka_merge_purge_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(map(tuple, positional_gram_hashes(docs, vectorized=True).collect()))
+    b = sorted(map(tuple, positional_gram_hashes(docs, vectorized=False).collect()))
+    assert a == b and len(a) > 0

@@ -122,6 +122,36 @@ def scale_embeddings(src: str, out: str, r_factor: int) -> None:
     print(f"embeddings: {n} -> {n * r_factor} rows")
 
 
+def scale_events(src: str, out: str, r_factor: int) -> None:
+    """Replicate events with offset user/event ids, timestamps unchanged.
+
+    Shifting user_id keeps every replica's per-user session structure
+    identical to the source (sessionize windows partition by user), so
+    the workload shape of window/join queries is preserved — the event
+    stream just has R× more users, which is exactly how a bigger
+    deployment grows."""
+    t = pq.read_table(f"{src}/events.parquet")
+    n = t.num_rows
+    eid = t.column("event_id").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    max_eid, max_uid = int(eid.max()) + 1, int(uid.max()) + 1
+    chunks = []
+    for r in range(r_factor):
+        rep = t.set_column(
+            t.schema.get_field_index("event_id"),
+            "event_id",
+            pa.array(eid + r * max_eid, type=t.schema.field("event_id").type),
+        )
+        rep = rep.set_column(
+            rep.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array(uid + r * max_uid, type=t.schema.field("user_id").type),
+        )
+        chunks.append(rep)
+    pq.write_table(pa.concat_tables(chunks), f"{out}/events.parquet")
+    print(f"events: {n} -> {n * r_factor} rows")
+
+
 def main() -> None:
     r_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -132,6 +162,7 @@ def main() -> None:
     scale_lineitem(src, out, r_factor)
     scale_documents(src, out, r_factor)
     scale_embeddings(src, out, r_factor)
+    scale_events(src, out, r_factor)
 
 
 if __name__ == "__main__":
