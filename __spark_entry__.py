@@ -2470,6 +2470,99 @@ _LLM_ORACLES["x_dup_spans"] = f"""
     FROM d GROUP BY doc_id, pos - rn"""
 
 
+def x_span_scrub(spark, sf_dir):
+    """Duplicated-passage REMOVAL (the cleaner over x_dup_spans): cut
+    every maximal shared token run and reassemble the residual text —
+    the mutation Lee et al.-style substring dedup actually ships."""
+    return dd.scrub_duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
+#: span-scrub oracle: x_dup_spans' span CTEs + positional-token anti join
+_LLM_ORACLES["x_span_scrub"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    gl AS (SELECT doc_id,
+                  [array_to_string(toks[i:i+4], ' ')
+                   FOR i IN generate_series(1, greatest(len(toks) - 4, 1))] AS l
+           FROM base),
+    g AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS gram FROM gl),
+    gh AS (SELECT doc_id, pos, {_MD5_INT.format(x='gram')} AS h FROM g),
+    dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM gh WHERE h IN (SELECT h FROM dup)),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+        FROM d GROUP BY doc_id, pos - rn),
+    tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+           FROM base),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM tk t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos BETWEEN s.span_start AND s.span_end)),
+    reassembled AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tk GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           t.n_tokens - coalesce(r.n_kept, 0) AS n_dup_tokens,
+           coalesce(r.text_scrubbed, '') AS text_scrubbed
+    FROM totals t LEFT JOIN reassembled r ON t.doc_id = r.doc_id"""
+
+
+def x_gap_fill(spark, sf_dir):
+    """Time-series gap fill: per-user hourly grid over each user's span,
+    zero-filled event counts + forward-filled (last-observation-carried-
+    forward) hourly value sums.  The grid is generated per user from its
+    own span — sequence + explode, no driver loop; the forward fill is a
+    last(ignorenulls) window bounded per user."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    j = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+    )
+
+
+_RELATIONAL_ORACLES["x_gap_fill"] = """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events WHERE user_id < 5 GROUP BY user_id, hour
+    ), spans AS (
+        SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    )
+    SELECT g.user_id, g.hour,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour"""
+
+
 _RELATIONAL_ORACLES["x_mode_median"] = """
     WITH b AS (
         SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, COUNT(*) AS n

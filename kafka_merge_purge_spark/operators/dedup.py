@@ -978,3 +978,57 @@ def duplicate_spans(
             (F.col("span_end_g") + (k - 1) - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cleaner over :func:`duplicate_spans`: REMOVE each document's
+    duplicated passages and reassemble the residual text — the actual
+    mutation a training-data pipeline ships (Lee et al. cut spans, not
+    documents).
+
+    Tokens join their doc's spans on the doc id (hash join; the range
+    membership ``span_start ≤ pos ≤ span_end`` is a post-join filter,
+    bounded by spans-per-doc), drop via left_anti, and reassemble with
+    the same in-expression struct sort boilerplate_line_dedup uses —
+    deterministic, no window.  Fully-scrubbed documents survive with
+    empty text via the totals frame.
+
+    Output: (id_col, n_tokens, n_dup_tokens, text_scrubbed).
+    """
+    spans = duplicate_spans(df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos0", "tok"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    spans_j = spans.select(
+        F.col(id_col).alias("_sid"), "span_start", "span_end"
+    )
+    in_span = (
+        (toks[id_col] == spans_j["_sid"])
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end"))
+    )
+    kept = toks.join(spans_j, in_span, "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_scrubbed"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_dup_tokens"),
+        F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),
+    )

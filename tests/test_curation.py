@@ -214,3 +214,24 @@ def test_positional_gram_kernel_matches_expression_twin(spark):
     a = sorted(map(tuple, positional_gram_hashes(docs, vectorized=True).collect()))
     b = sorted(map(tuple, positional_gram_hashes(docs, vectorized=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_scrub_removes_exactly_the_shared_passage(spark):
+    from kafka_merge_purge_spark.operators.dedup import scrub_duplicate_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " a1 a2 a3 a4 a5", "en", "s", 0),
+            (2, "b1 b2 " + shared, "en", "s", 0),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8", "en", "s", 0),
+            (4, shared, "en", "s", 0),  # whole doc duplicated → scrubbed empty
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(df, k=5, min_docs=2).collect()}
+    assert out[1]["text_scrubbed"] == "a1 a2 a3 a4 a5" and out[1]["n_dup_tokens"] == 7
+    assert out[2]["text_scrubbed"] == "b1 b2"
+    assert out[3]["text_scrubbed"] == "c1 c2 c3 c4 c5 c6 c7 c8"
+    assert out[3]["n_dup_tokens"] == 0
+    assert out[4]["text_scrubbed"] == "" and out[4]["n_dup_tokens"] == 7

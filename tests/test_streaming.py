@@ -470,3 +470,34 @@ def test_contamination_screen_composes_with_streams(spark, tmp_path):
         for r in ngram_contamination(docs, benchmark_grams=["quick brown fox"]).collect()
     }
     assert got == batch == {1: (1, 1), 2: (1, 1), 3: (0, 0)}
+
+
+def test_pii_redaction_composes_with_streams(spark, tmp_path):
+    """The curation tier's narrow maps (PII redaction) run unchanged on a
+    streaming frame — readStream → redact → sink, no new code, and the
+    stream's rows match the batch run bit-for-bit."""
+    from kafka_merge_purge_spark.operators.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jo@example.com or +1-555-123-4567 thanks"),
+            (2, "server 192.168.0.1 responded fine"),
+            (3, "no sensitive content in this row"),
+        ],
+        "doc_id long, pii_text string",
+    )
+    src = tmp_path / "pii_in"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "_stage_pii"))
+    next((tmp_path / "_stage_pii").glob("part-*.parquet")).rename(src / "docs.parquet")
+
+    stream = spark.readStream.schema("doc_id long, pii_text string").parquet(str(src))
+    redacted = redact_pii(stream)
+    _drain_to_memory(redacted, "pii_out", str(tmp_path / "ckpt_pii"))
+    got = sorted(map(tuple, spark.sql("SELECT * FROM pii_out").collect()))
+    batch = sorted(map(tuple, redact_pii(docs).collect()))
+    assert got == batch
+    by_id = {r[0]: r for r in got}
+    assert "<EMAIL>" in by_id[1][4] and "<PHONE>" in by_id[1][4]
+    assert "<IP>" in by_id[2][4]
+    assert by_id[3][4] == "no sensitive content in this row"
