@@ -2311,7 +2311,8 @@ _LLM_ORACLES["x_importance_sample"] = f"""
 _LLM_ORACLES["x_domain_mix"] = r"""
     WITH per_src AS (
         SELECT source,
-               1 + CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 AS target_raw,
+               1 + coalesce(CAST(nullif(regexp_extract(source, '(\d+)', 1), '')
+                                 AS BIGINT), 0) % 4 AS target_raw,
                COUNT(*) AS n_docs,
                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
@@ -2464,10 +2465,13 @@ _LLM_ORACLES["x_dup_spans"] = f"""
     dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
     d AS (SELECT doc_id, pos,
                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-          FROM gh WHERE h IN (SELECT h FROM dup))
-    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
-           MAX(pos) + 4 - MIN(pos) + 1 AS span_len
-    FROM d GROUP BY doc_id, pos - rn"""
+          FROM gh WHERE h IN (SELECT h FROM dup)),
+    nt AS (SELECT doc_id, len(toks) AS n_toks FROM base)
+    SELECT d.doc_id, MIN(pos) AS span_start,
+           least(MAX(pos) + 4, nt.n_toks) AS span_end,
+           least(MAX(pos) + 4, nt.n_toks) - MIN(pos) + 1 AS span_len
+    FROM d JOIN nt ON d.doc_id = nt.doc_id
+    GROUP BY d.doc_id, pos - rn, nt.n_toks"""
 
 
 def x_span_scrub(spark, sf_dir):
@@ -2572,18 +2576,9 @@ def x_funnel(spark, sf_dir):
     (first-view < some-click < some-purchase), which the fold provably
     decides."""
     e = _t(spark, sf_dir, "events")
-    seq = e.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
-    )
-    stage = F.aggregate(
-        F.col("evs"),
-        F.lit(0),
-        lambda acc, x: F.when((acc == 0) & (x["event_type"] == "view"), F.lit(1))
-        .when((acc == 1) & (x["event_type"] == "click"), F.lit(2))
-        .when((acc == 2) & (x["event_type"] == "purchase"), F.lit(3))
-        .otherwise(acc),
-    )
-    return seq.select("user_id", stage.alias("funnel_stage"))
+    from kafka_merge_purge_spark.operators.analytics import funnel_stages
+
+    return funnel_stages(e)
 
 
 def x_cohort_retention(spark, sf_dir):
@@ -2591,20 +2586,9 @@ def x_cohort_retention(spark, sf_dir):
     actives per (cohort_week, week_offset).  First-touch frame is a
     grouped min (map-side combined) joined back; the offset grid comes
     from the data, not a driver loop."""
-    e = _t(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    j = e.join(first, "user_id").select(
-        "user_id",
-        "cohort_week",
-        (
-            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
-        ).cast("long").alias("week_offset"),
-    )
-    return j.groupBy("cohort_week", "week_offset").agg(
-        F.count_distinct("user_id").alias("n_active")
-    )
+    from kafka_merge_purge_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
 
 
 def x_chi_square(spark, sf_dir):
@@ -2613,27 +2597,9 @@ def x_chi_square(spark, sf_dir):
     (o−e)²/e.  Marginals broadcast back onto the tiny cell frame; every
     float derives from exact integer counts in one expression, so cells
     hash across engines without a cross-cell float sum."""
-    e = _t(spark, sf_dir, "events")
-    cells = e.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
-        F.count(F.lit(1)).alias("observed")
-    )
-    row_tot = cells.groupBy("event_type").agg(F.sum("observed").alias("row_n"))
-    col_tot = cells.groupBy("dow").agg(F.sum("observed").alias("col_n"))
-    tot = cells.agg(F.sum("observed").alias("n"))
-    expected = (F.col("row_n") * F.col("col_n")) / F.col("n")
-    contrib = (F.col("observed") - expected) * (F.col("observed") - expected) / expected
-    return (
-        cells.join(F.broadcast(row_tot), "event_type")
-        .join(F.broadcast(col_tot), "dow")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "dow",
-            "observed",
-            F.round(expected, 6).alias("expected"),
-            F.round(contrib, 6).alias("chi2_contrib"),
-        )
-    )
+    from kafka_merge_purge_spark.operators.analytics import chi_square_cells
+
+    return chi_square_cells(_t(spark, sf_dir, "events"))
 
 
 _RELATIONAL_ORACLES["x_funnel"] = """

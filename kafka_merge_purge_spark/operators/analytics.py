@@ -1,0 +1,105 @@
+"""Event-analytics operators: funnel, cohort retention, chi-square.
+
+The product-analytics tier over the events stream.  Each operator is one
+or two hash aggregates (map-side combined) plus in-expression logic — no
+self-joins over the fact table, no windows over the full corpus — so all
+of them scale as grouped aggregations at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """How far each user progresses through the ordered ``steps``
+    sequence: stage i is reached when a ``steps[i]`` event occurs after
+    the event that reached stage i-1 (ties broken by ``id_col``).
+
+    ONE shuffle: per-user events collect into an in-expression
+    (ts, event_id)-sorted array and an ``aggregate()`` fold walks the
+    stage machine — no per-step self-joins, no windows.  The greedy fold
+    decides exactly the EXISTS-chain reachability (first step-0 event <
+    some step-1 event < … in the total order), which the DuckDB oracle
+    states directly.
+
+    Output: (user_col, funnel_stage) with stage in [0, len(steps)].
+    """
+    seq = events.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct(ts_col, id_col, type_col))).alias("evs")
+    )
+
+    def step(acc, x):
+        out = acc
+        for i, s in enumerate(steps):
+            out = F.when((acc == i) & (x[type_col] == s), F.lit(i + 1)).otherwise(out)
+        return out
+
+    stage = F.aggregate(F.col("evs"), F.lit(0), step)
+    return seq.select(user_col, stage.alias("funnel_stage"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, distinct
+    actives per (cohort_week, week_offset).  First-touch frame is a
+    grouped min (map-side combined) joined back onto the events; the
+    offset grid comes from the data, not a driver loop."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    j = events.join(first, user_col).select(
+        user_col,
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col(ts_col)), F.col("cohort_week")) / 7
+        ).cast("long").alias("week_offset"),
+    )
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct(user_col).alias("n_active")
+    )
+
+
+def chi_square_cells(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Chi-square contingency cells for event_type × day-of-week:
+    observed counts, expected counts, and per-cell contribution
+    (o−e)²/e.  Marginals broadcast back onto the tiny cell frame; every
+    float derives from exact integer counts in one expression, so cells
+    hash across engines without a cross-cell float sum (a reader sums
+    chi2_contrib through DECIMAL for the statistic — see
+    functions/stable.py for why)."""
+    cells = events.groupBy(type_col, F.dayofweek(ts_col).alias("dow")).agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    row_tot = cells.groupBy(type_col).agg(F.sum("observed").alias("row_n"))
+    col_tot = cells.groupBy("dow").agg(F.sum("observed").alias("col_n"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    expected = (F.col("row_n") * F.col("col_n")) / F.col("n")
+    contrib = (F.col("observed") - expected) * (F.col("observed") - expected) / expected
+    return (
+        cells.join(F.broadcast(row_tot), type_col)
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            type_col,
+            "dow",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+    )

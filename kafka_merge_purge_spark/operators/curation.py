@@ -65,17 +65,18 @@ def redact_pii(df: DataFrame, text_col: str = "pii_text") -> DataFrame:
     Pure chained ``regexp_replace`` + ``regexp_count`` projection — a
     narrow map with full predicate/column pushdown; at 100 TB this is
     the cheapest possible shape (no shuffle, codegen'd JVM regex).
-    Counts are taken on the ORIGINAL text, in the same order the
-    replacements run, so overlapping classes attribute to the first
-    pattern that claims the span (e-mails win over bare IP-ish digits).
+    Each pattern's count is taken on the text AFTER the previous
+    patterns' replacements (e-mails first, then IPs, then phones), so
+    overlapping classes attribute to the first pattern that claims the
+    span — e-mails win over bare IP-ish digit runs, and a span is never
+    counted twice.
     """
-    out = df
     counts = []
     scratch = F.col(text_col)
     for name, pat, tag in PII_PATTERNS:
         counts.append(F.regexp_count(scratch, F.lit(pat)).alias(f"n_{name}"))
         scratch = F.regexp_replace(scratch, pat, tag)
-    return out.select(
+    return df.select(
         "doc_id",
         *counts,
         scratch.alias("text_redacted"),
@@ -107,27 +108,46 @@ def boilerplate_line_dedup(
     """Remove lines that recur across ≥ ``min_docs`` distinct documents
     (navigation chrome, cookie banners, licence footers in real crawls).
 
-    Plan shape — two shuffles total, both on narrow rows:
-      1. line-frequency aggregate: explode → groupBy(line) with map-side
-         combine, carrying (line, doc_count) only; the surviving
-         boilerplate set is tiny (lines crossing many docs) and
-         broadcast into the filter join;
+    Plan shape — two shuffles total, NO broadcast of the boilerplate set
+    (it is unbounded: every pair of duplicated documents contributes all
+    their lines, so on a heavily-duplicated crawl a broadcast would blow
+    executor memory — the very input this operator exists for):
+      1. membership: one exchange of the line rows keyed by the 60-bit
+         line hash; for the default ``min_docs=2``, ``min(doc) ≠
+         max(doc)`` over that partition decides boilerplate in a single
+         pass (same trick as duplicate_spans); higher thresholds take
+         the count-distinct aggregate + hash anti join, still on the
+         8-byte key.  If line strings are long enough to dominate the
+         exchange, narrow it further by re-joining text per kept
+         (doc, pos) — the shingle-re-join pattern from the MinHash path;
       2. re-assembly: groupBy(doc_id) collecting (pos, line) structs,
          sorted in-expression — deterministic without a window.
 
     Output: one row per document with the cleaned text and audit counts.
     """
+    from pyspark.sql import Window
+
     lines = df.select(
         F.col(id_col),
         F.posexplode(split_lines(F.col(text_col), line_len)).alias("pos", "line"),
-    )
-    boiler = (
-        lines.groupBy("line")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("line")
-    )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    ).withColumn("_h", md5_int(F.col("line")))
+    if min_docs <= 2:
+        wh = Window.partitionBy("_h")
+        kept = (
+            lines.withColumn(
+                "_boiler", F.min(id_col).over(wh) != F.max(id_col).over(wh)
+            )
+            .filter(~F.col("_boiler"))
+            .drop("_boiler", "_h")
+        )
+    else:
+        boiler = (
+            lines.groupBy("_h")
+            .agg(F.count_distinct(id_col).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("_h")
+        )
+        kept = lines.join(boiler, "_h", "left_anti").drop("_h")
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -267,9 +287,19 @@ def domain_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.select(
             "source",
             F.size(tokens(F.col(text_col))).alias("n_toks"),
-            (F.lit(1) + F.regexp_extract("source", r"(\d+)", 1).cast("long") % 4).alias(
-                "target_raw"
-            ),
+            # digitless source names fold to number 0 (nullif guards the
+            # '' → NULL cast that would otherwise null out EVERY source's
+            # share through the tot_target sum)
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.nullif(F.regexp_extract("source", r"(\d+)", 1), F.lit("")).cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                )
+                % 4
+            ).alias("target_raw"),
         )
         .groupBy("source", "target_raw")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))

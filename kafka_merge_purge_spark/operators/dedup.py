@@ -950,8 +950,12 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    if min_docs < 2:
+        # min_docs=1 would mark EVERY gram duplicated (each doc is its own
+        # 1 document) — reject rather than silently treating it as 2.
+        raise ValueError("duplicate_spans requires min_docs >= 2")
     g = positional_gram_hashes(df, k=k, text_col=text_col, id_col=id_col)
-    if min_docs <= 2:
+    if min_docs == 2:
         wh = Window.partitionBy("h")
         d = (
             g.withColumn("_dup", F.min("id").over(wh) != F.max("id").over(wh))
@@ -968,14 +972,27 @@ def duplicate_spans(
         d = g.join(dup, "h")
     wi = Window.partitionBy("id").orderBy("pos")
     islands = d.withColumn("isl", F.col("pos") - F.row_number().over(wi))
+    # token counts cap span_end for sub-k documents (whose single gram is
+    # the whole text): without the cap, span_end = 1 + k - 1 would claim
+    # k tokens from an n<k-token doc and disagree with
+    # scrub_duplicate_spans' n_dup_tokens for the same document.
+    n_toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(normalize(F.col(text_col)))).alias("_n_toks"),
+    )
     return (
         islands.groupBy("id", "isl")
         .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end_g"))
+        .join(n_toks, "id")
         .select(
             F.col("id").alias(id_col),
             "span_start",
-            (F.col("span_end_g") + (k - 1)).alias("span_end"),
-            (F.col("span_end_g") + (k - 1) - F.col("span_start") + 1).alias("span_len"),
+            F.least(F.col("span_end_g") + (k - 1), F.col("_n_toks")).alias("span_end"),
+            (
+                F.least(F.col("span_end_g") + (k - 1), F.col("_n_toks"))
+                - F.col("span_start")
+                + 1
+            ).alias("span_len"),
         )
     )
 

@@ -85,6 +85,14 @@ def interval_overlap_join(
     buckets exactly like :func:`binned_range_join` and pass the bucket id
     as the key; overlap re-check discards edge false positives.
     """
+    if not keys:
+        # None & Column would silently build a NULL join condition (empty
+        # result, no error) — the unkeyed case must go through binning.
+        raise ValueError(
+            "interval_overlap_join requires at least one equi key; for the "
+            "keyless case, bin one side's interval over fixed-width buckets "
+            "(see binned_range_join) and pass the bucket id as the key"
+        )
     cond = None
     for k in keys:
         lk, rk = (k, k) if isinstance(k, str) else k

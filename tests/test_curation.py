@@ -88,12 +88,27 @@ def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
         assert out[i]["n_lines_kept"] == 0 and out[i]["text_clean"] == ""
 
 
-def test_line_dedup_broadcasts_the_boilerplate_set(spark):
+def test_line_dedup_never_broadcasts_the_boilerplate_set(spark):
+    # the boilerplate set is UNBOUNDED (every duplicated doc pair
+    # contributes all its lines) — membership must be a hash-keyed
+    # window/join, never a broadcast that scales with corpus duplication
     df = _docs(spark, [(1, "a b c d e f g h", "en", "s", 0)])
     plan = boilerplate_line_dedup(df)._jdf.queryExecution().executedPlan().toString()
-    # the anti join against the (tiny) boilerplate set must be broadcast —
-    # the full line stream never shuffles for it
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastExchange" not in plan
+    assert "Window" in plan  # the min≠max membership pass
+
+
+def test_line_dedup_higher_threshold_path(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(i, shared + f" u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h", "en", "s", 0)
+            for i in range(1, 4)]
+    df = _docs(spark, rows)
+    # min_docs=3: the shared line crosses 3 docs → removed on both paths
+    out = {r["doc_id"]: r for r in boilerplate_line_dedup(df, min_docs=3).collect()}
+    assert all(out[i]["n_lines_removed"] == 1 for i in (1, 2, 3))
+    # min_docs=4: nothing crosses 4 docs → kept
+    out4 = {r["doc_id"]: r for r in boilerplate_line_dedup(df, min_docs=4).collect()}
+    assert all(out4[i]["n_lines_removed"] == 0 for i in (1, 2, 3))
 
 
 # ------------------------------------------------------ Gopher rules
@@ -241,8 +256,9 @@ def test_scrub_removes_exactly_the_shared_passage(spark):
 
 
 def test_funnel_stage_machine(spark):
-    import __spark_entry__ as m
     from datetime import datetime
+
+    from kafka_merge_purge_spark.operators.analytics import funnel_stages
 
     rows = [
         # u1 completes the funnel in order
@@ -261,18 +277,7 @@ def test_funnel_stage_machine(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
-    seq = df.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
-    )
-    stage_col = F.aggregate(
-        F.col("evs"),
-        F.lit(0),
-        lambda acc, x: F.when((acc == 0) & (x["event_type"] == "view"), F.lit(1))
-        .when((acc == 1) & (x["event_type"] == "click"), F.lit(2))
-        .when((acc == 2) & (x["event_type"] == "purchase"), F.lit(3))
-        .otherwise(acc),
-    )
-    out = {r["user_id"]: r["stage"] for r in seq.select("user_id", stage_col.alias("stage")).collect()}
+    out = {r["user_id"]: r["funnel_stage"] for r in funnel_stages(df).collect()}
     assert out == {1: 3, 2: 1, 3: 1, 4: 0}
 
 
@@ -285,3 +290,49 @@ def test_chi_square_cells_reconstruct_marginals(spark):
     # expected counts preserve the grand total (chi-square identity)
     assert abs(total_exp - total_obs) < 0.01
     assert all(r["chi2_contrib"] >= 0 for r in out)
+
+
+def test_duplicate_spans_rejects_min_docs_below_two(spark):
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.dedup import duplicate_spans
+
+    df = _docs(spark, [(1, "a b c d e f", "en", "s", 0)])
+    with _pytest.raises(ValueError, match="min_docs"):
+        duplicate_spans(df, min_docs=1)
+
+
+def test_duplicate_spans_caps_span_end_for_short_docs(spark):
+    from kafka_merge_purge_spark.operators.dedup import duplicate_spans
+
+    # identical 3-token docs with k=5: the whole text IS the single gram;
+    # the span must claim 3 tokens, not k
+    df = _docs(spark, [(1, "a b c", "en", "s", 0), (2, "a b c", "en", "s", 0)])
+    out = {r["doc_id"]: r for r in duplicate_spans(df, k=5, min_docs=2).collect()}
+    for i in (1, 2):
+        assert out[i]["span_start"] == 1
+        assert out[i]["span_end"] == 3 and out[i]["span_len"] == 3
+
+
+def test_overlap_join_rejects_empty_keys(spark):
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv_frame(spark, [("a", 1, 0, 10)])
+    right = _iv_frame(spark, [("a", 2, 5, 15)])
+    with _pytest.raises(ValueError, match="equi key"):
+        interval_overlap_join(left, right, [], "s", "e", "s", "e")
+
+
+def _iv_frame(spark, rows):
+    return spark.createDataFrame(rows, "k string, iid long, s long, e long")
+
+
+def test_domain_mixture_tolerates_digitless_sources(spark):
+    rows = [(1, "a b c d", "en", "web", 7), (2, "a b c d", "en", "src3", 7)]
+    out = {r["source"]: r for r in domain_mixture_weights(_docs(spark, rows)).collect()}
+    # digitless 'web' folds to number 0 → target_raw 1; nothing is NULL
+    assert out["web"]["target_share"] is not None
+    assert out["src3"]["mix_weight"] is not None
+    assert abs(out["web"]["target_share"] + out["src3"]["target_share"] - 1.0) < 1e-5
