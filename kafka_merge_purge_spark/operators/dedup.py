@@ -750,6 +750,10 @@ def embedding_near_dup_pairs(
             n = None  # the hinted-small guess was wrong — recount below
     if tbl is None and n is None:
         n = emb.count()
+    if tbl is not None and tbl.num_rows == 0:
+        # empty corpus: no pairs — return the typed empty frame instead
+        # of letting np.stack choke on a zero-length list
+        return emb.sparkSession.createDataFrame([], "id_a long, id_b long, cos double")
     if tbl is not None:
         # Arrow collect: columnar batches, no per-row Python Row objects
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -761,6 +765,8 @@ def embedding_near_dup_pairs(
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c_ids, c_q, c_aa = bc.value
             for pdf in batches:
+                if pdf.empty:
+                    continue
                 b_ids = pdf[id_col].to_numpy(dtype=np.int64)
                 b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
                 b_q = _quantize(b_mat)

@@ -139,7 +139,12 @@ def lsh_topk(
         corpus.orderBy(id_col).limit(n_planes * n_tables).select(vec_col).collect()
     )
     if not plane_rows:
-        raise ValueError("lsh_topk: empty corpus")
+        # empty corpus: no neighbors for anyone — a typed empty frame is
+        # the composable answer (a pipeline stage shouldn't throw on an
+        # empty upstream partition filter)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos double"
+        )
     planes = np.stack([np.asarray(r[0], dtype=np.float64) for r in plane_rows])
     need = n_planes * n_tables
     if len(planes) < need:
