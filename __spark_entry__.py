@@ -2663,6 +2663,65 @@ _RELATIONAL_ORACLES["x_chi_square"] = """
                  JOIN ct ON c.dow = ct.dow, tt"""
 
 
+def x_curation_pipeline(spark, sf_dir):
+    """Curation tier end-to-end as one declarative plan: PII redact →
+    Gopher filter on the redacted text → deterministic split → rollup per
+    (source, split).  The stages collapse into a single projection chain
+    over the scan; one aggregation shuffle total."""
+    from kafka_merge_purge_spark.operators.curation import curation_pipeline
+
+    return curation_pipeline(_t(spark, sf_dir, "documents"))
+
+
+_LLM_ORACLES["x_curation_pipeline"] = f"""
+    WITH synth AS (
+        SELECT doc_id, source,
+               text || ' contact user' || doc_id || '@mail.example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' cc admin' || doc_id || '@ops.example.org'
+                            ELSE '' END
+                    || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' host 10.' || (doc_id % 256) || '.0.1' AS pii_text
+        FROM documents
+    ), staged AS (
+        SELECT doc_id, source, pii_text,
+               regexp_replace(pii_text, '{_PII_E}', '<EMAIL>', 'g') AS after_email,
+               regexp_replace(regexp_replace(pii_text, '{_PII_E}', '<EMAIL>', 'g'),
+                              '{_PII_IP}', '<IP>', 'g') AS after_ip
+        FROM synth
+    ), red AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(pii_text, '{_PII_E}'))
+               + len(regexp_extract_all(after_email, '{_PII_IP}'))
+               + len(regexp_extract_all(after_ip, '{_PII_PH}')) AS n_pii,
+               regexp_replace(after_ip, '{_PII_PH}', '<PHONE>', 'g') AS text_redacted
+        FROM staged
+    ), m AS (
+        SELECT doc_id, source, n_pii,
+               len(toks) AS n_tokens,
+               round((length(text_redacted) - (len(toks) - 1)) / len(toks), 6) AS mwl,
+               len(list_filter({_STOPLIST}, s -> list_contains(toks, s))) AS nsd,
+               round(list_max(list_transform(list_distinct(toks),
+                              w -> len(list_filter(toks, t -> t = w))))
+                     / len(toks), 6) AS twf
+        FROM (SELECT doc_id, source, n_pii, text_redacted,
+                     string_split(text_redacted, ' ') AS toks FROM red)
+    ), kept AS (
+        SELECT doc_id, source, n_pii, n_tokens,
+               CASE WHEN {_MD5_INT.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 80
+                    THEN 'train'
+                    WHEN {_MD5_INT.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM m
+        WHERE n_tokens >= 10 AND n_tokens <= 1000
+          AND mwl >= 3.0 AND mwl <= 10.0 AND nsd >= 2 AND twf <= 0.2
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_pii) AS BIGINT) AS n_pii
+    FROM kept GROUP BY source, split"""
+
+
 _RELATIONAL_ORACLES["x_mode_median"] = """
     WITH b AS (
         SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, COUNT(*) AS n

@@ -59,7 +59,9 @@ def synth_pii_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def redact_pii(df: DataFrame, text_col: str = "pii_text") -> DataFrame:
+def redact_pii(
+    df: DataFrame, text_col: str = "pii_text", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Mask e-mail / IPv4 / phone spans and count redactions per type.
 
     Pure chained ``regexp_replace`` + ``regexp_count`` projection — a
@@ -70,6 +72,9 @@ def redact_pii(df: DataFrame, text_col: str = "pii_text") -> DataFrame:
     overlapping classes attribute to the first pattern that claims the
     span — e-mails win over bare IP-ish digit runs, and a span is never
     counted twice.
+
+    ``passthrough`` columns ride along unchanged (keeps multi-stage
+    pipelines join-free — see curation_pipeline).
     """
     counts = []
     scratch = F.col(text_col)
@@ -78,6 +83,7 @@ def redact_pii(df: DataFrame, text_col: str = "pii_text") -> DataFrame:
         scratch = F.regexp_replace(scratch, pat, tag)
     return df.select(
         "doc_id",
+        *passthrough,
         *counts,
         scratch.alias("text_redacted"),
     )
@@ -177,7 +183,9 @@ def boilerplate_line_dedup(
 # Gopher-style multi-rule quality filter with per-rule attribution
 # --------------------------------------------------------------------------
 
-def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Multi-rule document quality filter (Gopher §A1-style) with one
     boolean column PER RULE — the attribution form real pipelines keep so
     drops are explainable (which rule fired, corpus-wide rule hit-rates).
@@ -213,6 +221,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     r_rep = top_word_frac <= 0.2
     return df.select(
         "doc_id",
+        *passthrough,
         n.alias("n_tokens"),
         mean_len.alias("mean_word_len"),
         n_stop_distinct.alias("n_stop_distinct"),
@@ -320,4 +329,46 @@ def domain_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
             / (F.col("tot_target") * F.col("n_tokens")),
             6,
         ).alias("mix_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline composition
+# --------------------------------------------------------------------------
+
+def curation_pipeline(df: DataFrame) -> DataFrame:
+    """The curation tier end-to-end, as ONE declarative plan: synthesize
+    PII → redact → Gopher-rule filter on the REDACTED text → deterministic
+    train/val/test assignment → per-(source, split) rollup.
+
+    Everything before the final rollup is a narrow map: each stage
+    passes its survivors' columns through (``passthrough``) instead of
+    re-joining the scan, so the regexes, rule expressions, and md5
+    bucketing compose into a single projection chain — the whole
+    pipeline costs ONE aggregation shuffle regardless of how many
+    curation stages stack (pinned in pytest: exactly one Exchange).
+
+    Output: (source, split, n_docs, n_tokens, n_pii) — the shape a
+    data-mixing step consumes.
+    """
+    red = redact_pii(synth_pii_text(df), passthrough=("source",)).select(
+        "doc_id",
+        "source",
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii"),
+        "text_redacted",
+    )
+    scored = gopher_rules(
+        red, text_col="text_redacted", passthrough=("source", "n_pii")
+    )
+    bucket = md5_int(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    kept = scored.withColumn("split", split).filter(F.col("keep") == 1)
+    return kept.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_pii").alias("n_pii"),
     )

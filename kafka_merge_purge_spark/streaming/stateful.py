@@ -189,3 +189,68 @@ def streaming_compaction(records: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+#: streaming funnel output: each key's current stage after the batch
+FUNNEL_OUTPUT_SCHEMA = "user_id long, funnel_stage int"
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def fold_funnel(
+    state: int | None,
+    pdfs: Iterator[pd.DataFrame],
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+) -> int:
+    """Pure stage-machine fold for the streaming funnel: advance one
+    user's stage through record batches.
+
+    Matches operators/analytics.funnel_stages' greedy fold EXACTLY when
+    the per-key record order across batches follows the batch query's
+    (ts, event_id) total order — the guarantee a Kafka source gives
+    per partition (offset order) when producers emit in event order.
+    Within a batch, rows are re-sorted by (ts, event_id) so intra-batch
+    arrival jitter cannot reorder the machine; across batches the fold
+    is sequential by construction, so chopping one ordered stream into
+    ANY sequence of batches folds to the same stage (pinned under
+    randomized splits in pytest)."""
+    stage = state or 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t in pdf["event_type"]:
+            if stage < len(steps) and t == steps[stage]:
+                stage += 1
+    return stage
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Streaming funnel via ``transformWithStateInPandas``: ValueState
+    holds each user's stage; every micro-batch folds its events in and
+    emits the user's current stage — the stream twin of
+    operators/analytics.funnel_stages (same protobuf note as
+    streaming_compaction; the transition is the pure ``fold_funnel``)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FunnelPerUser(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stage = handle.getValueState("stage", "stage int")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._stage.get()[0] if self._stage.exists() else None
+            stage = fold_funnel(prior, rows)
+            self._stage.update((stage,))
+            yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FunnelPerUser(),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

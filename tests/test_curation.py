@@ -336,3 +336,47 @@ def test_domain_mixture_tolerates_digitless_sources(spark):
     assert out["web"]["target_share"] is not None
     assert out["src3"]["mix_weight"] is not None
     assert abs(out["web"]["target_share"] + out["src3"]["target_share"] - 1.0) < 1e-5
+
+
+def test_curation_pipeline_is_one_shuffle(spark):
+    from kafka_merge_purge_spark.operators.curation import curation_pipeline
+
+    df = _docs(spark, [(i, "the and word word2 word3 word4 word5 word6 word7 word8 word9", "en", f"src{i%3}", 60) for i in range(20)])
+    plan = curation_pipeline(df)._jdf.queryExecution().executedPlan().toString()
+    # redact → gopher → split collapse into one projection chain; the only
+    # exchange is the final rollup's
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_curation_pipeline_matches_staged_composition(spark):
+    # the fused single-projection pipeline must equal running the stages
+    # one at a time with joins (the naive composition a user might write)
+    from kafka_merge_purge_spark.operators.curation import (
+        curation_pipeline,
+        gopher_rules,
+        redact_pii,
+        synth_pii_text,
+    )
+    from kafka_merge_purge_spark.operators.text import train_test_split
+
+    rows = [(i, " ".join(["the", "and"] + [f"w{i}{j}" for j in range(18)]), "en", f"src{i % 4}", 0)
+            for i in range(30)]
+    df = _docs(spark, rows)
+    fused = {tuple(r) for r in curation_pipeline(df).collect()}
+
+    red = redact_pii(synth_pii_text(df)).select(
+        "doc_id", (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii"),
+        "text_redacted")
+    staged = (
+        df.select("doc_id", "source")
+        .join(red, "doc_id")
+        .join(gopher_rules(red, text_col="text_redacted").select("doc_id", "n_tokens", "keep"), "doc_id")
+        .join(train_test_split(df).select("doc_id", "split"), "doc_id")
+        .filter(F.col("keep") == 1)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"),
+             F.sum("n_pii").alias("n_pii"))
+    )
+    assert fused == {tuple(r) for r in staged.collect()}

@@ -501,3 +501,58 @@ def test_pii_redaction_composes_with_streams(spark, tmp_path):
     assert "<EMAIL>" in by_id[1][4] and "<PHONE>" in by_id[1][4]
     assert "<IP>" in by_id[2][4]
     assert by_id[3][4] == "no sensitive content in this row"
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Batch equivalence of the streaming funnel stage machine: the pure
+    fold under randomized micro-batch splits of the (ts, event_id)-ordered
+    per-user stream reaches exactly operators/analytics.funnel_stages'
+    stage (live transformWithStateInPandas run when protobuf is
+    importable, same gate as streaming compaction)."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kafka_merge_purge_spark.operators.analytics import funnel_stages
+    from kafka_merge_purge_spark.streaming.stateful import fold_funnel
+
+    rng = random.Random(11)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    eid = 0
+    for u in range(25):
+        for _ in range(rng.randint(0, 12)):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(minutes=rng.randint(0, 500)),
+                 u, rng.choice(types), 1.0, "{}")
+            )
+    # a user with zero events never reaches the stateful operator — the
+    # batch query also omits them (no rows → no group), so skip u without rows
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    want = {r["user_id"]: r["funnel_stage"] for r in funnel_stages(df).collect()}
+
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[0])):  # (ts, event_id) order
+        by_user.setdefault(r[2], []).append(r)
+    got = {}
+    for u, evs in by_user.items():
+        state = None
+        i = 0
+        while i < len(evs):  # random chop into ordered micro-batches
+            j = min(len(evs), i + rng.randint(1, 4))
+            batch = pd.DataFrame(
+                {"ts": [e[1] for e in evs[i:j]],
+                 "event_id": [e[0] for e in evs[i:j]],
+                 "event_type": [e[3] for e in evs[i:j]]}
+            )
+            # shuffle within the batch: intra-batch arrival jitter must
+            # not matter (fold re-sorts)
+            batch = batch.sample(frac=1.0, random_state=rng.randint(0, 999))
+            state = fold_funnel(state, iter([batch]))
+            i = j
+        got[u] = state
+    assert got == want
