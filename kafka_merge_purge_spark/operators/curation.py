@@ -184,7 +184,10 @@ def boilerplate_line_dedup(
 # --------------------------------------------------------------------------
 
 def gopher_rules(
-    df: DataFrame, text_col: str = "text", passthrough: tuple[str, ...] = ()
+    df: DataFrame,
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Multi-rule document quality filter (Gopher §A1-style) with one
     boolean column PER RULE — the attribution form real pipelines keep so
@@ -201,7 +204,10 @@ def gopher_rules(
     which beats a corpus-wide explode + groupBy at any scale because it
     never shuffles.
     """
-    toks = tokens(F.col(text_col))
+    # ``tokens_col``: a pre-tokenized array column (computed once behind a
+    # projection_barrier) — references become attribute reads instead of
+    # re-running split(text) per metric (see curation_pipeline)
+    toks = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     n = F.size(toks)
     mean_len = F.round((F.length(text_col) - (n - F.lit(1))) / n, 6)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -351,14 +357,24 @@ def curation_pipeline(df: DataFrame) -> DataFrame:
     Output: (source, split, n_docs, n_tokens, n_pii) — the shape a
     data-mixing step consumes.
     """
+    from kafka_merge_purge_spark.plans import projection_barrier
+
     red = redact_pii(synth_pii_text(df), passthrough=("source",)).select(
         "doc_id",
         "source",
         (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii"),
         "text_redacted",
     )
+    # barrier: the regex chain and the tokenization are computed ONCE and
+    # downstream metric references read attributes — without it,
+    # CollapseProject inlines the chain per reference (measured 42 copies
+    # of the regexes in the optimized plan, ~6× slower)
+    red = projection_barrier(red.withColumn("toks", tokens(F.col("text_redacted"))))
     scored = gopher_rules(
-        red, text_col="text_redacted", passthrough=("source", "n_pii")
+        red,
+        text_col="text_redacted",
+        passthrough=("source", "n_pii"),
+        tokens_col="toks",
     )
     bucket = md5_int(F.col("doc_id").cast("string")) % 100
     split = (
@@ -366,9 +382,21 @@ def curation_pipeline(df: DataFrame) -> DataFrame:
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    kept = scored.withColumn("split", split).filter(F.col("keep") == 1)
-    return kept.groupBy("source", "split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.sum("n_pii").alias("n_pii"),
+    # keep folds into CONDITIONAL aggregation instead of a filter: a
+    # `filter(keep == 1)` would be pushed below the barrier by alias
+    # substitution, re-evaluating the whole metric/regex chain as a
+    # per-row predicate (measured: 36 extra regex evals per row).  With
+    # no Filter in the plan there is nothing to push; `keep` is read
+    # from the barrier'd projection exactly once, and the empty groups a
+    # real filter would never form are dropped post-aggregate.
+    k = F.col("keep") == 1
+    agg = (
+        scored.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.sum(k.cast("long")).alias("n_docs"),
+            F.sum(F.when(k, F.col("n_tokens"))).alias("n_tokens"),
+            F.sum(F.when(k, F.col("n_pii"))).alias("n_pii"),
+        )
     )
+    return agg.filter(F.col("n_docs") > 0)

@@ -60,3 +60,25 @@ def node_count(df: DataFrame, operator: str) -> int:
 
 def wholestage_codegen_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+
+
+def projection_barrier(df: DataFrame) -> DataFrame:
+    """Pin the current projection against CollapseProject inlining.
+
+    Catalyst's CollapseProject merges adjacent projections by inlining the
+    producer expression into EVERY downstream reference — correct, but for
+    an expensive producer (a chained-regex column, a tokenization) that a
+    later stage references many times, the optimized plan re-evaluates the
+    chain per reference (measured: the curation pipeline's optimized plan
+    held 42 copies of the redaction regex chain, a ~6× slowdown).
+
+    The barrier inserts a one-element ``explode`` — a Generate node that
+    projections cannot collapse across — so every column of ``df`` is
+    computed exactly once and downstream references become plain attribute
+    reads.  Pure JVM, row-preserving, no shuffle, no caching; the Generate
+    itself is a per-row no-op.  Use it between a stage that COMPUTES an
+    expensive column and a stage that CONSUMES it repeatedly.
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_barrier", F.explode(F.array(F.lit(1)))).drop("_barrier")
