@@ -2722,6 +2722,62 @@ _LLM_ORACLES["x_curation_pipeline"] = f"""
     FROM kept GROUP BY source, split"""
 
 
+def x_nullsafe_join(spark, sf_dir):
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): per-key record
+    counts joined back so NULL-key records (tombstone carriers without a
+    key) keep their group — a plain equality join silently drops them."""
+    r = load_records(spark, sf_dir)
+    agg = r.groupBy(F.col("key").alias("k")).agg(F.count(F.lit(1)).alias("n_key"))
+    return r.join(agg, F.col("key").eqNullSafe(F.col("k"))).select(
+        "offset", "key", "n_key"
+    )
+
+
+def x_explode_outer(spark, sf_dir):
+    """explode_outer: one row per stopword occurrence per document, and
+    documents with NO stopwords survive with a NULL stopword (a plain
+    explode silently drops them — the left-join-lateral semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in tx.STOPWORDS])
+    stops = F.filter(tx.tokens(F.col("text")), lambda t: F.array_contains(stop_arr, t))
+    return d.select("doc_id", F.explode_outer(stops).alias("stopword"))
+
+
+def x_bool_aggs(spark, sf_dir):
+    """Boolean/conditional aggregate surface: count_if, bool_or,
+    bool_and per user."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_or(F.col("event_type") == "error").alias("any_error"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+    )
+
+
+_RELATIONAL_ORACLES["x_nullsafe_join"] = f"""{_RECORDS_CTE},
+    agg AS (SELECT "key" AS k, COUNT(*) AS n_key FROM records GROUP BY "key")
+    SELECT "offset", "key", n_key
+    FROM records JOIN agg ON records."key" IS NOT DISTINCT FROM agg.k"""
+
+_RELATIONAL_ORACLES["x_explode_outer"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '),
+                           t -> list_contains({_STOPLIST}, t)) AS stops
+        FROM documents)
+    SELECT doc_id,
+           unnest(CASE WHEN len(stops) = 0 THEN [CAST(NULL AS VARCHAR)]
+                       ELSE stops END) AS stopword
+    FROM base"""
+
+_RELATIONAL_ORACLES["x_bool_aggs"] = """
+    SELECT user_id,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           bool_or(event_type = 'error') AS any_error,
+           bool_and(value >= 0) AS all_nonneg
+    FROM events GROUP BY user_id"""
+
+
 _RELATIONAL_ORACLES["x_mode_median"] = """
     WITH b AS (
         SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, COUNT(*) AS n

@@ -155,3 +155,24 @@ def test_ivf_cell_assignment_is_narrow(tables):
     assert len(shuffles) == 1 and "query_id" in shuffles[0], (
         "expected exactly one shuffle (top-k window on query_id):\n" + plan
     )
+
+
+def test_projection_barrier_pins_single_evaluation(spark):
+    """The Generate barrier must survive optimization and hold the
+    producing expression to ONE copy (CollapseProject would otherwise
+    inline it per downstream reference)."""
+    from pyspark.sql import functions as F
+
+    from kafka_merge_purge_spark.plans import projection_barrier
+
+    df = spark.range(5).select(
+        "id", F.lower(F.concat(F.lit("A"), F.col("id"))).alias("y")
+    )
+    out = projection_barrier(df).select(
+        F.length("y").alias("a"), F.reverse("y").alias("b"), F.upper("y").alias("c")
+    )
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" in opt
+    assert opt.count("lower") == 1  # three references, one evaluation
+    # row fidelity: the barrier is a per-row no-op
+    assert out.count() == 5
