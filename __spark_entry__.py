@@ -2754,6 +2754,61 @@ def x_bool_aggs(spark, sf_dir):
     )
 
 
+def x_kmeans(spark, sf_dir):
+    """Distributed k-means (k=4, 2 Lloyd rounds, lowest-id seeds) over
+    the embeddings — per-cluster member count / lowest id / mean label.
+    Assignment is a narrow literal-centroid projection; each update is
+    one (cid, pos)-keyed decimal-stable aggregate.  The oracle replays
+    the identical arithmetic (sequential double fold ≡ list_reduce,
+    decimal-sum means rounded at 9) with the loop unrolled in SQL."""
+    from kafka_merge_purge_spark.operators.cluster import kmeans_cluster_stats
+
+    return kmeans_cluster_stats(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Unroll kmeans_assign's Lloyd loop into chained CTEs (same seeds,
+    same fold order, same decimal means — see operators/cluster.py)."""
+    dist = (
+        "list_reduce(list_transform(range(1, len(e.e) + 1),"
+        " i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, e AS c
+           FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT {k}))"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    a{it} AS (SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {dist}, c.cid) AS rk
+              FROM e, {prev} c),
+    u{it} AS (SELECT a.cid, generate_subscripts(e.e, 1) AS pos, unnest(e.e) AS val
+              FROM (SELECT vec_id, cid FROM a{it} WHERE rk = 1) a
+              JOIN e ON a.vec_id = e.vec_id),
+    c{it} AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+                SELECT cid, pos,
+                       round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                             / COUNT(*), 9) AS m
+                FROM u{it} GROUP BY cid, pos) GROUP BY cid)"""
+        prev = f"c{it}"
+    sql += f""",
+    afin AS (SELECT e.vec_id, e.label, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY {dist}, c.cid) AS rk
+             FROM e, {prev} c)
+    SELECT cid AS cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS min_id,
+           round(CAST(SUM(label) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_label
+    FROM afin WHERE rk = 1 GROUP BY cid"""
+    return sql
+
+
+_LLM_ORACLES["x_kmeans"] = _kmeans_oracle()
+
+
 _RELATIONAL_ORACLES["x_nullsafe_join"] = f"""{_RECORDS_CTE},
     agg AS (SELECT "key" AS k, COUNT(*) AS n_key FROM records GROUP BY "key")
     SELECT "offset", "key", n_key

@@ -1,0 +1,112 @@
+"""Distributed k-means clustering over embedding columns.
+
+The corpus-clustering primitive LLM-data pipelines use for domain
+discovery, cluster-balanced sampling, and cluster-based dedup/mixing.
+
+Unlike similarity.py's ``_kmeans_cells`` (a driver-side numpy fit on a
+bounded sample, feeding IVF), this is the FULL distributed form — every
+vector participates in every Lloyd iteration — built so each step is
+bit-reproducible across engines (the DuckDB oracle replays the exact
+same arithmetic and hash-matches the final assignment):
+
+- init: the k lowest-id vectors (deterministic, growth-stable);
+- assignment: a NARROW projection — centroids are inlined as a literal
+  array-of-arrays, each row computes squared-L2 to every centroid via a
+  ``zip_with`` + sequential ``aggregate`` fold (double addition in index
+  order — the same order ``list_sum`` uses in DuckDB, so distances are
+  bit-identical), argmin = ``array_position`` of the min (first-min →
+  lowest cluster id, the same tie-break as ``ORDER BY dist, cid``);
+- update: one shuffle — ``posexplode`` to (cid, pos, val), decimal-
+  stable mean per (cid, pos) rounded to 9 places (exact decimal sums →
+  one double division → round: identical doubles on both engines);
+  the K×dim result is collected to the driver (tiny, like IVF
+  centroids / LSH planes) and inlined as next iteration's literals.
+
+At 100 TB: per iteration, the corpus is touched twice (one narrow
+assignment pass fused into the explode, one (cid, pos)-keyed partial
+aggregate whose map-side combine reduces each task to ≤ k·dim rows).
+No corpus collect, no corpus-side join.  Driver state is k·dim doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign_expr(vec, centroids: list[list[float]]):
+    """cluster id (1-based) of ``vec`` against literal ``centroids``."""
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means: ``iters`` assign+update rounds from the k
+    lowest-id seeds, then a final assignment.
+
+    Returns the input frame plus a 1-based ``cluster_id`` column.  An
+    emptied cluster keeps its previous centroid (cannot occur on the
+    synthetic corpus; documented for callers on adversarial data — the
+    SQL oracle assumes non-empty clusters).
+    """
+    base = emb.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    seeds = base.select(id_col, "_v").orderBy(id_col).limit(k).collect()
+    if not seeds:
+        return emb.withColumn("cluster_id", F.lit(None).cast("int"))
+    cents = [list(map(float, r["_v"])) for r in seeds]
+    for _ in range(iters):
+        assigned = base.withColumn("cid", _assign_expr(F.col("_v"), cents))
+        means = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("m")
+            )
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in means:
+            new.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [new[j + 1][p] for p in sorted(new[j + 1])] if (j + 1) in new else cents[j]
+            for j in range(len(cents))
+        ]
+    return base.withColumn("cluster_id", _assign_expr(F.col("_v"), cents)).drop("_v")
+
+
+def kmeans_cluster_stats(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster rollup of the final assignment: member count, lowest
+    member id, and mean label — the hash-checkable face of the fit."""
+    a = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(id_col).alias("min_id"),
+        F.round(F.sum(label_col) / F.count(F.lit(1)), 6).alias("mean_label"),
+    )

@@ -380,3 +380,47 @@ def test_curation_pipeline_matches_staged_composition(spark):
              F.sum("n_pii").alias("n_pii"))
     )
     assert fused == {tuple(r) for r in staged.collect()}
+
+
+# ------------------------------------------------ k-means clustering
+
+
+def test_kmeans_assignment_covers_corpus(spark):
+    from kafka_merge_purge_spark.operators.cluster import kmeans_assign
+    from kafka_merge_purge_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = kmeans_assign(emb, k=4, iters=2)
+    n = emb.count()
+    assert a.count() == n                      # every vector assigned
+    cids = {r["cluster_id"] for r in a.select("cluster_id").distinct().collect()}
+    assert cids <= {1, 2, 3, 4} and len(cids) == 4  # all clusters live
+    # deterministic: repeated fits give identical assignments
+    b = kmeans_assign(emb, k=4, iters=2)
+    assert sorted(map(tuple, a.select("vec_id", "cluster_id").collect())) == \
+           sorted(map(tuple, b.select("vec_id", "cluster_id").collect()))
+
+
+def test_kmeans_iterations_reduce_distortion(spark):
+    import numpy as np
+
+    from kafka_merge_purge_spark.operators.cluster import kmeans_assign
+    from kafka_merge_purge_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in emb.orderBy("vec_id").collect()])
+
+    def distortion(iters):
+        rows = kmeans_assign(emb, k=4, iters=iters).orderBy("vec_id").collect()
+        cid = np.array([r["cluster_id"] for r in rows])
+        tot = 0.0
+        for j in range(1, 5):
+            pts = X[cid == j]
+            if len(pts):
+                tot += ((pts - pts.mean(axis=0)) ** 2).sum()
+        return tot
+
+    # Lloyd monotonicity (up to the 1e-9 centroid rounding): more rounds
+    # never meaningfully increase within-cluster variance
+    assert distortion(2) <= distortion(0) * (1 + 1e-6)
