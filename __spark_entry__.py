@@ -2766,9 +2766,11 @@ def x_kmeans(spark, sf_dir):
     return kmeans_cluster_stats(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+def _kmeans_oracle(k: int = 4, iters: int = 2, final: str | None = None) -> str:
     """Unroll kmeans_assign's Lloyd loop into chained CTEs (same seeds,
-    same fold order, same decimal means — see operators/cluster.py)."""
+    same fold order, same decimal means — see operators/cluster.py).
+    ``final`` overrides the closing SELECT over the ``assigned``
+    (vec_id, label, cluster_id) CTE."""
     dist = (
         "list_reduce(list_transform(range(1, len(e.e) + 1),"
         " i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i])), (a, b) -> a + b)"
@@ -2798,15 +2800,99 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
     afin AS (SELECT e.vec_id, e.label, c.cid,
                 row_number() OVER (PARTITION BY e.vec_id
                                    ORDER BY {dist}, c.cid) AS rk
-             FROM e, {prev} c)
-    SELECT cid AS cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS min_id,
+             FROM e, {prev} c),
+    assigned AS (SELECT vec_id, label, cid AS cluster_id FROM afin WHERE rk = 1)"""
+    if final is None:
+        final = """
+    SELECT cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS min_id,
            round(CAST(SUM(label) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
                AS mean_label
-    FROM afin WHERE rk = 1 GROUP BY cid"""
-    return sql
+    FROM assigned GROUP BY cluster_id"""
+    return sql + final
 
 
 _LLM_ORACLES["x_kmeans"] = _kmeans_oracle()
+
+
+def x_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling: k-means the embedding space, then an
+    exact ceil(20%) deterministic sample per cluster (md5-rank within
+    cluster) — the composition behind domain-balanced training subsets.
+    Reuses the fitted assignment; the sample adds one window bounded by
+    cluster size."""
+    from kafka_merge_purge_spark.operators.cluster import kmeans_assign
+
+    a = kmeans_assign(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    cnt = Window.partitionBy("cluster_id")
+    ranked = a.select(
+        "vec_id",
+        "cluster_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n_total"),
+    )
+    picked = ranked.filter(F.col("rn") <= F.ceil(F.col("n_total") / 5))
+    return picked.groupBy("cluster_id").agg(
+        F.max("n_total").alias("n_total"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("vec_id").alias("first_sampled_id"),
+    )
+
+
+_LLM_ORACLES["x_cluster_sample"] = _kmeans_oracle(
+    final="""
+    , ranked AS (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_total
+        FROM assigned)
+    SELECT cluster_id, CAST(MAX(n_total) AS BIGINT) AS n_total,
+           COUNT(*) AS n_sampled, MIN(vec_id) AS first_sampled_id
+    FROM ranked WHERE rn <= CAST(ceil(n_total / 5.0) AS BIGINT)
+    GROUP BY cluster_id"""
+)
+
+
+def x_domain_filter(spark, sf_dir):
+    """C4-style source-URL domain filter: extract the host from each
+    document's (synthesized, deterministic) source URL and flag
+    blocklisted domains.  Narrow regex projection — the same no-shuffle
+    shape as PII redaction; a real deployment broadcasts its blocklist
+    or inlines it exactly like this."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"),
+        F.lit(".example"), (did % 3).cast("string"),
+        F.lit(".com/page/"), did.cast("string"),
+    )
+    domain = F.regexp_extract(url, r"https?://([^/]+)", 1)
+    blocklist = F.array(
+        F.lit("site0.example0.com"), F.lit("site3.example1.com"),
+        F.lit("site6.example2.com"),
+    )
+    return d.select(
+        "doc_id",
+        domain.alias("domain"),
+        F.array_contains(blocklist, domain).cast("int").alias("blocked"),
+    )
+
+
+_RELATIONAL_ORACLES["x_domain_filter"] = r"""
+    WITH u AS (
+        SELECT doc_id,
+               'https://site' || (doc_id % 7) || '.example' || (doc_id % 3)
+               || '.com/page/' || doc_id AS url
+        FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+           CAST(list_contains(['site0.example0.com', 'site3.example1.com',
+                               'site6.example2.com'],
+                regexp_extract(url, 'https?://([^/]+)', 1)) AS INTEGER) AS blocked
+    FROM u"""
 
 
 _RELATIONAL_ORACLES["x_nullsafe_join"] = f"""{_RECORDS_CTE},
