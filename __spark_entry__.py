@@ -2907,7 +2907,8 @@ _RELATIONAL_ORACLES["x_explode_outer"] = f"""
                            t -> list_contains({_STOPLIST}, t)) AS stops
         FROM documents)
     SELECT doc_id,
-           unnest(CASE WHEN len(stops) = 0 THEN [CAST(NULL AS VARCHAR)]
+           unnest(CASE WHEN stops IS NULL OR len(stops) = 0
+                       THEN [CAST(NULL AS VARCHAR)]
                        ELSE stops END) AS stopword
     FROM base"""
 

@@ -376,12 +376,9 @@ def curation_pipeline(df: DataFrame) -> DataFrame:
         passthrough=("source", "n_pii"),
         tokens_col="toks",
     )
-    bucket = md5_int(F.col("doc_id").cast("string")) % 100
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    from kafka_merge_purge_spark.operators.text import split_exprs
+
+    _, split_col = split_exprs("doc_id")  # same thresholds as train_test_split
     # keep folds into CONDITIONAL aggregation instead of a filter: a
     # `filter(keep == 1)` would be pushed below the barrier by alias
     # substitution, re-evaluating the whole metric/regex chain as a
@@ -391,7 +388,7 @@ def curation_pipeline(df: DataFrame) -> DataFrame:
     # real filter would never form are dropped post-aggregate.
     k = F.col("keep") == 1
     agg = (
-        scored.withColumn("split", split)
+        scored.withColumn("split", split_col)
         .groupBy("source", "split")
         .agg(
             F.sum(k.cast("long")).alias("n_docs"),

@@ -183,6 +183,16 @@ def train_test_split(
     document's split never changes when other documents are added),
     unlike ``rand()`` or ``randomSplit``.  Narrow map stage.
     """
+    bucket, split = split_exprs(id_col, train_pct, val_pct)
+    return df.select(id_col, bucket.alias("bucket"), split.alias("split"))
+
+
+def split_exprs(
+    id_col: str = "doc_id", train_pct: int = 80, val_pct: int = 10
+) -> tuple[Column, Column]:
+    """(bucket, split) expression pair behind train_test_split — shared
+    with fused pipelines (curation_pipeline) so the thresholds live in
+    one place and the fused form cannot drift from the staged one."""
     from kafka_merge_purge_spark.operators.dedup import md5_int
 
     bucket = md5_int(F.col(id_col).cast("string")) % 100
@@ -191,7 +201,7 @@ def train_test_split(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return df.select(id_col, bucket.alias("bucket"), split.alias("split"))
+    return bucket, split
 
 
 #: rolling-hash constants, pinned so the DuckDB oracle reproduces the fold

@@ -214,13 +214,18 @@ def fold_funnel(
     ANY sequence of batches folds to the same stage (pinned under
     randomized splits in pytest)."""
     stage = state or 0
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for t in pdf["event_type"]:
-            if stage < len(steps) and t == steps[stage]:
-                stage += 1
+    # Concatenate the batch's Arrow chunks BEFORE sorting: handleInputRows
+    # hands one key's micro-batch as an iterator of chunked frames, and
+    # jitter can land a later event in an earlier chunk — sorting chunks
+    # independently would replay them out of order (review finding).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return stage
+    batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    batch = batch.sort_values(["ts", "event_id"])
+    for t in batch["event_type"]:
+        if stage < len(steps) and t == steps[stage]:
+            stage += 1
     return stage
 
 

@@ -507,8 +507,11 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     """Batch equivalence of the streaming funnel stage machine: the pure
     fold under randomized micro-batch splits of the (ts, event_id)-ordered
     per-user stream reaches exactly operators/analytics.funnel_stages'
-    stage (live transformWithStateInPandas run when protobuf is
-    importable, same gate as streaming compaction)."""
+    stage.  When protobuf is importable the LIVE
+    transformWithStateInPandas stream runs too (same gate as streaming
+    compaction); the pure-fold equivalence below runs unconditionally,
+    including a multi-chunk batch (the fold must concat chunks before
+    sorting — chunk-local sorts replay jitter out of order)."""
     import random
     from datetime import datetime, timedelta
 
@@ -552,7 +555,38 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
             # shuffle within the batch: intra-batch arrival jitter must
             # not matter (fold re-sorts)
             batch = batch.sample(frac=1.0, random_state=rng.randint(0, 999))
-            state = fold_funnel(state, iter([batch]))
+            # randomly hand the batch over as MULTIPLE chunks (Arrow
+            # chunking): jitter may cross the chunk boundary, the fold
+            # must still replay in (ts, event_id) order
+            if len(batch) > 1 and rng.random() < 0.5:
+                cut = rng.randint(1, len(batch) - 1)
+                chunks = [batch.iloc[:cut], batch.iloc[cut:]]
+            else:
+                chunks = [batch]
+            state = fold_funnel(state, iter(chunks))
             i = j
         got[u] = state
     assert got == want
+
+    if _has_protobuf():
+        from kafka_merge_purge_spark.streaming.stateful import streaming_funnel
+
+        src = tmp_path / "funnel_in"
+        src.mkdir()
+        df.coalesce(1).write.parquet(str(tmp_path / "_stage_funnel"))
+        next((tmp_path / "_stage_funnel").glob("part-*.parquet")).rename(
+            src / "events.parquet"
+        )
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        out = streaming_funnel(stream)
+        _drain_to_memory(out, "funnel_out", str(tmp_path / "ckpt_funnel"),
+                         output_mode="update")
+        # Update mode emits each user's running stage; the stage is
+        # monotone, so the max IS the final stage
+        live = {
+            r["user_id"]: r["mx"]
+            for r in spark.sql(
+                "SELECT user_id, MAX(funnel_stage) AS mx FROM funnel_out GROUP BY user_id"
+            ).collect()
+        }
+        assert live == want
