@@ -1,0 +1,83 @@
+"""Z-order layout: multi-dimension data skipping via Morton clustering."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.functions.layout import (
+    scale_to_bits,
+    write_zordered,
+    zorder_key,
+)
+from kafka_merge_purge_spark.sources.batch import load_table
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    key = df.select(zorder_key([F.col("a"), F.col("b")], bits=3).alias("k")).collect()[0]["k"]
+    # bit i of a → position 2i, bit i of b → position 2i+1:
+    # a=101, b=011 → k = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 27
+    assert key == 0b011011
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
+    out = []
+    for f in sorted(Path(path).glob("part-*.parquet")):
+        md = pq.read_metadata(str(f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out
+
+
+def _avg_norm_range(path: str, col: str) -> float:
+    rngs = _file_ranges(path, col)
+    lo = min(r[0] for r in rngs)
+    hi = max(r[1] for r in rngs)
+    width = (hi - lo) or 1
+    return sum((b - a) / width for a, b in rngs) / len(rngs)
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("vbin")
+    )
+    z = str(tmp_path / "zordered")
+    s = str(tmp_path / "value_sorted")
+    lo_u, hi_u, lo_v, hi_v = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("vbin"), F.max("vbin")
+    ).collect()[0]
+    write_zordered(
+        e,
+        z,
+        [
+            scale_to_bits(F.col("user_id"), lo_u, hi_u, bits=11),
+            scale_to_bits(F.col("vbin"), lo_v, hi_v, bits=11),
+        ],
+        bits=11,
+        n_files=8,
+    )
+    # baseline: single-column layout — vbin tight, user_id full-width
+    e.repartitionByRange(8, "vbin").sortWithinPartitions("vbin").write.mode(
+        "overwrite"
+    ).parquet(s)
+
+    z_user, z_val = _avg_norm_range(z, "user_id"), _avg_norm_range(z, "vbin")
+    s_user, s_val = _avg_norm_range(s, "user_id"), _avg_norm_range(s, "vbin")
+    # the single-column sort leaves the OTHER dimension's per-file range
+    # at ~full width; Z-order keeps BOTH materially narrower
+    assert s_user > 0.9
+    assert z_user < 0.7 and z_val < 0.7
+    assert z_user < s_user
+    # and the layout rewrite loses no rows
+    back = spark.read.parquet(z)
+    assert back.count() == e.count()
