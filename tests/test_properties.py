@@ -312,3 +312,66 @@ def test_line_dedup_counts_are_conserved(spark, rows):
     for r in out:
         assert r["n_lines_kept"] + r["n_lines_removed"] == r["n_lines"]
         assert r["n_lines"] >= 1
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1_000_000),
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+        ),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_duplicate_spans_matches_pure_python_reference(spark, rows):
+    """duplicate_spans == a brute-force reference on adversarial tiny-vocab
+    corpora (2-letter alphabet forces heavy gram collisions): same spans,
+    maximal (non-adjacent) and within-document disjoint."""
+    import hashlib
+
+    from kafka_merge_purge_spark.operators.dedup import duplicate_spans
+
+    K = 3
+
+    def norm_toks(t):
+        return [w for w in t.lower().split(" ") if w] or [""]
+
+    def grams(t):
+        tk = norm_toks(t)
+        n = len(tk)
+        return [" ".join(tk[i : i + K]) for i in range(max(n - K + 1, 1))]
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    per_doc = {i: [h(g) for g in grams(t)] for i, t in rows}
+    docs_of = {}
+    for i, hs in per_doc.items():
+        for x in set(hs):
+            docs_of.setdefault(x, set()).add(i)
+    expect = set()
+    for i, hs in per_doc.items():
+        ntok = len(norm_toks(dict(rows)[i]))
+        dup_pos = [p + 1 for p, x in enumerate(hs) if len(docs_of[x]) >= 2]
+        run = []
+        for p in dup_pos:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    expect.add((i, run[0], min(run[-1] + K - 1, ntok)))
+                run = [p]
+        if run:
+            expect.add((i, run[0], min(run[-1] + K - 1, ntok)))
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, k=K, min_docs=2).collect()
+    }
+    assert got == expect
