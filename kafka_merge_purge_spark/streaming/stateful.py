@@ -259,3 +259,95 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: running-moment anomaly output: each event tagged with the pre-update z
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_id long, event_type string, value double, n_seen long, zscore double"
+)
+
+
+def fold_moments(
+    state: tuple[int, float, float] | None,
+    pdfs: Iterator[pd.DataFrame],
+) -> tuple[tuple[int, float, float], pd.DataFrame]:
+    """Pure Welford fold for streaming anomaly scoring: thread one key's
+    (n, mean, M2) running moments through its record batches, emitting
+    each event's z-score against the moments BEFORE that event updates
+    them (so the score never sees its own value — the standard online
+    form; the first two events of a key emit NULL, variance undefined).
+
+    Chunks are concatenated then sorted by (ts, event_id) before the
+    walk, exactly like fold_funnel — arrival jitter inside a micro-batch
+    cannot reorder the moment updates; across batches the fold is
+    sequential, so any chop of one ordered stream yields identical
+    scores (pinned under randomized splits in pytest, batch-equivalent
+    to the ordered-prefix computation a window query would produce).
+    """
+    import math
+
+    n, mean, m2 = state if state is not None else (0, 0.0, 0.0)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return (n, mean, m2), pd.DataFrame(
+            {"event_id": [], "value": [], "n_seen": [], "zscore": []}
+        )
+    batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
+        ["ts", "event_id"]
+    )
+    out_id, out_val, out_n, out_z = [], [], [], []
+    for eid, val in zip(batch["event_id"], batch["value"]):
+        v = float(val)
+        if n >= 2:
+            var = m2 / (n - 1)
+            z = round((v - mean) / math.sqrt(var), 4) if var > 0 else None
+        else:
+            z = None
+        out_id.append(int(eid))
+        out_val.append(v)
+        out_n.append(n)
+        out_z.append(z)
+        # Welford update
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+    return (n, mean, m2), pd.DataFrame(
+        {"event_id": out_id, "value": out_val, "n_seen": out_n, "zscore": out_z}
+    )
+
+
+def streaming_anomaly_scores(events: DataFrame) -> DataFrame:
+    """Streaming per-key anomaly scoring via ``transformWithStateInPandas``:
+    ValueState holds each event_type's Welford moments; every micro-batch
+    folds its events in and emits each event's online z-score — the
+    stream twin of the batch x_zscore (which uses the FINAL moments; the
+    online form scores against history only, the deployable shape for
+    live outlier flagging).  Same protobuf note as streaming_compaction;
+    the transition is the pure ``fold_moments``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MomentsPerKey(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getValueState("m", "n long, mean double, m2 double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = tuple(self._m.get()) if self._m.exists() else None
+            state, out = fold_moments(prior, rows)
+            self._m.update(state)
+            if len(out):
+                out = out.assign(event_type=key[0])
+                yield out[["event_id", "event_type", "value", "n_seen", "zscore"]]
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=MomentsPerKey(),
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -590,3 +590,104 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
             ).collect()
         }
         assert live == want
+
+
+def test_streaming_anomaly_scores_match_prefix_batch(spark, tmp_path):
+    """Chop-invariance + batch equivalence of the streaming Welford
+    anomaly scorer: the pure fold under randomized ordered micro-batch
+    splits (with random intra-batch jitter and chunking) equals the
+    ordered-prefix reference exactly, and agrees with the batch
+    prefix-window z-score query to 1e-3 (Welford vs two-pass moments
+    differ only in float rounding).  Live transformWithStateInPandas
+    branch when protobuf is importable."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.streaming.stateful import fold_moments
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for t, tname in enumerate(["click", "view"]):
+        for _ in range(40):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(seconds=eid), 1,
+                 tname, round(rng.uniform(0, 100), 3), "{}")
+            )
+
+    # ordered-prefix Welford reference
+    want = {}
+    for tname in ("click", "view"):
+        n, mean, m2 = 0, 0.0, 0.0
+        for r in sorted((r for r in rows if r[3] == tname), key=lambda r: (r[1], r[0])):
+            v = r[4]
+            if n >= 2 and m2 > 0:
+                want[r[0]] = round((v - mean) / math.sqrt(m2 / (n - 1)), 4)
+            else:
+                want[r[0]] = None
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+
+    # pure fold under randomized ordered chops with intra-batch jitter
+    got = {}
+    for tname in ("click", "view"):
+        evs = sorted((r for r in rows if r[3] == tname), key=lambda r: (r[1], r[0]))
+        state, i = None, 0
+        while i < len(evs):
+            j = min(len(evs), i + rng.randint(1, 7))
+            b = pd.DataFrame(
+                {"ts": [e[1] for e in evs[i:j]], "event_id": [e[0] for e in evs[i:j]],
+                 "value": [e[4] for e in evs[i:j]]}
+            ).sample(frac=1.0, random_state=rng.randint(0, 999))
+            if len(b) > 1 and rng.random() < 0.5:
+                cut = rng.randint(1, len(b) - 1)
+                chunks = [b.iloc[:cut], b.iloc[cut:]]
+            else:
+                chunks = [b]
+            state, out = fold_moments(state, iter(chunks))
+            for r in out.itertuples():
+                got[int(r.event_id)] = r.zscore if pd.notna(r.zscore) else None
+            i = j
+    assert got == want
+
+    # batch SQL twin: prefix-window z (two-pass moments) within 1e-3
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = df.select(
+        "event_id",
+        ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)).alias("z"),
+    ).collect()
+    for r in batch:
+        if want[r["event_id"]] is not None and r["z"] is not None:
+            assert abs(r["z"] - want[r["event_id"]]) < 1e-3
+
+    if _has_protobuf():
+        from kafka_merge_purge_spark.streaming.stateful import streaming_anomaly_scores
+
+        src = tmp_path / "anom_in"
+        src.mkdir()
+        df.coalesce(1).write.parquet(str(tmp_path / "_stage_anom"))
+        next((tmp_path / "_stage_anom").glob("part-*.parquet")).rename(
+            src / "events.parquet"
+        )
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        out = streaming_anomaly_scores(stream)
+        _drain_to_memory(out, "anom_out", str(tmp_path / "ckpt_anom"))
+        live = {
+            r["event_id"]: r["zscore"]
+            for r in spark.sql("SELECT event_id, zscore FROM anom_out").collect()
+        }
+        assert live == want
