@@ -38,3 +38,13 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """cos(a,b) = a·b / (|a||b|); NULL-safe on zero vectors."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot(a, b) / denom)
+
+
+def drop_null_vectors(df, vec_col: str = "embedding"):
+    """Drop rows whose vector is NULL — the entry contract of every
+    vector operator (a missing embedding has no geometry: under SQL null
+    semantics any distance to it is NULL, i.e. never a candidate).  The
+    filter pushes into the parquet scan (IsNotNull)."""
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col(vec_col).isNotNull())

@@ -65,7 +65,11 @@ def kmeans_assign(
     synthetic corpus; documented for callers on adversarial data — the
     SQL oracle assumes non-empty clusters).
     """
-    base = emb.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    base = drop_null_vectors(emb, vec_col).withColumn(
+        "_v", F.col(vec_col).cast("array<double>")
+    )
     seeds = base.select(id_col, "_v").orderBy(id_col).limit(k).collect()
     if not seeds:
         return emb.withColumn("cluster_id", F.lit(None).cast("int"))

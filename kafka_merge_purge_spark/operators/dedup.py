@@ -740,6 +740,9 @@ def embedding_near_dup_pairs(
     # through to the distributed path instead of collecting unbounded
     # data to the driver (r4 advice); the distributed path still needs
     # the exact row count for its block layout and counts only then.
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    emb = drop_null_vectors(emb, vec_col)
     tbl = None
     n = n_rows
     if n is None or n <= broadcast_max_rows:

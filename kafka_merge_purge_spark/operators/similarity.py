@@ -53,6 +53,10 @@ def brute_force_topk(
     pairing; the only exchange is the per-query top-k aggregation, which
     map-side-combines to ≤k rows per task per query.
     """
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    queries = drop_null_vectors(queries, vec_col)
+    corpus = drop_null_vectors(corpus, vec_col)
     # norms are per-vector, so compute them ONCE per side before the
     # pairing — the per-pair work drops to a single dot fold (the cos
     # value is unchanged: sqrt(Σq²)·sqrt(Σc²) is the same number whether
@@ -131,6 +135,10 @@ def lsh_topk(
     Output: (query_id, rank, neighbor_id, cos) — approximate; recall vs
     brute_force_topk is asserted in tests, not by the SQL oracle.
     """
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    queries = drop_null_vectors(queries, vec_col)
+    corpus = drop_null_vectors(corpus, vec_col)
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -257,7 +265,8 @@ def _kmeans_cells(
         F.substring(F.md5(F.col("_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_b", bucket)
         .orderBy("_b", "_id")
         .limit(sample_size)
@@ -332,6 +341,10 @@ def ivf_topk(
     exploded query probes, so the corpus never shuffles) and the final
     per-query top-k on (query_id, neighbor_id, cos) only.
     """
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    queries = drop_null_vectors(queries, vec_col)
+    corpus = drop_null_vectors(corpus, vec_col)
     cents = _kmeans_cells(corpus, n_cells, id_col, vec_col)
     if not cents:
         return corpus.sparkSession.createDataFrame(
@@ -447,6 +460,9 @@ def build_ivf_index(
     incremental corpora, assign new rows with ``_tag_cells`` against
     the SAME stored centroids and append — cell ids stay stable.
     """
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    corpus = drop_null_vectors(corpus, vec_col)
     cents = _kmeans_cells(corpus, n_cells, id_col, vec_col)
     if not cents:
         raise ValueError("build_ivf_index: empty corpus")

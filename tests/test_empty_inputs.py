@@ -36,3 +36,43 @@ def test_every_query_survives_empty_tables(spark, empty_sf):
         except Exception as e:  # noqa: BLE001 — collecting the full list
             failures[name] = str(e).splitlines()[0][:160]
     assert not failures, f"queries crashed on empty input: {failures}"
+
+
+NULLABLE = {
+    "documents": ["text", "lang", "source"],
+    "events": ["event_type", "props"],
+    "embeddings": ["embedding"],
+}
+
+
+@pytest.fixture(scope="module")
+def nulled_sf(tmp_path_factory):
+    import pyarrow as pa
+
+    out = tmp_path_factory.mktemp("null_sf")
+    for t in TABLES:
+        tb = pq.read_table(f"{SRC}/{t}.parquet")
+        for col in NULLABLE.get(t, []):
+            idx = tb.schema.get_field_index(col)
+            arr = tb.column(col).to_pylist()
+            arr = [None if i % 7 == 3 else v for i, v in enumerate(arr)]
+            tb = tb.set_column(idx, col, pa.array(arr, type=tb.schema.field(col).type))
+        pq.write_table(tb, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def test_every_query_survives_null_injection(spark, nulled_sf):
+    """NULLs in every nullable text/payload/vector column (every 7th
+    row) must not crash any operator — NULL text folds through the
+    tokenize chain, NULL vectors are dropped at vector-operator entry
+    (drop_null_vectors: a missing embedding has no geometry).  Found by
+    this sweep: 8 vector operators np.stack-crashing on NULL embeddings."""
+    import __spark_entry__ as m
+
+    failures = {}
+    for name, fn in m.queries().items():
+        try:
+            fn(spark, nulled_sf).count()
+        except Exception as e:  # noqa: BLE001
+            failures[name] = str(e).splitlines()[0][:160]
+    assert not failures, f"queries crashed on NULL-injected input: {failures}"
