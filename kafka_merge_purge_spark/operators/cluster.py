@@ -60,10 +60,13 @@ def kmeans_assign(
     """Lloyd's k-means: ``iters`` assign+update rounds from the k
     lowest-id seeds, then a final assignment.
 
-    Returns the input frame plus a 1-based ``cluster_id`` column.  An
-    emptied cluster keeps its previous centroid (cannot occur on the
-    synthetic corpus; documented for callers on adversarial data — the
-    SQL oracle assumes non-empty clusters).
+    Returns the input frame plus a 1-based ``cluster_id`` column.  Rows
+    whose vector is NULL survive with a NULL ``cluster_id`` — the same
+    row-set contract the empty-seed path has (r5 advice: the two paths
+    used to disagree, the filtered base silently dropping NULL-vector
+    rows).  An emptied cluster keeps its previous centroid (cannot occur
+    on the synthetic corpus; documented for callers on adversarial data —
+    the SQL oracle assumes non-empty clusters).
     """
     from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
 
@@ -95,7 +98,11 @@ def kmeans_assign(
             [new[j + 1][p] for p in sorted(new[j + 1])] if (j + 1) in new else cents[j]
             for j in range(len(cents))
         ]
-    return base.withColumn("cluster_id", _assign_expr(F.col("_v"), cents)).drop("_v")
+    assigned = base.withColumn(
+        "cluster_id", _assign_expr(F.col("_v"), cents)
+    ).select(id_col, "cluster_id")
+    # left-join back so NULL-vector rows keep their row (cluster_id NULL)
+    return emb.join(assigned, id_col, "left")
 
 
 def kmeans_cluster_stats(
@@ -109,6 +116,9 @@ def kmeans_cluster_stats(
     """Per-cluster rollup of the final assignment: member count, lowest
     member id, and mean label — the hash-checkable face of the fit."""
     a = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # NULL-vector rows carry a NULL cluster_id (see kmeans_assign); they
+    # are not members of any cluster, so the per-cluster rollup drops them
+    a = a.filter(F.col("cluster_id").isNotNull())
     return a.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min(id_col).alias("min_id"),

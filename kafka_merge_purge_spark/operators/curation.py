@@ -133,11 +133,16 @@ def boilerplate_line_dedup(
     """
     from pyspark.sql import Window
 
+    if min_docs < 2:
+        # min_docs=1 would mean "every line is boilerplate" (drop all
+        # text) — surely a caller bug; reject it like duplicate_spans
+        # does instead of silently treating it as 2 (r5 advice).
+        raise ValueError(f"boilerplate_line_dedup: min_docs must be >= 2, got {min_docs}")
     lines = df.select(
         F.col(id_col),
         F.posexplode(split_lines(F.col(text_col), line_len)).alias("pos", "line"),
     ).withColumn("_h", md5_int(F.col("line")))
-    if min_docs <= 2:
+    if min_docs == 2:
         wh = Window.partitionBy("_h")
         kept = (
             lines.withColumn(

@@ -27,8 +27,42 @@ LANG_MARKERS = {
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (split on single spaces — the corpus is
-    single-spaced; swap for ``\\s+`` regex on real data)."""
+    single-spaced; swap for ``\\s+`` regex on real data).  For scripts
+    without space segmentation use :func:`tokens_adaptive`."""
     return F.split(text, " ")
+
+
+def space_density(text: Column) -> Column:
+    """Fraction of characters that are spaces — the cheap script-shape
+    signal: space-delimited prose sits around 0.12-0.2, unsegmented
+    scripts (CJK, Thai) near 0."""
+    n = F.length(text)
+    spaces = n - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return F.when(n > 0, spaces / n).otherwise(F.lit(0.0))
+
+
+def char_ngrams(text: Column, n: int = 2) -> Column:
+    """Codepoint n-grams of ``text`` (1-based sliding window; a text
+    shorter than ``n`` yields itself as its only gram)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: text.substr(i, F.lit(n)))
+
+
+def tokens_adaptive(
+    text: Column, min_space_density: float = 0.05, n: int = 2
+) -> Column:
+    """Script-adaptive tokenization (r5 verdict item 4): whitespace
+    tokens when the text is space-delimited, codepoint ``n``-grams when
+    space density falls below ``min_space_density`` — the standard
+    public C4/Gopher practice for unsegmented scripts, where a
+    whitespace tokenizer collapses a whole document into one "token"
+    and every downstream token-granular operator (Gopher rules,
+    shingles, BM25, duplicate spans) silently degrades to
+    document-granularity.  Pure expression either way (codegen; the
+    same SQL is DuckDB-expressible for the oracle)."""
+    return F.when(
+        space_density(text) >= min_space_density, tokens(text)
+    ).otherwise(char_ngrams(text, n))
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

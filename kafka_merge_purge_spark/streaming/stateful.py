@@ -140,7 +140,80 @@ def emit_latest(key: str, state: tuple[int, str | None]) -> pd.DataFrame | None:
     return pd.DataFrame({"key": [key], "offset": [max_offset], "value": [value]})
 
 
-def streaming_compaction(records: DataFrame) -> DataFrame:
+class _TtlProcessorBase:
+    """Shared TTL plumbing for the transformWithStateInPandas processors
+    (r5 verdict item 3: streaming compaction/funnel/anomaly state used to
+    grow with key cardinality forever).
+
+    With ``ttl_ms`` set, every input batch re-arms a single processing-
+    time timer at ``now + ttl_ms`` (a sliding idle timeout: the timer
+    tracks the key's LAST activity, so only keys quiet for a full TTL
+    expire).  ``handleExpiredTimer`` drops the key's state and does not
+    re-arm — an evicted key costs nothing until its next record, which
+    rebuilds state from scratch exactly like a first-seen key (pinned in
+    pytest via fake handle/state/timers; the fold functions all accept
+    ``state=None``).  Without ``ttl_ms`` the operator keeps the old
+    unbounded-state posture (documented: bounded by distinct keys ever
+    seen — fine for bounded key domains, not for e.g. per-user keys on
+    an open site).
+    """
+
+    #: state variable names to clear on expiry, set by subclasses
+    _STATE_ATTRS: tuple[str, ...] = ()
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+        self._handle = None
+
+    def _keep_handle(self, handle) -> None:
+        self._handle = handle
+
+    def _arm_ttl(self, timerValues) -> None:
+        if self._ttl_ms is None:
+            return
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._ttl_ms
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        for name in self._STATE_ATTRS:
+            getattr(self, name).clear()
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+# the class import is protobuf-free (only RUNNING a stream needs the
+# protobuf serializer) — safe at module level in the test container
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor as _StatefulProcessor  # noqa: E402
+
+
+class LatestPerKey(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming log-compaction processor: ValueState holds each key's
+    (max_offset, value); the transition is the pure ``fold_latest``."""
+
+    _STATE_ATTRS = ("_latest",)
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._latest = handle.getValueState("latest", "max_offset long, value string")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = self._latest.get() if self._latest.exists() else None
+        state = fold_latest(prior, rows)
+        self._latest.update(state)
+        self._arm_ttl(timerValues)
+        out = emit_latest(key[0], state)
+        if out is not None:  # head tombstone ⇒ key is deleted
+            yield out
+
+
+def streaming_compaction(
+    records: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming log compaction via ``transformWithStateInPandas`` (the
     Spark 4 stateful-processor API): ValueState holds each key's
     (max_offset, value); every micro-batch folds its records in and emits
@@ -150,6 +223,11 @@ def streaming_compaction(records: DataFrame) -> DataFrame:
 
     State is one tuple per key — the minimal upsert-view state; at scale
     the state store shards by key alongside the shuffle.
+    ``state_ttl_ms`` bounds it further: keys idle for a full TTL are
+    evicted (see ``_TtlProcessorBase``) and rebuild from their next
+    record — for compaction that means the compacted view FORGETS an
+    idle key's head record, the deliberate trade every TTL'd
+    materialized view makes.
 
     NOTE: this API serializes state via protobuf, which is not installed
     in the test container.  The state transition is therefore factored
@@ -159,34 +237,14 @@ def streaming_compaction(records: DataFrame) -> DataFrame:
     the live stream instead when protobuf is importable).  On a real
     deployment: ``pip install protobuf``.
     """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class LatestPerKey(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._latest = handle.getValueState("latest", "max_offset long, value string")
-
-        def handleInputRows(self, key, rows, timerValues):
-            prior = self._latest.get() if self._latest.exists() else None
-            state = fold_latest(prior, rows)
-            self._latest.update(state)
-            out = emit_latest(key[0], state)
-            if out is not None:  # head tombstone ⇒ key is deleted
-                yield out
-
-        def close(self) -> None:
-            pass
-
     return (
         records.filter(records["key"].isNotNull())
         .groupBy("key")
         .transformWithStateInPandas(
-            statefulProcessor=LatestPerKey(),
+            statefulProcessor=LatestPerKey(state_ttl_ms),
             outputStructType=COMPACT_OUTPUT_SCHEMA,
             outputMode="Update",
-            timeMode="None",
+            timeMode="None" if state_ttl_ms is None else "ProcessingTime",
         )
     )
 
@@ -197,12 +255,14 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 
 
 def fold_funnel(
-    state: int | None,
+    state: tuple | None,
     pdfs: Iterator[pd.DataFrame],
     steps: tuple[str, ...] = FUNNEL_STEPS,
-) -> int:
+) -> tuple:
     """Pure stage-machine fold for the streaming funnel: advance one
-    user's stage through record batches.
+    user's stage through record batches.  State is ``(stage, last_ts,
+    last_event_id)`` — the stage plus a high-water mark of the last
+    event APPLIED.
 
     Matches operators/analytics.funnel_stages' greedy fold EXACTLY when
     the per-key record order across batches follows the batch query's
@@ -212,52 +272,68 @@ def fold_funnel(
     arrival jitter cannot reorder the machine; across batches the fold
     is sequential by construction, so chopping one ordered stream into
     ANY sequence of batches folds to the same stage (pinned under
-    randomized splits in pytest)."""
-    stage = state or 0
+    randomized splits in pytest).
+
+    Events at or below the high-water mark — late arrivals that REGRESS
+    the cross-batch order — are dropped deterministically instead of
+    being applied out of order (r5 advice: the ordering assumption used
+    to be documented but unenforced, so a late event silently produced a
+    different stage than the batch twin).  The result is prefix-
+    consistency: the stage always equals the batch query's answer over
+    the events actually applied, and a dropped regressor can only be
+    recovered by reprocessing — the same contract a watermark gives."""
+    stage, last_ts, last_eid = state if state is not None else (0, None, None)
     # Concatenate the batch's Arrow chunks BEFORE sorting: handleInputRows
     # hands one key's micro-batch as an iterator of chunked frames, and
     # jitter can land a later event in an earlier chunk — sorting chunks
     # independently would replay them out of order (review finding).
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if not chunks:
-        return stage
+        return (stage, last_ts, last_eid)
     batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
     batch = batch.sort_values(["ts", "event_id"])
-    for t in batch["event_type"]:
+    for ts, eid, t in zip(batch["ts"], batch["event_id"], batch["event_type"]):
+        if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+            continue  # cross-batch regressor: drop, never apply out of order
         if stage < len(steps) and t == steps[stage]:
             stage += 1
-    return stage
+        last_ts, last_eid = ts, int(eid)
+    return (stage, last_ts, last_eid)
 
 
-def streaming_funnel(events: DataFrame) -> DataFrame:
+class FunnelPerUser(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming funnel processor: ValueState holds each user's
+    (stage, high-water mark); the transition is the pure ``fold_funnel``."""
+
+    _STATE_ATTRS = ("_stage",)
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._stage = handle.getValueState(
+            "stage", "stage int, last_ts timestamp, last_eid long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = tuple(self._stage.get()) if self._stage.exists() else None
+        state = fold_funnel(prior, rows)
+        self._stage.update(state)
+        self._arm_ttl(timerValues)
+        yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [state[0]]})
+
+
+def streaming_funnel(events: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming funnel via ``transformWithStateInPandas``: ValueState
     holds each user's stage; every micro-batch folds its events in and
     emits the user's current stage — the stream twin of
     operators/analytics.funnel_stages (same protobuf note as
-    streaming_compaction; the transition is the pure ``fold_funnel``)."""
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class FunnelPerUser(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._stage = handle.getValueState("stage", "stage int")
-
-        def handleInputRows(self, key, rows, timerValues):
-            prior = self._stage.get()[0] if self._stage.exists() else None
-            stage = fold_funnel(prior, rows)
-            self._stage.update((stage,))
-            yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
-
-        def close(self) -> None:
-            pass
-
+    streaming_compaction; the transition is the pure ``fold_funnel``).
+    ``state_ttl_ms`` evicts users idle for a full TTL (their funnel
+    restarts at stage 0 on the next event — see ``_TtlProcessorBase``)."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=FunnelPerUser(),
+        statefulProcessor=FunnelPerUser(state_ttl_ms),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
 
 
@@ -268,14 +344,16 @@ ANOMALY_OUTPUT_SCHEMA = (
 
 
 def fold_moments(
-    state: tuple[int, float, float] | None,
+    state: tuple | None,
     pdfs: Iterator[pd.DataFrame],
-) -> tuple[tuple[int, float, float], pd.DataFrame]:
+) -> tuple[tuple, pd.DataFrame]:
     """Pure Welford fold for streaming anomaly scoring: thread one key's
     (n, mean, M2) running moments through its record batches, emitting
     each event's z-score against the moments BEFORE that event updates
     them (so the score never sees its own value — the standard online
     form; the first two events of a key emit NULL, variance undefined).
+    State is ``(n, mean, m2, last_ts, last_event_id)`` — the moments
+    plus a high-water mark of the last event applied.
 
     Chunks are concatenated then sorted by (ts, event_id) before the
     walk, exactly like fold_funnel — arrival jitter inside a micro-batch
@@ -283,20 +361,27 @@ def fold_moments(
     sequential, so any chop of one ordered stream yields identical
     scores (pinned under randomized splits in pytest, batch-equivalent
     to the ordered-prefix computation a window query would produce).
+    Cross-batch regressors (events at or below the high-water mark) are
+    dropped — not scored, not folded into the moments — the same
+    enforced prefix-consistency contract as ``fold_funnel`` (r5 advice).
     """
     import math
 
-    n, mean, m2 = state if state is not None else (0, 0.0, 0.0)
+    n, mean, m2, last_ts, last_eid = (
+        state if state is not None else (0, 0.0, 0.0, None, None)
+    )
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if not chunks:
-        return (n, mean, m2), pd.DataFrame(
+        return (n, mean, m2, last_ts, last_eid), pd.DataFrame(
             {"event_id": [], "value": [], "n_seen": [], "zscore": []}
         )
     batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
         ["ts", "event_id"]
     )
     out_id, out_val, out_n, out_z = [], [], [], []
-    for eid, val in zip(batch["event_id"], batch["value"]):
+    for ts, eid, val in zip(batch["ts"], batch["event_id"], batch["value"]):
+        if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+            continue  # cross-batch regressor: drop, never fold out of order
         v = float(val)
         if n >= 2:
             var = m2 / (n - 1)
@@ -312,42 +397,49 @@ def fold_moments(
         d = v - mean
         mean += d / n
         m2 += d * (v - mean)
-    return (n, mean, m2), pd.DataFrame(
+        last_ts, last_eid = ts, int(eid)
+    return (n, mean, m2, last_ts, last_eid), pd.DataFrame(
         {"event_id": out_id, "value": out_val, "n_seen": out_n, "zscore": out_z}
     )
 
 
-def streaming_anomaly_scores(events: DataFrame) -> DataFrame:
+class MomentsPerKey(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming anomaly processor: ValueState holds each key's Welford
+    moments + high-water mark; the transition is the pure ``fold_moments``."""
+
+    _STATE_ATTRS = ("_m",)
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._m = handle.getValueState(
+            "m", "n long, mean double, m2 double, last_ts timestamp, last_eid long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = tuple(self._m.get()) if self._m.exists() else None
+        state, out = fold_moments(prior, rows)
+        self._m.update(state)
+        self._arm_ttl(timerValues)
+        if len(out):
+            out = out.assign(event_type=key[0])
+            yield out[["event_id", "event_type", "value", "n_seen", "zscore"]]
+
+
+def streaming_anomaly_scores(
+    events: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming per-key anomaly scoring via ``transformWithStateInPandas``:
     ValueState holds each event_type's Welford moments; every micro-batch
     folds its events in and emits each event's online z-score — the
     stream twin of the batch x_zscore (which uses the FINAL moments; the
     online form scores against history only, the deployable shape for
     live outlier flagging).  Same protobuf note as streaming_compaction;
-    the transition is the pure ``fold_moments``."""
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class MomentsPerKey(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._m = handle.getValueState("m", "n long, mean double, m2 double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            prior = tuple(self._m.get()) if self._m.exists() else None
-            state, out = fold_moments(prior, rows)
-            self._m.update(state)
-            if len(out):
-                out = out.assign(event_type=key[0])
-                yield out[["event_id", "event_type", "value", "n_seen", "zscore"]]
-
-        def close(self) -> None:
-            pass
-
+    the transition is the pure ``fold_moments``.  ``state_ttl_ms``
+    evicts keys idle for a full TTL (their moments restart from n=0 on
+    the next event — see ``_TtlProcessorBase``)."""
     return events.groupBy("event_type").transformWithStateInPandas(
-        statefulProcessor=MomentsPerKey(),
+        statefulProcessor=MomentsPerKey(state_ttl_ms),
         outputStructType=ANOMALY_OUTPUT_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )

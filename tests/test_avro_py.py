@@ -418,3 +418,74 @@ def test_negative_length_rejected():
         decode_binary(b"\x05", json.dumps(["null", "long"]))
     with pytest.raises(ValueError, match="out of range"):
         decode_binary(b"\x04", json.dumps(["null", "long"]))  # branch 2 of 2
+
+
+def test_registry_subject_resolution_and_lru(tmp_path):
+    """Produce-side resolution (r5 verdict item 6): subject→latest via
+    GET /subjects/{s}/versions/latest against a loopback server, the
+    fetched writer priming the id cache (a later get(id) costs no
+    request), pinned-version fetch, hermetic subjects= dict tier, and
+    LRU bounding of the id cache."""
+    import http.server
+    import threading
+
+    import pytest
+
+    hits: list[str] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            if self.path == "/subjects/user-value/versions/latest":
+                body = {"subject": "user-value", "version": 2, "id": 1,
+                        "schema": WRITER_V1}
+            elif self.path == "/subjects/user-value/versions/1":
+                body = {"subject": "user-value", "version": 1, "id": 9,
+                        "schema": WRITER_V1}
+            else:
+                self.send_error(404)
+                return
+            raw = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        reg = SchemaRegistry(base_url=f"http://127.0.0.1:{srv.server_port}")
+        sid, schema = reg.get_subject("user-value")
+        assert sid == 1 and schema["name"] == "User"
+        reg.get_subject("user-value")  # cached: no second request
+        assert hits == ["/subjects/user-value/versions/latest"]
+        # the fetched writer primed the id cache → wire decode, no refetch
+        frame = b"\x00" + (1).to_bytes(4, "big") + encode_user_v1(7, "ada", 1.5)
+        assert decode_confluent(frame, reg)["name"] == "ada"
+        assert hits == ["/subjects/user-value/versions/latest"]
+        # pinned version is its own cache entry
+        sid9, _ = reg.get_subject("user-value", 1)
+        assert sid9 == 9
+        assert hits[-1] == "/subjects/user-value/versions/1"
+        with pytest.raises(KeyError, match="subject"):
+            reg.get_subject("nope")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # hermetic dict tier: no base_url, no network, id is None
+    reg2 = SchemaRegistry(subjects={"user-value": WRITER_V1})
+    sid, schema = reg2.get_subject("user-value")
+    assert sid is None and schema["name"] == "User"
+    with pytest.raises(KeyError):
+        reg2.get_subject("user-value", 3)  # pinned versions need the registry
+
+    # LRU bound: the id cache never exceeds cache_size
+    reg3 = SchemaRegistry({i: WRITER_V1 for i in range(10)}, cache_size=3)
+    for i in range(10):
+        reg3.get(i)
+    assert len(reg3._cache) == 3 and 9 in reg3._cache and 0 not in reg3._cache
+    assert reg3.get(0)["name"] == "User"  # evicted ids refetch from the raw tier

@@ -424,3 +424,34 @@ def test_kmeans_iterations_reduce_distortion(spark):
     # Lloyd monotonicity (up to the 1e-9 centroid rounding): more rounds
     # never meaningfully increase within-cluster variance
     assert distortion(2) <= distortion(0) * (1 + 1e-6)
+
+
+def test_kmeans_null_vectors_survive_with_null_cluster(spark):
+    """NULL-vector rows keep their row with a NULL cluster_id in BOTH
+    the normal and the empty-seed path (r5 advice: the filtered base
+    used to drop them from one path only)."""
+    from kafka_merge_purge_spark.operators.cluster import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, None), (4, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(df, k=2, iters=1).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] is None
+    assert out[1] is not None and out[2] is not None and out[4] is not None
+
+    # empty-seed path: every vector NULL → all rows survive, all NULL cid
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out2 = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(all_null, k=2).collect()}
+    assert out2 == {1: None, 2: None}
+
+
+def test_boilerplate_min_docs_below_two_rejected(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_docs"):
+        boilerplate_line_dedup(df, min_docs=1)

@@ -81,3 +81,69 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     # and the layout rewrite loses no rows
     back = spark.read.parquet(z)
     assert back.count() == e.count()
+
+
+def _scan_metrics(df) -> dict:
+    """Executed-plan metrics of the (single) parquet scan leaf — the
+    rows the scan actually DECODED after parquet row-group pruning, the
+    user-visible data-skipping number (file listing is not stats-aware
+    for non-partition columns, so numFiles stays constant; pruning
+    happens at row-group granularity inside the reader)."""
+    import time
+
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    assert leaves.size() == 1
+    # metric accumulators propagate to the driver via the async listener
+    # bus — poll briefly until the scan's numFiles lands
+    for _ in range(100):
+        out = {}
+        it = leaves.apply(0).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = kv._2().value()
+        if out.get("numOutputRows", 0) > 0:
+            break
+        time.sleep(0.1)
+    return out
+
+
+def test_zorder_skips_row_groups_on_two_dim_predicate(spark, tmp_path):
+    """Query-level proof (r5 verdict item 7): EXECUTE the same selective
+    two-dimensional predicate over the z-ordered layout and the
+    single-column sort, and compare what the parquet scan decoded.
+    Min/max tightening is the mechanism; this pins the effect — the
+    z-ordered scan materially fewer rows for identical answers."""
+    e = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("vbin")
+    )
+    z, s = str(tmp_path / "z"), str(tmp_path / "s")
+    lo_u, hi_u, lo_v, hi_v = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("vbin"), F.max("vbin")
+    ).collect()[0]
+    write_zordered(
+        e, z,
+        [scale_to_bits(F.col("user_id"), lo_u, hi_u, bits=11),
+         scale_to_bits(F.col("vbin"), lo_v, hi_v, bits=11)],
+        bits=11, n_files=16,
+    )
+    e.repartitionByRange(16, "vbin").sortWithinPartitions("vbin").write.mode(
+        "overwrite"
+    ).parquet(s)
+
+    pred = (F.col("user_id").between(lo_u, lo_u + (hi_u - lo_u) // 8)) & (
+        F.col("vbin").between(lo_v, lo_v + (hi_v - lo_v) // 8)
+    )
+    zdf = spark.read.parquet(z).filter(pred)
+    sdf = spark.read.parquet(s).filter(pred)
+    # identical answers first
+    assert sorted(r["event_id"] for r in zdf.collect()) == sorted(
+        r["event_id"] for r in sdf.collect()
+    )
+    zm, sm = _scan_metrics(zdf), _scan_metrics(sdf)
+    # both scans list every file (listing is not stats-aware for
+    # non-partition columns), but the z-ordered layout's row-group stats
+    # exclude most of the corpus for a 2-dim predicate, so the reader
+    # DECODES far less — the executed, user-visible skipping effect
+    assert zm["numOutputRows"] > 0 and sm["numOutputRows"] > 0
+    assert zm["numOutputRows"] < 0.6 * sm["numOutputRows"], (zm, sm)

@@ -1062,3 +1062,116 @@ def test_bm25_ranks_rare_terms_and_saturates(spark):
     one = {(r["doc_id"], r["word"]): r["bm25"] for r in one_spam}
     # 10 occurrences must score < 10x one occurrence (saturation)
     assert scores[(3, "spam")] < 10 * one[(3, "spam")]
+
+
+def _planted(tables):
+    """embeddings + jittered copies of the 50 lowest vec_ids at cosine
+    ≈ 0.9999 — a corpus with real near-dups at the production 0.95
+    threshold (the synthetic table's max pairwise cos is ~0.51)."""
+    emb = tables["embeddings"]
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * (1.0 + 0.002 * ((F.pmod(F.hash(F.col("vec_id") * 131 + i), F.lit(1000)) / 1000.0) - 0.5)),
+        ).cast("array<float>").alias("embedding"),
+        F.col("label"),
+    )
+    return emb.select("vec_id", "embedding", "label").unionByName(dup)
+
+
+@pytest.mark.parametrize("method", ["lsh", "ivf"])
+def test_embedding_ann_pairs_recall_and_exact_scores(tables, method):
+    """The bucketed pair source (r5 verdict headline): ≥0.95 recall vs
+    the exact all-pairs form at the production threshold, and the
+    quantized scorer is BIT-IDENTICAL on every pair both paths emit —
+    bucketing only changes which pairs are considered, never a score."""
+    planted = _planted(tables)
+    exact = {(r.id_a, r.id_b): r.cos for r in
+             dd.embedding_near_dup_pairs(planted, threshold=0.95).collect()}
+    ann = {(r.id_a, r.id_b): r.cos for r in
+           dd.embedding_ann_pairs(planted, threshold=0.95, method=method).collect()}
+    assert len(exact) >= 50  # every planted copy pairs with its source
+    common = set(ann) & set(exact)
+    assert len(common) / len(exact) >= 0.95
+    assert all(ann[p] == exact[p] for p in common)
+    # no false positives: verification is exact, so every emitted pair
+    # is a true >= threshold pair
+    assert set(ann) <= set(exact)
+
+
+def test_embedding_fuzzy_dedup_ann_matches_exact_composition(tables):
+    """End-to-end: the candidates='lsh' composition labels the planted
+    corpus identically to the exact composition (deterministic planes →
+    deterministic recall, 1.0 on this corpus)."""
+    planted = _planted(tables)
+    exact = sorted(map(tuple, dd.embedding_fuzzy_dedup(
+        planted, threshold=0.95, candidates="exact").collect()))
+    ann = sorted(map(tuple, dd.embedding_fuzzy_dedup(
+        planted, threshold=0.95, candidates="lsh").collect()))
+    assert ann == exact
+    # sanity: the planted duplicates actually cluster
+    n_clustered = sum(1 for r in ann if r[2] > 1)
+    assert n_clustered >= 100  # 50 sources + 50 copies
+
+
+def test_embedding_fuzzy_dedup_rejects_unknown_candidates(tables):
+    with pytest.raises(ValueError, match="candidates"):
+        dd.embedding_fuzzy_dedup(tables["embeddings"], candidates="nope")
+
+
+def test_ivf_topk_precomputed_centroids_identical(tables):
+    """ivf_topk(centroids=...) — the amortized-bootstrap path — returns
+    exactly the per-call-fit result for the same corpus."""
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 10)
+    cents = sim._kmeans_cells(emb, 16)
+    a = sorted(map(tuple, sim.ivf_topk(probes, emb, k=5, n_cells=16, nprobe=4).collect()))
+    b = sorted(map(tuple, sim.ivf_topk(
+        probes, emb, k=5, n_cells=16, nprobe=4, centroids=cents).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivf_tag_and_probe_forms_agree(tables):
+    """The pandas (GEMM) and expression (literal-array) physical forms
+    of IVF cell tagging and probing produce identical assignments — the
+    pandas form exists because the literal tree's compile cost grows
+    with cells × dim and is paid per execution (r6: it was the real
+    x_similarity_ivf regression, not the data)."""
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 10)
+    cents = sim._kmeans_cells(emb, 8)
+    te = sorted(map(tuple, sim._tag_cells(emb, cents, "vec_id", "embedding", impl="expr")
+                    .select("neighbor_id", "cell_id").collect()))
+    tp = sorted(map(tuple, sim._tag_cells(emb, cents, "vec_id", "embedding", impl="pandas")
+                    .select("neighbor_id", "cell_id").collect()))
+    assert te == tp and len(te) > 0
+    pe = sorted(map(tuple, sim._probe_cells(probes, cents, 3, "vec_id", "embedding", impl="expr")
+                    .select("query_id", "cell_id").collect()))
+    pp = sorted(map(tuple, sim._probe_cells(probes, cents, 3, "vec_id", "embedding", impl="pandas")
+                    .select("query_id", "cell_id").collect()))
+    assert pe == pp and len(pe) > 0
+
+
+def test_tokens_adaptive_cjk_fallback(spark):
+    """On unsegmented script, plain tokens() collapses a document to ONE
+    token (degrading Gopher rules/shingles/spans to doc granularity —
+    r5 verdict item 4); tokens_adaptive falls back to codepoint bigrams.
+    Space-delimited text is untouched (identical to tokens())."""
+    cjk = "今日は良い天気ですね散歩に行きましょう"
+    en = "the quick brown fox jumps"
+    df = spark.createDataFrame([(1, en), (2, cjk), (3, "")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.size(tx.tokens(F.col("text"))).alias("plain"),
+            tx.tokens_adaptive(F.col("text")).alias("adaptive"),
+        ).collect()
+    }
+    assert out[1]["plain"] == 5 and out[1]["adaptive"] == en.split(" ")
+    assert out[2]["plain"] == 1  # the degradation being fixed
+    assert out[2]["adaptive"] == [cjk[i : i + 2] for i in range(len(cjk) - 1)]
+    assert len(out[2]["adaptive"]) == len(cjk) - 1
+    assert out[3]["adaptive"] == [""]  # empty text: one empty gram, no crash

@@ -565,7 +565,7 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
                 chunks = [batch]
             state = fold_funnel(state, iter(chunks))
             i = j
-        got[u] = state
+        got[u] = state[0]  # state is (stage, last_ts, last_eid)
     assert got == want
 
     if _has_protobuf():
@@ -691,3 +691,176 @@ def test_streaming_anomaly_scores_match_prefix_batch(spark, tmp_path):
             for r in spark.sql("SELECT event_id, zscore FROM anom_out").collect()
         }
         assert live == want
+
+
+# ------------------------------------------------ state TTL + ordering guard
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Enough of StatefulProcessorHandle for the TTL protocol: named
+    ValueStates plus a timer set with register/delete/list."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+    def listTimers(self):
+        return iter(list(self.timers))
+
+
+def _tv(now_ms):
+    from pyspark.sql.streaming.stateful_processor import TimerValues
+
+    return TimerValues(currentProcessingTimeInMs=now_ms)
+
+
+def _eti(ts_ms):
+    from pyspark.sql.streaming.stateful_processor import ExpiredTimerInfo
+
+    return ExpiredTimerInfo(expiryTimeInMs=ts_ms)
+
+
+def _drive(proc, key, pdf, now_ms):
+    import pandas as pd
+
+    return list(proc.handleInputRows(key, iter([pdf]), _tv(now_ms)))
+
+
+def test_ttl_protocol_compaction_evicts_and_rebuilds():
+    """TTL lifecycle on the compaction processor against a fake handle:
+    each input batch slides the single eviction timer to last-seen+TTL;
+    expiry drops the key's state; the key's next record rebuilds from
+    scratch exactly like a first-seen key (r5 verdict item 3)."""
+    import pandas as pd
+
+    from kafka_merge_purge_spark.streaming.stateful import LatestPerKey
+
+    proc = LatestPerKey(ttl_ms := 60_000)
+    h = _FakeHandle()
+    proc.init(h)
+
+    out = _drive(proc, ("k1",), pd.DataFrame(
+        {"key": ["k1", "k1"], "offset": [1, 2], "value": ["a", "b"]}), now_ms=1_000)
+    assert out[0]["value"].tolist() == ["b"]
+    assert h.timers == [1_000 + ttl_ms]          # armed at now + TTL
+
+    # more input slides the timer (old one deleted, ONE timer live)
+    out = _drive(proc, ("k1",), pd.DataFrame(
+        {"key": ["k1"], "offset": [3], "value": ["c"]}), now_ms=5_000)
+    assert out[0]["value"].tolist() == ["c"]
+    assert h.timers == [5_000 + ttl_ms]
+
+    # quiet past the TTL → expiry clears state, emits nothing, no re-arm
+    assert list(proc.handleExpiredTimer(("k1",), _tv(70_000), _eti(65_000))) == []
+    assert not h.states["latest"].exists()
+    assert h.timers == [5_000 + ttl_ms]  # runtime removes fired timers itself
+
+    # next record rebuilds from scratch: offset 1 wins again (history gone)
+    out = _drive(proc, ("k1",), pd.DataFrame(
+        {"key": ["k1"], "offset": [1], "value": ["z"]}), now_ms=80_000)
+    assert out[0]["value"].tolist() == ["z"]
+    assert h.states["latest"].get() == (1, "z")
+
+
+def test_ttl_protocol_funnel_and_moments_evict_and_rebuild():
+    import pandas as pd
+
+    from kafka_merge_purge_spark.streaming.stateful import FunnelPerUser, MomentsPerKey
+
+    ts = pd.Timestamp("2024-01-01")
+    proc = FunnelPerUser(1_000)
+    h = _FakeHandle()
+    proc.init(h)
+    out = _drive(proc, (7,), pd.DataFrame(
+        {"ts": [ts, ts + pd.Timedelta(seconds=1)], "event_id": [1, 2],
+         "event_type": ["view", "click"]}), now_ms=0)
+    assert out[0]["funnel_stage"].tolist() == [2]
+    assert h.timers == [1_000]
+    list(proc.handleExpiredTimer((7,), _tv(2_000), _eti(1_000)))
+    assert not h.states["stage"].exists()
+    # rebuilt: the user restarts at stage 0 and re-walks from 'view'
+    out = _drive(proc, (7,), pd.DataFrame(
+        {"ts": [ts + pd.Timedelta(seconds=9)], "event_id": [9],
+         "event_type": ["click"]}), now_ms=3_000)
+    assert out[0]["funnel_stage"].tolist() == [0]  # click before view: no advance
+
+    proc2 = MomentsPerKey(1_000)
+    h2 = _FakeHandle()
+    proc2.init(h2)
+    out = _drive(proc2, ("click",), pd.DataFrame(
+        {"ts": [ts, ts + pd.Timedelta(seconds=1), ts + pd.Timedelta(seconds=2)],
+         "event_id": [1, 2, 3], "value": [1.0, 2.0, 3.0]}), now_ms=0)
+    assert out[0]["n_seen"].tolist() == [0, 1, 2]
+    assert h2.timers == [1_000]
+    list(proc2.handleExpiredTimer(("click",), _tv(2_000), _eti(1_000)))
+    assert not h2.states["m"].exists()
+    out = _drive(proc2, ("click",), pd.DataFrame(
+        {"ts": [ts + pd.Timedelta(seconds=9)], "event_id": [9], "value": [4.0]}),
+        now_ms=3_000)
+    assert out[0]["n_seen"].tolist() == [0]  # moments restarted from n=0
+
+
+def test_folds_drop_cross_batch_regressors():
+    """r5 advice: the (ts, event_id) ordering assumption across batches
+    is now ENFORCED — an event at or below the high-water mark is
+    dropped deterministically, so a late arrival can never rewrite the
+    stage machine or the moments out of order."""
+    import pandas as pd
+
+    from kafka_merge_purge_spark.streaming.stateful import fold_funnel, fold_moments
+
+    ts = pd.Timestamp("2024-01-01")
+    b1 = pd.DataFrame({"ts": [ts, ts + pd.Timedelta(seconds=5)],
+                       "event_id": [1, 5], "event_type": ["view", "click"]})
+    state = fold_funnel(None, iter([b1]))
+    assert state[0] == 2
+    # a late 'purchase' BETWEEN the applied events regresses the order:
+    # dropped (stage unchanged), not applied retroactively
+    late = pd.DataFrame({"ts": [ts + pd.Timedelta(seconds=2)],
+                         "event_id": [3], "event_type": ["purchase"]})
+    state2 = fold_funnel(state, iter([late]))
+    assert state2 == state
+    # a genuinely-new later event still advances
+    nxt = pd.DataFrame({"ts": [ts + pd.Timedelta(seconds=9)],
+                        "event_id": [9], "event_type": ["purchase"]})
+    assert fold_funnel(state2, iter([nxt]))[0] == 3
+    # exact-duplicate redelivery (same ts+event_id) is idempotent
+    assert fold_funnel(state2, iter([b1.tail(1)])) == state2
+
+    m1 = pd.DataFrame({"ts": [ts, ts + pd.Timedelta(seconds=5)],
+                       "event_id": [1, 5], "value": [1.0, 3.0]})
+    mstate, _ = fold_moments(None, iter([m1]))
+    late_m = pd.DataFrame({"ts": [ts + pd.Timedelta(seconds=2)],
+                           "event_id": [3], "value": [100.0]})
+    mstate2, out = fold_moments(mstate, iter([late_m]))
+    assert mstate2 == mstate and len(out) == 0  # dropped: not scored, not folded
+    nxt_m = pd.DataFrame({"ts": [ts + pd.Timedelta(seconds=9)],
+                          "event_id": [9], "value": [2.0]})
+    mstate3, out3 = fold_moments(mstate2, iter([nxt_m]))
+    assert out3["n_seen"].tolist() == [2]  # the regressor never entered n
