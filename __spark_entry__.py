@@ -2151,15 +2151,18 @@ _LLM_ORACLES["x_adaptive_tokens"] = """
                 THEN round(CAST(len(text) - len(replace(text, ' ', ''))
                            AS DOUBLE) / len(text), 6)
                 ELSE 0.0 END AS ws_density,
-           CASE WHEN len(text) > 0
-                     AND CAST(len(text) - len(replace(text, ' ', ''))
-                         AS DOUBLE) / len(text) >= 0.05
+           CASE WHEN len(text) < 20
+                     OR (len(text) > 0
+                         AND CAST(len(text) - len(replace(text, ' ', ''))
+                             AS DOUBLE) / len(text) >= 0.05)
                 THEN len(string_split(text, ' '))
                 ELSE greatest(len(text) - 1, 1) END AS ws_n_tokens,
-           greatest(len(dense) - 1, 1) AS dense_n_tokens,
-           len(list_distinct([substr(dense, i, 2)
-                              FOR i IN generate_series(1, greatest(len(dense) - 1, 1))]))
-               AS dense_n_unique
+           CASE WHEN len(dense) < 20 THEN 1
+                ELSE greatest(len(dense) - 1, 1) END AS dense_n_tokens,
+           CASE WHEN len(dense) < 20 THEN 1
+                ELSE len(list_distinct([substr(dense, i, 2)
+                         FOR i IN generate_series(1, greatest(len(dense) - 1, 1))]))
+                END AS dense_n_unique
     FROM d"""
 
 _LLM_ORACLES["x_contamination"] = f"""

@@ -39,6 +39,15 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entry_mod.queries()
+    # Tiering (the suite is 117 queries and growing): --primaries runs
+    # only the 50 gated q_* rows — the stable cross-round basis — for
+    # fast iteration; `--only name...` runs a hand-picked subset.  The
+    # default (driver path) stays the full declared suite.
+    if "--primaries" in sys.argv[1:]:
+        qs = {k: v for k, v in qs.items() if k.startswith("q_")}
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup or first-touch footer reads (events needs
     # the nanosAsLong-aware loader)
@@ -86,11 +95,14 @@ def main() -> None:
         "primaries_sec": primaries,
         "per_query_sec": round(total / max(len(timings), 1), 3),
     }
-    # per-query detail is too long for the driver's tail window — sidecar it
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(
-        json.dumps({**summary, "queries": timings, "runs": runs}, indent=1)
-    )
+    # per-query detail is too long for the driver's tail window — sidecar
+    # it (full-suite runs only: a tiered run must not clobber the
+    # cross-round detail file with a partial dict)
+    if len(qs) == len(entry_mod.queries()):
+        detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        detail_path.write_text(
+            json.dumps({**summary, "queries": timings, "runs": runs}, indent=1)
+        )
     print(json.dumps(summary))
 
 

@@ -39,8 +39,20 @@ DEFAULT_BANDS = 4  # 4 bands × 4 rows — s-curve threshold ≈ (1/4)^(1/4) ≈
 
 def normalize(text: Column) -> Column:
     """Lowercase + squeeze non-alphanumerics — the canonical form all
-    dedup tiers hash.  Mirrors text.fingerprint's normalization."""
+    dedup tiers hash.  Mirrors text.fingerprint's normalization.
+    ASCII-only: unsegmented scripts normalize to '' — use
+    :func:`normalize_unicode` + the ``adaptive`` shingle path for
+    multilingual corpora."""
     return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def normalize_unicode(text: Column) -> Column:
+    """Script-preserving normalize twin: lowercase + squeeze everything
+    that is not a letter or digit in ANY script (``\\p{L}\\p{Nd}``) to a
+    single space.  Identical to :func:`normalize` on pure-ASCII text
+    (pinned in pytest), but CJK/Cyrillic/accented text survives instead
+    of collapsing to the empty string."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^\p{L}\p{Nd}]+", " "))
 
 
 def md5_int(c: Column) -> Column:
@@ -86,8 +98,19 @@ def shingle_frame(
     id_col: str = "doc_id",
     k: int = 3,
     vectorized: bool = True,
+    adaptive: bool = False,
 ) -> DataFrame:
     """``(id, sh)`` — each document's distinct word k-shingle array.
+
+    ``adaptive=True`` swaps the tokenizer stage for the multilingual
+    form — :func:`normalize_unicode` (scripts survive) +
+    ``text.tokens_adaptive`` (codepoint bigrams when space density says
+    the script is unsegmented) — so shingling, and everything built on
+    it (MinHash, fuzzy dedup), works on CJK-like corpora instead of
+    collapsing every document to the empty shingle.  On pure-ASCII
+    space-delimited text the adaptive form produces IDENTICAL shingles
+    (pinned in pytest), so flipping it on a mixed corpus never changes
+    the result for the documents the default already handled.
 
     Two physical forms, identical shingle SETS (and identical
     first-occurrence order):
@@ -110,6 +133,8 @@ def shingle_frame(
     before this stage, as minhash_lsh_pairs does).
     """
     if not vectorized:
+        if adaptive:
+            raise ValueError("shingle_frame: adaptive requires the vectorized path")
         return df.select(
             F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
         )
@@ -118,7 +143,12 @@ def shingle_frame(
     from collections.abc import Iterator
 
     id_type = dict(df.dtypes)[id_col]
-    toks = tokens(normalize(F.col(text_col)))
+    if adaptive:
+        from kafka_merge_purge_spark.operators.text import tokens_adaptive
+
+        toks = tokens_adaptive(normalize_unicode(F.col(text_col)))
+    else:
+        toks = tokens(normalize(F.col(text_col)))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -270,10 +300,13 @@ def minhash_lsh_pairs(
     k: int = 3,
     jaccard_threshold: float = 0.7,
     vectorized: bool = True,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Fuzzy-dup candidate pairs via LSH banding, verified with exact
-    shingle Jaccard.
+    shingle Jaccard.  ``adaptive=True`` runs the multilingual shingle
+    stage (see :func:`shingle_frame`) so unsegmented scripts dedup at
+    codepoint-bigram granularity instead of being dropped as degenerate.
 
     Plan shape (the part that matters at scale):
       scan → signature (map) → explode bands (map, ×bands rows of
@@ -287,12 +320,13 @@ def minhash_lsh_pairs(
     (scan → normalize → tokenize → shingle) appears three times in the
     plan — once under the banding, once per re-join side — so its CPU
     cost triples versus carrying shingle arrays through the band join.
-    That is the right default: the tokenize map is embarrassingly
-    parallel compute while the avoided ~2·bands× shingle-byte shuffle is
-    network+spill at the plan's narrowest point.  When executor CPU (not
-    network) is the bottleneck, ``persist_shingles=True`` materializes
-    the shingle frame once (MEMORY_AND_DISK, LRU-evictable) and all
-    three uses read the cache.
+    ``persist_shingles=True`` (the measured default, r6 A/B in
+    BENCH_SCALE.md: persist wins 2.3× at sf0.1 and 1.34× at the 10×
+    scale-up, min-of-2 warm on local[32]) materializes the shingle frame
+    once (MEMORY_AND_DISK, LRU-evictable — bounded-safe when the frame
+    outgrows cluster memory) and all three uses read the cache; pass
+    ``False`` to trade CPU for zero cache footprint when executor
+    memory, not compute, is the scarce resource.
     """
     # Scale posture: small corpora arrive as one file → one partition; the
     # signature map stage must parallelize, so spread rows first (at real
@@ -304,12 +338,14 @@ def minhash_lsh_pairs(
     # short-circuiting rlike (text normalizes to empty iff it contains no
     # alphanumeric at all), not a re-evaluation of the normalize/shingle
     # expression chain.
+    content_re = r"[\p{L}\p{Nd}]" if adaptive else "[a-zA-Z0-9]"
     sh_df = shingle_frame(
-        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")).repartition(n_part, id_col),
+        df.filter(F.col(text_col).rlike(content_re)).repartition(n_part, id_col),
         text_col,
         id_col,
         k,
         vectorized,
+        adaptive=adaptive,
     )
     if persist_shingles:
         from pyspark import StorageLevel
@@ -355,7 +391,8 @@ def fuzzy_dedup(
     bands: int = 8,
     k: int = 3,
     jaccard_threshold: float = 0.5,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
+    adaptive: bool = False,
 ) -> DataFrame:
     """End-to-end fuzzy deduplication — the composed flagship pipeline:
 
@@ -389,6 +426,7 @@ def fuzzy_dedup(
         k,
         jaccard_threshold,
         persist_shingles=persist_shingles,
+        adaptive=adaptive,
     )
     comps = connected_components(pairs)
     docs = df.select(F.col(id_col))
@@ -878,7 +916,7 @@ def embedding_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
-    n_planes: int = 8,
+    n_planes: int = 12,
     n_tables: int = 16,
     n_cells: int = 16,
     nprobe: int = 2,
@@ -894,12 +932,15 @@ def embedding_candidate_pairs(
       (similarity._hyperplanes/_sign_signature_frame — the SAME kernel
       the ANN search uses).  A pair is a candidate iff any of the
       ``n_tables`` tables assigns both vectors the same ``n_planes``-bit
-      signature.  Default 8 planes × 16 tables targets the real
+      signature.  Default 12 planes × 16 tables targets the real
       near-dup regime (cosine ≥ ~0.9): a cos-0.95 pair collides in at
-      least one table with prob ≈ 1 − 1.4e-4, while a random pair
-      (cos ≈ 0) survives into the candidate set ≈ 6% of the time —
-      the n² → collisions cost drop that makes 100 TB vector dedup
-      tractable.
+      least one table with prob ≈ 0.995, while a random pair (cos ≈ 0)
+      survives into the candidate set ≈ 0.4% of the time — the n² →
+      collisions cost drop that makes 100 TB vector dedup tractable.
+      (8 planes measured a 3.97× slope at the 10× scale-up: ~6%
+      random collisions kept the candidate set near-quadratic; 12
+      planes cut them 16× for ~half a point of recall.  At larger n,
+      scale ``n_planes`` with log₂(n) to hold the candidate ratio.)
     - ``method="ivf"``: multi-probe IVF cells — each vector is tagged
       with its ``nprobe`` max-dot centroids (narrow literal-argmax
       projection, zero shuffle to tag); a pair is a candidate iff the

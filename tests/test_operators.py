@@ -1159,9 +1159,12 @@ def test_tokens_adaptive_cjk_fallback(spark):
     token (degrading Gopher rules/shingles/spans to doc granularity —
     r5 verdict item 4); tokens_adaptive falls back to codepoint bigrams.
     Space-delimited text is untouched (identical to tokens())."""
-    cjk = "今日は良い天気ですね散歩に行きましょう"
+    cjk = "今日は良い天気ですね散歩に行きましょう公園の桜がきれいに咲いています"
     en = "the quick brown fox jumps"
-    df = spark.createDataFrame([(1, en), (2, cjk), (3, "")], "doc_id long, text string")
+    word = "hello"  # short + space-free: stays ONE token (min_len guard)
+    df = spark.createDataFrame(
+        [(1, en), (2, cjk), (3, ""), (4, word)], "doc_id long, text string"
+    )
     out = {
         r["doc_id"]: r
         for r in df.select(
@@ -1174,4 +1177,38 @@ def test_tokens_adaptive_cjk_fallback(spark):
     assert out[2]["plain"] == 1  # the degradation being fixed
     assert out[2]["adaptive"] == [cjk[i : i + 2] for i in range(len(cjk) - 1)]
     assert len(out[2]["adaptive"]) == len(cjk) - 1
-    assert out[3]["adaptive"] == [""]  # empty text: one empty gram, no crash
+    assert out[3]["adaptive"] == [""]  # empty text: one empty token, no crash
+    assert out[4]["adaptive"] == ["hello"]  # a lone word is not a bigram bag
+
+
+def test_adaptive_shingles_identical_on_ascii(tables):
+    """On the pure-ASCII space-delimited corpus the adaptive shingle
+    stage (normalize_unicode + tokens_adaptive) is a strict
+    generalization: shingle sets — and therefore every MinHash pair —
+    are IDENTICAL to the default stage, so enabling it on a mixed
+    corpus never changes results for documents the default handled."""
+    docs = tables["documents"]
+    a = {r["id"]: sorted(r["sh"]) for r in dd.shingle_frame(docs).collect()}
+    b = {r["id"]: sorted(r["sh"]) for r in dd.shingle_frame(docs, adaptive=True).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_fuzzy_dedup_adaptive_handles_cjk(spark):
+    """The verdict's CJK degradation, end-to-end: without adaptive, CJK
+    docs normalize to '' and are dropped as degenerate (no pairs at
+    all); with adaptive=True the duplicated CJK docs cluster while the
+    distinct one stays apart — codepoint-bigram shingles carry the
+    signal whitespace tokens cannot."""
+    base = "今日は良い天気ですね散歩に行きましょう公園の桜がきれいに咲いています午後から友達と会う予定です"
+    near = base + "夕方には家に帰ります"          # shared long prefix
+    other = "機械学習の分散処理基盤を構築して大規模データを毎日解析する仕事をしています世界は広い"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+    # default path: all four drop at the degenerate filter → no pairs
+    assert dd.minhash_lsh_pairs(df, jaccard_threshold=0.3).count() == 0
+    out = {r["doc_id"]: r for r in
+           dd.fuzzy_dedup(df, jaccard_threshold=0.3, adaptive=True).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1  # exact dup pair
+    assert out[3]["cluster_id"] == 1                          # near-dup joins
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1

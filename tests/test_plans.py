@@ -176,3 +176,28 @@ def test_projection_barrier_pins_single_evaluation(spark):
     assert opt.count("lower") == 1  # three references, one evaluation
     # row fidelity: the barrier is a per-row no-op
     assert out.count() == 5
+
+
+def test_embedding_ann_pair_exchanges_carry_no_vectors(tables):
+    """Pin the r6 bucketed-dedup shuffle width: the LSH candidate
+    self-join moves (id, table, sig) ONLY — embedding arrays re-enter
+    per deduped pair, feeding a rowwise scoring kernel, never the
+    bucket-keyed exchange (the same rule as the MinHash band join and
+    the ANN search)."""
+    import re
+
+    from kafka_merge_purge_spark.operators import dedup as dd
+
+    plan = formatted_plan(dd.embedding_ann_pairs(tables["embeddings"], threshold=0.4))
+    blocks = [b.strip() for b in re.split(r"\n\s*\n", plan) if b.strip()]
+    sig_moves = [
+        b
+        for b in blocks
+        if "Exchange" in b.splitlines()[0] and re.search(r"\bsig#", b)
+    ]
+    assert sig_moves, "expected sig-keyed exchanges in the bucketed dedup plan"
+    for b in sig_moves:
+        assert not re.search(r"\b(_va|_vb|embedding)#", b), (
+            "vector array rides the candidate self-join data movement:\n" + b
+        )
+    assert "CartesianProduct" not in plan
