@@ -895,12 +895,20 @@ def x_map_funcs(spark, sf_dir):
     map_concat with a computed literal entry, map_keys/map_values,
     element_at, transform_values, map_filter, and an integer fold over
     the values — all JVM expressions (no UDF).  The oracle computes the
-    same values straight from the JSON (semantic spec, not same ops)."""
+    same values straight from the JSON (semantic spec, not same ops).
+    The parsed map is pinned behind a projection barrier: six of the
+    seven output columns reference it, and CollapseProject would
+    otherwise inline the from_json parse into each (6× JSON parsing per
+    row — the same re-evaluation the curation pipeline hit)."""
+    from kafka_merge_purge_spark.plans.introspect import projection_barrier
+
     e = _t(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,int>")
     m2 = F.map_concat(
         m, F.create_map(F.lit("bucket"), (F.col("event_id") % 10).cast("int"))
     )
+    e = projection_barrier(e.withColumn("_m2", m2))
+    m2 = F.col("_m2")
     doubled = F.transform_values(m2, lambda k, v: v * 2)
     return e.select(
         F.col("event_id"),
@@ -2090,6 +2098,58 @@ def _simhash_oracle(bits: int = 32, where: str = "") -> str:
                    list_transform(list_distinct({_TOKS}), t -> {hash_expr}) AS hs
             FROM documents {where})
         SELECT doc_id, {bit_terms} AS simhash FROM base"""
+
+
+def x_heavy_hitters(spark, sf_dir):
+    """Exact top-20 most frequent tokens (count desc, word asc) — the
+    correctness twin of the Misra-Gries heavy-hitters sketch
+    (operators/sketch.py; sketch guarantees pinned in pytest).  One
+    map-side-combined shuffle + TakeOrdered finish."""
+    from kafka_merge_purge_spark.operators.sketch import heavy_hitters_exact
+
+    words = _t(spark, sf_dir, "documents").select(
+        F.explode(tx.tokens(F.col("text"))).alias("word")
+    )
+    return heavy_hitters_exact(words, "word", k=20)
+
+
+_LLM_ORACLES["x_heavy_hitters"] = """
+    SELECT word, n FROM (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word)
+    ORDER BY n DESC, word LIMIT 20"""
+
+
+def x_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (SNM): SimHash-ordered corpus, each doc
+    compared to its 4 successors, exact-Jaccard verified — deterministic
+    n·window candidate cost (the zero-bucket-skew dedup family).  The
+    global rank is a two-level prefix sum (no single-task window); the
+    oracle replays fingerprint, ordering, windowing, and verification."""
+    return dd.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=4, jaccard_threshold=0.3
+    )
+
+
+_SNM_FP = _simhash_oracle(where="WHERE regexp_matches(text, '[a-zA-Z0-9]')").strip()
+
+_LLM_ORACLES["x_sorted_neighborhood"] = f"""
+    WITH fp AS ({_SNM_FP}),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY simhash, doc_id) AS rank
+          FROM fp),
+    cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+             FROM r a JOIN r b
+               ON b.rank > a.rank AND b.rank <= a.rank + 4),
+    base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+             WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    sh AS (SELECT id, {_SHINGLES} AS sh FROM base),
+    scored AS (
+        SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+               round(len(list_intersect(a.sh, b.sh)) /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM cand JOIN sh a ON a.id = ia JOIN sh b ON b.id = ib)
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3"""
 
 
 _LLM_ORACLES["x_cross_dedup"] = f"""

@@ -454,6 +454,7 @@ def minhash_lsh_pairs_against(
     bands: int = DEFAULT_BANDS,
     k: int = 3,
     jaccard_threshold: float = 0.7,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Cross-corpus fuzzy-dup candidates: which NEW documents near-match
     an existing REFERENCE corpus — the incremental-ingest form of
@@ -467,12 +468,15 @@ def minhash_lsh_pairs_against(
     pairs, and reference band keys can be precomputed/persisted between
     ingests.  Same shuffle-width rule: band frames carry
     ``(id, band, band_key)`` only, shingles re-join per deduped
-    candidate side at 1× width.
+    candidate side at 1× width.  Each side's shingle frame appears
+    twice in the plan (banding + re-join), so the same measured default
+    as ``minhash_lsh_pairs`` applies: ``persist_shingles=True`` caches
+    each side once (MEMORY_AND_DISK, LRU-evictable).
     """
     n_part = max(new_df.sparkSession.sparkContext.defaultParallelism, 8)
 
     def prep(df: DataFrame) -> DataFrame:
-        return shingle_frame(
+        sh = shingle_frame(
             df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")).repartition(
                 n_part, id_col
             ),
@@ -480,6 +484,11 @@ def minhash_lsh_pairs_against(
             id_col,
             k,
         )
+        if persist_shingles:
+            from pyspark import StorageLevel
+
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        return sh
 
     sh_new, sh_ref = prep(new_df), prep(ref_df)
     banded_new = _banded_minhash_keys(sh_new, num_hashes, bands, vectorized=True)
@@ -728,6 +737,91 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    jaccard_threshold: float = 0.3,
+    bits: int = 32,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (SNM, Hernández/Stolfo): order the
+    corpus by a locality-preserving fingerprint (SimHash — near-dup
+    texts get near-equal fingerprints, so they sort adjacently), then
+    compare each document ONLY to its ``window`` successors in that
+    order and verify the candidates with exact shingle Jaccard.  The
+    third classic dedup family next to MinHash banding (probabilistic
+    buckets) and SimHash bit-banding (pigeonhole bands): candidate
+    count is exactly ``n·window`` — fully deterministic cost, the knob
+    real pipelines reach for when bucket-skew risk must be zero.
+
+    Scale shape — the global sort rank is computed WITHOUT a
+    single-task global window (the same two-level prefix sum as
+    text.pack_sequences): fingerprints bucket by their top
+    ``bucket_bits`` bits (bucket order ≡ fingerprint prefix order, so
+    bucket-local ranks + bucket offsets compose to the exact global
+    ``row_number() OVER (ORDER BY simhash, id)``); the ≤2^bucket_bits
+    bucket counts are the only driver state.  Neighbor pairing is a
+    binned range join on ``floor(rank/window)`` (each row joins its own
+    and the next rank block — the q_range_join_binned pattern), and
+    shingles re-join per candidate side at 1× width as everywhere else.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, one row per
+    in-window pair at or above the threshold — SQL-expressible end to
+    end, so the DuckDB oracle hash-checks the whole operator.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    fp = simhash(df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")), text_col, id_col, bits)
+    # the fingerprint frame feeds BOTH the bucket-count pass and the
+    # ranked frame — cache the 16-byte-wide rows instead of re-running
+    # the md5 vote twice (the persist_shingles A/B trade, same verdict)
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    bucket = F.shiftright("simhash", bits - bucket_bits)
+    wb = Window.partitionBy("_b").orderBy("simhash", id_col)
+    local = fp.withColumn("_b", bucket).withColumn("_lr", F.row_number().over(wb))
+    counts = local.groupBy("_b").count().orderBy("_b").collect()
+    acc, offsets = 0, []
+    for r in counts:
+        offsets.append((r["_b"], acc))
+        acc += r["count"]
+    off = spark.createDataFrame(offsets or [(0, 0)], "_b long, _off long")
+    ranked = local.join(F.broadcast(off), "_b").select(
+        F.col(id_col), (F.col("_off") + F.col("_lr")).alias("rank")
+    )
+    blk = F.floor((F.col("rank") - 1) / window)
+    a = ranked.select(
+        F.col(id_col).alias("_ia"),
+        F.col("rank").alias("_ra"),
+        F.explode(F.array(blk, blk + 1)).alias("_nb"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("_ib"), F.col("rank").alias("_rb"), blk.alias("_nb")
+    )
+    cand = a.join(b, "_nb").filter(
+        (F.col("_rb") > F.col("_ra")) & (F.col("_rb") <= F.col("_ra") + window)
+    )
+    sh = shingle_frame(
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")), text_col, id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # used by both join sides
+    pairs = cand.join(
+        sh.select(F.col("id").alias("_ia"), F.col("sh").alias("sh_a")), "_ia"
+    ).join(sh.select(F.col("id").alias("_ib"), F.col("sh").alias("sh_b")), "_ib")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
 

@@ -613,6 +613,37 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a ``build_ivf_index`` layout: tag the new
+    rows against the STORED centroids (cell ids stay stable, so the
+    partition layout is append-compatible) and append them to the cell
+    directories.  Queries through ``ivf_topk_indexed`` immediately see
+    the union — identical results to ``ivf_topk(centroids=stored)``
+    over the unioned corpus (pinned in pytest).  Periodically rebuild
+    when drift makes the stored centroids a poor quantizer for the
+    accumulated data (cell-size skew is the observable signal)."""
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()
+    cents = [list(r["centroid"]) for r in cent_rows]
+    if not cents:
+        raise ValueError(f"append_to_ivf_index: no centroids at {path}")
+    new_corpus = drop_null_vectors(new_corpus, vec_col)
+    tagged = _tag_cells(new_corpus, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("cv").alias(vec_col),
+        F.col("cn").alias("norm"),
+        "cell_id",
+    )
+    tagged.write.mode("append").partitionBy("cell_id").parquet(f"{path}/corpus")
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

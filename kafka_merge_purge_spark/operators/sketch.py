@@ -1,0 +1,100 @@
+"""Mergeable frequency sketches: Misra-Gries heavy hitters.
+
+The bounded-memory answer to "top domains / tokens / keys" over a
+corpus whose distinct-value count dwarfs executor memory — the third
+sketch family next to HLL distinct counting (x_approx_distinct) and
+quantile sketches (x_approx_percentile), and the classic public
+algorithm (Misra & Gries 1982) behind every heavy-hitters service.
+
+Scale shape: ONE pass over the data builds a ≤``capacity``-entry
+summary per partition inside an Arrow-batched ``mapInPandas`` kernel
+(no shuffle of the raw values at all); the per-partition summaries —
+``partitions × capacity`` rows, tiny — are merged by a single grouped
+sum, which is a valid sketch merge: summed weights remain lower bounds
+on true frequencies, and the classic guarantee composes across
+partitions (any value with true global frequency > n/capacity survives
+in at least one partition's summary, because each partition's sketch
+retains everything above its local n_p/capacity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_summaries(
+    df: DataFrame, value_col: str, capacity: int = 256
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ``(value, weight)`` with at
+    most ``capacity`` rows per partition; ``weight`` is a LOWER bound on
+    the value's in-partition frequency, undercounting by at most
+    ``n_partition / capacity``.  NULL values are skipped (they are not
+    a frequency class, matching count()'s NULL semantics)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    value_type = dict(df.select(value_col).dtypes)[value_col]
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # the decrement step: every counter pays one; zeroed
+                    # entries free their slot (amortized O(1) per input)
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame(
+                {value_col: list(counters), "weight": list(counters.values())}
+            )
+
+    return df.select(value_col).mapInPandas(
+        summarize, schema=f"{value_col} {value_type}, weight long"
+    )
+
+
+def heavy_hitters_sketch(
+    df: DataFrame, value_col: str, k: int = 20, capacity: int = 256
+) -> DataFrame:
+    """Approximate top-``k`` most frequent values: per-partition
+    Misra-Gries summaries merged by one grouped sum, then a bounded
+    top-k.  ``weight`` is a guaranteed lower bound on the true count;
+    every value with true frequency > n/capacity is guaranteed present
+    (both properties pinned in pytest against the exact aggregation).
+    Deterministic tie-break (weight desc, value asc)."""
+    merged = (
+        misra_gries_summaries(df, value_col, capacity)
+        .groupBy(value_col)
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return (
+        merged.orderBy(F.col("weight").desc(), F.col(value_col))
+        .limit(k)
+    )
+
+
+def heavy_hitters_exact(df: DataFrame, value_col: str, k: int = 20) -> DataFrame:
+    """Exact top-``k`` most frequent values — the sketch's correctness
+    twin (one shuffle with map-side combine + a TakeOrdered finish),
+    SQL-expressible for the DuckDB oracle.  Same tie-break as the
+    sketch (count desc, value asc)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(value_col))
+        .limit(k)
+    )

@@ -1212,3 +1212,92 @@ def test_fuzzy_dedup_adaptive_handles_cjk(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1  # exact dup pair
     assert out[3]["cluster_id"] == 1                          # near-dup joins
     assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+
+
+def test_sorted_neighborhood_finds_dups_without_global_window(spark, tables):
+    """SNM: exact duplicates get equal SimHash fingerprints, sort
+    adjacently, and pair at Jaccard 1.0; unrelated docs in the window
+    are rejected by the exact verify.  The global rank must come from
+    the two-level prefix sum — no single-partition Exchange feeding a
+    Window (the plan a naive row_number() OVER (ORDER BY ...) gives)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "completely different text about spark physical planning"),
+         (4, "yet another unrelated document on parquet statistics")],
+        "doc_id long, text string",
+    )
+    out = dd.sorted_neighborhood_pairs(df, window=3, jaccard_threshold=0.9)
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out.collect()] == [(1, 2, 1.0)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, (
+        "global rank fell back to a single-task window:\n" + plan
+    )
+    # window-bounded candidate cost: per doc at most `window` successors
+    docs = tables["documents"].limit(100)
+    n = docs.count()
+    cand_bound = n * 3
+    all_pairs = dd.sorted_neighborhood_pairs(docs, window=3, jaccard_threshold=0.0)
+    assert all_pairs.count() <= cand_bound
+
+
+def test_ivf_index_incremental_append(spark, tables, tmp_path):
+    """Incremental ingest: build the index on half the corpus, append
+    the other half against the STORED centroids — the indexed query
+    over the union equals ivf_topk(centroids=stored) over the unioned
+    frames exactly (cell ids stable, no rebuild)."""
+    emb = tables["embeddings"]
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_inc")
+    sim.build_ivf_index(half_a, path, n_cells=8)
+    sim.append_to_ivf_index(spark, path, half_b)
+    probes = emb.filter(F.col("vec_id") < 10)
+    cents = [list(r["centroid"]) for r in
+             spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()]
+    direct = sorted(map(tuple, sim.ivf_topk(
+        probes, emb, k=5, n_cells=8, nprobe=3, centroids=cents).collect()))
+    indexed = sorted(map(tuple, sim.ivf_topk_indexed(
+        spark, path, probes, k=5, nprobe=3).collect()))
+    assert indexed == direct and len(indexed) > 0
+
+
+def test_misra_gries_heavy_hitters_guarantees(spark, tables):
+    """The two Misra-Gries guarantees, against the exact aggregation:
+    (1) merged weights are LOWER bounds on true counts; (2) every value
+    with true frequency > n/capacity is present in the merged summary.
+    And the tiny-capacity sketch still ranks the dominant value first."""
+    from kafka_merge_purge_spark.operators.sketch import (
+        heavy_hitters_exact,
+        heavy_hitters_sketch,
+        misra_gries_summaries,
+    )
+
+    words = tables["documents"].select(
+        F.explode(tx.tokens(F.col("text"))).alias("word")
+    )
+    true = {r["word"]: r["n"] for r in
+            words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(true.values())
+    capacity = 64
+    merged = {
+        r["word"]: r["weight"]
+        for r in misra_gries_summaries(words, "word", capacity)
+        .groupBy("word").agg(F.sum("weight").alias("weight")).collect()
+    }
+    assert merged, "summary is empty"
+    for w, wt in merged.items():
+        assert wt <= true[w], (w, wt, true[w])          # lower bounds
+    threshold = n_total / capacity
+    for w, c in true.items():
+        if c > threshold:
+            assert w in merged, (w, c, threshold)       # no heavy value lost
+    top_exact = heavy_hitters_exact(words, "word", k=1).collect()[0]["word"]
+    top_sketch = heavy_hitters_sketch(words, "word", k=1, capacity=capacity).collect()[0]["word"]
+    assert top_sketch == top_exact
+    # skewed stream, capacity 2: the dominant value survives by guarantee
+    skew = spark.createDataFrame(
+        [("hot",)] * 60 + [(f"v{i}",) for i in range(30)], "v string"
+    ).coalesce(1)
+    s = heavy_hitters_sketch(skew, "v", k=1, capacity=2).collect()
+    assert s and s[0]["v"] == "hot"
