@@ -50,37 +50,32 @@ def _assign_expr(vec, centroids: list[list[float]]):
     return F.array_position(dists, F.array_min(dists)).cast("int")
 
 
-def kmeans_assign(
+def kmeans_fit(
     emb: DataFrame,
     k: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means: ``iters`` assign+update rounds from the k
-    lowest-id seeds, then a final assignment.
+) -> list[list[float]]:
+    """Lloyd's k-means fit: ``iters`` assign+update rounds from the k
+    lowest-id seeds; returns the final centroid list (empty for an
+    empty corpus).  Deterministic — repeated fits are identical, so the
+    fit can be cached/persisted and reused across query batches the way
+    IVF centroids are (similarity.ivf_topk(centroids=...)).
 
-    Returns the input frame plus a 1-based ``cluster_id`` column.  Rows
-    whose vector is NULL survive with a NULL ``cluster_id`` — the same
-    row-set contract the empty-seed path has (r5 advice: the two paths
-    used to disagree, the filtered base silently dropping NULL-vector
-    rows).  An emptied cluster keeps its previous centroid (cannot occur
-    on the synthetic corpus; documented for callers on adversarial data —
-    the SQL oracle assumes non-empty clusters).
-    """
+    NOTE: each round re-reads the corpus; an A/B of persisting the
+    casted frame measured NO win at sf0.1 (5.7 s vs 6.1 s for the two
+    gated queries) — the pruned-column parquet re-scan beats cache
+    bookkeeping, and at real scale caching the whole corpus is the
+    worse posture anyway (spill)."""
     from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
 
     base = drop_null_vectors(emb, vec_col).withColumn(
         "_v", F.col(vec_col).cast("array<double>")
     )
-    # NOTE: the fit re-reads the corpus once per Lloyd round; an A/B of
-    # persisting the casted frame measured NO win at sf0.1 (5.7 s vs
-    # 6.1 s for the two gated queries) — the pruned-column parquet
-    # re-scan is cheaper than cache bookkeeping, and at real scale
-    # caching the whole corpus is the worse posture anyway (spill).
     seeds = base.select(id_col, "_v").orderBy(id_col).limit(k).collect()
     if not seeds:
-        return emb.withColumn("cluster_id", F.lit(None).cast("int"))
+        return []
     cents = [list(map(float, r["_v"])) for r in seeds]
     for _ in range(iters):
         assigned = base.withColumn("cid", _assign_expr(F.col("_v"), cents))
@@ -103,6 +98,40 @@ def kmeans_assign(
             [new[j + 1][p] for p in sorted(new[j + 1])] if (j + 1) in new else cents[j]
             for j in range(len(cents))
         ]
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Lloyd's k-means: fit (or reuse ``centroids`` from a prior
+    :func:`kmeans_fit` — the amortized path) then a final assignment.
+
+    Returns the input frame plus a 1-based ``cluster_id`` column.  Rows
+    whose vector is NULL survive with a NULL ``cluster_id`` — the same
+    row-set contract the empty-seed path has (r5 advice: the two paths
+    used to disagree, the filtered base silently dropping NULL-vector
+    rows).  An emptied cluster keeps its previous centroid (cannot occur
+    on the synthetic corpus; documented for callers on adversarial data —
+    the SQL oracle assumes non-empty clusters).
+    """
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(emb, k, iters, id_col, vec_col)
+    )
+    if not cents:
+        return emb.withColumn("cluster_id", F.lit(None).cast("int"))
+    base = drop_null_vectors(emb, vec_col).withColumn(
+        "_v", F.col(vec_col).cast("array<double>")
+    )
     assigned = base.withColumn(
         "cluster_id", _assign_expr(F.col("_v"), cents)
     ).select(id_col, "cluster_id")
@@ -117,10 +146,13 @@ def kmeans_cluster_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Per-cluster rollup of the final assignment: member count, lowest
     member id, and mean label — the hash-checkable face of the fit."""
-    a = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    a = kmeans_assign(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, centroids=centroids
+    )
     # NULL-vector rows carry a NULL cluster_id (see kmeans_assign); they
     # are not members of any cluster, so the per-cluster rollup drops them
     a = a.filter(F.col("cluster_id").isNotNull())

@@ -443,3 +443,117 @@ def streaming_anomaly_scores(
         outputMode="Append",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
+
+
+#: streaming heavy-hitters output: the key's current top items after the batch
+HH_OUTPUT_SCHEMA = "group_key string, item string, weight long, rank int"
+
+
+def fold_heavy_hitters(
+    state: tuple | None,
+    pdfs: Iterator[pd.DataFrame],
+    capacity: int = 64,
+) -> tuple:
+    """Pure sequential Misra-Gries fold for streaming heavy hitters:
+    thread one key's counter summary through its record batches.  State
+    is ``(counters: dict, last_ts, last_event_id)`` — the ≤``capacity``
+    bounded summary (operators/sketch.py semantics: weights are lower
+    bounds; any item with frequency > n/capacity since the state was
+    born is guaranteed present) plus the cross-batch high-water mark.
+
+    Chop-invariant BY CONSTRUCTION: MG is a purely sequential algorithm,
+    so folding one (ts, event_id)-ordered stream through any sequence of
+    batches replays the identical update sequence (chunks concatenated
+    and re-sorted per batch like fold_funnel; cross-batch regressors
+    dropped at the high-water mark — pinned under randomized splits)."""
+    counters, last_ts, last_eid = state if state is not None else ({}, None, None)
+    counters = dict(counters)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return (counters, last_ts, last_eid)
+    batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
+        ["ts", "event_id"]
+    )
+    for ts, eid, item in zip(batch["ts"], batch["event_id"], batch["item"]):
+        if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+            continue  # cross-batch regressor: drop, never fold out of order
+        if item is not None:
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < capacity:
+                counters[item] = 1
+            else:
+                dead = []
+                for kk in counters:
+                    counters[kk] -= 1
+                    if counters[kk] == 0:
+                        dead.append(kk)
+                for kk in dead:
+                    del counters[kk]
+        last_ts, last_eid = ts, int(eid)
+    return (counters, last_ts, last_eid)
+
+
+def emit_heavy_hitters(key: str, counters: dict, k: int) -> pd.DataFrame:
+    """Current top-``k`` of a key's MG summary (weight desc, item asc —
+    the deterministic tie-break shared with the batch sketch)."""
+    top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(
+        {
+            "group_key": [key] * len(top),
+            "item": [t for t, _ in top],
+            "weight": [w for _, w in top],
+            "rank": list(range(1, len(top) + 1)),
+        }
+    )
+
+
+class HeavyHittersPerKey(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming heavy-hitters processor: ValueState holds each key's
+    bounded MG summary + high-water mark; every micro-batch folds its
+    records in (pure ``fold_heavy_hitters``) and emits the key's
+    current top-k — the stream twin of operators/sketch.py with the
+    same guarantees, and state bounded by ``capacity`` entries per key
+    no matter how many distinct items flow past."""
+
+    _STATE_ATTRS = ("_hh",)
+
+    def __init__(self, k: int = 5, capacity: int = 64, ttl_ms: int | None = None):
+        super().__init__(ttl_ms)
+        self._k = k
+        self._capacity = capacity
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._hh = handle.getValueState(
+            "hh", "counters map<string,bigint>, last_ts timestamp, last_eid long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = tuple(self._hh.get()) if self._hh.exists() else None
+        state = fold_heavy_hitters(prior, rows, self._capacity)
+        self._hh.update(state)
+        self._arm_ttl(timerValues)
+        out = emit_heavy_hitters(key[0], state[0], self._k)
+        if len(out):
+            yield out
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    k: int = 5,
+    capacity: int = 64,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key streaming heavy hitters via ``transformWithStateInPandas``
+    — e.g. the top user_ids per event_type over an unbounded stream with
+    ≤``capacity`` state entries per key.  Input needs (ts, event_id)
+    for the ordering guard and an ``item`` string column; same protobuf
+    note as streaming_compaction (the transition is the pure
+    ``fold_heavy_hitters``, batch-equivalence fake-tested)."""
+    return events.groupBy("group_key").transformWithStateInPandas(
+        statefulProcessor=HeavyHittersPerKey(k, capacity, state_ttl_ms),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )

@@ -455,3 +455,18 @@ def test_boilerplate_min_docs_below_two_rejected(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="min_docs"):
         boilerplate_line_dedup(df, min_docs=1)
+
+
+def test_kmeans_precomputed_centroids_identical(spark):
+    """kmeans_assign(centroids=...) — the amortized-fit path — equals
+    the per-call fit exactly (the fit is deterministic)."""
+    from kafka_merge_purge_spark.operators.cluster import kmeans_assign, kmeans_fit
+    from kafka_merge_purge_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=2)
+    a = sorted(map(tuple, kmeans_assign(emb, k=4, iters=2)
+                   .select("vec_id", "cluster_id").collect()))
+    b = sorted(map(tuple, kmeans_assign(emb, centroids=cents)
+                   .select("vec_id", "cluster_id").collect()))
+    assert a == b and len(a) > 0

@@ -375,3 +375,36 @@ def test_duplicate_spans_matches_pure_python_reference(spark, rows):
         for r in duplicate_spans(df, k=K, min_docs=2).collect()
     }
     assert got == expect
+
+
+def test_snm_full_window_equals_exact_all_pairs(spark):
+    """Sorted-neighborhood with window >= n-1 degenerates to ALL pairs,
+    so its verified output must equal ngram_jaccard_pairs exactly — the
+    exhaustiveness anchor for the windowed approximation (any miss at
+    full window would mean the rank or verify stage drops pairs)."""
+    import random
+
+    from kafka_merge_purge_spark.operators import dedup as dd
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 10))))
+        for i in range(1, 10)
+    ]
+    # plant exact and near duplicates so the >=0.2 pair set is non-empty
+    rows.append((10, rows[0][1]))
+    rows.append((11, rows[1][1] + " omega"))
+    rows.append((12, rows[2][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    )
+    snm = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.sorted_neighborhood_pairs(
+            df, window=len(rows) - 1, jaccard_threshold=0.2
+        ).collect()
+    )
+    assert snm == exact and len(exact) > 0

@@ -864,3 +864,61 @@ def test_folds_drop_cross_batch_regressors():
                           "event_id": [9], "value": [2.0]})
     mstate3, out3 = fold_moments(mstate2, iter([nxt_m]))
     assert out3["n_seen"].tolist() == [2]  # the regressor never entered n
+
+
+def test_streaming_heavy_hitters_chop_invariant_and_ttl():
+    """Streaming Misra-Gries: (1) folding one ordered stream through ANY
+    randomized batch chop equals the single-pass fold (MG is sequential,
+    so chop-invariance is by construction — but the chunk-concat +
+    regressor guard must not break it); (2) weights are lower bounds on
+    true counts and the dominant item ranks first; (3) the TTL protocol
+    evicts and the key rebuilds from scratch."""
+    import random
+
+    import pandas as pd
+
+    from kafka_merge_purge_spark.streaming.stateful import (
+        HeavyHittersPerKey,
+        emit_heavy_hitters,
+        fold_heavy_hitters,
+    )
+
+    rng = random.Random(31)
+    ts0 = pd.Timestamp("2024-01-01")
+    items = ["hot"] * 50 + [f"v{i}" for i in range(40)]
+    rng.shuffle(items)
+    evs = [(ts0 + pd.Timedelta(seconds=i), i + 1, it) for i, it in enumerate(items)]
+
+    def mk(batch_rows):
+        return pd.DataFrame(
+            {"ts": [e[0] for e in batch_rows], "event_id": [e[1] for e in batch_rows],
+             "item": [e[2] for e in batch_rows]}
+        )
+
+    one_pass = fold_heavy_hitters(None, iter([mk(evs)]), capacity=16)
+    state, i = None, 0
+    while i < len(evs):
+        j = min(len(evs), i + rng.randint(1, 7))
+        b = mk(evs[i:j]).sample(frac=1.0, random_state=rng.randint(0, 999))
+        chunks = [b.iloc[: len(b) // 2], b.iloc[len(b) // 2:]] if len(b) > 1 else [b]
+        state = fold_heavy_hitters(state, iter(chunks), capacity=16)
+        i = j
+    assert state[0] == one_pass[0]          # chop-invariant summary
+    true = {it: items.count(it) for it in set(items)}
+    for it, w in state[0].items():
+        assert w <= true[it]                # lower bounds
+    top = emit_heavy_hitters("click", state[0], k=3)
+    assert top["item"].iloc[0] == "hot" and top["rank"].tolist() == [1, 2, 3]
+
+    proc = HeavyHittersPerKey(k=2, capacity=8, ttl_ms=1_000)
+    h = _FakeHandle()
+    proc.init(h)
+    out = list(proc.handleInputRows(("click",), iter([mk(evs[:20])]), _tv(0)))
+    assert len(out) == 1 and out[0]["rank"].tolist()[0] == 1
+    assert h.timers == [1_000]
+    list(proc.handleExpiredTimer(("click",), _tv(2_000), _eti(1_000)))
+    assert not h.states["hh"].exists()
+    out = list(proc.handleInputRows(
+        ("click",), iter([mk(evs[20:22])]), _tv(3_000)))
+    # rebuilt from scratch: exactly the 2 post-eviction events counted
+    assert h.states["hh"].get()[0] and sum(h.states["hh"].get()[0].values()) == 2
