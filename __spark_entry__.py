@@ -2100,6 +2100,57 @@ def _simhash_oracle(bits: int = 32, where: str = "") -> str:
         SELECT doc_id, {bit_terms} AS simhash FROM base"""
 
 
+def x_hashed_embedding(spark, sf_dir):
+    """Feature-hashing document embedding (hashing trick): ±1 per token
+    into 64 md5 buckets — the model-free bridge from the text tier into
+    the vector tier.  Long form (doc_id, bucket, weight); exact integer
+    arithmetic, fully oracle-checked."""
+    return tx.hashed_embedding(_t(spark, sf_dir, "documents"), dim=64)
+
+
+def x_hashed_ann(spark, sf_dir):
+    """End-to-end text → vector → near-dup pairs with NO external
+    model: hashed embeddings (64-d, exact ints) fed into the quantized
+    embedding near-dup scorer at cosine ≥ 0.95 — at sf0.001 this
+    recovers every MinHash J≥0.5 duplicate pair (pinned in pytest).
+    The oracle computes the same cosine from the sparse long form
+    (bucket-join dot products) — exact integers, full hash gate."""
+    dense = tx.hashed_embedding(_t(spark, sf_dir, "documents"), dim=64, dense=True)
+    return dd.embedding_near_dup_pairs(
+        dense, id_col="doc_id", vec_col="embedding", threshold=0.95
+    )
+
+
+_HASHED_W = f"""
+    base AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+             WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+    hb AS (SELECT doc_id, {_MD5_INT.format(x='t')} AS hv FROM tok),
+    w AS (SELECT doc_id, (hv >> 1) % 64 AS bucket,
+                 CAST(SUM(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+                     AS weight
+          FROM hb GROUP BY 1, 2)"""
+
+_LLM_ORACLES["x_hashed_embedding"] = (
+    "WITH " + _HASHED_W + "\n    SELECT doc_id, bucket, weight FROM w"
+)
+
+_LLM_ORACLES["x_hashed_ann"] = (
+    "WITH "
+    + _HASHED_W
+    + """,
+    n AS (SELECT doc_id, SUM(weight * weight) AS aa FROM w GROUP BY 1),
+    d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 SUM(a.weight * b.weight) AS dot
+          FROM w a JOIN w b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(dot / (sqrt(na.aa) * sqrt(nb.aa)), 6) AS cos
+    FROM d JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+    WHERE round(dot / (sqrt(na.aa) * sqrt(nb.aa)), 6) >= 0.95"""
+)
+
+
 def x_heavy_hitters(spark, sf_dir):
     """Exact top-20 most frequent tokens (count desc, word asc) — the
     correctness twin of the Misra-Gries heavy-hitters sketch

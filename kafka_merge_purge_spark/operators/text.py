@@ -587,3 +587,54 @@ def bm25_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "word", "bm25")
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dense: bool = False,
+) -> DataFrame:
+    """Feature-hashing document embedding (the "hashing trick",
+    Weinberger et al. 2009): every normalized token adds ±1 to bucket
+    ``(h >> 1) % dim`` with sign ``h & 1``, where h is the 60-bit md5
+    token hash the dedup tier already uses — a model-free text vector
+    whose cosine correlates with token overlap.  The bridge from the
+    text tier into the vector tier (similarity search, embedding dedup)
+    without any external model, and exact integer arithmetic end to end,
+    so the DuckDB oracle hash-checks it.
+
+    Plan: explode → one (id, bucket) map-side-combined aggregate.  With
+    ``dense=True`` the per-doc buckets assemble into an
+    ``array<double>`` via map_from_entries + one sequence transform
+    (rows: one per doc).  Documents with no alphanumeric content drop
+    (no tokens → no vector), matching the dedup tier's degenerate
+    filter."""
+    from kafka_merge_purge_spark.operators.dedup import md5_int, normalize
+
+    toks = tokens(normalize(F.col(text_col)))
+    h = md5_int(F.col("_t"))
+    long_form = (
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        .select(F.col(id_col), F.explode(toks).alias("_t"))
+        .select(
+            id_col,
+            F.pmod(F.shiftright(h, 1), F.lit(dim)).alias("bucket"),
+            F.when(h.bitwiseAND(F.lit(1)) == 0, F.lit(1)).otherwise(F.lit(-1)).alias("_s"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").alias("weight"))
+    )
+    if not dense:
+        return long_form
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("weight")))
+    )
+    return long_form.groupBy(id_col).agg(entries.alias("_m")).select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.coalesce(F.element_at(F.col("_m"), j.cast("int")), F.lit(0)).cast("double"),
+        ).alias("embedding"),
+    )

@@ -1301,3 +1301,42 @@ def test_misra_gries_heavy_hitters_guarantees(spark, tables):
     ).coalesce(1)
     s = heavy_hitters_sketch(skew, "v", k=1, capacity=2).collect()
     assert s and s[0]["v"] == "hot"
+
+
+def test_hashed_embedding_pipeline_recovers_minhash_dups(tables):
+    """Model-free text→vector bridge: hashed 64-d embeddings + the
+    quantized near-dup scorer at cosine ≥ 0.95 recover EVERY MinHash
+    J≥0.5 duplicate pair of the corpus — the end-to-end pipeline a
+    deployment runs before any learned embedding model exists.  Dense
+    and long forms agree (the dense assembly is just the long form
+    scattered into an array)."""
+    docs = tables["documents"]
+    dense = tx.hashed_embedding(docs, dim=64, dense=True)
+    hp = {(r.id_a, r.id_b) for r in dd.embedding_near_dup_pairs(
+        dense, id_col="doc_id", vec_col="embedding", threshold=0.95).collect()}
+    mh = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5).select("id_a", "id_b").collect()}
+    assert mh and mh <= hp
+    # long ↔ dense agreement
+    long_w = {(r["doc_id"], r["bucket"]): r["weight"]
+              for r in tx.hashed_embedding(docs, dim=64).collect()}
+    row = dense.orderBy("doc_id").first()
+    for j, v in enumerate(row["embedding"]):
+        assert v == float(long_w.get((row["doc_id"], j), 0))
+
+
+def test_hashed_embedding_ann_scale_path(tables):
+    """The 100 TB form of the hashed-embedding pipeline: LSH-bucketed
+    candidates + in-bucket exact verify on the hashed vectors equals the
+    exact all-pairs scorer on this corpus (recall pinned ≥0.95, no
+    false positives by construction) — so the oracle-gated exact demo
+    (x_hashed_ann) has a drop-in bucketed twin for corpora where n²
+    is unaffordable."""
+    dense = tx.hashed_embedding(tables["documents"], dim=64, dense=True)
+    exact = {(r.id_a, r.id_b) for r in dd.embedding_near_dup_pairs(
+        dense, id_col="doc_id", vec_col="embedding", threshold=0.95).collect()}
+    ann = {(r.id_a, r.id_b) for r in dd.embedding_ann_pairs(
+        dense, id_col="doc_id", vec_col="embedding", threshold=0.95,
+        method="lsh").collect()}
+    assert exact and ann <= exact
+    assert len(ann & exact) / len(exact) >= 0.95
