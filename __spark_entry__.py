@@ -2262,15 +2262,18 @@ _LLM_ORACLES["x_adaptive_tokens"] = """
                 THEN round(CAST(len(text) - len(replace(text, ' ', ''))
                            AS DOUBLE) / len(text), 6)
                 ELSE 0.0 END AS ws_density,
-           CASE WHEN len(text) < 20
+           CASE WHEN (len(text) < 20
+                      AND NOT regexp_matches(text, '[^\\x00-\\x7F]'))
                      OR (len(text) > 0
                          AND CAST(len(text) - len(replace(text, ' ', ''))
                              AS DOUBLE) / len(text) >= 0.05)
                 THEN len(string_split(text, ' '))
                 ELSE greatest(len(text) - 1, 1) END AS ws_n_tokens,
-           CASE WHEN len(dense) < 20 THEN 1
+           CASE WHEN len(dense) < 20
+                     AND NOT regexp_matches(dense, '[^\\x00-\\x7F]') THEN 1
                 ELSE greatest(len(dense) - 1, 1) END AS dense_n_tokens,
-           CASE WHEN len(dense) < 20 THEN 1
+           CASE WHEN len(dense) < 20
+                     AND NOT regexp_matches(dense, '[^\\x00-\\x7F]') THEN 1
                 ELSE len(list_distinct([substr(dense, i, 2)
                          FOR i IN generate_series(1, greatest(len(dense) - 1, 1))]))
                 END AS dense_n_unique

@@ -39,14 +39,19 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entry_mod.queries()
-    # Tiering (the suite is 117 queries and growing): --primaries runs
+    # Tiering (the suite is 120+ queries and growing): --primaries runs
     # only the 50 gated q_* rows — the stable cross-round basis — for
-    # fast iteration; `--only name...` runs a hand-picked subset.  The
+    # fast iteration; positional names run a hand-picked subset.  The
     # default (driver path) stays the full declared suite.
     if "--primaries" in sys.argv[1:]:
         qs = {k: v for k, v in qs.items() if k.startswith("q_")}
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
     if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a typo'd name must not silently shrink the suite to a
+            # bogus 0-second benchmark (r6 review)
+            raise SystemExit(f"bench.py: unknown queries {unknown}")
         qs = {k: v for k, v in qs.items() if k in only}
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup or first-touch footer reads (events needs

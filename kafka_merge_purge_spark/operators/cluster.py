@@ -120,8 +120,6 @@ def kmeans_assign(
     on the synthetic corpus; documented for callers on adversarial data —
     the SQL oracle assumes non-empty clusters).
     """
-    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
-
     cents = (
         centroids
         if centroids is not None
@@ -129,14 +127,18 @@ def kmeans_assign(
     )
     if not cents:
         return emb.withColumn("cluster_id", F.lit(None).cast("int"))
-    base = drop_null_vectors(emb, vec_col).withColumn(
-        "_v", F.col(vec_col).cast("array<double>")
+    # NULL-vector rows keep their row with a NULL cluster_id via a NARROW
+    # conditional projection — not a corpus self-join (r6 review: the
+    # join re-scanned and shuffled the corpus; when() preserves the same
+    # row-set contract with zero exchanges, keeping the documented
+    # 'no corpus-side join' plan shape true)
+    return emb.withColumn(
+        "cluster_id",
+        F.when(
+            F.col(vec_col).isNotNull(),
+            _assign_expr(F.col(vec_col).cast("array<double>"), cents),
+        ),
     )
-    assigned = base.withColumn(
-        "cluster_id", _assign_expr(F.col("_v"), cents)
-    ).select(id_col, "cluster_id")
-    # left-join back so NULL-vector rows keep their row (cluster_id NULL)
-    return emb.join(assigned, id_col, "left")
 
 
 def kmeans_cluster_stats(

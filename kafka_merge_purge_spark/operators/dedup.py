@@ -376,11 +376,31 @@ def minhash_lsh_pairs(
     ).join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # record what was cached so callers can release it after materializing
+    # (fuzzy_dedup does; see release_persisted — r6 review: per-call
+    # MEMORY_AND_DISK blocks otherwise accumulate for the context's life)
+    out._kmp_persisted = [sh_df] if persist_shingles else []
+    return out
+
+
+def release_persisted(df: DataFrame) -> None:
+    """Unpersist the MEMORY_AND_DISK frames an operator cached while
+    building ``df`` (recorded on the frame as ``_kmp_persisted``).
+    Call AFTER the result is materialized (collected, written, or
+    checkpointed) — a long-lived session invoking the persisting
+    operators per ingest batch would otherwise accumulate cache blocks
+    (memory LRU-evicts, but evicted MEMORY_AND_DISK blocks sit on local
+    disk until unpersist or context shutdown).  No-op when ``df``
+    carries no caches."""
+    for f in getattr(df, "_kmp_persisted", []):
+        # blocking: the release must be observable immediately (callers
+        # and tests reason about the persistent-RDD census)
+        f.unpersist(blocking=True)
 
 
 def fuzzy_dedup(
@@ -429,6 +449,11 @@ def fuzzy_dedup(
         adaptive=adaptive,
     )
     comps = connected_components(pairs)
+    # connected_components fully materialized the pair graph (driver
+    # union-find collect or checkpointed Pregel rounds), so the shingle
+    # cache has served its three uses — release it instead of letting
+    # per-call cache blocks accumulate (r6 review)
+    release_persisted(pairs)
     docs = df.select(F.col(id_col))
     labeled = docs.join(comps, docs[id_col] == comps["node"], "left").select(
         F.col(id_col),
@@ -455,6 +480,7 @@ def minhash_lsh_pairs_against(
     k: int = 3,
     jaccard_threshold: float = 0.7,
     persist_shingles: bool = True,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Cross-corpus fuzzy-dup candidates: which NEW documents near-match
     an existing REFERENCE corpus — the incremental-ingest form of
@@ -471,18 +497,23 @@ def minhash_lsh_pairs_against(
     candidate side at 1× width.  Each side's shingle frame appears
     twice in the plan (banding + re-join), so the same measured default
     as ``minhash_lsh_pairs`` applies: ``persist_shingles=True`` caches
-    each side once (MEMORY_AND_DISK, LRU-evictable).
+    each side once (MEMORY_AND_DISK, LRU-evictable).  ``adaptive=True``
+    runs the multilingual shingle stage on BOTH sides (r6 review: the
+    incremental-ingest form used to keep silently dropping CJK docs
+    after the self-join form was fixed).
     """
     n_part = max(new_df.sparkSession.sparkContext.defaultParallelism, 8)
+    content_re = r"[\p{L}\p{Nd}]" if adaptive else "[a-zA-Z0-9]"
 
     def prep(df: DataFrame) -> DataFrame:
         sh = shingle_frame(
-            df.filter(F.col(text_col).rlike("[a-zA-Z0-9]")).repartition(
+            df.filter(F.col(text_col).rlike(content_re)).repartition(
                 n_part, id_col
             ),
             text_col,
             id_col,
             k,
+            adaptive=adaptive,
         )
         if persist_shingles:
             from pyspark import StorageLevel
@@ -509,11 +540,13 @@ def minhash_lsh_pairs_against(
     ).join(sh_ref.select(F.col("id").alias("ref_id"), F.col("sh").alias("sh_b")), "ref_id")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("new_id", "ref_id", "jaccard")
     )
+    out._kmp_persisted = [sh_new, sh_ref] if persist_shingles else []
+    return out
 
 
 def embedding_fuzzy_dedup(
@@ -815,7 +848,7 @@ def sorted_neighborhood_pairs(
     ).join(sh.select(F.col("id").alias("_ib"), F.col("sh").alias("sh_b")), "_ib")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         pairs.select(
             F.least("_ia", "_ib").alias("id_a"),
             F.greatest("_ia", "_ib").alias("id_b"),
@@ -823,6 +856,8 @@ def sorted_neighborhood_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    out._kmp_persisted = [fp, sh]  # release via release_persisted after use
+    return out
 
 
 #: component quantization scale for the exact integer-dot path
@@ -1063,11 +1098,13 @@ def embedding_candidate_pairs(
         cents = sim._kmeans_cells(emb, n_cells, id_col, vec_col)
         if not cents:
             return emb.sparkSession.createDataFrame([], "id_a long, id_b long")
-        # _probe_cells carries (query_id, qv, qn, cell_id); selecting only
-        # (id, cell_id) lets Catalyst prune the vector from the projection
-        probes = sim._probe_cells(emb, cents, nprobe, id_col, vec_col).select(
-            F.col("query_id").alias("id"), "cell_id"
-        )
+        # payload=False: the probe frame carries (id, cell_id) ONLY — a
+        # downstream .select() could NOT prune the vector out of the
+        # pandas kernel's output (pruning stops at a mapInPandas schema),
+        # so the payload must be dropped inside the kernel (r6 review)
+        probes = sim._probe_cells(
+            emb, cents, nprobe, id_col, vec_col, payload=False
+        ).select(F.col("query_id").alias("id"), "cell_id")
         a, b = probes.alias("a"), probes.alias("b")
         cand = a.join(
             b,

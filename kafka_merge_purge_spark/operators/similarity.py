@@ -99,6 +99,11 @@ def _normalize_vec(vec_col):
     return F.transform(vec_col.cast("array<double>"), lambda x: x / norm)
 
 
+#: fixed PCG64 seed for the sign-LSH hyperplanes — reproducible across
+#: processes and platforms (numpy guarantees the bit stream)
+LSH_PLANE_SEED = 0x5EED_1517
+
+
 def _hyperplanes(
     corpus: DataFrame,
     n_planes: int,
@@ -106,25 +111,29 @@ def _hyperplanes(
     id_col: str,
     vec_col: str,
 ):
-    """Deterministic sign-LSH hyperplane matrix: the first
-    ``n_planes * n_tables`` corpus vectors (normalized), cycled when the
-    corpus is smaller.  Returns a numpy ``(n_planes*n_tables, dim)``
-    matrix, or ``None`` for an empty corpus.  Shared by ``lsh_topk`` and
+    """Deterministic sign-LSH hyperplane matrix: ``n_planes * n_tables``
+    seeded standard-Gaussian directions (normalized) — the textbook
+    Charikar construction.  Returns a numpy ``(n_planes*n_tables, dim)``
+    matrix, or ``None`` for an empty corpus (only the DIMENSION is read
+    from the corpus: one ``limit(1)`` row).  Shared by ``lsh_topk`` and
     the dedup candidate generator (dedup.embedding_candidate_pairs) so
-    both paths bucket identically."""
+    both paths bucket identically.
+
+    Data-independent planes matter (r6 review): the earlier form drew
+    planes FROM the corpus, which collapses on anisotropic real
+    embedding corpora — when every pairwise cosine is positive (the
+    usual sentence-embedding cone), every vector lands on the positive
+    side of every corpus-drawn plane, all signatures degenerate to the
+    all-ones bucket, and the candidate join silently reverts to O(n²).
+    Gaussian directions split any cone regardless of where it points."""
     import numpy as np
 
-    plane_rows = (
-        corpus.orderBy(id_col).limit(n_planes * n_tables).select(vec_col).collect()
-    )
-    if not plane_rows:
+    first = corpus.select(vec_col).limit(1).collect()
+    if not first:
         return None
-    planes = np.stack([np.asarray(r[0], dtype=np.float64) for r in plane_rows])
-    need = n_planes * n_tables
-    if len(planes) < need:
-        # tiny corpus: cycle the available vectors to fill the plane set
-        # (deterministic; duplicate planes just duplicate bucket bits)
-        planes = np.resize(planes, (need, planes.shape[1]))
+    dim = len(first[0][0])
+    rng = np.random.default_rng(LSH_PLANE_SEED)
+    planes = rng.standard_normal((n_planes * n_tables, dim))
     norms = np.sqrt((planes * planes).sum(axis=1))
     norms[norms == 0] = 1.0
     return planes / norms[:, None]
@@ -190,13 +199,12 @@ def lsh_topk(
     more planes per table sharpens buckets but kills recall when true
     neighbors sit at modest cosine (~0.3-0.5), as here.
 
-    Hyperplanes are the first ``n_planes * n_tables`` corpus vectors
-    (normalized) — deterministic, like ivf_topk's centroids; at scale
-    you'd sample/orthogonalize, the plan shape is identical.  The tiny
-    plane set is collected to the driver and inlined as literals, so
-    signature computation is a narrow map stage (no join, no shuffle);
-    only the candidate equi-join and the top-k window shuffle, both on
-    near-uniform keys.
+    Hyperplanes are ``n_planes * n_tables`` seeded Gaussian directions
+    (``_hyperplanes`` — deterministic, data-independent, so anisotropic
+    corpora cannot collapse the buckets).  The tiny plane set is
+    broadcast, so signature computation is a narrow map stage (no join,
+    no shuffle); only the candidate equi-join and the top-k window
+    shuffle, both on near-uniform keys.
 
     Shuffle width (the part that matters at 100 TB): the signature frames
     carry ``(id, table, sig)`` ONLY — embedding arrays must not ride the
@@ -480,12 +488,20 @@ def _probe_cells(
     id_col: str,
     vec_col: str,
     impl: str = "pandas",
+    payload: bool = True,
 ) -> DataFrame:
     """Per-query probe rows (query_id, qv, qn, cell_id), one row per
     probed cell; ties resolve dot desc, cell_id asc.  Narrow map in both
     forms — ``pandas`` (default) ranks cells with a stable numpy argsort
     on a GEMM, ``expr`` sorts (−dot, cell_id) structs inside ONE array
-    expression (same compile-cost trade as ``_tag_cells``)."""
+    expression (same compile-cost trade as ``_tag_cells``).
+
+    ``payload=False`` emits ``(query_id, cell_id)`` ONLY — for callers
+    like the dedup candidate generator that never score inside the
+    probe frame.  This must be explicit on the pandas path: Catalyst
+    column pruning cannot reach inside a mapInPandas output schema, so
+    a downstream ``.select(id, cell)`` would still pay ~nprobe×dim
+    doubles of vector serialization per row (r6 review)."""
     if impl == "expr":
         dots_q = _cell_dots(cents, "qv")
         ranked = F.slice(
@@ -528,22 +544,20 @@ def _probe_cells(
             # stable argsort on -dot: ties keep index order = cell_id asc,
             # matching the expression form's (−dot, cell_id) struct sort
             top = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe] + 1
-            qn = np.sqrt((mat * mat).sum(axis=1))
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf[id_col].to_numpy().repeat(n_probe),
-                    "qv": pdf[vec_col].to_numpy().repeat(n_probe),
-                    "qn": qn.repeat(n_probe),
-                    "cell_id": top.reshape(-1).astype(np.int32),
-                }
-            )
+            out = {"query_id": pdf[id_col].to_numpy().repeat(n_probe)}
+            if payload:
+                qn = np.sqrt((mat * mat).sum(axis=1))
+                out["qv"] = pdf[vec_col].to_numpy().repeat(n_probe)
+                out["qn"] = qn.repeat(n_probe)
+            out["cell_id"] = top.reshape(-1).astype(np.int32)
+            yield pd.DataFrame(out)
 
-    vec_type = dict(queries.select(F.col(vec_col)).dtypes)[vec_col]
-    return queries.select(id_col, vec_col).mapInPandas(
-        probe,
-        schema=f"query_id long, qv {vec_type}, qn double, cell_id int",
-    )
+    if payload:
+        vec_type = dict(queries.select(F.col(vec_col)).dtypes)[vec_col]
+        schema = f"query_id long, qv {vec_type}, qn double, cell_id int"
+    else:
+        schema = "query_id long, cell_id int"
+    return queries.select(id_col, vec_col).mapInPandas(probe, schema=schema)
 
 
 def _ivf_score_topk(

@@ -23,6 +23,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_update(counters: dict, value, capacity: int) -> None:
+    """ONE Misra-Gries counter update, in place — the whole algorithm's
+    invariant lives here (increment-if-present, insert-if-room, else
+    decrement-all-and-evict-zeros), shared by the batch summaries below
+    and the streaming fold (streaming/stateful.fold_heavy_hitters) so
+    the two twins cannot drift (r6 review)."""
+    if value in counters:
+        counters[value] += 1
+    elif len(counters) < capacity:
+        counters[value] = 1
+    else:
+        dead = []
+        for k in counters:
+            counters[k] -= 1
+            if counters[k] == 0:
+                dead.append(k)
+        for k in dead:
+            del counters[k]
+
+
 def misra_gries_summaries(
     df: DataFrame, value_col: str, capacity: int = 256
 ) -> DataFrame:
@@ -42,20 +62,7 @@ def misra_gries_summaries(
             for v in pdf[value_col]:
                 if v is None or (isinstance(v, float) and pd.isna(v)):
                     continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    # the decrement step: every counter pays one; zeroed
-                    # entries free their slot (amortized O(1) per input)
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+                mg_update(counters, v, capacity)
         if counters:
             yield pd.DataFrame(
                 {value_col: list(counters), "weight": list(counters.values())}

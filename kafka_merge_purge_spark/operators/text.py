@@ -72,14 +72,17 @@ def tokens_adaptive(
     whitespace tokenizer collapses a whole document into one "token"
     and every downstream token-granular operator (Gopher rules,
     shingles, BM25, duplicate spans) silently degrades to
-    document-granularity.  Texts shorter than ``min_len`` stay on the
-    whitespace path regardless of density — a single English word has
-    density 0 but is one token, not a bigram bag.  Pure expression
-    either way (codegen; the same SQL is DuckDB-expressible for the
-    oracle)."""
+    document-granularity.  A space-free text stays on the whitespace
+    path only when it is BOTH shorter than ``min_len`` AND pure ASCII —
+    a single English word has density 0 but is one token, not a bigram
+    bag; a short CJK title, by contrast, must still n-gram or its
+    near-duplicates can never pair (r6 review: a codepoint-count-only
+    guard silently bypassed the fallback for every unsegmented doc
+    under 20 chars).  Pure expression either way (codegen; the same SQL
+    is DuckDB-expressible for the oracle)."""
+    short_ascii = (F.length(text) < min_len) & ~text.rlike("[^\\x00-\\x7F]")
     return F.when(
-        (space_density(text) >= min_space_density)
-        | (F.length(text) < min_len),
+        (space_density(text) >= min_space_density) | short_ascii,
         tokens(text),
     ).otherwise(char_ngrams(text, n))
 

@@ -474,22 +474,13 @@ def fold_heavy_hitters(
     batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
         ["ts", "event_id"]
     )
+    from kafka_merge_purge_spark.operators.sketch import mg_update
+
     for ts, eid, item in zip(batch["ts"], batch["event_id"], batch["item"]):
         if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
             continue  # cross-batch regressor: drop, never fold out of order
         if item is not None:
-            if item in counters:
-                counters[item] += 1
-            elif len(counters) < capacity:
-                counters[item] = 1
-            else:
-                dead = []
-                for kk in counters:
-                    counters[kk] -= 1
-                    if counters[kk] == 0:
-                        dead.append(kk)
-                for kk in dead:
-                    del counters[kk]
+            mg_update(counters, item, capacity)
         last_ts, last_eid = ts, int(eid)
     return (counters, last_ts, last_eid)
 

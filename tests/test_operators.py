@@ -1065,20 +1065,14 @@ def test_bm25_ranks_rare_terms_and_saturates(spark):
 
 
 def _planted(tables):
-    """embeddings + jittered copies of the 50 lowest vec_ids at cosine
-    ≈ 0.9999 — a corpus with real near-dups at the production 0.95
-    threshold (the synthetic table's max pairwise cos is ~0.51)."""
+    """The gated demo's planted near-dup corpus — imported from the
+    entry module so the recall tests pin EXACTLY the corpus the
+    benchmarked query runs (r6 review: a verbatim copy here could drift
+    from the demo silently)."""
+    import __spark_entry__ as entry
+
     emb = tables["embeddings"]
-    dup = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x
-            * (1.0 + 0.002 * ((F.pmod(F.hash(F.col("vec_id") * 131 + i), F.lit(1000)) / 1000.0) - 0.5)),
-        ).cast("array<float>").alias("embedding"),
-        F.col("label"),
-    )
-    return emb.select("vec_id", "embedding", "label").unionByName(dup)
+    return entry._planted_embeddings(emb.sparkSession, "/root/testdata/sf0.001")
 
 
 @pytest.mark.parametrize("method", ["lsh", "ivf"])
@@ -1161,9 +1155,11 @@ def test_tokens_adaptive_cjk_fallback(spark):
     Space-delimited text is untouched (identical to tokens())."""
     cjk = "今日は良い天気ですね散歩に行きましょう公園の桜がきれいに咲いています"
     en = "the quick brown fox jumps"
-    word = "hello"  # short + space-free: stays ONE token (min_len guard)
+    word = "hello"          # short + space-free + ASCII: stays ONE token
+    short_cjk = "今日は晴れ"  # short but unsegmented script: still n-grams
     df = spark.createDataFrame(
-        [(1, en), (2, cjk), (3, ""), (4, word)], "doc_id long, text string"
+        [(1, en), (2, cjk), (3, ""), (4, word), (5, short_cjk)],
+        "doc_id long, text string",
     )
     out = {
         r["doc_id"]: r
@@ -1179,6 +1175,9 @@ def test_tokens_adaptive_cjk_fallback(spark):
     assert len(out[2]["adaptive"]) == len(cjk) - 1
     assert out[3]["adaptive"] == [""]  # empty text: one empty token, no crash
     assert out[4]["adaptive"] == ["hello"]  # a lone word is not a bigram bag
+    # a SHORT unsegmented text still n-grams (r6 review: a length-only
+    # guard silently bypassed the fallback for short CJK titles)
+    assert out[5]["adaptive"] == [short_cjk[i : i + 2] for i in range(len(short_cjk) - 1)]
 
 
 def test_adaptive_shingles_identical_on_ascii(tables):
@@ -1340,3 +1339,76 @@ def test_hashed_embedding_ann_scale_path(tables):
         method="lsh").collect()}
     assert exact and ann <= exact
     assert len(ann & exact) / len(exact) >= 0.95
+
+
+def test_lsh_planes_split_anisotropic_cone(spark):
+    """r6 review regression: on a cone corpus (every pairwise cosine
+    positive — the usual real sentence-embedding shape) corpus-drawn
+    planes put EVERY vector on the positive side of EVERY plane, so all
+    signatures collapse to one bucket and candidate generation reverts
+    to O(n²).  Seeded Gaussian planes split any cone: the candidate set
+    must stay well under all-pairs while still catching the planted
+    near-duplicate."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(1, 201):
+        # shared mean + comparable noise → typical pairwise cos ≈ 0.5
+        # with (almost) all dots positive: the cone shape that collapses
+        # corpus-drawn planes (every sign bit true) without the vectors
+        # being near-duplicates of each other
+        rows.append((i, [1.0 + rng.gauss(0, 1.0) for _ in range(16)]))
+    rows.append((1001, [v * 1.0001 for v in rows[0][1]]))  # planted near-dup of id 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand = dd.embedding_candidate_pairs(df, method="lsh")
+    n = len(rows)
+    n_cand = cand.count()
+    assert n_cand < (n * (n - 1) // 2) * 0.5, (
+        f"bucket collapse: {n_cand} candidates of {n*(n-1)//2} pairs"
+    )
+    pairs = {(r.id_a, r.id_b) for r in dd.embedding_ann_pairs(
+        df, threshold=0.999, method="lsh").collect()}
+    assert (1, 1001) in pairs
+
+
+def test_fuzzy_dedup_releases_shingle_cache(spark, tables):
+    """r6 review: the persisted shingle frame must not outlive the
+    composed flagship (a per-ingest-batch service would otherwise
+    accumulate MEMORY_AND_DISK blocks forever).  Assert on the cached
+    frames' own storage levels, not the context-wide persistent-RDD
+    census — Spark's ContextCleaner unpersists GC'd frames
+    asynchronously, so census equality is racy in a long session."""
+    from pyspark import StorageLevel
+
+    pairs = dd.minhash_lsh_pairs(tables["documents"])
+    pairs.collect()
+    (sh,) = pairs._kmp_persisted
+    assert sh.storageLevel != StorageLevel.NONE  # cache live, reusable
+    dd.release_persisted(pairs)
+    assert sh.storageLevel == StorageLevel.NONE
+
+    # the composed flagship releases its own cache: its pair source's
+    # recorded frames end the call unpersisted
+    out = dd.fuzzy_dedup(tables["documents"])
+    out.collect()
+    # fuzzy_dedup released internally before returning; nothing of its
+    # pipeline remains persisted with a kmp marker on the result
+    assert getattr(out, "_kmp_persisted", []) == []
+
+
+def test_cross_corpus_dedup_adaptive_handles_cjk(spark):
+    """r6 review: the incremental-ingest form gets the same multilingual
+    path as the self-join form — CJK docs in either corpus pair up with
+    adaptive=True and silently vanish without it."""
+    base = "今日は良い天気ですね散歩に行きましょう公園の桜がきれいに咲いています午後から友達と会う予定です"
+    new_df = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    ref_df = spark.createDataFrame(
+        [(100, base + "夕方には帰ります"), (101, "全然違う話題の文書です機械学習の話など")],
+        "doc_id long, text string",
+    )
+    assert dd.minhash_lsh_pairs_against(new_df, ref_df, jaccard_threshold=0.3).count() == 0
+    out = dd.minhash_lsh_pairs_against(
+        new_df, ref_df, jaccard_threshold=0.3, adaptive=True
+    ).collect()
+    assert [(r.new_id, r.ref_id) for r in out] == [(1, 100)]
