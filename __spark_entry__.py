@@ -2100,6 +2100,35 @@ def _simhash_oracle(bits: int = 32, where: str = "") -> str:
         SELECT doc_id, {bit_terms} AS simhash FROM base"""
 
 
+def x_bigram_logprob(spark, sf_dir):
+    """Add-k-smoothed bigram LM scoring: mean log P(w2|w1) per document
+    — the order-sensitive upgrade of x_unigram_logprob (scrambled text
+    scores low even with a natural unigram profile).  Same double-round
+    decimal pattern; the oracle replays counts + smoothing exactly."""
+    return tx.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_LLM_ORACLES["x_bigram_logprob"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    bg AS (SELECT doc_id,
+                  unnest(toks[1:len(toks)-1]) AS w1,
+                  unnest(toks[2:len(toks)]) AS w2
+           FROM base),
+    pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    hc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vv FROM bg),
+    lp AS (SELECT w1, w2,
+                  CAST(round(ln((c12 + 0.5) / (c1 + 0.5 * vv)), 6)
+                       AS DECIMAL(18,6)) AS lp
+           FROM pc JOIN hc USING (w1), v)
+    SELECT doc_id,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           COUNT(*) AS n_bigrams
+    FROM bg JOIN lp USING (w1, w2)
+    GROUP BY doc_id"""
+
+
 def x_hashed_embedding(spark, sf_dir):
     """Feature-hashing document embedding (hashing trick): ±1 per token
     into 64 md5 buckets — the model-free bridge from the text tier into

@@ -641,3 +641,72 @@ def hashed_embedding(
             lambda j: F.coalesce(F.element_at(F.col("_m"), j.cast("int")), F.lit(0)).cast("double"),
         ).alias("embedding"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model quality score: mean log-probability of a
+    document's token bigrams under the add-k-smoothed corpus conditional
+    ``P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V)`` — the order-sensitive
+    upgrade of :func:`unigram_logprob` (public KenLM-style practice with
+    the simplest smoother): scrambled or templated text scores low even
+    when its unigram distribution looks natural.
+
+    Same engine-portable double-round pattern as the unigram form
+    (per-bigram ``round(ln p, 6)`` summed as DECIMAL, then one rounded
+    division).  ``c(w1·)`` counts bigram HISTORIES (occurrences of w1
+    as a left token) and V is the distinct right-token vocabulary.
+    Documents with fewer than 2 tokens have no bigrams and drop from
+    the output.  Plan: one zip_with bigram projection + explode, two
+    grouped counts with map-side combine, broadcast corpus stats, one
+    per-doc aggregate."""
+    from kafka_merge_purge_spark.operators.dedup import normalize
+
+    toks = tokens(normalize(F.col(text_col)))
+    n = F.size(toks)
+    bg = (
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    pair_c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist_c = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.select(F.count_distinct("w2").alias("_v"))
+    lp = (
+        pair_c.join(hist_c, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(k_smooth))
+                    / (F.col("c1") + F.lit(k_smooth) * F.col("_v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

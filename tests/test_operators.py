@@ -1412,3 +1412,21 @@ def test_cross_corpus_dedup_adaptive_handles_cjk(spark):
         new_df, ref_df, jaccard_threshold=0.3, adaptive=True
     ).collect()
     assert [(r.new_id, r.ref_id) for r in out] == [(1, 100)]
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """The bigram LM is order-sensitive where the unigram LM is blind:
+    a document whose tokens are scrambled (same unigram profile) scores
+    strictly lower than the in-order original when the corpus repeats
+    the ordered phrase, and <2-token docs drop (no bigrams)."""
+    phrase = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the brown lazy jumps fox quick over the"
+    rows = [(i, phrase) for i in range(1, 9)] + [(9, scrambled), (10, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.bigram_logprob(df).collect()}
+    assert 10 not in out  # one token → no bigrams → dropped
+    assert out[1]["avg_logprob"] > out[9]["avg_logprob"]
+    assert out[9]["n_bigrams"] == 8
+    # unigram LM cannot tell them apart (same token multiset)
+    uni = {r["doc_id"]: r["avg_logprob"] for r in tx.unigram_logprob(df).collect()}
+    assert uni[1] == uni[9]
