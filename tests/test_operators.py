@@ -901,16 +901,19 @@ def test_embedding_fuzzy_dedup_labels_clusters(spark):
         (12, [0.0, 1.0, 0.0]),      # orthogonal singleton
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # default path is now candidates="lsh" (r6 verdict): the bucketed
+    # composition must label this tiny corpus correctly out of the box
     got = {r["vec_id"]: r for r in dd.embedding_fuzzy_dedup(emb, threshold=0.95).collect()}
     assert got[10]["cluster_id"] == 10 and got[11]["cluster_id"] == 10
     assert got[10]["cluster_size"] == 2 and got[11]["is_canonical"] == 0
     assert got[10]["is_canonical"] == 1
     assert got[12]["cluster_id"] == 12 and got[12]["cluster_size"] == 1
-    # the forced-distributed block form labels identically
+    # the forced-distributed exact block form labels identically
     blocked = {
         r["vec_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
         for r in dd.embedding_fuzzy_dedup(
-            emb, threshold=0.95, broadcast_max_rows=0, block_size=2
+            emb, threshold=0.95, candidates="exact",
+            broadcast_max_rows=0, block_size=2
         ).collect()
     }
     assert blocked == {
