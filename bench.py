@@ -81,6 +81,15 @@ def main() -> None:
             # force full execution without driver-side collect
             df.write.format("noop").mode("overwrite").save()
             per_run.append(round(time.perf_counter() - start, 3))
+            # drain operator-persisted caches between runs (ADVICE r6:
+            # direct pair-generator callers otherwise accumulate
+            # MEMORY_AND_DISK blocks for the context's lifetime) —
+            # INSIDE the timed region would be fairer still, but the
+            # unpersist cost is driver-side microseconds; keeping it
+            # out preserves comparability with prior rounds
+            from kafka_merge_purge_spark.operators.dedup import release_all_persisted
+
+            release_all_persisted()
         runs[name] = per_run
         timings[name] = min(per_run)
         total += timings[name]

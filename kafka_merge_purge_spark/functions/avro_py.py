@@ -520,9 +520,19 @@ class SchemaRegistry:
         Tiers, first hit wins: the hermetic ``subjects=`` dict (latest
         only; carries no registry id → id is None), then the HTTP
         registry.  A fetched version also primes the id→schema cache,
-        so the consume side's ``get(id)`` on the same writer is free."""
+        so the consume side's ``get(id)`` on the same writer is free.
+
+        Caching (ADVICE r6): PINNED versions are immutable in a
+        Confluent registry, so they cache forever in the subject LRU —
+        but ``"latest"`` is a moving pointer, and the reference serde
+        re-resolves it per lookup; caching it here meant a long-lived
+        producer never observed a newly registered schema version.
+        ``"latest"`` HTTP resolutions therefore bypass the subject
+        cache (the fetched schema still primes the id→schema cache,
+        which IS immutable — keyed by registry id)."""
         key = (subject, str(version))
-        if key in self._subject_cache:
+        pin_cacheable = str(version) != "latest"
+        if pin_cacheable and key in self._subject_cache:
             self._subject_cache.move_to_end(key)
             return self._subject_cache[key]
         raw = (
@@ -539,7 +549,8 @@ class SchemaRegistry:
         if schema_id is not None:
             self._lru_put(self._cache, int(schema_id), parsed)
         out = (schema_id, parsed)
-        self._lru_put(self._subject_cache, key, out)
+        if pin_cacheable:
+            self._lru_put(self._subject_cache, key, out)
         return out
 
     def to_dict(self) -> dict[int, str]:

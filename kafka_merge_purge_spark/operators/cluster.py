@@ -50,18 +50,146 @@ def _assign_expr(vec, centroids: list[list[float]]):
     return F.array_position(dists, F.array_min(dists)).cast("int")
 
 
+def _min_dist_expr(vec, centroids: list[list[float]]):
+    """Squared L2 distance from ``vec`` to its NEAREST literal centroid —
+    the d²(x, C) every k-means‖ round scores points by."""
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.array_min(
+        F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+
+
+def _hash_unit(col):
+    """Deterministic pseudo-uniform in [0, 1) from a column — md5 bucket
+    over the id, the same reproducible-sampling trick as
+    text.train_test_split (content-independent, growth-stable)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+        % 1_000_000
+    ) / 1_000_000.0
+
+
+def kmeans_parallel_init(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> list[list[float]]:
+    """Scalable k-means‖ seeding (Bahmani et al., VLDB 2012 — the public
+    construction behind every production distributed k-means init),
+    made DETERMINISTIC by replacing the Bernoulli coin with an md5 unit
+    hash of the row id, so repeated fits seed identically (r6 verdict
+    item 5: lowest-id seeding is oracle-friendly but degenerate on real
+    corpora where the first k ids can be near-identical vectors).
+
+    Per round (``rounds`` ≈ 3-5 replaces k-means++'s k sequential
+    passes): score every row by d²(x, C) against the current centers
+    (NARROW literal projection, no shuffle), compute the corpus cost φ
+    in one map-side-combined agg, then independently select each row
+    with probability ``min(1, ℓ·d²/φ)`` (ℓ = ``oversample``, default
+    2k) — expected ≤ ℓ new centers per round, fetched with a bounded
+    collect.  Afterwards each candidate is weighted by the number of
+    rows it is nearest to (one agg) and a weighted driver-side Lloyd
+    over the ~``1 + rounds·ℓ`` candidates reduces them to k seeds.
+    Driver state: O(rounds·ℓ·dim) doubles — bounded at any corpus size.
+
+    Returns at most ``k`` seeds (fewer iff the corpus has fewer rows)."""
+    import numpy as np
+
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    base = drop_null_vectors(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    ell = 2 * k if oversample is None else oversample
+    # first center: lowest md5-bucket row (pseudo-random but reproducible)
+    first = base.orderBy(_hash_unit(F.col("_id")), "_id").limit(1).collect()
+    if not first:
+        return []
+    centers: list[list[float]] = [list(map(float, first[0]["_v"]))]
+    for r in range(rounds):
+        d2 = _min_dist_expr(F.col("_v"), centers)
+        phi = base.select(F.sum(d2).alias("phi")).collect()[0]["phi"]
+        if not phi or phi <= 0:
+            break  # every row coincides with a center already
+        # per-round decorrelated coin: hash(id * (round+2)) — deterministic
+        coin = _hash_unit(F.col("_id") * (r + 2))
+        picked = (
+            base.withColumn("_d2", d2)
+            .filter(coin < F.least(F.lit(1.0), F.lit(float(ell)) * F.col("_d2") / F.lit(float(phi))))
+            .select("_id", "_v")
+            .orderBy("_id")
+            .limit(8 * ell)  # hard bound on the collect (expected ≤ ℓ)
+            .collect()
+        )
+        centers.extend(list(map(float, p["_v"])) for p in picked)
+    # weight candidates by attraction counts, then weighted Lloyd to k
+    counts = {
+        r["cid"]: r["n"]
+        for r in base.select(_assign_expr(F.col("_v"), centers).alias("cid"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cand = np.array(centers)
+    w = np.array([counts.get(j + 1, 0) for j in range(len(centers))], dtype=np.float64)
+    if len(cand) <= k:
+        return [list(map(float, c)) for c in cand]
+    # weighted k-means++-style greedy pick then fixed Lloyd rounds, all on
+    # the tiny candidate set (deterministic: argmax ties -> lowest index)
+    seeds = [int(np.argmax(w))]
+    d = ((cand - cand[seeds[0]]) ** 2).sum(axis=1)
+    while len(seeds) < k:
+        j = int(np.argmax(w * d))
+        seeds.append(j)
+        d = np.minimum(d, ((cand - cand[j]) ** 2).sum(axis=1))
+    cents = cand[seeds].copy()
+    for _ in range(8):
+        dist = ((cand[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if w[m].sum() > 0:
+                cents[j] = (cand[m] * w[m, None]).sum(axis=0) / w[m].sum()
+    return [[float(v) for v in c] for c in cents]
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest-id",
 ) -> list[list[float]]:
-    """Lloyd's k-means fit: ``iters`` assign+update rounds from the k
-    lowest-id seeds; returns the final centroid list (empty for an
-    empty corpus).  Deterministic — repeated fits are identical, so the
-    fit can be cached/persisted and reused across query batches the way
-    IVF centroids are (similarity.ivf_topk(centroids=...)).
+    """Lloyd's k-means fit: ``iters`` assign+update rounds; returns the
+    final centroid list (empty for an empty corpus).  Deterministic —
+    repeated fits are identical, so the fit can be cached/persisted and
+    reused across query batches the way IVF centroids are
+    (similarity.ivf_topk(centroids=...)).
+
+    ``init`` picks the seeding (r6 verdict item 5):
+
+    - ``"lowest-id"`` (default): the k lowest-id vectors — trivially
+      deterministic and SQL-replayable, which is what the bit-identical
+      DuckDB oracle gates; degenerate when the first k ids happen to be
+      near-identical vectors (real ingest orders cluster by source).
+    - ``"kmeans||"``: :func:`kmeans_parallel_init` — the Bahmani et al.
+      oversampling construction, deterministic via md5-hash coins; pays
+      ``rounds`` extra corpus passes for spread-out seeds that survive
+      adversarial id orderings (inertia win pinned in pytest on a
+      planted skewed corpus).
 
     NOTE: each round re-reads the corpus; an A/B of persisting the
     casted frame measured NO win at sf0.1 (5.7 s vs 6.1 s for the two
@@ -73,10 +201,17 @@ def kmeans_fit(
     base = drop_null_vectors(emb, vec_col).withColumn(
         "_v", F.col(vec_col).cast("array<double>")
     )
-    seeds = base.select(id_col, "_v").orderBy(id_col).limit(k).collect()
-    if not seeds:
-        return []
-    cents = [list(map(float, r["_v"])) for r in seeds]
+    if init == "kmeans||":
+        cents = kmeans_parallel_init(emb, k, id_col, vec_col)
+        if not cents:
+            return []
+    elif init == "lowest-id":
+        seeds = base.select(id_col, "_v").orderBy(id_col).limit(k).collect()
+        if not seeds:
+            return []
+        cents = [list(map(float, r["_v"])) for r in seeds]
+    else:
+        raise ValueError(f"kmeans_fit: init must be 'lowest-id' or 'kmeans||', got {init!r}")
     for _ in range(iters):
         assigned = base.withColumn("cid", _assign_expr(F.col("_v"), cents))
         means = (
@@ -99,6 +234,24 @@ def kmeans_fit(
             for j in range(len(cents))
         ]
     return cents
+
+
+def kmeans_inertia(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Total within-cluster squared-L2 cost Σ d²(x, C) — the objective
+    both inits compete on; one narrow projection + one agg, no shuffle
+    of vectors."""
+    from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
+
+    if not centroids:
+        return 0.0
+    base = drop_null_vectors(emb, vec_col)
+    d2 = _min_dist_expr(F.col(vec_col).cast("array<double>"), centroids)
+    row = base.select(F.sum(d2).alias("phi")).collect()[0]
+    return float(row["phi"] or 0.0)
 
 
 def kmeans_assign(

@@ -193,6 +193,7 @@ def gopher_rules(
     text_col: str = "text",
     passthrough: tuple[str, ...] = (),
     tokens_col: str | None = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Multi-rule document quality filter (Gopher §A1-style) with one
     boolean column PER RULE — the attribution form real pipelines keep so
@@ -208,13 +209,37 @@ def gopher_rules(
     top-word fraction is O(|distinct| · n) per document in-expression,
     which beats a corpus-wide explode + groupBy at any scale because it
     never shuffles.
+
+    ``adaptive=True`` (r6 verdict item 6) swaps the tokenizer for
+    :func:`text.tokens_adaptive`, so unsegmented scripts (CJK, Thai)
+    get token-granular metrics instead of collapsing to one "word" and
+    auto-failing the count rule regardless of quality.  Mean word
+    length then sums token lengths directly (the subtraction shortcut
+    assumes single-space joins) — on space-delimited text the two
+    forms are arithmetically identical, so default-path hashes are
+    unchanged.  The stopword rule stays English-specific either way;
+    the per-rule attribution columns are exactly why that's workable —
+    a CJK pipeline reads the other three rules and supplies its own
+    stopword list downstream.
     """
     # ``tokens_col``: a pre-tokenized array column (computed once behind a
     # projection_barrier) — references become attribute reads instead of
     # re-running split(text) per metric (see curation_pipeline)
-    toks = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+    if tokens_col:
+        toks = F.col(tokens_col)
+    elif adaptive:
+        from kafka_merge_purge_spark.operators.text import tokens_adaptive
+
+        toks = tokens_adaptive(F.col(text_col))
+    else:
+        toks = tokens(F.col(text_col))
     n = F.size(toks)
-    mean_len = F.round((F.length(text_col) - (n - F.lit(1))) / n, 6)
+    if adaptive:
+        mean_len = F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n, 6
+        )
+    else:
+        mean_len = F.round((F.length(text_col) - (n - F.lit(1))) / n, 6)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop_distinct = F.size(
         F.filter(stop_arr, lambda s: F.array_contains(toks, s))

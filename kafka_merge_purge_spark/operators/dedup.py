@@ -107,9 +107,11 @@ def shingle_frame(
     ``text.tokens_adaptive`` (codepoint bigrams when space density says
     the script is unsegmented) — so shingling, and everything built on
     it (MinHash, fuzzy dedup), works on CJK-like corpora instead of
-    collapsing every document to the empty shingle.  On pure-ASCII
-    space-delimited text the adaptive form produces IDENTICAL shingles
-    (pinned in pytest), so flipping it on a mixed corpus never changes
+    collapsing every document to the empty shingle.  On pure-ASCII text
+    the adaptive form produces IDENTICAL shingles (pinned in pytest) —
+    space-delimited prose rides the density branch and space-free ASCII
+    (URLs, hashes, identifiers) stays one whitespace token at any
+    length (ADVICE r6) — so flipping it on a mixed corpus never changes
     the result for the documents the default already handled.
 
     Two physical forms, identical shingle SETS (and identical
@@ -385,7 +387,25 @@ def minhash_lsh_pairs(
     # (fuzzy_dedup does; see release_persisted — r6 review: per-call
     # MEMORY_AND_DISK blocks otherwise accumulate for the context's life)
     out._kmp_persisted = [sh_df] if persist_shingles else []
+    _register_persisted(out._kmp_persisted)
     return out
+
+
+#: module-level registry of every shingle/side frame the dedup operators
+#: persisted and nobody has released yet.  ADVICE r6: the per-result
+#: ``_kmp_persisted`` attribute is silently LOST the moment a caller
+#: applies any transformation to the returned frame, and direct callers
+#: of the pair generators (bench/demo entry points) never released at
+#: all — so cache blocks accumulated for the context's lifetime.  The
+#: registry is the sturdier ledger: ``release_all_persisted()`` drains
+#: it after each materialization regardless of what happened to the
+#: result frame.  Entries are identity-keyed DataFrames; the list stays
+#: O(operator invocations since last drain).
+_PERSISTED_REGISTRY: list[DataFrame] = []
+
+
+def _register_persisted(frames: list[DataFrame]) -> None:
+    _PERSISTED_REGISTRY.extend(frames)
 
 
 def release_persisted(df: DataFrame) -> None:
@@ -401,6 +421,26 @@ def release_persisted(df: DataFrame) -> None:
         # blocking: the release must be observable immediately (callers
         # and tests reason about the persistent-RDD census)
         f.unpersist(blocking=True)
+        try:
+            _PERSISTED_REGISTRY.remove(f)
+        except ValueError:
+            pass
+
+
+def release_all_persisted() -> int:
+    """Drain the module registry: unpersist EVERY frame a dedup operator
+    cached and no caller has released — the safety net for hosts that
+    call the pair generators directly (bench harnesses, notebooks,
+    per-ingest-batch services) where the returned frame may have been
+    transformed (dropping ``_kmp_persisted``) or simply discarded.
+    Returns the number of frames released.  Call between units of work,
+    after results are materialized."""
+    n = 0
+    while _PERSISTED_REGISTRY:
+        f = _PERSISTED_REGISTRY.pop()
+        f.unpersist(blocking=True)
+        n += 1
+    return n
 
 
 def fuzzy_dedup(
@@ -546,6 +586,7 @@ def minhash_lsh_pairs_against(
         .select("new_id", "ref_id", "jaccard")
     )
     out._kmp_persisted = [sh_new, sh_ref] if persist_shingles else []
+    _register_persisted(out._kmp_persisted)
     return out
 
 
@@ -860,6 +901,7 @@ def sorted_neighborhood_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
     out._kmp_persisted = [fp, sh]  # release via release_persisted after use
+    _register_persisted(out._kmp_persisted)
     return out
 
 
@@ -1048,10 +1090,12 @@ def embedding_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
-    n_planes: int = 12,
-    n_tables: int = 16,
-    n_cells: int = 16,
-    nprobe: int = 2,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    target_cos: float = 0.95,
+    target_recall: float = 0.99,
 ) -> DataFrame:
     """Bucketed candidate-pair generation for embedding dedup — the
     vector twin of the MinHash band join (``minhash_lsh_pairs``'s
@@ -1064,29 +1108,45 @@ def embedding_candidate_pairs(
       (similarity._hyperplanes/_sign_signature_frame — the SAME kernel
       the ANN search uses).  A pair is a candidate iff any of the
       ``n_tables`` tables assigns both vectors the same ``n_planes``-bit
-      signature.  Default 12 planes × 16 tables targets the real
-      near-dup regime (cosine ≥ ~0.9): a cos-0.95 pair collides in at
-      least one table with prob ≈ 0.995, while a random pair (cos ≈ 0)
-      survives into the candidate set ≈ 0.4% of the time — the n² →
-      collisions cost drop that makes 100 TB vector dedup tractable.
-      (8 planes measured a 3.97× slope at the 10× scale-up: ~6%
-      random collisions kept the candidate set near-quadratic; 12
-      planes cut them 16× for ~half a point of recall.  At larger n,
-      scale ``n_planes`` with log₂(n) to hold the candidate ratio.)
+      signature.  ``n_planes``/``n_tables`` default to None = AUTO
+      (r6 verdict: the log₂(n) rule is now implemented, not advisory):
+      a cheap corpus count feeds :func:`similarity.auto_lsh_params`,
+      which picks the plane count that bounds random-pair collisions to
+      ~O(n) per table and the table count that holds recall ≥
+      ``target_recall`` for pairs at ``target_cos`` — so the candidate
+      ratio stays flat as the corpus grows 100× instead of silently
+      reverting toward n².  Pass explicit values to skip the count job
+      and pin the geometry (the r5 fixed default was 12×16 — the auto
+      rule reproduces ~that at n ≈ 5 k and keeps scaling past it).
     - ``method="ivf"``: multi-probe IVF cells — each vector is tagged
       with its ``nprobe`` max-dot centroids (narrow literal-argmax
       projection, zero shuffle to tag); a pair is a candidate iff the
       probe sets intersect.  Multi-probe (nprobe ≥ 2) is what catches
-      near-dups straddling a cell boundary.
+      near-dups straddling a cell boundary.  ``n_cells=None`` = AUTO:
+      √n capped (:func:`similarity.auto_ivf_params`); ``nprobe=None``
+      defaults to 2 here (pair generation wants cheap agreement, not
+      the search path's recall-heavy 6-of-16 fraction).
     """
     from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
     from kafka_merge_purge_spark.operators import similarity as sim
 
     emb = drop_null_vectors(emb, vec_col)
+    # ADVICE r6: the empty/short-circuit frames must carry the CALLER's id
+    # dtype — a hardcoded `long` diverges from the non-empty path on
+    # string/int ids and breaks downstream unions that branch on emptiness.
+    id_type = emb.schema[id_col].dataType.simpleString()
+    empty_schema = f"id_a {id_type}, id_b {id_type}"
     if method == "lsh":
+        if n_planes is None or n_tables is None:
+            n = emb.count()
+            auto_planes, auto_tables = sim.auto_lsh_params(
+                n, n * (n - 1) / 2.0, target_cos, target_recall
+            )
+            n_planes = auto_planes if n_planes is None else n_planes
+            n_tables = auto_tables if n_tables is None else n_tables
         planes = sim._hyperplanes(emb, n_planes, n_tables, id_col, vec_col)
         if planes is None:
-            return emb.sparkSession.createDataFrame([], "id_a long, id_b long")
+            return emb.sparkSession.createDataFrame([], empty_schema)
         sigs = sim._sign_signature_frame(
             emb, planes, n_tables, n_planes, id_col, vec_col, "id"
         )
@@ -1098,9 +1158,13 @@ def embedding_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
     elif method == "ivf":
+        if n_cells is None:
+            n_cells, _ = sim.auto_ivf_params(emb.count())
+        if nprobe is None:
+            nprobe = 2
         cents = sim._kmeans_cells(emb, n_cells, id_col, vec_col)
         if not cents:
-            return emb.sparkSession.createDataFrame([], "id_a long, id_b long")
+            return emb.sparkSession.createDataFrame([], empty_schema)
         # payload=False: the probe frame carries (id, cell_id) ONLY — a
         # downstream .select() could NOT prune the vector out of the
         # pandas kernel's output (pruning stops at a mapInPandas schema),
@@ -1143,6 +1207,8 @@ def score_candidate_pairs(
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     paired = cand.join(va, "id_a").join(vb, "id_b")
+    # ADVICE r6: emit the caller's id dtype, not a hardcoded long
+    id_type = emb.schema[id_col].dataType.simpleString()
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1158,9 +1224,9 @@ def score_candidate_pairs(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
             )
 
-    return paired.mapInPandas(score, schema="id_a long, id_b long, cos double").filter(
-        F.col("cos") >= threshold
-    )
+    return paired.mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, cos double"
+    ).filter(F.col("cos") >= threshold)
 
 
 def embedding_ann_pairs(
@@ -1178,7 +1244,14 @@ def embedding_ann_pairs(
     exact form's ``(id_a, id_b, cos)`` schema and scoring math; recall
     (which pairs are found at all) is the only approximation, pinned in
     pytest against the exact form on a planted near-dup corpus.
+
+    The verification ``threshold`` doubles as the candidate stage's
+    ``target_cos`` (unless explicitly overridden): the auto-parameter
+    solver then sizes planes/tables so pairs AT the decision boundary
+    are recovered at the recall target — tighter thresholds buy
+    sharper (cheaper) buckets automatically.
     """
+    candidate_kwargs.setdefault("target_cos", threshold)
     cand = embedding_candidate_pairs(emb, id_col, vec_col, method, **candidate_kwargs)
     return score_candidate_pairs(cand, emb, id_col, vec_col, threshold)
 
@@ -1194,6 +1267,7 @@ def positional_gram_hashes(
     text_col: str = "text",
     id_col: str = "doc_id",
     vectorized: bool = True,
+    adaptive: bool = False,
 ) -> DataFrame:
     """``(id, pos, h)`` — 1-based positional k-gram 60-bit hashes of the
     normalized token stream (NON-distinct: position matters here, unlike
@@ -1214,9 +1288,21 @@ def positional_gram_hashes(
     Documents shorter than k tokens emit their whole text as the single
     gram at pos 1 (mirroring :func:`shingles`); NULL text folds to the
     ``""`` gram.
+
+    ``adaptive=True`` (r6 verdict item 6) swaps the token stage for the
+    multilingual form (normalize_unicode + tokens_adaptive) — identical
+    on pure-ASCII text (the shingle twin's identity property), while
+    unsegmented scripts gram at codepoint-bigram granularity instead of
+    one-gram-per-document.
     """
+    if adaptive:
+        from kafka_merge_purge_spark.operators.text import tokens_adaptive
+
+        tok_expr = tokens_adaptive(normalize_unicode(F.col(text_col)))
+    else:
+        tok_expr = tokens(normalize(F.col(text_col)))
     if not vectorized:
-        toks_c = tokens(normalize(F.col(text_col)))
+        toks_c = tok_expr
         grams = F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks_c) - (k - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(toks_c, i, k)),
@@ -1233,7 +1319,7 @@ def positional_gram_hashes(
     import pandas as pd
 
     id_type = dict(df.dtypes)[id_col]
-    toks_c = tokens(normalize(F.col(text_col)))
+    toks_c = tok_expr
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
@@ -1261,6 +1347,7 @@ def duplicate_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    adaptive: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans: for each document, the maximal runs
     of ≥ ``k`` consecutive tokens whose every k-gram also occurs in at
@@ -1295,7 +1382,9 @@ def duplicate_spans(
         # min_docs=1 would mark EVERY gram duplicated (each doc is its own
         # 1 document) — reject rather than silently treating it as 2.
         raise ValueError("duplicate_spans requires min_docs >= 2")
-    g = positional_gram_hashes(df, k=k, text_col=text_col, id_col=id_col)
+    g = positional_gram_hashes(
+        df, k=k, text_col=text_col, id_col=id_col, adaptive=adaptive
+    )
     if min_docs == 2:
         wh = Window.partitionBy("h")
         d = (
@@ -1317,9 +1406,15 @@ def duplicate_spans(
     # the whole text): without the cap, span_end = 1 + k - 1 would claim
     # k tokens from an n<k-token doc and disagree with
     # scrub_duplicate_spans' n_dup_tokens for the same document.
+    if adaptive:
+        from kafka_merge_purge_spark.operators.text import tokens_adaptive
+
+        cap_toks = tokens_adaptive(normalize_unicode(F.col(text_col)))
+    else:
+        cap_toks = tokens(normalize(F.col(text_col)))
     n_toks = df.select(
         F.col(id_col).alias("id"),
-        F.size(tokens(normalize(F.col(text_col)))).alias("_n_toks"),
+        F.size(cap_toks).alias("_n_toks"),
     )
     return (
         islands.groupBy("id", "isl")
@@ -1344,6 +1439,7 @@ def scrub_duplicate_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    adaptive: bool = False,
 ) -> DataFrame:
     """The cleaner over :func:`duplicate_spans`: REMOVE each document's
     duplicated passages and reassemble the residual text — the actual
@@ -1358,11 +1454,26 @@ def scrub_duplicate_spans(
     empty text via the totals frame.
 
     Output: (id_col, n_tokens, n_dup_tokens, text_scrubbed).
+
+    ``adaptive=True`` uses the multilingual token stage end-to-end
+    (spans AND the scrub's own token explode share one tokenizer, so
+    positions always line up); the reassembled text of an n-grammed
+    document is a space-joined gram stream — positional, not prose —
+    which is what the downstream token-level consumers expect.
     """
-    spans = duplicate_spans(df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col)
+    spans = duplicate_spans(
+        df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col,
+        adaptive=adaptive,
+    )
+    if adaptive:
+        from kafka_merge_purge_spark.operators.text import tokens_adaptive
+
+        scrub_toks = tokens_adaptive(normalize_unicode(F.col(text_col)))
+    else:
+        scrub_toks = tokens(normalize(F.col(text_col)))
     toks = df.select(
         F.col(id_col),
-        F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos0", "tok"),
+        F.posexplode(scrub_toks).alias("pos0", "tok"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
     spans_j = spans.select(
         F.col(id_col).alias("_sid"), "span_start", "span_end"

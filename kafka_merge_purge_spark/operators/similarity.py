@@ -139,6 +139,87 @@ def _hyperplanes(
     return planes / norms[:, None]
 
 
+def auto_lsh_params(
+    n_rows: int,
+    n_pairs: float,
+    target_cos: float = 0.95,
+    target_recall: float = 0.99,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Corpus-size-driven (n_planes, n_tables) from standard sign-LSH
+    theory (Charikar hyperplane hashing + the Indyk–Motwani multi-table
+    amplification) — the r6 verdict's "implement the docstring's own
+    log₂(n) rule" item, done as a tiny deterministic solver instead of a
+    fixed formula so ONE rule serves both regimes (near-dup pair
+    generation and top-k search):
+
+    - A random pair (cos ≈ 0) agrees on one hyperplane sign with
+      probability ½, so one table of ``b`` planes passes
+      ``n_pairs · 2⁻ᵇ`` junk pairs into the candidate join.
+    - A true pair at ``target_cos`` agrees per plane with
+      ``p₁ = 1 − acos(target_cos)/π``; with ``t`` tables the pair is
+      found with ``1 − (1 − p₁ᵇ)ᵗ`` — solving for the smallest ``t``
+      that reaches ``target_recall`` gives tables(b).
+    - Expected work per table ≈ junk candidates scored + one signature
+      row per corpus row, so total cost(b) =
+      ``tables(b) · (n_pairs · 2⁻ᵇ + n_rows)``.  The solver returns the
+      feasible (b, tables(b)) minimizing this — more planes cut
+      collisions but demand more tables to hold recall; the optimum
+      tracks ~log₂(n_pairs/n_rows) = log₂(n) on self-join corpora,
+      which is exactly the docstring rule, now automatic.
+
+    ``n_pairs`` is the pairing universe: ``n·(n−1)/2`` for self-join
+    dedup, ``n_queries · n_corpus`` for search.  All inputs are driver
+    scalars (one count per frame); the output is deterministic, so
+    rows-only gates stay reproducible.  If no plane count within
+    ``max_planes`` reaches the recall target inside ``max_tables``
+    tables, the solver returns the highest-recall feasible corner
+    (min_planes, max_tables) rather than raising — callers asking for
+    extreme recall at low cosine get the best bounded-cost approximation.
+    """
+    import math
+
+    n_rows = max(int(n_rows), 1)
+    n_pairs = max(float(n_pairs), 1.0)
+    p1 = 1.0 - math.acos(min(max(target_cos, -1.0), 1.0)) / math.pi
+    best: tuple[float, int, int] | None = None
+    for b in range(min_planes, max_planes + 1):
+        hit = p1**b
+        if hit >= 1.0:
+            t = 1
+        elif hit <= 0.0:
+            continue
+        else:
+            t = math.ceil(math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - hit))
+        if t > max_tables:
+            continue
+        cost = t * (n_pairs * 0.5**b + n_rows)
+        if best is None or cost < best[0]:
+            best = (cost, b, t)
+    if best is None:
+        return min_planes, max_tables
+    return best[1], best[2]
+
+
+def auto_ivf_params(n_rows: int, max_cells: int = 256) -> tuple[int, int]:
+    """Corpus-size-driven (n_cells, nprobe) for the IVF family:
+    ``n_cells ≈ √n`` (the classical IVF balance point — cell count and
+    expected cell population both grow as √n, so neither the centroid
+    scan nor the in-cell scan dominates), capped to keep the broadcast
+    centroid literal and the driver-side Lloyd sample small;
+    ``nprobe`` holds the measured 6-of-16 probe fraction (r2 A/B:
+    recall@5 ≈ 0.89 on the near-random synthetic corpus at ~2.7×
+    pairing-cost reduction) so recall stays roughly constant as the
+    cell count scales."""
+    import math
+
+    n_cells = int(min(max(4, math.isqrt(max(int(n_rows), 1))), max_cells))
+    nprobe = max(2, round(n_cells * 6 / 16))
+    return n_cells, nprobe
+
+
 def _sign_signature_frame(
     df: DataFrame,
     planes,
@@ -160,6 +241,9 @@ def _sign_signature_frame(
 
     bc = df.sparkSession.sparkContext.broadcast(planes)
     weights = np.array([1 << b for b in range(n_planes)], dtype=np.int64)
+    # carry the caller's id dtype through the kernel schema (ADVICE r6:
+    # hardcoded `long` diverged from string/int id corpora)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = bc.value
@@ -179,7 +263,7 @@ def _sign_signature_frame(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        sig_gen, schema=f"{out_id} long, table int, sig long"
+        sig_gen, schema=f"{out_id} {id_type}, table int, sig long"
     )
 
 
@@ -187,17 +271,28 @@ def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 16,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cos: float = 0.5,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Random-hyperplane LSH approximate cosine top-k.
 
-    Default 4 planes × 16 tables: measured recall@5 ≈ 0.91 against
-    brute_force_topk on the near-random synthetic corpus (tests pin ≥0.8);
-    more planes per table sharpens buckets but kills recall when true
-    neighbors sit at modest cosine (~0.3-0.5), as here.
+    ``n_planes``/``n_tables`` default to None = AUTO (r6 verdict): two
+    cheap counts feed :func:`auto_lsh_params` with the SEARCH regime's
+    targets — recall ≥ ``target_recall`` for neighbors at
+    ``target_cos`` (default 0.5: on real retrieval corpora true top-k
+    neighbors sit at modest cosine, unlike the ≥0.95 dedup regime) and
+    a junk-candidate bound that scales the plane count with
+    log₂(|queries|·|corpus|) so candidate volume stays ~linear as the
+    corpus grows.  Pass explicit values to skip the counts and pin the
+    geometry — the r2 fixed default was 4 planes × 16 tables (measured
+    recall@5 ≈ 0.91 on the near-random synthetic corpus; tests pin
+    ≥0.8); more planes per table sharpens buckets but kills recall when
+    true neighbors sit at modest cosine, which is exactly the trade the
+    solver arbitrates.
 
     Hyperplanes are ``n_planes * n_tables`` seeded Gaussian directions
     (``_hyperplanes`` — deterministic, data-independent, so anisotropic
@@ -222,6 +317,14 @@ def lsh_topk(
 
     queries = drop_null_vectors(queries, vec_col)
     corpus = drop_null_vectors(corpus, vec_col)
+
+    if n_planes is None or n_tables is None:
+        n_c, n_q = corpus.count(), queries.count()
+        auto_planes, auto_tables = auto_lsh_params(
+            n_c + n_q, float(n_c) * max(n_q, 1), target_cos, target_recall
+        )
+        n_planes = auto_planes if n_planes is None else n_planes
+        n_tables = auto_tables if n_tables is None else n_tables
 
     planes = _hyperplanes(corpus, n_planes, n_tables, id_col, vec_col)
     if planes is None:
@@ -354,13 +457,23 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 6,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate cosine top-k.
+
+    ``n_cells``/``nprobe`` default to None = AUTO
+    (:func:`auto_ivf_params`, r6 verdict): ``n_cells ≈ √n`` capped so
+    cell count and cell population grow together, ``nprobe`` holds the
+    measured 6-of-16 probe fraction so recall stays roughly constant as
+    cells scale.  Pass explicit values to pin the geometry (the r2
+    fixed default was 16 cells / 6 probes — the auto rule reproduces
+    that at n ≈ 256 and keeps scaling past it).  When ``centroids`` is
+    supplied with ``n_cells=None``, the cell count is simply
+    ``len(centroids)`` — no count job.
 
     ``centroids``: pass a precomputed centroid list (from
     ``_kmeans_cells``/``kmeans_centroids`` or a ``build_ivf_index``
@@ -396,7 +509,19 @@ def ivf_topk(
 
     queries = drop_null_vectors(queries, vec_col)
     corpus = drop_null_vectors(corpus, vec_col)
-    cents = centroids if centroids is not None else _kmeans_cells(corpus, n_cells, id_col, vec_col)
+    if centroids is not None:
+        cents = centroids
+        if nprobe is None:
+            nprobe = max(2, round(len(cents) * 6 / 16))
+    else:
+        if n_cells is None:
+            auto_cells, auto_probe = auto_ivf_params(corpus.count())
+            n_cells = auto_cells
+            if nprobe is None:
+                nprobe = auto_probe
+        elif nprobe is None:
+            nprobe = max(2, round(n_cells * 6 / 16))
+        cents = _kmeans_cells(corpus, n_cells, id_col, vec_col)
     if not cents:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cos double"
@@ -588,12 +713,15 @@ def _ivf_score_topk(
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Persist an IVF index as a PARTITIONED parquet layout — the
-    Spark-idiomatic ANN index:
+    Spark-idiomatic ANN index.  ``n_cells=None`` = AUTO (√n capped,
+    :func:`auto_ivf_params`) — sized once at build time; readers get
+    the cell count from the stored centroid sidecar, so the auto rule
+    never has to re-run at query time:
 
     - ``{path}/corpus``: the cell-tagged corpus (id, vector, norm)
       written ``partitionBy("cell_id")`` — each cell is its own
@@ -611,6 +739,8 @@ def build_ivf_index(
     from kafka_merge_purge_spark.functions.vectors import drop_null_vectors
 
     corpus = drop_null_vectors(corpus, vec_col)
+    if n_cells is None:
+        n_cells, _ = auto_ivf_params(corpus.count())
     cents = _kmeans_cells(corpus, n_cells, id_col, vec_col)
     if not cents:
         raise ValueError("build_ivf_index: empty corpus")
@@ -663,7 +793,7 @@ def ivf_topk_indexed(
     path: str,
     queries: DataFrame,
     k: int = 5,
-    nprobe: int = 6,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -674,11 +804,15 @@ def ivf_topk_indexed(
     the scan lists only the probed directories (PartitionFilters —
     pinned by a plan test).  With identical centroids the results equal
     ``ivf_topk`` exactly; the index amortizes the corpus tagging across
-    query batches and adds storage-level pruning."""
+    query batches and adds storage-level pruning.  ``nprobe=None`` =
+    AUTO: the measured 6-of-16 fraction of the STORED cell count (read
+    from the centroid sidecar — no corpus count at query time)."""
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()
     )
     cents = [list(r["centroid"]) for r in cent_rows]
+    if nprobe is None:
+        nprobe = max(2, round(len(cents) * 6 / 16))
     probes = _probe_cells(queries, cents, nprobe, id_col, vec_col)
     cells = sorted(
         r["cell_id"] for r in probes.select("cell_id").distinct().collect()

@@ -73,22 +73,42 @@ def misra_gries_summaries(
     )
 
 
-def heavy_hitters_sketch(
-    df: DataFrame, value_col: str, k: int = 20, capacity: int = 256
+def merged_heavy_hitters(
+    df: DataFrame, value_col: str, capacity: int = 256
 ) -> DataFrame:
-    """Approximate top-``k`` most frequent values: per-partition
-    Misra-Gries summaries merged by one grouped sum, then a bounded
-    top-k.  ``weight`` is a guaranteed lower bound on the true count;
-    every value with true frequency > n/capacity is guaranteed present
-    (both properties pinned in pytest against the exact aggregation).
-    Deterministic tie-break (weight desc, value asc)."""
-    merged = (
+    """The FULL merged Misra-Gries summary (≤ ``partitions × capacity``
+    rows before the grouped sum, ≤ that many distinct values after):
+    every value with true global frequency > n/capacity is guaranteed
+    present HERE — this frame, not any top-k slice of it, is the
+    carrier of the classic guarantee (ADVICE r6: up to ``capacity``
+    values can clear the threshold, so a ``limit(k)`` can cut a
+    guaranteed survivor).  Callers needing the guarantee (e.g. "every
+    domain above 1% of the corpus") consume this frame directly;
+    callers wanting a leaderboard take :func:`heavy_hitters_sketch`."""
+    return (
         misra_gries_summaries(df, value_col, capacity)
         .groupBy(value_col)
         .agg(F.sum("weight").alias("weight"))
     )
+
+
+def heavy_hitters_sketch(
+    df: DataFrame, value_col: str, k: int = 20, capacity: int = 256
+) -> DataFrame:
+    """Approximate top-``k`` most frequent values: per-partition
+    Misra-Gries summaries merged by one grouped sum
+    (:func:`merged_heavy_hitters`), then a bounded top-k.  ``weight``
+    is a guaranteed lower bound on the true count.  The
+    every-value-above-n/capacity presence guarantee holds for the
+    MERGED summary, not this top-k slice — up to ``capacity`` values
+    can exceed the threshold, so with ``k < capacity`` a guaranteed
+    survivor can still be cut by the limit (ADVICE r6); use
+    ``merged_heavy_hitters`` when the guarantee itself is the contract.
+    Both properties are pinned in pytest against the exact aggregation.
+    Deterministic tie-break (weight desc, value asc)."""
     return (
-        merged.orderBy(F.col("weight").desc(), F.col(value_col))
+        merged_heavy_hitters(df, value_col, capacity)
+        .orderBy(F.col("weight").desc(), F.col(value_col))
         .limit(k)
     )
 

@@ -73,16 +73,25 @@ def tokens_adaptive(
     and every downstream token-granular operator (Gopher rules,
     shingles, BM25, duplicate spans) silently degrades to
     document-granularity.  A space-free text stays on the whitespace
-    path only when it is BOTH shorter than ``min_len`` AND pure ASCII —
-    a single English word has density 0 but is one token, not a bigram
-    bag; a short CJK title, by contrast, must still n-gram or its
-    near-duplicates can never pair (r6 review: a codepoint-count-only
-    guard silently bypassed the fallback for every unsegmented doc
-    under 20 chars).  Pure expression either way (codegen; the same SQL
-    is DuckDB-expressible for the oracle)."""
-    short_ascii = (F.length(text) < min_len) & ~text.rlike("[^\\x00-\\x7F]")
+    path when it is pure ASCII — at ANY length (ADVICE r6: a long URL,
+    hex hash, or identifier is one token, not a bigram bag; the earlier
+    ``min_len`` cap silently bigrammed every ASCII one-token doc over
+    20 chars, changing its dedup behavior when the flag flipped).
+    ``min_len`` is retained for signature stability but is effectively
+    subsumed: a pure-ASCII text short enough for the old grace window
+    either has no space (covered by the new any-length rule) or has a
+    space, which at < 20 chars already clears the density branch.
+    Genuinely non-ASCII space-free text (a CJK title) always n-grams —
+    at any length — or its near-duplicates can never pair (r6 review: a
+    codepoint-count-only guard bypassed the fallback for every
+    unsegmented doc under 20 chars).  Pure expression either way
+    (codegen; the same SQL is DuckDB-expressible for the oracle)."""
+    pure_ascii = ~text.rlike("[^\\x00-\\x7F]")
+    ascii_guard = pure_ascii & (
+        ~text.contains(" ") | (F.length(text) < min_len)
+    )
     return F.when(
-        (space_density(text) >= min_space_density) | short_ascii,
+        (space_density(text) >= min_space_density) | ascii_guard,
         tokens(text),
     ).otherwise(char_ngrams(text, n))
 
@@ -460,12 +469,118 @@ def ngram_contamination(
     )
 
 
+#: tiny rank-ordered merge table committed with the package — the demo
+#: vocab for the BPE tier (a deployment points at its model's real
+#: merges file; the ALGORITHM — greedy lowest-rank pair merging — is the
+#: public BPE construction of Sennrich et al. 2016 / GPT-2's encoder)
+DEFAULT_BPE_MERGES = str(
+    __import__("pathlib").Path(__file__).resolve().parent.parent
+    / "resources"
+    / "bpe_merges_tiny.txt"
+)
+
+
+def load_bpe_merges(path: str | None = None) -> list[tuple[str, str]]:
+    """Rank-ordered BPE merge pairs from a merges file (one
+    space-separated pair per line, ``#`` comments skipped) — the
+    standard public format (subword-nmt / GPT-2 ``merges.txt``)."""
+    out: list[tuple[str, str]] = []
+    with open(path or DEFAULT_BPE_MERGES, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, b = line.split(" ")
+            out.append((a, b))
+    return out
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int], cache: dict) -> list[str]:
+    """Greedy BPE merge loop over one word's codepoint symbols: repeat
+    "merge every occurrence of the lowest-ranked adjacent pair" until no
+    pair is in the vocabulary — the classic public encoder.  ``cache``
+    memoizes per-word results (Zipf makes the hit rate enormous)."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        merged, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best_pair:
+                merged.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    cache[word] = syms
+    return syms
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE subword counts — the budget-accurate upgrade of
+    whitespace :func:`token_count` for shard packing (r6 verdict item 9:
+    a training pipeline packs shards by MODEL tokens, and whitespace
+    counts drift 1.3-2× from subword counts on real text).
+
+    Output: ``(id_col, n_words, n_tokens)`` — whitespace words and BPE
+    subword tokens, so the caller sees the drift directly.
+
+    Scale shape: the merge table is broadcast once (a real merges file
+    is ~50k pairs ≈ a few MB); encoding runs in ONE ``mapInPandas``
+    Arrow pass with a per-task word cache (Zipf: the top few thousand
+    words cover most of the stream), emitting only two ints per row —
+    no token strings ride any shuffle."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    ranks = {
+        pair: i for i, pair in enumerate(merges if merges is not None else load_bpe_merges())
+    }
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    id_type = dict(df.dtypes)[id_col]
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = bc.value
+        cache: dict = {}
+        for pdf in batches:
+            ids, n_words, n_tokens = [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                words = (txt or "").split(" ")
+                ids.append(i)
+                n_words.append(len(words))
+                n_tokens.append(sum(len(bpe_encode_word(w, r, cache)) for w in words))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "n_words": n_words, "n_tokens": n_tokens}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        count, schema=f"{id_col} {id_type}, n_words int, n_tokens int"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_size: int = 1000,
+    tokenizer: str = "whitespace",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Training-shard assignment by token budget: documents in id order
     are packed contiguously into shards of ~``capacity`` tokens —
@@ -485,14 +600,31 @@ def pack_sequences(
     over the data.
 
     Output: (id, n_tokens, tokens_before, shard_id).
+
+    ``tokenizer``: ``"whitespace"`` (default — the oracle-gated exact
+    form) or ``"bpe"`` (r6 verdict item 9 — budget-accurate subword
+    counts via :func:`bpe_token_count`; ``merges`` overrides the
+    committed demo merge table).  The packing arithmetic is identical
+    either way; only the per-document count source changes.
     """
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
-        F.floor(F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
-    )
+    if tokenizer == "whitespace":
+        base = df.select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).alias("n_tokens"),
+            F.floor(F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
+        )
+    elif tokenizer == "bpe":
+        base = bpe_token_count(df, merges, text_col, id_col).select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
+        )
+    else:
+        raise ValueError(
+            f"pack_sequences: tokenizer must be 'whitespace' or 'bpe', got {tokenizer!r}"
+        )
     totals = base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
     w_pref = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     prefixes = totals.select(

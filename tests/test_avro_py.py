@@ -432,12 +432,13 @@ def test_registry_subject_resolution_and_lru(tmp_path):
     import pytest
 
     hits: list[str] = []
+    latest = {"version": 2, "id": 1}
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):
             hits.append(self.path)
             if self.path == "/subjects/user-value/versions/latest":
-                body = {"subject": "user-value", "version": 2, "id": 1,
+                body = {"subject": "user-value", **latest,
                         "schema": WRITER_V1}
             elif self.path == "/subjects/user-value/versions/1":
                 body = {"subject": "user-value", "version": 1, "id": 9,
@@ -460,16 +461,25 @@ def test_registry_subject_resolution_and_lru(tmp_path):
         reg = SchemaRegistry(base_url=f"http://127.0.0.1:{srv.server_port}")
         sid, schema = reg.get_subject("user-value")
         assert sid == 1 and schema["name"] == "User"
-        reg.get_subject("user-value")  # cached: no second request
-        assert hits == ["/subjects/user-value/versions/latest"]
+        # ADVICE r6: "latest" is a moving pointer — it must RE-resolve
+        # per lookup (the reference serde's behavior), not cache stale
+        reg.get_subject("user-value")
+        assert hits == ["/subjects/user-value/versions/latest"] * 2
         # the fetched writer primed the id cache → wire decode, no refetch
         frame = b"\x00" + (1).to_bytes(4, "big") + encode_user_v1(7, "ada", 1.5)
         assert decode_confluent(frame, reg)["name"] == "ada"
-        assert hits == ["/subjects/user-value/versions/latest"]
-        # pinned version is its own cache entry
+        assert hits == ["/subjects/user-value/versions/latest"] * 2
+        # a newly registered version is observed on the next resolution
+        latest.update(version=3, id=9)
+        sid_new, _ = reg.get_subject("user-value")
+        assert sid_new == 9
+        # pinned versions ARE immutable → cached after one request
         sid9, _ = reg.get_subject("user-value", 1)
         assert sid9 == 9
         assert hits[-1] == "/subjects/user-value/versions/1"
+        reg.get_subject("user-value", 1)
+        assert hits[-1] == "/subjects/user-value/versions/1"
+        assert hits.count("/subjects/user-value/versions/1") == 1
         with pytest.raises(KeyError, match="subject"):
             reg.get_subject("nope")
     finally:

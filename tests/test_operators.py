@@ -1160,8 +1160,9 @@ def test_tokens_adaptive_cjk_fallback(spark):
     en = "the quick brown fox jumps"
     word = "hello"          # short + space-free + ASCII: stays ONE token
     short_cjk = "今日は晴れ"  # short but unsegmented script: still n-grams
+    url = "https://example.com/some/long/path?query=abcdef0123456789"
     df = spark.createDataFrame(
-        [(1, en), (2, cjk), (3, ""), (4, word), (5, short_cjk)],
+        [(1, en), (2, cjk), (3, ""), (4, word), (5, short_cjk), (6, url)],
         "doc_id long, text string",
     )
     out = {
@@ -1181,6 +1182,10 @@ def test_tokens_adaptive_cjk_fallback(spark):
     # a SHORT unsegmented text still n-grams (r6 review: a length-only
     # guard silently bypassed the fallback for short CJK titles)
     assert out[5]["adaptive"] == [short_cjk[i : i + 2] for i in range(len(short_cjk) - 1)]
+    # ADVICE r6: a LONG space-free pure-ASCII text (URL, hash,
+    # identifier) is one token at any length — the old 20-char cap
+    # bigrammed it, silently changing its dedup behavior under the flag
+    assert out[6]["adaptive"] == [url]
 
 
 def test_adaptive_shingles_identical_on_ascii(tables):
@@ -1272,6 +1277,7 @@ def test_misra_gries_heavy_hitters_guarantees(spark, tables):
     from kafka_merge_purge_spark.operators.sketch import (
         heavy_hitters_exact,
         heavy_hitters_sketch,
+        merged_heavy_hitters,
         misra_gries_summaries,
     )
 
@@ -1284,9 +1290,15 @@ def test_misra_gries_heavy_hitters_guarantees(spark, tables):
     capacity = 64
     merged = {
         r["word"]: r["weight"]
+        for r in merged_heavy_hitters(words, "word", capacity).collect()
+    }
+    # the exported merged view IS the raw grouped-sum of summaries
+    raw = {
+        r["word"]: r["weight"]
         for r in misra_gries_summaries(words, "word", capacity)
         .groupBy("word").agg(F.sum("weight").alias("weight")).collect()
     }
+    assert merged == raw
     assert merged, "summary is empty"
     for w, wt in merged.items():
         assert wt <= true[w], (w, wt, true[w])          # lower bounds
@@ -1294,6 +1306,10 @@ def test_misra_gries_heavy_hitters_guarantees(spark, tables):
     for w, c in true.items():
         if c > threshold:
             assert w in merged, (w, c, threshold)       # no heavy value lost
+    # ADVICE r6: the presence guarantee is a property of the MERGED
+    # summary — a top-k slice can legally cut values above the
+    # threshold when more than k clear it, which is why the guarantee
+    # asserts against merged_heavy_hitters, never heavy_hitters_sketch
     top_exact = heavy_hitters_exact(words, "word", k=1).collect()[0]["word"]
     top_sketch = heavy_hitters_sketch(words, "word", k=1, capacity=capacity).collect()[0]["word"]
     assert top_sketch == top_exact
@@ -1400,6 +1416,32 @@ def test_fuzzy_dedup_releases_shingle_cache(spark, tables):
     assert getattr(out, "_kmp_persisted", []) == []
 
 
+def test_release_all_persisted_registry_drains(spark, tables):
+    """ADVICE r6: direct pair-generator callers (bench entries,
+    notebooks) never call release_persisted, and any transformation on
+    the result silently drops the _kmp_persisted attribute — the
+    module registry must still know about the caches and
+    release_all_persisted() must drain them all."""
+    from pyspark import StorageLevel
+
+    dd.release_all_persisted()  # drain whatever earlier tests left behind
+    pairs = dd.minhash_lsh_pairs(tables["documents"])
+    # a transformation LOSES the attribute — the old leak scenario
+    transformed = pairs.select("id_a", "id_b")
+    transformed.collect()
+    assert getattr(transformed, "_kmp_persisted", None) is None
+    (sh,) = pairs._kmp_persisted
+    assert sh.storageLevel != StorageLevel.NONE
+    assert dd.release_all_persisted() == 1
+    assert sh.storageLevel == StorageLevel.NONE
+    # released frames leave the registry: per-frame release then drain
+    # does not double-release
+    pairs2 = dd.minhash_lsh_pairs(tables["documents"])
+    pairs2.collect()
+    dd.release_persisted(pairs2)
+    assert dd.release_all_persisted() == 0
+
+
 def test_cross_corpus_dedup_adaptive_handles_cjk(spark):
     """r6 review: the incremental-ingest form gets the same multilingual
     path as the self-join form — CJK docs in either corpus pair up with
@@ -1433,3 +1475,141 @@ def test_bigram_logprob_order_sensitivity(spark):
     # unigram LM cannot tell them apart (same token multiset)
     uni = {r["doc_id"]: r["avg_logprob"] for r in tx.unigram_logprob(df).collect()}
     assert uni[1] == uni[9]
+
+
+def test_auto_lsh_params_scale_and_recall_contract():
+    """r6 verdict item 3: the parameter solver must (a) satisfy its own
+    recall inequality at the returned corner, (b) grow planes ~log2(n)
+    so the junk-candidate ratio stays flat as the corpus scales, and
+    (c) respect the bounded-cost caps."""
+    import math
+
+    prev_planes = 0
+    for n in (100, 10_000, 1_000_000, 100_000_000):
+        b, t = sim.auto_lsh_params(n, n * (n - 1) / 2.0, 0.95, 0.99)
+        assert 4 <= b <= 24 and 1 <= t <= 64
+        assert b >= prev_planes, "plane count must not shrink as n grows"
+        prev_planes = b
+        p1 = 1.0 - math.acos(0.95) / math.pi
+        assert 1.0 - (1.0 - p1**b) ** t >= 0.99, "recall target violated"
+        # junk candidates per table bounded ~linear in n
+        assert (n * (n - 1) / 2.0) * 0.5**b <= 4.0 * n
+    # higher target cosine → sharper (more) planes are affordable for
+    # the same recall, never fewer tables than 1
+    b_hi, t_hi = sim.auto_lsh_params(10_000, 5e7, 0.999, 0.99)
+    b_lo, t_lo = sim.auto_lsh_params(10_000, 5e7, 0.8, 0.99)
+    assert b_hi >= b_lo
+    # infeasible corner (extreme recall at low cosine) degrades to the
+    # bounded best-effort corner instead of raising
+    b, t = sim.auto_lsh_params(10**12, 1e24, 0.3, 0.999999)
+    assert 1 <= t <= 64 and 4 <= b <= 24
+
+
+def test_auto_ivf_params_sqrt_rule():
+    assert sim.auto_ivf_params(256) == (16, 6)  # reproduces the r2 default
+    cells_small, _ = sim.auto_ivf_params(10)
+    assert cells_small == 4  # floor
+    cells_big, probe_big = sim.auto_ivf_params(10_000_000)
+    assert cells_big == 256  # cap (driver-side Lloyd sample stays small)
+    assert probe_big == round(256 * 6 / 16)
+    cells_mid, probe_mid = sim.auto_ivf_params(10_000)
+    assert cells_mid == 100 and probe_mid == round(100 * 6 / 16)
+
+
+def test_embedding_candidate_pairs_auto_params_bound_candidates(spark):
+    """With AUTO parameters (no explicit planes/tables) the candidate
+    set on a 200-vector corpus must stay well under all-pairs while the
+    planted near-duplicate is still found — the no-tuning posture."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1.0) for _ in range(16)]) for i in range(1, 201)]
+    rows.append((1001, [v * 1.0001 for v in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = len(rows)
+    n_cand = dd.embedding_candidate_pairs(df, method="lsh").count()
+    assert n_cand < (n * (n - 1) // 2) * 0.25
+    pairs = {(r.id_a, r.id_b) for r in dd.embedding_ann_pairs(
+        df, threshold=0.999, method="lsh").collect()}
+    assert (1, 1001) in pairs
+    # ivf auto path finds it too
+    pairs_ivf = {(r.id_a, r.id_b) for r in dd.embedding_ann_pairs(
+        df, threshold=0.999, method="ivf").collect()}
+    assert (1, 1001) in pairs_ivf
+
+
+def test_embedding_ann_string_ids(spark):
+    """ADVICE r6: the candidate/score kernels must carry the caller's id
+    dtype end-to-end — string ids flow through LSH buckets, the exact
+    scorer, and the empty-corpus short-circuit without a hardcoded-long
+    schema divergence."""
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0]),
+        ("doc-b", [0.999, 0.01, 0.0]),
+        ("doc-z", [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = dd.embedding_ann_pairs(df, threshold=0.95, method="lsh")
+    assert [f.dataType.simpleString() for f in out.schema.fields[:2]] == [
+        "string",
+        "string",
+    ]
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert ("doc-a", "doc-b") in pairs
+    # empty corpus: schema matches the non-empty path (union-safe)
+    empty = dd.embedding_candidate_pairs(
+        df.filter(F.col("vec_id") == "nope"), method="lsh"
+    )
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "string",
+        "string",
+    ]
+    assert empty.count() == 0
+
+
+def test_bpe_encode_known_merges():
+    """Hand-computed encodings under the committed tiny merge table:
+    priority order matters ('information' must become 5 subwords via
+    at→ati→ation, not the sequential-greedy 3), chains merge
+    left-to-right, unknown scripts stay codepoints."""
+    ranks = {p: i for i, p in enumerate(tx.load_bpe_merges())}
+    cache: dict = {}
+
+    def enc(w):
+        return tx.bpe_encode_word(w, ranks, cache)
+
+    assert enc("the") == ["the"]
+    assert enc("that") == ["that"]
+    assert enc("information") == ["in", "f", "or", "m", "ation"]
+    assert enc("and") == ["and"]
+    assert enc("thththt") == ["th", "th", "th", "t"]
+    assert enc("x") == ["x"]
+    assert enc("伝統") == ["伝", "統"]
+    # cache determinism
+    assert enc("information") == ["in", "f", "or", "m", "ation"]
+
+
+def test_bpe_token_count_and_pack(spark):
+    """bpe_token_count returns word + subword counts per doc; the
+    subword count is always ≤ the char count and ≥ the word count, and
+    pack_sequences(tokenizer='bpe') packs by those counts with the same
+    prefix arithmetic as the whitespace form."""
+    rows = [
+        (1, "the information and that"),
+        (2, "x"),
+        (3, "thththt thththt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.bpe_token_count(df).collect()}
+    assert got[1]["n_words"] == 4 and got[1]["n_tokens"] == 1 + 5 + 1 + 1
+    assert got[2]["n_words"] == 1 and got[2]["n_tokens"] == 1
+    assert got[3]["n_words"] == 2 and got[3]["n_tokens"] == 8
+    packed = {r["doc_id"]: r for r in
+              tx.pack_sequences(df, capacity=8, tokenizer="bpe").collect()}
+    assert packed[1]["tokens_before"] == 0 and packed[1]["shard_id"] == 0
+    assert packed[2]["tokens_before"] == 8 and packed[2]["shard_id"] == 1
+    assert packed[3]["tokens_before"] == 9 and packed[3]["shard_id"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tokenizer"):
+        tx.pack_sequences(df, tokenizer="wordpiece")

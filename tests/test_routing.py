@@ -169,3 +169,74 @@ def test_ask_with_merge_tombstones_keeps_tombstones(tiny):
     assert merge_leg.filter(F.col("value").isNull()).count() == 1
     # purge leg: never double-tombstone, even under -T
     assert out.filter(out.leg == "purge").count() == 4
+
+
+def test_headers_pass_through_every_routing_verb(spark):
+    """r6 verdict item 4 (the one untested COVERAGE §2.1 claim): a
+    record frame with POPULATED headers must come out of every routing
+    verb with the headers byte-identical on every leg — the reference
+    treats headers as opaque pass-through (MixedValue.kt:41-43), so any
+    verb that re-projects without carrying them silently drops tracing/
+    schema-id metadata."""
+    from kafka_merge_purge_spark.model import RECORD_SCHEMA
+    from kafka_merge_purge_spark.operators.routing import Action
+
+    hdr = {
+        0: [("trace", b"\x00\x01"), ("schema", b"\xff")],
+        1: [("trace", b"\x02")],
+        2: [("t2", b"\x03\x04")],          # tombstone row
+        3: [],                              # empty header list (not NULL)
+        4: None,                            # absent headers
+    }
+    rows = [
+        ("src", 0, 0, "k1", "v1", None, hdr[0]),
+        ("src", 0, 1, "k1", "v2", None, hdr[1]),
+        ("src", 1, 2, "k2", None, None, hdr[2]),
+        ("src", 1, 3, "k3", "v3", None, hdr[3]),
+        ("src", 2, 4, "k4", "v4", None, hdr[4]),
+    ]
+    records = spark.createDataFrame(rows, RECORD_SCHEMA)
+
+    def hmap(df):
+        return {
+            r["src_offset"] if "src_offset" in df.columns else r["offset"]:
+            None if r["headers"] is None
+            else [(h["key"], bytes(h["value"])) for h in r["headers"]]
+            for r in df.collect()
+        }
+
+    # merge_all: BOTH legs carry the source row's headers untouched
+    routed = routing.merge_all(records, "dest")
+    for leg in (routing.MERGE_LEG, routing.PURGE_LEG):
+        got = hmap(routed.filter(F.col("leg") == leg))
+        for off, hs in got.items():
+            assert hs == hdr[off], (leg, off)
+    # the tombstone row rides only the merge_tombstones merge leg
+    with_t = routing.merge_all(records, "dest", merge_tombstones=True)
+    got = hmap(with_t.filter(F.col("leg") == routing.MERGE_LEG))
+    assert got[2] == hdr[2]
+
+    # purge_all
+    got = hmap(routing.purge_all(records))
+    for off, hs in got.items():
+        assert hs == hdr[off], off
+
+    # ask: both legs
+    rule = (
+        F.when(F.col("offset") <= 1, F.lit(Action.MERGE.value))
+        .otherwise(F.lit(Action.PURGE.value))
+    )
+    asked = routing.ask(records, "dest", rule)
+    for leg in (routing.MERGE_LEG, routing.PURGE_LEG):
+        got = hmap(asked.filter(F.col("leg") == leg))
+        for off, hs in got.items():
+            assert hs == hdr[off], (leg, off)
+
+    # compaction: survivor k1@1 keeps ITS OWN headers (not offset 0's)
+    compacted = hmap(routing.compaction(records))
+    assert compacted == {1: hdr[1], 3: hdr[3], 4: hdr[4]}
+
+    # headerless snapshots (no headers column) still route fine
+    no_h = records.drop("headers")
+    assert "headers" not in routing.merge_all(no_h, "dest").columns
+    assert routing.merge_all(no_h, "dest").count() == routed.count()

@@ -84,6 +84,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            # ADVICE r6: drain operator-persisted caches per query so a
+            # 123-query sweep doesn't accumulate MEMORY_AND_DISK blocks
+            from kafka_merge_purge_spark.operators.dedup import release_all_persisted
+
+            release_all_persisted()
         if name not in oracles:
             print(f"ROWS  {name}: {s_fp[0]} rows (no oracle — rows-only)")
             continue
