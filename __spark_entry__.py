@@ -2153,10 +2153,18 @@ def x_hashed_ann(spark, sf_dir):
     vs the exact all-pairs form is pinned in pytest
     (test_hashed_embedding_ann_scale_path), and the in-bucket scorer is
     bit-identical to the exact path's.  The exact all-pairs form stays
-    declared as ``x_hashed_ann_exact`` (bounded n, full hash oracle)."""
+    declared as ``x_hashed_ann_exact`` (bounded n, full hash oracle).
+
+    ``junk_cos=0.8``: 64-d feature-hashed embeddings of a templated
+    corpus sit at a HIGH background cosine (shared vocabulary is real
+    signal, not noise), so the solver is told the junk level instead of
+    assuming the uncorrelated ½-agreement model — measured r7c: the
+    calibrated geometry cuts candidates 5× and halves end-to-end time
+    while recall rises (sharper planes, more tables)."""
     dense = tx.hashed_embedding(_t(spark, sf_dir, "documents"), dim=64, dense=True)
     return dd.embedding_ann_pairs(
-        dense, id_col="doc_id", vec_col="embedding", threshold=0.95, method="lsh"
+        dense, id_col="doc_id", vec_col="embedding", threshold=0.95, method="lsh",
+        junk_cos=0.8,
     )
 
 

@@ -229,8 +229,16 @@ def gopher_rules(
         toks = F.col(tokens_col)
     elif adaptive:
         from kafka_merge_purge_spark.operators.text import tokens_adaptive
+        from kafka_merge_purge_spark.plans.introspect import projection_barrier
 
-        toks = tokens_adaptive(F.col(text_col))
+        # the adaptive tokenizer is an order of magnitude heavier than a
+        # bare split (density gate + conditional n-gram assembly), and
+        # four metrics below reference it — pin it to ONE evaluation the
+        # same way curation_pipeline pins its parsed columns
+        df = projection_barrier(
+            df.withColumn("_toks_adaptive", tokens_adaptive(F.col(text_col)))
+        )
+        toks = F.col("_toks_adaptive")
     else:
         toks = tokens(F.col(text_col))
     n = F.size(toks)

@@ -645,6 +645,10 @@ def embedding_fuzzy_dedup(
             f"embedding_fuzzy_dedup: candidates must be 'exact', 'lsh' or 'ivf', got {candidates!r}"
         )
     comps = connected_components(pairs)
+    # the pair graph is fully materialized by connected_components, so the
+    # vector cache the bucketed source may have persisted has served its
+    # reads — release it (same lifecycle as fuzzy_dedup's shingle cache)
+    release_persisted(pairs)
     ids = emb.select(F.col(id_col))
     labeled = ids.join(comps, ids[id_col] == comps["node"], "left").select(
         F.col(id_col),
@@ -1096,6 +1100,7 @@ def embedding_candidate_pairs(
     nprobe: int | None = None,
     target_cos: float = 0.95,
     target_recall: float = 0.99,
+    junk_cos: float = 0.0,
 ) -> DataFrame:
     """Bucketed candidate-pair generation for embedding dedup — the
     vector twin of the MinHash band join (``minhash_lsh_pairs``'s
@@ -1140,7 +1145,8 @@ def embedding_candidate_pairs(
         if n_planes is None or n_tables is None:
             n = emb.count()
             auto_planes, auto_tables = sim.auto_lsh_params(
-                n, n * (n - 1) / 2.0, target_cos, target_recall
+                n, n * (n - 1) / 2.0, target_cos, target_recall,
+                junk_cos=junk_cos,
             )
             n_planes = auto_planes if n_planes is None else n_planes
             n_tables = auto_tables if n_tables is None else n_tables
@@ -1235,6 +1241,7 @@ def embedding_ann_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     method: str = "lsh",
+    persist_vectors: bool = True,
     **candidate_kwargs,
 ) -> DataFrame:
     """Bucketed (approximate) embedding near-dup pairs: LSH/IVF
@@ -1250,10 +1257,26 @@ def embedding_ann_pairs(
     solver then sizes planes/tables so pairs AT the decision boundary
     are recovered at the recall target — tighter thresholds buy
     sharper (cheaper) buckets automatically.
-    """
+
+    ``persist_vectors=True`` (the measured default — r7 A/B in
+    BENCH_SCALE.md) caches the ``(id, vec)`` projection
+    (MEMORY_AND_DISK, registry-tracked like persist_shingles): the
+    frame is read up to four times (auto-parameter count, signature
+    kernel, and the two scorer joins), and when ``emb`` is a DERIVED
+    pipeline (hashed embeddings straight off text) each re-read re-runs
+    the whole upstream.  Pass ``False`` when the input is a cheap
+    columnar scan and executor memory is the scarcer resource."""
     candidate_kwargs.setdefault("target_cos", threshold)
+    if persist_vectors:
+        from pyspark import StorageLevel
+
+        emb = emb.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand = embedding_candidate_pairs(emb, id_col, vec_col, method, **candidate_kwargs)
-    return score_candidate_pairs(cand, emb, id_col, vec_col, threshold)
+    out = score_candidate_pairs(cand, emb, id_col, vec_col, threshold)
+    if persist_vectors:
+        out._kmp_persisted = [emb]
+        _register_persisted(out._kmp_persisted)
+    return out
 
 
 # --------------------------------------------------------------------------

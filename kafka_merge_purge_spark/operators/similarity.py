@@ -147,6 +147,7 @@ def auto_lsh_params(
     min_planes: int = 4,
     max_planes: int = 24,
     max_tables: int = 64,
+    junk_cos: float = 0.0,
 ) -> tuple[int, int]:
     """Corpus-size-driven (n_planes, n_tables) from standard sign-LSH
     theory (Charikar hyperplane hashing + the Indyk–Motwani multi-table
@@ -178,12 +179,25 @@ def auto_lsh_params(
     tables, the solver returns the highest-recall feasible corner
     (min_planes, max_tables) rather than raising — callers asking for
     extreme recall at low cosine get the best bounded-cost approximation.
+
+    ``junk_cos`` is the corpus's BACKGROUND pairwise cosine — the level
+    a non-duplicate pair typically sits at.  The default 0.0 models an
+    uncorrelated corpus (per-plane agreement ½, the textbook junk
+    model); templated or single-domain corpora (and low-dimensional
+    feature-hashed embeddings, whose shared-vocabulary mass is real
+    signal) sit much higher, and calibrating ``junk_cos`` to the
+    observed background makes the solver pick sharper geometries —
+    measured on the hashed-embedding demo (BENCH_SCALE round 7c): the
+    default geometry passed 23% of all pairs as candidates; the
+    junk_cos-calibrated one cut that 5× and halved end-to-end time
+    while recall ROSE (more tables at higher plane counts).
     """
     import math
 
     n_rows = max(int(n_rows), 1)
     n_pairs = max(float(n_pairs), 1.0)
     p1 = 1.0 - math.acos(min(max(target_cos, -1.0), 1.0)) / math.pi
+    p0 = 1.0 - math.acos(min(max(junk_cos, -1.0), 1.0)) / math.pi
     best: tuple[float, int, int] | None = None
     for b in range(min_planes, max_planes + 1):
         hit = p1**b
@@ -195,7 +209,7 @@ def auto_lsh_params(
             t = math.ceil(math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - hit))
         if t > max_tables:
             continue
-        cost = t * (n_pairs * 0.5**b + n_rows)
+        cost = t * (n_pairs * p0**b + n_rows)
         if best is None or cost < best[0]:
             best = (cost, b, t)
     if best is None:
@@ -277,6 +291,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     target_cos: float = 0.5,
     target_recall: float = 0.9,
+    junk_cos: float = 0.0,
 ) -> DataFrame:
     """Random-hyperplane LSH approximate cosine top-k.
 
@@ -321,7 +336,8 @@ def lsh_topk(
     if n_planes is None or n_tables is None:
         n_c, n_q = corpus.count(), queries.count()
         auto_planes, auto_tables = auto_lsh_params(
-            n_c + n_q, float(n_c) * max(n_q, 1), target_cos, target_recall
+            n_c + n_q, float(n_c) * max(n_q, 1), target_cos, target_recall,
+            junk_cos=junk_cos,
         )
         n_planes = auto_planes if n_planes is None else n_planes
         n_tables = auto_tables if n_tables is None else n_tables
