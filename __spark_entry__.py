@@ -1584,6 +1584,84 @@ def x_pixel_stats(spark, sf_dir):
     )
 
 
+def _synth_pgm16(spark, sf_dir):
+    """documents → (media_id, payload) spec-valid binary PGM, width 16
+    (shared by the image-fingerprint/near-dup queries: a FIXED width
+    keeps the oracle's pixel geometry a pure function of text length)."""
+    import pandas as pd
+
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [mm.synth_pgm(bytes(data), width=16) for data in pdf["data"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return src.mapInPandas(synth, schema="media_id long, payload binary")
+
+
+def x_image_fingerprint(spark, sf_dir):
+    """Perceptual image fingerprint (aHash) over decoded PGM rasters —
+    EXACT integer arithmetic end to end (r7 verdict item 2): block-mean
+    pooling on the standard integer grid boundaries, bit = block mean >
+    global mean decided by cross-multiplication, 56 bits packed into one
+    non-negative int64.  Images smaller than the 7×8 grid yield NULL
+    fingerprints (kept as rows — schema-on-read).  Full hash oracle:
+    DuckDB replays the per-pixel block mapping arithmetically from the
+    document's ASCII byte values."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    return mm.decode_image_ahash(_synth_pgm16(spark, sf_dir))
+
+
+def x_image_neardup(spark, sf_dir):
+    """Image near-duplicate pairs (multimodal dedup flagship, r7 verdict
+    item 2): aHash fingerprints → pigeonhole Hamming band join (EXACT
+    recall by construction — the same machinery as x_simhash_pairs,
+    reused via dedup.hamming_banded_pairs) → bit_count(xor) verify at
+    hamming ≤ 6.  Full hash oracle: the quadratic XOR-popcount form
+    over the same arithmetically recomputed fingerprints."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    return mm.image_neardup_pairs(_synth_pgm16(spark, sf_dir), max_hamming=6)
+
+
+#: aHash oracle: padded 16-wide pixel geometry, per-pixel block ids via
+#: the exact inverse mapping (x·R + R − 1) // h, two-level aggregation
+#: (block sums → bit assembly).  Shared by both image queries.
+_AHASH_FP_SQL = """
+    m AS (SELECT doc_id, text, strlen(text) AS nb, 16 AS w,
+                 greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) AS h
+          FROM documents WHERE text IS NOT NULL),
+    px AS (SELECT doc_id, w, h, i - 1 AS i,
+                  CASE WHEN i <= nb THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                       ELSE 0 END AS code
+           FROM m, unnest(range(1, w * h + 1)) AS t(i)
+           WHERE h >= 7),
+    blocks AS (SELECT doc_id,
+                      ((i // w) * 7 + 6) // h AS br,
+                      ((i % w) * 8 + 7) // w AS bc,
+                      SUM(code) AS bsum, COUNT(*) AS bn
+               FROM px GROUP BY doc_id, w, h, br, bc),
+    tot AS (SELECT doc_id, SUM(code) AS tsum, COUNT(*) AS tn
+            FROM px GROUP BY doc_id),
+    fp0 AS (SELECT b.doc_id,
+                   CAST(SUM(CASE WHEN b.bsum * t.tn > t.tsum * b.bn
+                            THEN (CAST(1 AS BIGINT) << CAST(b.br * 8 + b.bc AS INTEGER))
+                            ELSE 0 END) AS BIGINT) AS ahash
+            FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id),
+    fp AS (SELECT m.doc_id AS media_id,
+                  CASE WHEN m.h >= 7 THEN CAST(m.w AS INTEGER) END AS width,
+                  CASE WHEN m.h >= 7 THEN CAST(m.h AS INTEGER) END AS height,
+                  fp0.ahash
+           FROM m LEFT JOIN fp0 ON m.doc_id = fp0.doc_id)"""
+
 def x_pcm_stats(spark, sf_dir):
     """CONTENT-level audio decode: text bytes (truncated to whole 16-bit
     samples) → spec-valid RIFF/WAVE via synth_wav → signed-PCM sample
@@ -2090,6 +2168,19 @@ _LLM_ORACLES = {
         FROM v""",
 }
 
+_LLM_ORACLES["x_image_fingerprint"] = (
+    "WITH" + _AHASH_FP_SQL + "\n    SELECT media_id, width, height, ahash FROM fp"
+)
+
+_LLM_ORACLES["x_image_neardup"] = (
+    "WITH" + _AHASH_FP_SQL + """
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE a.ahash IS NOT NULL AND b.ahash IS NOT NULL
+      AND bit_count(xor(a.ahash, b.ahash)) <= 6"""
+)
+
 
 def _simhash_oracle(bits: int = 32, where: str = "") -> str:
     """Generate the per-bit vote SQL matching dedup.simhash exactly."""
@@ -2155,16 +2246,17 @@ def x_hashed_ann(spark, sf_dir):
     bit-identical to the exact path's.  The exact all-pairs form stays
     declared as ``x_hashed_ann_exact`` (bounded n, full hash oracle).
 
-    ``junk_cos=0.8``: 64-d feature-hashed embeddings of a templated
-    corpus sit at a HIGH background cosine (shared vocabulary is real
-    signal, not noise), so the solver is told the junk level instead of
-    assuming the uncorrelated ½-agreement model — measured r7c: the
-    calibrated geometry cuts candidates 5× and halves end-to-end time
-    while recall rises (sharper planes, more tables)."""
+    ``junk_cos`` is AUTO-estimated (r8, the r7 verdict's top item):
+    64-d feature-hashed embeddings of a templated corpus sit at a HIGH
+    background cosine (shared vocabulary is real signal, not noise) —
+    r7 hand-passed the measured 0.8 and cut candidates 5×; now
+    ``similarity.estimate_junk_cos`` derives the same level from a
+    bounded deterministic corpus sample (p90 of sampled pairwise
+    cosines), so the solver stays calibrated unattended on any corpus
+    (estimator pinned against the measured 0.8 in pytest)."""
     dense = tx.hashed_embedding(_t(spark, sf_dir, "documents"), dim=64, dense=True)
     return dd.embedding_ann_pairs(
         dense, id_col="doc_id", vec_col="embedding", threshold=0.95, method="lsh",
-        junk_cos=0.8,
     )
 
 
@@ -2227,6 +2319,47 @@ _LLM_ORACLES["x_hashed_ann_exact"] = (
            round(dot / (sqrt(na.aa) * sqrt(nb.aa)), 6) AS cos
     FROM d JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
     WHERE round(dot / (sqrt(na.aa) * sqrt(nb.aa)), 6) >= 0.95"""
+)
+
+
+#: explicit caller-supplied weights for the quality-classifier demo —
+#: deterministic synthetic values (NO trained-model claim): w_j =
+#: ((j·37) mod 13 − 6)/10 over the 64 hash buckets, bias 0.1.  Their
+#: 1e-6 quantization is exact by construction (each w_j·1e6 is the
+#: integer ((j·37) mod 13 − 6)·100000), so the SQL oracle can rebuild
+#: them arithmetically instead of inlining 64 literals.
+_QC_WEIGHTS = [((j * 37) % 13 - 6) / 10.0 for j in range(64)]
+_QC_BIAS = 0.1
+
+
+def x_quality_score(spark, sf_dir):
+    """Linear quality-classifier scoring (r7 verdict item 8): hashed
+    n-gram features (the existing feature-hashing long form) × explicit
+    caller weights → exact-int64 dot product → margin and sigmoid
+    probability.  The fasttext/CCNet-style curation gate next to the
+    bigram LM; weights are an INPUT (this repo ships no model).  Full
+    hash oracle — the dot product is exact integer arithmetic and only
+    the final margin/probability touch doubles, identically rounded."""
+    from kafka_merge_purge_spark.operators.curation import quality_classifier
+
+    return quality_classifier(
+        _t(spark, sf_dir, "documents"), weights=_QC_WEIGHTS, bias=_QC_BIAS
+    )
+
+
+_LLM_ORACLES["x_quality_score"] = (
+    "WITH "
+    + _HASHED_W
+    + """,
+    qw AS (SELECT doc_id,
+                  SUM(weight * ((bucket * 37) % 13 - 6) * 100000) AS mi
+           FROM w GROUP BY 1),
+    m AS (SELECT doc_id,
+                 round(CAST(mi + 100000 AS DOUBLE) / 1000000.0, 6) AS margin
+          FROM qw)
+    SELECT doc_id, margin,
+           round(1.0 / (1.0 + exp(-margin)), 6) AS prob
+    FROM m"""
 )
 
 
@@ -3323,6 +3456,45 @@ def _kmeans_oracle(k: int = 4, iters: int = 2, final: str | None = None) -> str:
 
 
 _LLM_ORACLES["x_kmeans"] = _kmeans_oracle()
+
+
+def x_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (r7 verdict item 3): k-means cells
+    (the cached x_kmeans fit — amortized like the IVF index) bound the
+    quadratic; within-cell exact quantized cosine; prune rows with a
+    lower-id in-cell neighbor at cos ≥ 0.4 (keep-lowest-id; eps is
+    corpus-tuned in the paper — 0.4 sits just inside this synthetic
+    corpus's background tail so the prune is exercised at every sf).  FULL hash
+    oracle: the assignment replays through the unrolled Lloyd CTEs and
+    the prune is plain SQL over exact int64 dots — stronger than the
+    planned rows-only gate.  At 100 TB the cell population bounds the
+    pairwise work (k ~ √n); no shuffle wider than (id, cell) beyond the
+    scorer's 1×-vector joins."""
+    return dd.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, k=4, iters=2,
+        centroids=_km_cents(spark, sf_dir),
+    )
+
+
+_SEMDEDUP_FINAL = """,
+    q AS (SELECT a.vec_id, a.cluster_id AS cell_id,
+                 list_transform(e.e, v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+          FROM assigned a JOIN e ON a.vec_id = e.vec_id),
+    p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 list_reduce(list_transform(range(1, len(x.qv) + 1),
+                             i -> x.qv[i] * y.qv[i]), (u, v) -> u + v) AS dot,
+                 list_reduce(list_transform(range(1, len(x.qv) + 1),
+                             i -> x.qv[i] * x.qv[i]), (u, v) -> u + v) AS aa,
+                 list_reduce(list_transform(range(1, len(y.qv) + 1),
+                             i -> y.qv[i] * y.qv[i]), (u, v) -> u + v) AS bb
+          FROM q x JOIN q y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+    dropped AS (SELECT DISTINCT id_b FROM p
+                WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4)
+    SELECT q.vec_id, q.cell_id,
+           CAST(q.vec_id NOT IN (SELECT id_b FROM dropped) AS INTEGER) AS is_kept
+    FROM q"""
+
+_LLM_ORACLES["x_semantic_dedup"] = _kmeans_oracle(final=_SEMDEDUP_FINAL)
 
 
 def x_cluster_sample(spark, sf_dir):

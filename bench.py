@@ -108,6 +108,9 @@ def main() -> None:
         "n_queries": len(timings),
         "primaries_sec": primaries,
         "per_query_sec": round(total / max(len(timings), 1), 3),
+        # cache-drain basis marker (see tools/bench_compare.py /
+        # BASELINE.md "Bench-basis update"): numbers are post-drain
+        "bench_basis": 7,
     }
     # per-query detail is too long for the driver's tail window — sidecar
     # it (full-suite runs only: a tiered run must not clobber the

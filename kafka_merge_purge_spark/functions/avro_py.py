@@ -531,8 +531,13 @@ class SchemaRegistry:
         cache (the fetched schema still primes the id→schema cache,
         which IS immutable — keyed by registry id)."""
         key = (subject, str(version))
-        pin_cacheable = str(version) != "latest"
-        if pin_cacheable and key in self._subject_cache:
+        # ADVICE r7: only the HTTP registry's "latest" is a moving
+        # pointer.  The hermetic ``subjects=`` dict tier is fixed for
+        # the resolver's lifetime, so its "latest" caches like a pinned
+        # version — without this, every dict-backed produce-path lookup
+        # re-ran parse_schema.
+        cacheable = str(version) != "latest" or subject in self._subjects_raw
+        if cacheable and key in self._subject_cache:
             self._subject_cache.move_to_end(key)
             return self._subject_cache[key]
         raw = (
@@ -549,7 +554,7 @@ class SchemaRegistry:
         if schema_id is not None:
             self._lru_put(self._cache, int(schema_id), parsed)
         out = (schema_id, parsed)
-        if pin_cacheable:
+        if cacheable:
             self._lru_put(self._subject_cache, key, out)
         return out
 

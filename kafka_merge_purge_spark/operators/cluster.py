@@ -78,6 +78,94 @@ def _hash_unit(col):
     ) / 1_000_000.0
 
 
+#: above this many centroids, the literal-array Catalyst expression is
+#: replaced by a broadcast numpy GEMM kernel (ADVICE r7: ~3k nested
+#: literal arrays risk codegen size blowups / compile failures in the
+#: k-means|| scoring and attraction-count passes)
+_MAX_LITERAL_CENTERS = 128
+
+
+def _scored_frame(base: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """``(_id, _v, _d2)`` — every row plus its squared L2 to the nearest
+    center.  Literal Catalyst expression for small center sets (the
+    oracle-replayable arithmetic); a broadcast numpy kernel via
+    ``mapInPandas`` above ``_MAX_LITERAL_CENTERS`` (ADVICE r7) — same
+    narrow no-shuffle shape, GEMM-form distances (deterministic, but not
+    fold-order-identical to the literal form; only the k-means|| rounds,
+    which are rows-only-gated, ever reach this regime)."""
+    if len(centers) <= _MAX_LITERAL_CENTERS:
+        return base.withColumn("_d2", _min_dist_expr(F.col("_v"), centers))
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    bc = base.sparkSession.sparkContext.broadcast(
+        np.asarray(centers, dtype=np.float64)
+    )
+    id_type = base.schema["_id"].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cc = (c * c).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + cc[None, :]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "_v": pdf["_v"],
+                    "_d2": np.maximum(d2.min(axis=1), 0.0),
+                }
+            )
+
+    return base.select("_id", "_v").mapInPandas(
+        gen, schema=f"_id {id_type}, _v array<double>, _d2 double"
+    )
+
+
+def _attraction_counts(base: DataFrame, centers: list[list[float]]) -> dict[int, int]:
+    """{1-based center index: number of rows nearest to it} — the
+    k-means|| candidate-weighting pass, with the same literal-vs-kernel
+    regime split as :func:`_scored_frame` (argmin ties → lowest index in
+    both forms)."""
+    if len(centers) <= _MAX_LITERAL_CENTERS:
+        rows = (
+            base.select(_assign_expr(F.col("_v"), centers).alias("cid"))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r["cid"]: r["n"] for r in rows}
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    bc = base.sparkSession.sparkContext.broadcast(
+        np.asarray(centers, dtype=np.float64)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cc = (c * c).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + cc[None, :]
+            yield pd.DataFrame({"cid": (d2.argmin(axis=1) + 1).astype(np.int32)})
+
+    counted = (
+        base.select("_v")
+        .mapInPandas(gen, schema="cid int")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {r["cid"]: r["n"] for r in counted}
+
+
 def kmeans_parallel_init(
     emb: DataFrame,
     k: int,
@@ -119,29 +207,27 @@ def kmeans_parallel_init(
         return []
     centers: list[list[float]] = [list(map(float, first[0]["_v"]))]
     for r in range(rounds):
-        d2 = _min_dist_expr(F.col("_v"), centers)
-        phi = base.select(F.sum(d2).alias("phi")).collect()[0]["phi"]
+        scored = _scored_frame(base, centers)
+        phi = scored.select(F.sum("_d2").alias("phi")).collect()[0]["phi"]
         if not phi or phi <= 0:
             break  # every row coincides with a center already
-        # per-round decorrelated coin: hash(id * (round+2)) — deterministic
-        coin = _hash_unit(F.col("_id") * (r + 2))
+        # per-round decorrelated coin: hash of the id STRING with a round
+        # suffix — ADVICE r7: the earlier `id * (round+2)` arithmetic
+        # NULLed out on string ids, silently dropping every candidate
+        coin = _hash_unit(F.concat(F.col("_id").cast("string"), F.lit(f":{r}")))
         picked = (
-            base.withColumn("_d2", d2)
+            scored
             .filter(coin < F.least(F.lit(1.0), F.lit(float(ell)) * F.col("_d2") / F.lit(float(phi))))
             .select("_id", "_v")
             .orderBy("_id")
-            .limit(8 * ell)  # hard bound on the collect (expected ≤ ℓ)
+            .limit(2 * ell)  # hard bound on the collect (expected ≤ ℓ;
+            # ADVICE r7: 2ℓ keeps the candidate set — and any literal
+            # expressions over it — near the expected size)
             .collect()
         )
         centers.extend(list(map(float, p["_v"])) for p in picked)
     # weight candidates by attraction counts, then weighted Lloyd to k
-    counts = {
-        r["cid"]: r["n"]
-        for r in base.select(_assign_expr(F.col("_v"), centers).alias("cid"))
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    counts = _attraction_counts(base, centers)
     cand = np.array(centers)
     w = np.array([counts.get(j + 1, 0) for j in range(len(centers))], dtype=np.float64)
     if len(cand) <= k:

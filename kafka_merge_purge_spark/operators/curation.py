@@ -380,6 +380,69 @@ def domain_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
 # End-to-end curation pipeline composition
 # --------------------------------------------------------------------------
 
+def quality_classifier(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality-classifier scoring over hashed n-gram features —
+    the standard fasttext-style curation gate (public recipe: CCNet /
+    GPT-3's quality filter shape: hashed bag-of-words features × a
+    linear model → sigmoid probability), next to the bigram-LM scorer.
+
+    ``weights`` is the caller's model (one weight per hash bucket; its
+    length IS the feature dimension) — explicitly an input: this repo
+    ships no trained model.  Features are the existing feature-hashing
+    long form (:func:`text.hashed_embedding`: signed ±1 token counts
+    per ``(h>>1) % dim`` bucket — r7 verdict item 8), so the feature
+    extraction is shared with the embedding bridge and stays one
+    explode + one map-side-combined aggregate.
+
+    Engine-portable exactness: weights and bias are quantized to 1e-6
+    (``floor(w·1e6 + 0.5)`` — the dedup tier's ``_quantize`` rule), the
+    dot product runs in exact int64 (bucket count × quantized weight),
+    and only the final margin→probability step touches doubles:
+    ``margin = (Σ + bias_q)/1e6`` (≤6 decimals by construction),
+    ``prob = round(sigmoid(margin), 6)``.  The DuckDB oracle replays
+    the identical integer arithmetic and hash-matches.
+
+    Output: one row per document with ≥1 alphanumeric token —
+    ``(id_col, margin double, prob double)``.  At 100 TB: the weight
+    array is a literal (≤ a few hundred doubles — broadcast-free), the
+    only exchange is the per-(id, bucket) partial aggregate the feature
+    extractor already pays, then a per-id combine."""
+    import math
+
+    from .text import hashed_embedding
+
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("quality_classifier: weights must be non-empty")
+    qw = [int(math.floor(w * 1e6 + 0.5)) for w in weights]
+    bias_q = int(math.floor(bias * 1e6 + 0.5))
+    feats = hashed_embedding(df, dim=dim, text_col=text_col, id_col=id_col)
+    wcol = F.element_at(
+        F.array(*[F.lit(q).cast("long") for q in qw]),
+        F.col("bucket").cast("int") + 1,
+    )
+    margin = (
+        (F.sum(F.col("weight") * wcol) + F.lit(bias_q)).cast("double") / 1e6
+    )
+    return (
+        feats.groupBy(id_col)
+        .agg(F.round(margin, 6).alias("margin"))
+        .select(
+            id_col,
+            "margin",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6).alias(
+                "prob"
+            ),
+        )
+    )
+
+
 def curation_pipeline(df: DataFrame) -> DataFrame:
     """The curation tier end-to-end, as ONE declarative plan: synthesize
     PII → redact → Gopher-rule filter on the REDACTED text → deterministic

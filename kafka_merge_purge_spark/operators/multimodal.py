@@ -420,6 +420,131 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = "media_id long, width int, height int, ahash long"
+
+
+def image_ahash(
+    payload: bytes | None, grid_rows: int = 7, grid_cols: int = 8
+) -> dict:
+    """Perceptual average-hash (aHash) fingerprint of a binary Netpbm
+    image — EXACT integer arithmetic over decoded pixels (r7 verdict
+    item 2), so the DuckDB oracle replays it bit-for-bit:
+
+    - decode the P5/P6 raster with the real header grammar (the
+      ``pixel_stats`` tier); P6 pixels collapse to ``r+g+b`` (an exact
+      integer luminance proxy — no /3, no floats);
+    - partition the h×w sample matrix into a ``grid_rows × grid_cols``
+      block grid with the standard integer boundaries
+      ``[r·h/R, (r+1)·h/R)`` (pixel→block via the exact inverse
+      ``(x·R + R − 1) // h`` — no resampling kernel, no interpolation:
+      block-mean pooling IS the public aHash "resize" step);
+    - bit(r, c) = 1 iff the block's mean exceeds the global mean,
+      decided by integer cross-multiplication
+      ``block_sum · n_total > total_sum · n_block`` (no division);
+    - fingerprint = Σ bit << (r·C + c) — ``grid_rows·grid_cols`` ≤ 63
+      bits in one non-negative int64 (default 56 bits), so the
+      Hamming-banded candidate machinery (dedup.hamming_banded_pairs)
+      consumes it directly.
+
+    Images smaller than the grid (h < R or w < C), non-Netpbm payloads,
+    and truncated rasters yield all-NULL fields (schema-on-read
+    tolerance, same contract as ``pixel_stats``)."""
+    import numpy as np
+
+    out = {"width": None, "height": None, "ahash": None}
+    if grid_rows * grid_cols > 63:
+        raise ValueError("image_ahash: grid_rows*grid_cols must fit in 63 bits")
+    if payload is None or payload[:2] not in (b"P5", b"P6"):
+        return out
+    parsed = _ppm_header(payload, 3)
+    if parsed is None:
+        return out
+    (width, height, _maxval), off = parsed
+    bpp = 3 if payload[:2] == b"P6" else 1
+    n = width * height * bpp
+    raster = payload[off : off + n]
+    if len(raster) < n or height < grid_rows or width < grid_cols:
+        return out
+    px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+    if bpp == 3:
+        px = px.reshape(height * width, 3).sum(axis=1)  # r+g+b
+    rows = np.arange(height * width) // width
+    cols = np.arange(height * width) % width
+    br = (rows * grid_rows + grid_rows - 1) // height
+    bc = (cols * grid_cols + grid_cols - 1) // width
+    bidx = br * grid_cols + bc
+    n_blocks = grid_rows * grid_cols
+    sums = np.zeros(n_blocks, dtype=np.int64)
+    counts = np.zeros(n_blocks, dtype=np.int64)
+    np.add.at(sums, bidx, px)
+    np.add.at(counts, bidx, 1)
+    total = int(px.sum())
+    n_total = height * width
+    fp = 0
+    for b in range(n_blocks):
+        if int(sums[b]) * n_total > total * int(counts[b]):
+            fp |= 1 << b
+    out["width"] = width
+    out["height"] = height
+    out["ahash"] = fp
+    return out
+
+
+def decode_image_ahash(
+    df: DataFrame, grid_rows: int = 7, grid_cols: int = 8
+) -> DataFrame:
+    """aHash fingerprints over (media_id, payload): one narrow
+    Arrow-batched mapInPandas stage — the fingerprint tier of the image
+    dedup pipeline (compose with dedup.hamming_banded_pairs for the
+    candidate join)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [image_ahash(p, grid_rows, grid_cols) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array([f["width"] for f in fps], dtype="Int32"),
+                    "height": pd.array([f["height"] for f in fps], dtype="Int32"),
+                    # nullable Int64, NOT a plain list: a batch mixing None
+                    # with >2^53 fingerprints would coerce to float64 and
+                    # silently round the low bits off
+                    "ahash": pd.array([f["ahash"] for f in fps], dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    grid_rows: int = 7,
+    grid_cols: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs (the multimodal dedup flagship, r7
+    verdict item 2): perceptual aHash fingerprints
+    (:func:`decode_image_ahash` — exact-integer block-mean pooling)
+    fed into the EXACT-recall pigeonhole Hamming band join
+    (``dedup.hamming_banded_pairs`` — the same machinery the SimHash
+    text tier uses).  Undecodable / sub-grid images carry NULL
+    fingerprints and drop out of the banding.
+
+    At 100 TB: the fingerprint stage is a narrow payload-bounded map;
+    only 8-byte fingerprints + band keys shuffle.  Returns
+    ``(id_a, id_b, hamming)`` over ``media_id``s."""
+    from kafka_merge_purge_spark.operators.dedup import hamming_banded_pairs
+
+    fps = decode_image_ahash(df, grid_rows, grid_cols)
+    return hamming_banded_pairs(
+        fps.select("media_id", "ahash"),
+        id_col="media_id",
+        fp_col="ahash",
+        bits=grid_rows * grid_cols,
+        max_hamming=max_hamming,
+    )
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder: bytes → dim floats."""
     if payload is None:

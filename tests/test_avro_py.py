@@ -490,6 +490,10 @@ def test_registry_subject_resolution_and_lru(tmp_path):
     reg2 = SchemaRegistry(subjects={"user-value": WRITER_V1})
     sid, schema = reg2.get_subject("user-value")
     assert sid is None and schema["name"] == "User"
+    # ADVICE r7: the dict tier's "latest" cannot move — it caches like a
+    # pinned version (same parsed object back, no re-parse per lookup)
+    sid_b, schema_b = reg2.get_subject("user-value")
+    assert sid_b is None and schema_b is schema
     with pytest.raises(KeyError):
         reg2.get_subject("user-value", 3)  # pinned versions need the registry
 

@@ -514,6 +514,126 @@ def test_kmeans_parallel_init_beats_degenerate_lowest_id(spark):
         kmeans_fit(emb, k=4, iters=2, init="random")
 
 
+def test_quality_classifier_exact_linear_scoring(spark):
+    """r7 verdict item 8: the linear scorer's margin must equal the
+    hand-computed exact-int dot product over the hashed features, the
+    probability its sigmoid, and token-less docs must drop."""
+    import hashlib
+    import math
+
+    from kafka_merge_purge_spark.operators.curation import quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma"), (3, "???")],
+        "doc_id long, text string",
+    )
+    dim = 8
+    weights = [0.5, -0.25, 1.0, 0.0, -1.5, 0.75, 0.125, -0.000001]
+    bias = 0.25
+    out = {r["doc_id"]: r for r in quality_classifier(df, weights, bias).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no alphanumeric tokens
+
+    def bucket_sign(tok: str) -> tuple[int, int]:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return (h >> 1) % dim, 1 if h % 2 == 0 else -1
+
+    for doc, toks in ((1, ["alpha", "beta", "beta"]), (2, ["gamma"])):
+        feats: dict[int, int] = {}
+        for t in toks:
+            b, s = bucket_sign(t)
+            feats[b] = feats.get(b, 0) + s
+        mi = sum(
+            w * int(math.floor(weights[b] * 1e6 + 0.5)) for b, w in feats.items()
+        ) + int(math.floor(bias * 1e6 + 0.5))
+        margin = round(mi / 1e6, 6)
+        assert out[doc]["margin"] == margin, (doc, out[doc]["margin"], margin)
+        assert out[doc]["prob"] == round(1.0 / (1.0 + math.exp(-margin)), 6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        quality_classifier(df, [])
+
+
+def test_kmeans_parallel_init_string_ids(spark):
+    """ADVICE r7: the per-round selection coin used id*(round+2) — NULL
+    on string ids, so every round silently picked nothing and the init
+    collapsed to ONE seed.  The hash-of-(id || ':round') coin must seed
+    k real clusters on a string-id corpus."""
+    import random
+
+    from kafka_merge_purge_spark.operators.cluster import (
+        kmeans_fit,
+        kmeans_inertia,
+        kmeans_parallel_init,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    centers = [[0.0, 0.0], [20.0, 0.0], [0.0, 20.0], [20.0, 20.0]]
+    nid = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append(
+                (f"doc-{nid:04d}", [c[0] + rng.gauss(0, 0.5), c[1] + rng.gauss(0, 0.5)])
+            )
+            nid += 1
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    seeds = kmeans_parallel_init(emb, k=4)
+    assert len(seeds) == 4  # not the 1-seed collapse
+    # the seeds must spread across the 4 true clusters: a fit from them
+    # lands near the known optimum (each point ~0.5σ from its center →
+    # inertia ≈ 2·0.25·120 = 60; a collapsed init sits in the thousands)
+    cents = kmeans_fit(emb, k=4, iters=2, init="kmeans||")
+    assert kmeans_inertia(emb, cents) < 200.0
+    # determinism on the string-id path too
+    assert kmeans_fit(emb, k=4, iters=2, init="kmeans||") == cents
+
+
+def test_kmeans_scored_frame_kernel_regime_matches_literal(spark):
+    """ADVICE r7: above _MAX_LITERAL_CENTERS the k-means|| scoring and
+    attraction passes switch from literal Catalyst arrays to a broadcast
+    numpy kernel (codegen blowup guard).  Both regimes must agree on
+    min-distances and attraction counts."""
+    import random
+
+    from kafka_merge_purge_spark.operators import cluster as cl
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(150)]
+    assert len(centers) > cl._MAX_LITERAL_CENTERS
+    small = centers[: cl._MAX_LITERAL_CENTERS]
+
+    # distances: kernel vs literal on the SAME (small) center set
+    lit = {
+        r["_id"]: r["_d2"]
+        for r in base.withColumn("_d2", cl._min_dist_expr(F.col("_v"), small)).collect()
+    }
+    # force the kernel by calling the private frame builder on the big
+    # set, then on the small set's padded twin is impossible — instead
+    # compare the kernel on `small` via a temporarily lowered threshold
+    old = cl._MAX_LITERAL_CENTERS
+    try:
+        cl._MAX_LITERAL_CENTERS = 1
+        ker = {r["_id"]: r["_d2"] for r in cl._scored_frame(base, small).collect()}
+        counts_ker = cl._attraction_counts(base, small)
+    finally:
+        cl._MAX_LITERAL_CENTERS = old
+    for i in lit:
+        assert abs(lit[i] - ker[i]) < 1e-9
+    counts_lit = cl._attraction_counts(base, small)
+    assert counts_lit == counts_ker
+    # and the big set actually runs (no codegen failure) through init
+    sc = cl._scored_frame(base, centers)
+    assert sc.count() == 60
+
+
 def test_gopher_rules_adaptive_cjk_token_granularity(spark):
     """r6 verdict item 6: with the default whitespace tokenizer a CJK
     document is ONE token — it auto-fails the word-count rule no matter
