@@ -548,3 +548,211 @@ def streaming_heavy_hitters(
         outputMode="Update",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
+
+# --------------------------------------------------------------------------
+# Streaming MinHash near-dup dedup (r7 verdict item 7)
+# --------------------------------------------------------------------------
+
+#: streaming near-dup output: a candidate pair the moment the later doc
+#: arrives, with the signature-estimated Jaccard that admitted it
+NEARDUP_OUTPUT_SCHEMA = "id_a long, id_b long, est_jaccard double"
+
+
+def banded_signature_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Stateless prefix of the streaming dedup: document → MinHash
+    signature → one row per band ``(band, band_key, id, sig)``.
+
+    All NARROW stages (shingle kernel, md5 expression, one mapInPandas
+    signature pass), so it runs unchanged on a streaming frame; the
+    signature arithmetic is the batch ``_banded_minhash_keys`` math
+    bit-for-bit (same md5 base, same affine coeffs, same band-key
+    string), so streaming buckets agree with the batch band join and a
+    replayed stream reproduces batch candidates exactly.  The full
+    signature rides along (``num_hashes`` int64s — bounded, unlike the
+    shingle sets) because the stateful stage estimates Jaccard from
+    signature agreement instead of re-reading document text."""
+    import numpy as np
+
+    from kafka_merge_purge_spark.operators.dedup import (
+        MERSENNE_61,
+        _minhash_coeffs,
+        md5_int,
+        shingle_frame,
+    )
+    from pyspark.sql import functions as F
+
+    rows_per_band = num_hashes // bands
+    coeffs = _minhash_coeffs(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    sh = shingle_frame(df, text_col, id_col, k)
+    base = F.transform(F.col("sh"), lambda s: md5_int(s).bitwiseAND(F.lit((1 << 31) - 1)))
+    hashed = sh.select("id", base.alias("_hs"))
+
+    def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_band, out_key, out_sig = [], [], [], []
+            for rid, hs in zip(pdf["id"], pdf["_hs"]):
+                import numpy as _np
+
+                h = _np.asarray(hs, dtype=_np.int64)
+                sig = ((h[:, None] * a_vec[None, :] + b_vec[None, :]) % MERSENNE_61).min(axis=0)
+                for b in range(bands):
+                    out_id.append(rid)
+                    out_band.append(b)
+                    out_key.append(
+                        "_".join(str(int(x)) for x in sig[b * rows_per_band : (b + 1) * rows_per_band])
+                    )
+                    out_sig.append([int(x) for x in sig])
+            yield pd.DataFrame(
+                {"id": out_id, "band": out_band, "band_key": out_key, "sig": out_sig}
+            )
+
+    return hashed.mapInPandas(
+        keys, schema="id long, band int, band_key string, sig array<long>"
+    )
+
+
+def fold_band_pairs(
+    state: tuple | None,
+    pdfs: Iterator[pd.DataFrame],
+    num_hashes: int = 16,
+    est_threshold: float = 0.5,
+    cap: int = 256,
+) -> tuple:
+    """Pure fold for ONE (band, band_key) bucket: new documents pair
+    against every document already resident in the bucket's state, with
+    estimated Jaccard = (matching signature components) / num_hashes —
+    the standard MinHash estimator, so state is ``num_hashes`` int64s
+    per resident doc and the heavy shingle sets never enter the state
+    store.
+
+    Returns ``(new_state, pairs)`` where state is ``(ids, flat_sigs)``
+    (signatures concatenated at stride ``num_hashes``) and ``pairs`` is
+    a list of ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``.
+
+    Determinism: batch rows process in id order, redelivered ids are
+    no-ops, and the emitted PAIR SET is chop-invariant — a pair is
+    emitted exactly once, when the later-processed member arrives, and
+    orientation normalizes to (min, max) — pinned under randomized
+    replays.  ``cap`` bounds the bucket state to the ``cap`` LOWEST ids
+    (a deterministic function of the ids seen, not arrival order);
+    once a mega-bucket overflows, pairs against evicted residents are
+    no longer emitted — the documented trade of bounded state."""
+    ids: list[int] = list(state[0]) if state is not None else []
+    flat: list[int] = list(state[1]) if state is not None else []
+    resident = {int(i): flat[j * num_hashes : (j + 1) * num_hashes] for j, i in enumerate(ids)}
+    pairs: list[tuple[int, int, float]] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values("id")
+        for rid, sig in zip(batch["id"], batch["sig"]):
+            rid = int(rid)
+            if rid in resident:
+                continue  # idempotent redelivery
+            sig = [int(x) for x in sig]
+            for oid, osig in resident.items():
+                matches = sum(1 for x, y in zip(sig, osig) if x == y)
+                est = round(matches / num_hashes, 6)
+                if est >= est_threshold:
+                    lo, hi = (rid, oid) if rid < oid else (oid, rid)
+                    pairs.append((lo, hi, est))
+            resident[rid] = sig
+        if len(resident) > cap:
+            keep = sorted(resident)[:cap]
+            resident = {i: resident[i] for i in keep}
+    new_ids = sorted(resident)
+    new_flat = [x for i in new_ids for x in resident[i]]
+    return ((new_ids, new_flat), pairs)
+
+
+class BandNearDupPairs(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming near-dup processor: ValueState holds each band-bucket's
+    resident (ids, signatures); the transition is the pure
+    ``fold_band_pairs``.  TTL expiry drops the bucket — the processing-
+    time analog of the watermark window the candidate match lives in."""
+
+    _STATE_ATTRS = ("_bucket",)
+
+    def __init__(
+        self,
+        num_hashes: int = 16,
+        est_threshold: float = 0.5,
+        cap: int = 256,
+        ttl_ms: int | None = None,
+    ):
+        super().__init__(ttl_ms)
+        self._num_hashes = num_hashes
+        self._est_threshold = est_threshold
+        self._cap = cap
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._bucket = handle.getValueState(
+            "bucket", "ids array<long>, sigs array<long>"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = tuple(self._bucket.get()) if self._bucket.exists() else None
+        state, pairs = fold_band_pairs(
+            prior, rows, self._num_hashes, self._est_threshold, self._cap
+        )
+        self._bucket.update(state)
+        self._arm_ttl(timerValues)
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "id_a": [p[0] for p in pairs],
+                    "id_b": [p[1] for p in pairs],
+                    "est_jaccard": [p[2] for p in pairs],
+                }
+            )
+
+
+def streaming_minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    est_threshold: float = 0.5,
+    state_cap: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash near-dup pairs — the stream twin of
+    ``dedup.minhash_lsh_pairs`` (r7 verdict item 7): each arriving
+    document is banded by the SAME signature arithmetic as the batch
+    operator, then matched against the in-window residents of its band
+    buckets via ``transformWithStateInPandas``; a candidate emits the
+    moment its later member arrives, scored by the signature-estimated
+    Jaccard (state holds ``num_hashes`` ints per resident, never
+    shingle sets).
+
+    A pair sharing several bands emits once per shared band —
+    downstream, compose ``.withWatermark(...).dropDuplicates(
+    ["id_a", "id_b"])`` (streaming-supported) for the distinct pair
+    stream, mirroring the batch operator's cross-band dedup.
+
+    State per bucket is ≤ ``state_cap`` signatures (lowest-id residents
+    — deterministic), TTL-evicted after ``state_ttl_ms`` idle; same
+    protobuf note as streaming_compaction (the transition is the pure
+    ``fold_band_pairs``, batch-equivalence tested under randomized
+    chopped replays)."""
+    banded = banded_signature_stream(docs, text_col, id_col, num_hashes, bands, k)
+    return banded.groupBy("band", "band_key").transformWithStateInPandas(
+        statefulProcessor=BandNearDupPairs(
+            num_hashes, est_threshold, state_cap, state_ttl_ms
+        ),
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )
