@@ -553,8 +553,19 @@ def streaming_heavy_hitters(
 # Streaming MinHash near-dup dedup (r7 verdict item 7)
 # --------------------------------------------------------------------------
 
+
+def _unbox(v):
+    """numpy scalar → native Python (ids must hash/sort/serialize the
+    same whether they arrived via Arrow (numpy int64) or state replay
+    (python int); strings pass through untouched)."""
+    return v.item() if hasattr(v, "item") else v
+
 #: streaming near-dup output: a candidate pair the moment the later doc
-#: arrives, with the signature-estimated Jaccard that admitted it
+#: arrives, with the signature-estimated Jaccard that admitted it.
+#: The ``long`` here is the long-id instance; ``streaming_minhash_pairs``
+#: derives the actual pair schema from the caller's id dtype (string
+#: doc_id corpora get ``id_a string, id_b string`` — same contract as
+#: the batch ``_banded_minhash_keys``).
 NEARDUP_OUTPUT_SCHEMA = "id_a long, id_b long, est_jaccard double"
 
 
@@ -573,11 +584,14 @@ def banded_signature_stream(
     signature pass), so it runs unchanged on a streaming frame; the
     signature arithmetic is the batch ``_banded_minhash_keys`` math
     bit-for-bit (same md5 base, same affine coeffs, same band-key
-    string), so streaming buckets agree with the batch band join and a
-    replayed stream reproduces batch candidates exactly.  The full
-    signature rides along (``num_hashes`` int64s — bounded, unlike the
-    shingle sets) because the stateful stage estimates Jaccard from
-    signature agreement instead of re-reading document text."""
+    string — bit-parity pinned against ``_banded_minhash_keys`` in
+    tests/test_streaming.py), so streaming buckets agree with the batch
+    band join and a replayed stream reproduces batch candidates exactly.
+    The full signature rides along (``num_hashes`` int64s — bounded,
+    unlike the shingle sets) because the stateful stage estimates
+    Jaccard from signature agreement instead of re-reading document
+    text.  The id column keeps the caller's dtype (string doc_ids work
+    — same contract as the batch ``_banded_minhash_keys``)."""
     import numpy as np
 
     from kafka_merge_purge_spark.operators.dedup import (
@@ -592,6 +606,7 @@ def banded_signature_stream(
     coeffs = _minhash_coeffs(num_hashes)
     a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
     b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+    id_type = dict(df.dtypes)[id_col]
 
     sh = shingle_frame(df, text_col, id_col, k)
     base = F.transform(F.col("sh"), lambda s: md5_int(s).bitwiseAND(F.lit((1 << 31) - 1)))
@@ -617,7 +632,7 @@ def banded_signature_stream(
             )
 
     return hashed.mapInPandas(
-        keys, schema="id long, band int, band_key string, sig array<long>"
+        keys, schema=f"id {id_type}, band int, band_key string, sig array<long>"
     )
 
 
@@ -640,22 +655,33 @@ def fold_band_pairs(
     a list of ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``.
 
     Determinism: batch rows process in id order, redelivered ids are
-    no-ops, and the emitted PAIR SET is chop-invariant — a pair is
-    emitted exactly once, when the later-processed member arrives, and
-    orientation normalizes to (min, max) — pinned under randomized
-    replays.  ``cap`` bounds the bucket state to the ``cap`` LOWEST ids
-    (a deterministic function of the ids seen, not arrival order);
-    once a mega-bucket overflows, pairs against evicted residents are
-    no longer emitted — the documented trade of bounded state."""
-    ids: list[int] = list(state[0]) if state is not None else []
+    no-ops, and orientation normalizes to (min, max) so a pair is
+    emitted exactly once, when the later-processed member arrives.
+    The emitted PAIR SET is chop-invariant WHILE the bucket stays at or
+    under ``cap`` residents — pinned under randomized chopped replays
+    in tests/test_streaming.py.  ``cap`` bounds the bucket state to the
+    ``cap`` LOWEST ids (a deterministic function of the ids seen, not
+    arrival order); once a mega-bucket overflows, pairs against evicted
+    residents are no longer emitted, and in THAT regime the set is
+    chop-DEPENDENT: two above-cap ids in one micro-batch still pair
+    (both are processed before the end-of-batch eviction), but split
+    across batches the earlier one is evicted before the later arrives
+    and the pair is dropped — the documented trade of bounded state
+    (exercised in test_streaming_minhash_cap_semantics).  Ids keep the
+    caller's dtype (ints or strings — anything hashable and totally
+    ordered)."""
+    ids: list = list(state[0]) if state is not None else []
     flat: list[int] = list(state[1]) if state is not None else []
-    resident = {int(i): flat[j * num_hashes : (j + 1) * num_hashes] for j, i in enumerate(ids)}
-    pairs: list[tuple[int, int, float]] = []
+    resident = {
+        _unbox(i): flat[j * num_hashes : (j + 1) * num_hashes]
+        for j, i in enumerate(ids)
+    }
+    pairs: list[tuple] = []
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
         batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values("id")
         for rid, sig in zip(batch["id"], batch["sig"]):
-            rid = int(rid)
+            rid = _unbox(rid)
             if rid in resident:
                 continue  # idempotent redelivery
             sig = [int(x) for x in sig]
@@ -688,16 +714,18 @@ class BandNearDupPairs(_TtlProcessorBase, _StatefulProcessor):
         est_threshold: float = 0.5,
         cap: int = 256,
         ttl_ms: int | None = None,
+        id_type: str = "long",
     ):
         super().__init__(ttl_ms)
         self._num_hashes = num_hashes
         self._est_threshold = est_threshold
         self._cap = cap
+        self._id_type = id_type
 
     def init(self, handle) -> None:
         self._keep_handle(handle)
         self._bucket = handle.getValueState(
-            "bucket", "ids array<long>, sigs array<long>"
+            "bucket", f"ids array<{self._id_type}>, sigs array<long>"
         )
 
     def handleInputRows(self, key, rows, timerValues):
@@ -746,13 +774,17 @@ def streaming_minhash_pairs(
     — deterministic), TTL-evicted after ``state_ttl_ms`` idle; same
     protobuf note as streaming_compaction (the transition is the pure
     ``fold_band_pairs``, batch-equivalence tested under randomized
-    chopped replays)."""
+    chopped replays in tests/test_streaming.py — invariant while
+    buckets stay within ``state_cap``; see ``fold_band_pairs`` for the
+    documented overflow divergence).  The pair schema follows the
+    caller's id dtype, matching the batch operator."""
+    id_type = dict(docs.dtypes)[id_col]
     banded = banded_signature_stream(docs, text_col, id_col, num_hashes, bands, k)
     return banded.groupBy("band", "band_key").transformWithStateInPandas(
         statefulProcessor=BandNearDupPairs(
-            num_hashes, est_threshold, state_cap, state_ttl_ms
+            num_hashes, est_threshold, state_cap, state_ttl_ms, id_type
         ),
-        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        outputStructType=f"id_a {id_type}, id_b {id_type}, est_jaccard double",
         outputMode="Append",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )

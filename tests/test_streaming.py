@@ -922,3 +922,223 @@ def test_streaming_heavy_hitters_chop_invariant_and_ttl():
         ("click",), iter([mk(evs[20:22])]), _tv(3_000)))
     # rebuilt from scratch: exactly the 2 post-eviction events counted
     assert h.states["hh"].get()[0] and sum(h.states["hh"].get()[0].values()) == 2
+
+
+# ------------------------------------------- streaming MinHash near-dup
+
+
+def _neardup_corpus(spark):
+    """documents subset + mutated near-copies: the copies guarantee the
+    (16 hashes, 4 bands, k=3) band join actually collides, so the
+    equivalence assertions below never pass vacuously."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("text").rlike("[a-zA-Z0-9]"))
+        .limit(120)
+        .select("doc_id", "text")
+    )
+    mutated = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def test_banded_signature_stream_bit_parity(spark):
+    """The streaming banding prefix is the batch band math bit-for-bit:
+    (id, band, band_key) from banded_signature_stream equals
+    _banded_minhash_keys on the same rows, the riding signature
+    reassembles each band key exactly, and the id column keeps the
+    caller's dtype (ADVICE r8: the schema was hardcoded long)."""
+    from kafka_merge_purge_spark.operators.dedup import (
+        _banded_minhash_keys,
+        shingle_frame,
+    )
+    from kafka_merge_purge_spark.streaming.stateful import banded_signature_stream
+
+    docs = _neardup_corpus(spark)
+    stream_rows = banded_signature_stream(docs, num_hashes=16, bands=4, k=3).collect()
+    got = {(r["id"], r["band"], r["band_key"]) for r in stream_rows}
+    want = {
+        (r["id"], r["band"], r["band_key"])
+        for r in _banded_minhash_keys(
+            shingle_frame(docs, "text", "doc_id", 3), 16, 4, True
+        ).collect()
+    }
+    assert got and got == want
+    for r in stream_rows:
+        lo = r["band"] * 4  # rows_per_band = 16 // 4
+        assert "_".join(str(s) for s in r["sig"][lo : lo + 4]) == r["band_key"]
+
+    sdocs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    sframe = banded_signature_stream(sdocs, num_hashes=8, bands=2, k=3)
+    assert dict(sframe.dtypes)["id"] == "string"
+    srow = sframe.limit(1).collect()[0]
+    assert isinstance(srow["id"], str)
+
+
+def test_streaming_minhash_fold_matches_batch_candidates(spark):
+    """Batch equivalence of the streaming near-dup fold under randomized
+    chopped replays (the fold_funnel pattern): for every (band, band_key)
+    bucket, 20 randomized orderings × chops × chunkings × redeliveries
+    through fold_band_pairs emit exactly the batch operator's candidate
+    pair set (minhash_lsh_pairs at jaccard_threshold=0.0 — the full
+    band-join candidates), and every emitted est_jaccard is the
+    signature-agreement fraction recomputed independently."""
+    import random
+
+    from kafka_merge_purge_spark.operators import dedup as dd
+    from kafka_merge_purge_spark.streaming.stateful import (
+        banded_signature_stream,
+        fold_band_pairs,
+    )
+
+    docs = _neardup_corpus(spark)
+    NH, NB, K = 16, 4, 3
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(
+            docs, num_hashes=NH, bands=NB, k=K,
+            jaccard_threshold=0.0, persist_shingles=False,
+        ).collect()
+    }
+    assert batch  # corpus must exercise the band join
+
+    rows = banded_signature_stream(docs, num_hashes=NH, bands=NB, k=K).collect()
+    sigs = {r["id"]: list(r["sig"]) for r in rows}
+    buckets: dict = {}
+    for r in rows:
+        buckets.setdefault((r["band"], r["band_key"]), []).append(r["id"])
+
+    rng = random.Random(17)
+    for _ in range(20):
+        got: dict = {}
+        for members in buckets.values():
+            order = members[:]
+            rng.shuffle(order)
+            if len(order) > 1 and rng.random() < 0.5:
+                # redelivery: an already-folded id arrives again later
+                order.append(order[rng.randrange(len(order) - 1)])
+            state, i = None, 0
+            while i < len(order):
+                j = min(len(order), i + rng.randint(1, 3))
+                pdf = pd.DataFrame(
+                    {"id": order[i:j], "sig": [sigs[m] for m in order[i:j]]}
+                )
+                chunks = (
+                    [pdf.iloc[:1], pdf.iloc[1:]]
+                    if len(pdf) > 1 and rng.random() < 0.5
+                    else [pdf]
+                )
+                state, pairs = fold_band_pairs(
+                    state, iter(chunks), num_hashes=NH,
+                    est_threshold=0.0, cap=10_000,
+                )
+                for a, b, est in pairs:
+                    assert a < b
+                    got[(a, b)] = est
+                i = j
+            # the persisted state is a deterministic function of the ids
+            # seen, not of the replay order
+            assert state[0] == sorted(set(members))
+        assert set(got) == batch
+        for (a, b), est in got.items():
+            m = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+            assert est == round(m / NH, 6)
+
+    # thresholding: est_threshold=0.5 emits exactly the ≥0.5 subset
+    half: set = set()
+    for members in buckets.values():
+        state, i, order = None, 0, sorted(set(members))
+        pdf = pd.DataFrame({"id": order, "sig": [sigs[m] for m in order]})
+        _, pairs = fold_band_pairs(
+            None, iter([pdf]), num_hashes=NH, est_threshold=0.5, cap=10_000
+        )
+        half.update((a, b) for a, b, _ in pairs)
+    want_half = {
+        (a, b)
+        for (a, b) in batch
+        if sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / NH >= 0.5
+    }
+    assert half == want_half
+
+
+def test_streaming_minhash_cap_semantics():
+    """Bounded-state semantics of fold_band_pairs at cap overflow: the
+    cap keeps the LOWEST ids, applied at end-of-batch — so a single
+    batch emits all pairs, while the same ids chopped so an above-cap
+    resident is evicted before its partner arrives drop exactly that
+    pair (the documented chop-divergence of the overflow regime).
+    Also: redelivery is a no-op, and string ids ride the same machinery
+    (ADVICE r8)."""
+    from kafka_merge_purge_spark.streaming.stateful import fold_band_pairs
+
+    NH = 4
+    sig = {i: [i * 10 + j for j in range(NH)] for i in (1, 2, 3, 4)}
+
+    def pdf(ids):
+        return pd.DataFrame({"id": ids, "sig": [sig[i] for i in ids]})
+
+    # one batch: every pair emits, then the cap trims to the lowest ids
+    state, pairs = fold_band_pairs(
+        None, iter([pdf([4, 2, 1, 3])]), num_hashes=NH, est_threshold=0.0, cap=2
+    )
+    assert {(a, b) for a, b, _ in pairs} == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+    }
+    assert state[0] == [1, 2]
+
+    # chopped: 3 is evicted (cap trims to {1,2}) before 4 arrives → (3,4)
+    # is dropped; everything else still emits
+    state, p1 = fold_band_pairs(
+        None, iter([pdf([2, 3])]), num_hashes=NH, est_threshold=0.0, cap=2)
+    state, p2 = fold_band_pairs(
+        state, iter([pdf([1])]), num_hashes=NH, est_threshold=0.0, cap=2)
+    state, p3 = fold_band_pairs(
+        state, iter([pdf([4])]), num_hashes=NH, est_threshold=0.0, cap=2)
+    got = {(a, b) for a, b, _ in p1 + p2 + p3}
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
+    assert state[0] == [1, 2]
+
+    # redelivered resident: no pairs, state unchanged
+    state2, pr = fold_band_pairs(
+        state, iter([pdf([1])]), num_hashes=NH, est_threshold=0.0, cap=2)
+    assert pr == [] and state2 == state
+
+    # string ids: identical signatures pair at est 1.0; cap is the
+    # lexicographically lowest ids
+    sp = pd.DataFrame({"id": ["c", "a", "b"], "sig": [[1, 2, 3, 4]] * 3})
+    st, ps = fold_band_pairs(None, iter([sp]), num_hashes=NH,
+                             est_threshold=0.5, cap=2)
+    assert {(a, b) for a, b, _ in ps} == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert st[0] == ["a", "b"] and all(e == 1.0 for _, _, e in ps)
+
+
+def test_band_neardup_processor_ttl_protocol():
+    """BandNearDupPairs against the fake handle: pairs emit through the
+    ValueState round-trip, TTL expiry drops the bucket, and the next
+    arrival rebuilds from scratch (no pairs against pre-expiry
+    residents) — the same lifecycle every sibling processor pins."""
+    from kafka_merge_purge_spark.streaming.stateful import BandNearDupPairs
+
+    NH = 4
+
+    def pdf(ids):
+        return pd.DataFrame({"id": ids, "sig": [[1, 2, 3, 4]] * len(ids)})
+
+    proc = BandNearDupPairs(num_hashes=NH, est_threshold=0.0, cap=8, ttl_ms=1_000)
+    h = _FakeHandle()
+    proc.init(h)
+    out = list(proc.handleInputRows((0, "key"), iter([pdf([1, 2])]), _tv(0)))
+    assert len(out) == 1
+    assert out[0][["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert h.timers == [1_000]
+    # second batch pairs against the round-tripped residents
+    out = list(proc.handleInputRows((0, "key"), iter([pdf([3])]), _tv(100)))
+    assert out[0][["id_a", "id_b"]].values.tolist() == [[1, 3], [2, 3]]
+    # expiry drops the bucket; the next arrival sees an empty state
+    list(proc.handleExpiredTimer((0, "key"), _tv(2_000), _eti(1_100)))
+    assert not h.states["bucket"].exists()
+    out = list(proc.handleInputRows((0, "key"), iter([pdf([9])]), _tv(3_000)))
+    assert out == []  # no residents survived the eviction
+    assert list(h.states["bucket"].get()[0]) == [9]
