@@ -29,7 +29,6 @@ shingle sets) are dropped before the join.
 from __future__ import annotations
 
 import warnings
-import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -404,46 +403,44 @@ def minhash_lsh_pairs(
 #: it after each materialization regardless of what happened to the
 #: result frame.
 #:
-#: ADVICE r7: entries are WEAK references, not strong — a strong
-#: module-global pin would make the leak *permanent* for library
-#: callers that never drain (previously, dropping the result frame at
-#: least let Spark's ContextCleaner reclaim the cache after GC).  A
-#: dead ref means the caller discarded every handle; the ContextCleaner
-#: path owns that frame again and the registry simply forgets it.
-_PERSISTED_REGISTRY: list["weakref.ref[DataFrame]"] = []
+#: ADVICE r8: entries are STRONG references, deliberately.  The r7
+#: weakref form rested on a wrong premise — ``persist()`` registers the
+#: plan in Spark's driver-side CacheManager, which holds its own strong
+#: references, so garbage-collecting the *Python* handle does NOT let
+#: ContextCleaner reclaim a SQL cache; a dead weakref was simply an
+#: unreleasable leak until session end.  A strong handle is the only
+#: thing that guarantees ``release_all_persisted()`` can still
+#: unpersist the cached plan after the caller transformed or discarded
+#: the result frame (the exact scenario the registry exists for).  The
+#: drop-oldest cap below bounds the pin for hosts that never drain.
+_PERSISTED_REGISTRY: list[DataFrame] = []
 
-#: safety cap on LIVE registered frames (ADVICE r7 / r7 verdict item):
-#: above this, the OLDEST live frame is unpersisted on registration
-#: (drop-oldest) so hosts that persist per ingest batch and never drain
-#: are bounded by design, not by memory pressure.  Warned once.
+#: safety cap on registered frames (ADVICE r7 / r7 verdict item):
+#: above this, the OLDEST frame is unpersisted AND forgotten on
+#: registration (drop-oldest) so hosts that persist per ingest batch
+#: and never drain hold a bounded pin by design, not by memory
+#: pressure.  Warned once.
 PERSISTED_REGISTRY_CAP = 16
 _cap_warned = False
 
 
 def _register_persisted(frames: list[DataFrame]) -> None:
     global _cap_warned
-    for f in frames:
-        _PERSISTED_REGISTRY.append(weakref.ref(f))
-    # compact dead refs, then enforce the live-frame cap (drop-oldest)
-    live = [(i, r()) for i, r in enumerate(_PERSISTED_REGISTRY)]
-    _PERSISTED_REGISTRY[:] = [_PERSISTED_REGISTRY[i] for i, f in live if f is not None]
-    n_live = len(_PERSISTED_REGISTRY)
-    while n_live > PERSISTED_REGISTRY_CAP:
+    _PERSISTED_REGISTRY.extend(frames)
+    # enforce the registered-frame cap (drop-oldest: unpersist AND forget)
+    while len(_PERSISTED_REGISTRY) > PERSISTED_REGISTRY_CAP:
         oldest = _PERSISTED_REGISTRY.pop(0)
-        f = oldest()
-        if f is not None:
-            if not _cap_warned:
-                _cap_warned = True
-                warnings.warn(
-                    "kafka_merge_purge_spark.dedup: more than "
-                    f"{PERSISTED_REGISTRY_CAP} operator caches live at once; "
-                    "unpersisting the oldest. Call release_all_persisted() "
-                    "(or release_persisted(result)) after materializing each "
-                    "result to control cache lifetime explicitly.",
-                    stacklevel=3,
-                )
-            f.unpersist(blocking=False)
-        n_live -= 1
+        if not _cap_warned:
+            _cap_warned = True
+            warnings.warn(
+                "kafka_merge_purge_spark.dedup: more than "
+                f"{PERSISTED_REGISTRY_CAP} operator caches live at once; "
+                "unpersisting the oldest. Call release_all_persisted() "
+                "(or release_persisted(result)) after materializing each "
+                "result to control cache lifetime explicitly.",
+                stacklevel=3,
+            )
+        oldest.unpersist(blocking=False)
 
 
 def release_persisted(df: DataFrame) -> None:
@@ -459,9 +456,7 @@ def release_persisted(df: DataFrame) -> None:
         # blocking: the release must be observable immediately (callers
         # and tests reason about the persistent-RDD census)
         f.unpersist(blocking=True)
-        _PERSISTED_REGISTRY[:] = [
-            r for r in _PERSISTED_REGISTRY if r() is not None and r() is not f
-        ]
+        _PERSISTED_REGISTRY[:] = [r for r in _PERSISTED_REGISTRY if r is not f]
 
 
 def release_all_persisted() -> int:
@@ -471,15 +466,14 @@ def release_all_persisted() -> int:
     per-ingest-batch services) where the returned frame may have been
     transformed (dropping ``_kmp_persisted``) or simply discarded.
     Returns the number of frames released.  Call between units of work,
-    after results are materialized.  Frames whose every handle was
-    already garbage-collected (dead weak refs) are skipped — Spark's
-    ContextCleaner owns those — and not counted."""
+    after results are materialized.  The registry's strong handles make
+    this drain unconditional: even a frame whose every caller-side
+    handle is gone is still unpersistable here (CacheManager would
+    otherwise hold the cached plan until session end — ADVICE r8)."""
     n = 0
     while _PERSISTED_REGISTRY:
-        f = _PERSISTED_REGISTRY.pop()()
-        if f is not None:
-            f.unpersist(blocking=True)
-            n += 1
+        _PERSISTED_REGISTRY.pop().unpersist(blocking=True)
+        n += 1
     return n
 
 

@@ -1584,24 +1584,28 @@ def test_release_all_persisted_registry_drains(spark, tables):
     assert dd.release_all_persisted() == 0
 
 
-def test_persisted_registry_weakrefs_and_cap(spark, tables):
-    """ADVICE r7: the registry holds WEAK references (dropping every
-    handle returns the frame to ContextCleaner ownership instead of a
-    permanent module-global pin) and caps live frames — 2N generator
-    calls leave at most N persisted frames, oldest unpersisted first."""
+def test_persisted_registry_strong_refs_and_cap(spark, tables):
+    """ADVICE r8: the registry holds STRONG references — CacheManager
+    keeps the cached plan alive regardless of Python handles, so only a
+    strong registry handle guarantees release_all_persisted() can still
+    unpersist after the caller discarded the result (the r7 weakref
+    form silently leaked exactly that case) — and caps registered
+    frames: 2N generator calls leave at most N persisted frames, oldest
+    unpersisted first."""
     import warnings as _w
 
     from pyspark import StorageLevel
 
     dd.release_all_persisted()
-    # weakref behavior: drop every handle → the registry forgets it
+    # strong-ref behavior: drop every caller handle → the registry MUST
+    # still drain the cache (the CacheManager pin survives Python GC)
     pairs = dd.minhash_lsh_pairs(tables["documents"])
     pairs.collect()
     del pairs
     import gc
 
     gc.collect()
-    assert dd.release_all_persisted() == 0  # dead ref skipped, not counted
+    assert dd.release_all_persisted() == 1
 
     # cap behavior: hold all results so refs stay live; exceed the cap
     old_cap = dd.PERSISTED_REGISTRY_CAP
