@@ -1362,7 +1362,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    k: int = 16,
+    k: int | None = None,
     iters: int = 2,
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
@@ -1385,9 +1385,15 @@ def semantic_dedup(
     joins, which every dedup path pays.
 
     At 100 TB: cell population — not corpus size — bounds the pairwise
-    work (cells ~n/k rows; pick k ~ √n to balance, exactly the IVF
-    sizing rule).  Skewed cells inherit AQE skew-split on the cell_id
-    join.
+    work (cells ~n/k rows; k ~ √n balances, exactly the IVF sizing
+    rule).  ``k=None`` (the default) APPLIES that rule: one bounded
+    count feeds ``similarity.auto_ivf_params`` so the unconfigured
+    operator stays ~O(n^1.5) as the corpus grows instead of the
+    quadratic-by-default a fixed k degenerates to at 100× (r8 verdict
+    item 3 — the same class of fix as the junk_cos auto-estimation).
+    Pass explicit ``k`` to pin the geometry (the oracle gate does, so
+    its unrolled-Lloyd SQL stays tractable).  Skewed cells inherit AQE
+    skew-split on the cell_id join.
 
     Rows whose vector is NULL are dropped (they belong to no cell —
     same contract as ``kmeans_cluster_stats``).  Output: one row per
@@ -1397,6 +1403,10 @@ def semantic_dedup(
     """
     from kafka_merge_purge_spark.operators.cluster import kmeans_assign
 
+    if k is None and centroids is None:
+        from kafka_merge_purge_spark.operators.similarity import auto_ivf_params
+
+        k, _ = auto_ivf_params(emb.filter(F.col(vec_col).isNotNull()).count())
     assigned = kmeans_assign(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, centroids=centroids
     )

@@ -540,7 +540,23 @@ def learn_bpe_merges(
     distributed and feeds it here).  Deterministic: ties on count break
     to the lexicographically smallest pair, so the same vocabulary
     always learns the same table.  Output plugs straight into
-    ``bpe_token_count(merges=...)`` / ``bpe_encode_word``."""
+    ``bpe_token_count(merges=...)`` / ``bpe_encode_word``.
+
+    Best-pair selection is a LAZY MAX-HEAP (the standard subword-nmt
+    optimization; r8 verdict item 2): count increases push a fresh
+    ``(-count, pair)`` entry; decreases don't touch the heap at all —
+    a stale (too-high) entry is detected at pop time against the live
+    ``stats`` value and re-pushed at its current count.  Every pair's
+    largest heap entry therefore bounds its live count from above, so a
+    matching top IS the global max, and a merge costs O(touched pairs ·
+    log |heap|) instead of the previous full O(|pairs|) stats scan per
+    merge, which dominated driver time at the 50k-merge production
+    regime.  The heap tuple order reproduces the scan's tie-break
+    exactly (count desc, then lexicographically smallest pair).
+    Equivalence with a recompute-everything reference is pinned in
+    tests/test_operators.py."""
+    import heapq
+
     words: list[list[str]] = []
     freqs: list[int] = []
     for w, f in sorted(word_freqs.items()):
@@ -555,26 +571,40 @@ def learn_bpe_merges(
         for pair in zip(syms, syms[1:]):
             stats[pair] = stats.get(pair, 0) + f
             index.setdefault(pair, set()).add(wi)
+    heap: list[tuple[int, tuple[str, str]]] = [(-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        best = None
-        for pair, c in stats.items():
-            if c < 2:
-                continue  # a pair seen once compresses nothing
-            if best is None or (-c, pair) < (-best[1], best[0]):
-                best = (pair, c)
-        if best is None:
+        # pop until the top entry matches its live count.  Invariant:
+        # every pair's LARGEST heap entry ≥ its current count (increases
+        # push; decreases — the overwhelming majority, from retraction —
+        # don't, they're refreshed here at pop time), so a matching top
+        # is the true global max.
+        pair = None
+        while heap:
+            negc, cand = heapq.heappop(heap)
+            cur = stats.get(cand)
+            if cur is None:
+                continue  # pair fully retracted (lazy deletion)
+            if cur != -negc:
+                heapq.heappush(heap, (-cur, cand))  # refresh to live count
+                continue
+            if cur >= 2:  # a pair seen once compresses nothing
+                pair = cand
+            break  # valid top found — max count < 2 means stop
+        if pair is None:
             break
-        pair = best[0]
         merges.append(pair)
         new_sym = pair[0] + pair[1]
         for wi in list(index.get(pair, ())):
             syms, f = words[wi], freqs[wi]
             # retract this word's old pair contributions
             for p in zip(syms, syms[1:]):
-                stats[p] -= f
-                if stats[p] <= 0:
+                c = stats[p] - f
+                if c <= 0:
                     del stats[p]
+                else:
+                    stats[p] = c  # no push: decreases refresh at pop time
                 ws = index.get(p)
                 if ws is not None:
                     ws.discard(wi)
@@ -592,7 +622,9 @@ def learn_bpe_merges(
             words[wi] = merged
             # add the new contributions
             for p in zip(merged, merged[1:]):
-                stats[p] = stats.get(p, 0) + f
+                c = stats.get(p, 0) + f
+                stats[p] = c
+                heapq.heappush(heap, (-c, p))
                 index.setdefault(p, set()).add(wi)
     return merges
 

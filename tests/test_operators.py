@@ -1819,3 +1819,146 @@ def test_bpe_token_count_and_pack(spark):
 
     with _pytest.raises(ValueError, match="tokenizer"):
         tx.pack_sequences(df, tokenizer="wordpiece")
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Recompute-stats-every-merge Sennrich reference (the O(n_merges ·
+    corpus) textbook form): ground truth for the incremental-stats +
+    lazy-heap trainer — any retract/re-add or stale-heap-entry bug
+    diverges from this immediately."""
+    vocab = {w: list(w) for w, f in sorted(word_freqs.items()) if w and f > 0}
+    freqs = {w: int(f) for w, f in word_freqs.items() if w and f > 0}
+    merges = []
+    for _ in range(n_merges):
+        stats: dict = {}
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                stats[p] = stats.get(p, 0) + freqs[w]
+        cands = [(c, p) for p, c in stats.items() if c >= 2]
+        if not cands:
+            break
+        best = min(cands, key=lambda t: (-t[0], t[1]))[1]
+        merges.append(best)
+        new = best[0] + best[1]
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_learn_bpe_merges_matches_bruteforce_reference():
+    """r8 verdict item 2: the incremental trainer's invariants — pair-stat
+    retract/re-add consistency, the count-then-lexicographic tie-break,
+    the count<2 stop rule, heap staleness handling — pinned against the
+    recompute-everything reference on the classic paper vocabulary,
+    overlap/tie corner cases, and 25 seeded random vocabularies."""
+    import random
+
+    # the Sennrich et al. (2016) paper vocabulary: 'es' (9) merges first
+    paper = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    got = tx.learn_bpe_merges(paper, 10)
+    assert got == _bpe_reference(paper, 10)
+    assert got[0] == ("e", "s") and got[1] == ("es", "t")
+
+    # count<2 stop: singleton pairs never merge; an exhausted vocab stops
+    # early no matter how many merges were requested
+    assert tx.learn_bpe_merges({"ab": 1, "cd": 1}, 5) == []
+    assert tx.learn_bpe_merges({"ab": 2}, 5) == [("a", "b")]
+
+    # ties: equal counts break to the lexicographically smallest pair
+    tie = {"xy": 3, "ab": 3}
+    assert tx.learn_bpe_merges(tie, 1) == [("a", "b")]
+
+    # overlapping runs ("aaa" counts (a,a) twice but merges left-to-right)
+    runs = {"aaaa": 3, "aaab": 2, "baaa": 2}
+    assert tx.learn_bpe_merges(runs, 8) == _bpe_reference(runs, 8)
+
+    # dict insertion order must not matter (determinism contract)
+    r = dict(reversed(list(paper.items())))
+    assert tx.learn_bpe_merges(r, 10) == got
+
+    # zero/empty entries are dropped, not crashed on
+    assert tx.learn_bpe_merges({"": 5, "ok": 0, "abab": 4}, 3) == _bpe_reference(
+        {"abab": 4}, 3
+    )
+
+    rng = random.Random(23)
+    for _ in range(25):
+        n_words = rng.randint(2, 14)
+        vocab = {}
+        for _w in range(n_words):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        n = rng.randint(1, 25)
+        assert tx.learn_bpe_merges(vocab, n) == _bpe_reference(vocab, n), vocab
+
+
+def test_corpus_bpe_merges_roundtrip(spark):
+    """corpus_bpe_merges → bpe_token_count round-trip: the distributed
+    word-frequency pass feeds the driver trainer the same dict a local
+    count builds, and the learned table drives the encoder to the same
+    per-document subword counts as a driver-side re-encode."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fat rat"),
+        (3, "a cat and a rat sat"),
+        (4, "the the the cat cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = tx.corpus_bpe_merges(df, n_merges=12, max_vocab=100)
+
+    local: dict = {}
+    for _, t in rows:
+        for w in t.split(" "):
+            local[w] = local.get(w, 0) + 1
+    assert merges == tx.learn_bpe_merges(local, 12)
+    assert merges  # 'the'/'cat' repeats guarantee at least one merge
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in tx.bpe_token_count(df, merges=merges).collect()
+    }
+    want = {
+        d: sum(len(tx.bpe_encode_word(w, ranks, {})) for w in t.split(" "))
+        for d, t in rows
+    }
+    assert got == want
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """r8 verdict item 3: unconfigured semantic_dedup must not be
+    quadratic-by-default — k=None sizes cells by the √n IVF rule via
+    auto_ivf_params, so the cell count GROWS with the corpus (~√n)
+    instead of pinning the old fixed k=16; planted duplicates are still
+    pruned under auto sizing, and the explicit-k path is unchanged for
+    the oracle gate."""
+    import random
+
+    from kafka_merge_purge_spark.operators.similarity import auto_ivf_params
+
+    rng = random.Random(41)
+
+    def corpus(n):
+        rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(n)]
+        # plant one duplicate pair: id n+1 copies id 0 (cos ≈ 1)
+        rows.append((n + 1, list(rows[0][1])))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for n in (400, 4000):
+        want_k, _ = auto_ivf_params(n + 1)
+        out = dd.semantic_dedup(corpus(n), threshold=0.95)  # k=None → auto
+        cells = out.select("cell_id").distinct().count()
+        # cell ids are 1..k; most cells stay populated on gaussian data
+        assert cells <= want_k
+        assert cells >= want_k // 2, (n, cells, want_k)
+        pruned = {r["vec_id"] for r in out.filter("is_kept = 0").collect()}
+        assert n + 1 in pruned  # the planted copy is caught across scales
+    assert auto_ivf_params(4001)[0] > 2 * auto_ivf_params(401)[0]  # √n growth
