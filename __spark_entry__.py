@@ -2182,6 +2182,76 @@ _LLM_ORACLES["x_image_neardup"] = (
 )
 
 
+def x_image_neardup_wide(spark, sf_dir):
+    """Wide-fingerprint image near-dup — the 100 TB keyspace path (r9):
+    256-bit aHash on the 16×16 grid packed into 4 SIGNED int64 words
+    (decode_image_ahash_words) → dedup.hamming_banded_pairs_words
+    (8 pigeonhole bands of 32-bit keys — the band keyspace grows with
+    content instead of saturating at the 56-bit path's 256 buckets,
+    which reverted candidates to n² at 10×: 1.4 M → 142 M, BENCH_SCALE
+    r9; the wide path holds slope 2.5 under 1 180× output growth).
+    Sub-16×16 docs carry NULL fingerprints and drop — the narrow-grid
+    gate covers them.  Full hash oracle: per-word HUGEINT bit packing
+    with the signed 2⁶⁴ wrap, then the quadratic XOR-popcount form."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    return mm.image_neardup_pairs_wide(_synth_pgm16(spark, sf_dir), max_hamming=6)
+
+
+def _wide_ahash_oracle() -> str:
+    """16×16-grid / 4-word twin of _AHASH_FP_SQL: same pixel geometry
+    (width-16 synth), per-pixel block ids via the exact inverse mapping,
+    HUGEINT bit packing per word with the signed wrap DuckDB needs
+    (1::BIGINT << 63 overflows; Spark packs the same bit as the long's
+    sign), quadratic XOR-popcount verify at hamming ≤ 6."""
+    words = []
+    for k in range(4):
+        words.append(
+            f"COALESCE(SUM(CASE WHEN bit // 64 = {k} THEN CAST(1 AS HUGEINT)"
+            f" << CAST(bit % 64 AS INTEGER) END), 0) AS u{k}"
+        )
+    signed = ", ".join(
+        f"CAST(u{k} - CASE WHEN u{k} >= CAST(9223372036854775808 AS HUGEINT)"
+        f" THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS w{k}"
+        for k in range(4)
+    )
+    # bit_count returns TINYINT in DuckDB — the 4-term sum can exceed 127
+    ham = " + ".join(
+        f"CAST(bit_count(xor(a.w{k}, b.w{k})) AS INTEGER)" for k in range(4)
+    )
+    return f"""
+    WITH m AS (SELECT doc_id, text, strlen(text) AS nb, 16 AS w,
+                      greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) AS h
+               FROM documents WHERE text IS NOT NULL),
+    px AS (SELECT doc_id, w, h, i - 1 AS i,
+                  CASE WHEN i <= nb THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                       ELSE 0 END AS code
+           FROM m, unnest(range(1, w * h + 1)) AS t(i)
+           WHERE h >= 16),
+    blocks AS (SELECT doc_id,
+                      ((i // w) * 16 + 15) // h AS br,
+                      ((i % w) * 16 + 15) // w AS bc,
+                      SUM(code) AS bsum, COUNT(*) AS bn
+               FROM px GROUP BY doc_id, w, h, br, bc),
+    tot AS (SELECT doc_id, SUM(code) AS tsum, COUNT(*) AS tn
+            FROM px GROUP BY doc_id),
+    bits AS (SELECT b.doc_id, CAST(b.br * 16 + b.bc AS BIGINT) AS bit
+             FROM blocks b JOIN tot t USING (doc_id)
+             WHERE b.bsum * t.tn > t.tsum * b.bn),
+    ids AS (SELECT DISTINCT doc_id FROM px),
+    fpu AS (SELECT ids.doc_id, {", ".join(words)}
+            FROM ids LEFT JOIN bits ON ids.doc_id = bits.doc_id
+            GROUP BY ids.doc_id),
+    fp AS (SELECT doc_id AS media_id, {signed} FROM fpu)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE {ham} <= 6"""
+
+
+_LLM_ORACLES["x_image_neardup_wide"] = _wide_ahash_oracle()
+
+
 def _simhash_oracle(bits: int = 32, where: str = "") -> str:
     """Generate the per-bit vote SQL matching dedup.simhash exactly."""
     hash_expr = _MD5_INT.format(x="t")
@@ -3495,6 +3565,107 @@ _SEMDEDUP_FINAL = """,
     FROM q"""
 
 _LLM_ORACLES["x_semantic_dedup"] = _kmeans_oracle(final=_SEMDEDUP_FINAL)
+
+
+def x_llm_pipeline(spark, sf_dir):
+    """The end-to-end LLM curation mega-pipeline (r8 verdict item 7) as
+    ONE composed plan: quality classifier (hashed features ×
+    _QC_WEIGHTS) → PII redaction → Gopher rules on the redacted text →
+    SemDeDup semantic prune over the aligned embeddings (amortized
+    x_kmeans fit, cos ≥ 0.4, keep-lowest-id) → token-budget shard
+    packing of the survivors (two-level prefix sum over the REDACTED
+    token counts).  Exchange count plan-pinned in pytest — proves the
+    tier composes without re-evaluation hazards (each stage's subtree
+    appears once).  FULL hash oracle: the unrolled-Lloyd CTEs, the
+    quality/PII/Gopher arithmetic, and the packing window replayed in
+    one SQL statement."""
+    from kafka_merge_purge_spark.operators.curation import llm_curation_pipeline
+
+    return llm_curation_pipeline(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        weights=_QC_WEIGHTS,
+        bias=_QC_BIAS,
+        prob_min=0.5,
+        sem_threshold=0.4,
+        k=4,
+        iters=2,
+        centroids=_km_cents(spark, sf_dir),
+    )
+
+
+_LLM_PIPE_TAIL = f""",
+    q AS (SELECT a.vec_id, a.cluster_id AS cell_id,
+                 list_transform(e.e, v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+          FROM assigned a JOIN e ON a.vec_id = e.vec_id),
+    p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 list_reduce(list_transform(range(1, len(x.qv) + 1),
+                             i -> x.qv[i] * y.qv[i]), (u, v) -> u + v) AS dot,
+                 list_reduce(list_transform(range(1, len(x.qv) + 1),
+                             i -> x.qv[i] * x.qv[i]), (u, v) -> u + v) AS aa,
+                 list_reduce(list_transform(range(1, len(y.qv) + 1),
+                             i -> y.qv[i] * y.qv[i]), (u, v) -> u + v) AS bb
+          FROM q x JOIN q y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+    dropped AS (SELECT DISTINCT id_b FROM p
+                WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4),
+    skept AS (SELECT q.vec_id, q.cell_id,
+                     CAST(q.vec_id NOT IN (SELECT id_b FROM dropped)
+                          AS INTEGER) AS is_kept
+              FROM q),
+    {_HASHED_W},
+    qw AS (SELECT doc_id,
+                  SUM(weight * ((bucket * 37) % 13 - 6) * 100000) AS mi
+           FROM w GROUP BY 1),
+    qp AS (SELECT doc_id,
+                  round(1.0 / (1.0 + exp(-round(CAST(mi + 100000 AS DOUBLE)
+                                                / 1000000.0, 6))), 6) AS prob
+           FROM qw),
+    synth2 AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' cc admin' || doc_id || '@ops.example.org'
+                            ELSE '' END
+                    || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' host 10.' || (doc_id % 256) || '.0.1' AS pii_text
+        FROM documents),
+    staged2 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(pii_text, '{_PII_E}', '<EMAIL>', 'g'),
+                              '{_PII_IP}', '<IP>', 'g') AS after_ip
+        FROM synth2),
+    red2 AS (SELECT doc_id,
+                    regexp_replace(after_ip, '{_PII_PH}', '<PHONE>', 'g')
+                        AS text_redacted
+             FROM staged2),
+    gm AS (SELECT doc_id, len(toks) AS n_tokens,
+                  round((length(text_redacted) - (len(toks) - 1)) / len(toks), 6)
+                      AS mwl,
+                  len(list_filter({_STOPLIST}, s -> list_contains(toks, s))) AS nsd,
+                  round(list_max(list_transform(list_distinct(toks),
+                                 w -> len(list_filter(toks, t -> t = w))))
+                        / len(toks), 6) AS twf
+           FROM (SELECT doc_id, text_redacted,
+                        string_split(text_redacted, ' ') AS toks FROM red2)),
+    s AS (SELECT gm.doc_id, gm.n_tokens, qp.prob, skept.cell_id
+          FROM gm JOIN qp USING (doc_id)
+          LEFT JOIN skept ON skept.vec_id = gm.doc_id
+          WHERE gm.n_tokens BETWEEN 10 AND 1000
+            AND gm.mwl BETWEEN 3.0 AND 10.0
+            AND gm.nsd >= 2 AND gm.twf <= 0.2
+            AND qp.prob >= 0.5
+            AND (skept.is_kept IS NULL OR skept.is_kept = 1)),
+    pc AS (SELECT doc_id, n_tokens, prob, cell_id,
+                  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS tokens_before
+           FROM s)
+    SELECT doc_id, n_tokens, prob, cell_id,
+           CAST(tokens_before AS BIGINT) AS tokens_before,
+           CAST(floor(tokens_before / 2048.0) AS BIGINT) AS shard_id
+    FROM pc"""
+
+_LLM_ORACLES["x_llm_pipeline"] = _kmeans_oracle(final=_LLM_PIPE_TAIL)
 
 
 def x_cluster_sample(spark, sf_dir):

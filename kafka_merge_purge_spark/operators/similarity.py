@@ -217,12 +217,25 @@ def auto_lsh_params(
     return best[1], best[2]
 
 
+#: bounded memo of junk-cosine estimates, keyed by frame SEMANTICS
+#: (r8 verdict item 5): repeat invocations over the same corpus plan —
+#: a re-run gated query, a pipeline calling embedding_ann_pairs per
+#: ingest batch over one persisted frame — were re-running the 512-row
+#: sample GEMM every time.  Entries hold the corpus DataFrame (plan
+#: only — nothing is cached or pinned executor-side) and are matched
+#: with ``sameSemantics``, which is exact where a bare semanticHash
+#: could collide.  Newest-last, drop-oldest at the cap.
+_JUNK_MEMO: list[tuple[DataFrame, int, float, float]] = []
+_JUNK_MEMO_CAP = 8
+
+
 def estimate_junk_cos(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 512,
     quantile: float = 0.9,
+    memo: bool = True,
 ) -> float:
     """Estimate the corpus's BACKGROUND pairwise cosine — the
     ``junk_cos`` input :func:`auto_lsh_params` needs to model how often
@@ -246,8 +259,25 @@ def estimate_junk_cos(
     rows-only gates stay reproducible.  Returns 0.0 for corpora with
     fewer than 2 usable rows; the result is clamped to [0, 0.99]
     (a p90 of exactly 1.0 — a majority-duplicate sample — would make
-    every plane agree and the solver degenerate)."""
+    every plane agree and the solver degenerate).
+
+    ``memo=True`` (default) caches the estimate per corpus PLAN
+    (``sameSemantics`` match on (frame, sample_size, quantile)):
+    a second invocation over the same corpus — a repeated gated query,
+    a per-batch pipeline over one persisted frame — skips the sample
+    job entirely (r8 verdict item 5).  Safe because the sample is a
+    deterministic function of the plan; pass ``memo=False`` for
+    non-deterministic inputs (e.g. a ``rand()``-derived corpus)."""
     import numpy as np
+
+    if memo:
+        for f, ss, qt, v in reversed(_JUNK_MEMO):
+            if ss == sample_size and qt == quantile:
+                try:
+                    if corpus.sameSemantics(f):
+                        return v
+                except Exception:  # cross-session frame, analyzer error
+                    continue
 
     bucket = F.conv(
         F.substring(F.md5(F.col("_id").cast("string")), 1, 15), 16, 10
@@ -261,17 +291,23 @@ def estimate_junk_cos(
         .collect()
     )
     if len(rows) < 2:
-        return 0.0
-    x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(x, axis=1)
-    keep = norms > 0
-    x = x[keep] / norms[keep][:, None]
-    if len(x) < 2:
-        return 0.0
-    g = x @ x.T
-    iu = np.triu_indices(len(x), k=1)
-    q = float(np.quantile(g[iu], quantile))
-    return float(min(max(q, 0.0), 0.99))
+        out = 0.0
+    else:
+        x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+        norms = np.linalg.norm(x, axis=1)
+        keep = norms > 0
+        x = x[keep] / norms[keep][:, None]
+        if len(x) < 2:
+            out = 0.0
+        else:
+            g = x @ x.T
+            iu = np.triu_indices(len(x), k=1)
+            q = float(np.quantile(g[iu], quantile))
+            out = float(min(max(q, 0.0), 0.99))
+    if memo:
+        _JUNK_MEMO.append((corpus, sample_size, quantile, out))
+        del _JUNK_MEMO[:-_JUNK_MEMO_CAP]
+    return out
 
 
 def auto_ivf_params(n_rows: int, max_cells: int = 256) -> tuple[int, int]:

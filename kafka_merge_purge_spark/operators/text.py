@@ -712,6 +712,7 @@ def pack_sequences(
     bucket_size: int = 1000,
     tokenizer: str = "whitespace",
     merges: list[tuple[str, str]] | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Training-shard assignment by token budget: documents in id order
     are packed contiguously into shards of ~``capacity`` tokens —
@@ -730,7 +731,10 @@ def pack_sequences(
     broadcast back onto the rows.  Identical result, no serial stage
     over the data.
 
-    Output: (id, n_tokens, tokens_before, shard_id).
+    Output: (id, *passthrough, n_tokens, tokens_before, shard_id) —
+    ``passthrough`` columns ride the packing projection so a composed
+    caller (llm_curation_pipeline) keeps its upstream attributes
+    without a join-back that would re-evaluate the whole subtree.
 
     ``tokenizer``: ``"whitespace"`` (default — the oracle-gated exact
     form) or ``"bpe"`` (r6 verdict item 9 — budget-accurate subword
@@ -752,9 +756,20 @@ def pack_sequences(
             F.col("n_tokens"),
             F.floor(F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
         )
+    elif tokenizer == "counts":
+        # df already carries a per-document ``n_tokens`` column (a
+        # composed pipeline computed it upstream — e.g. over REDACTED
+        # text — and must not re-derive it from a different text form)
+        base = df.select(
+            F.col(id_col),
+            *passthrough,
+            F.col("n_tokens"),
+            F.floor(F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
+        )
     else:
         raise ValueError(
-            f"pack_sequences: tokenizer must be 'whitespace' or 'bpe', got {tokenizer!r}"
+            "pack_sequences: tokenizer must be 'whitespace', 'bpe', or "
+            f"'counts', got {tokenizer!r}"
         )
     totals = base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
     w_pref = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -771,6 +786,7 @@ def pack_sequences(
         base.join(F.broadcast(prefixes), "_bkt")
         .select(
             F.col(id_col),
+            *passthrough,
             F.col("n_tokens"),
             (F.col("_prefix") + local_before).alias("tokens_before"),
         )

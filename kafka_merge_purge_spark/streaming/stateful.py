@@ -788,3 +788,162 @@ def streaming_minhash_pairs(
         outputMode="Append",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Hamming near-dup (image/SimHash twin of the MinHash stream;
+# r8 verdict item 6)
+# --------------------------------------------------------------------------
+
+
+def fold_hamming_pairs(
+    state: tuple | None,
+    pdfs: Iterator[pd.DataFrame],
+    max_hamming: int = 6,
+    cap: int = 256,
+) -> tuple:
+    """Pure fold for ONE pigeonhole (band, band_key) bucket: new
+    fingerprints pair against every resident at ``popcount(xor) ≤
+    max_hamming`` — an EXACT verify, so unlike ``fold_band_pairs``'
+    Jaccard estimate the emitted pair is final, not a candidate.  State
+    is one int64 fingerprint per resident.
+
+    Same determinism contract as ``fold_band_pairs``: id-ordered batch
+    processing, idempotent redelivery, (min, max) orientation, pair set
+    chop-invariant while the bucket stays within ``cap`` (the LOWEST
+    ids are kept on overflow; above the cap the documented
+    chop-divergence applies).  Ids keep the caller's dtype.
+
+    Returns ``(new_state, pairs)``; state is ``(ids, fps)``, pairs is
+    a list of ``(id_a, id_b, hamming)``."""
+    ids: list = list(state[0]) if state is not None else []
+    fps: list[int] = list(state[1]) if state is not None else []
+    resident = {_unbox(i): int(f) for i, f in zip(ids, fps)}
+    pairs: list[tuple] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values("id")
+        for rid, fp in zip(batch["id"], batch["fp"]):
+            rid = _unbox(rid)
+            if rid in resident:
+                continue  # idempotent redelivery
+            fp = int(fp)
+            for oid, ofp in resident.items():
+                h = (fp ^ ofp).bit_count()
+                if h <= max_hamming:
+                    lo, hi = (rid, oid) if rid < oid else (oid, rid)
+                    pairs.append((lo, hi, h))
+            resident[rid] = fp
+        if len(resident) > cap:
+            keep = sorted(resident)[:cap]
+            resident = {i: resident[i] for i in keep}
+    new_ids = sorted(resident)
+    return ((new_ids, [resident[i] for i in new_ids]), pairs)
+
+
+class HammingNearDupPairs(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming Hamming near-dup processor: ValueState holds each band
+    bucket's resident (ids, fingerprints); the transition is the pure
+    ``fold_hamming_pairs``.  TTL expiry drops the bucket."""
+
+    _STATE_ATTRS = ("_bucket",)
+
+    def __init__(
+        self,
+        max_hamming: int = 6,
+        cap: int = 256,
+        ttl_ms: int | None = None,
+        id_type: str = "long",
+    ):
+        super().__init__(ttl_ms)
+        self._max_hamming = max_hamming
+        self._cap = cap
+        self._id_type = id_type
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._bucket = handle.getValueState(
+            "bucket", f"ids array<{self._id_type}>, fps array<long>"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = tuple(self._bucket.get()) if self._bucket.exists() else None
+        state, pairs = fold_hamming_pairs(prior, rows, self._max_hamming, self._cap)
+        self._bucket.update(state)
+        self._arm_ttl(timerValues)
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "id_a": [p[0] for p in pairs],
+                    "id_b": [p[1] for p in pairs],
+                    "hamming": [p[2] for p in pairs],
+                }
+            )
+
+
+def streaming_hamming_pairs(
+    fp_df: DataFrame,
+    id_col: str = "id",
+    fp_col: str = "fp",
+    bits: int = 32,
+    max_hamming: int = 3,
+    state_cap: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming near-dup pairs over ANY int64 fingerprint stream — the
+    stream twin of ``dedup.hamming_banded_pairs``, sharing its band
+    projection LITERALLY (``dedup.hamming_banded_frame`` runs unchanged
+    on the streaming frame: filter + explode are narrow), so stream
+    buckets equal batch buckets by construction.  Within a bucket the
+    ``fold_hamming_pairs`` transition verifies exactly; by pigeonhole a
+    qualifying pair shares ≥1 band, so the emitted distinct pair set
+    equals the batch operator's (within ``state_cap``/TTL bounds —
+    chopped-replay equivalence pinned in tests/test_streaming.py).  A
+    pair sharing several bands emits once per shared band; compose
+    ``.withWatermark(...).dropDuplicates(["id_a", "id_b"])`` downstream
+    for the distinct stream, mirroring the batch cross-band dedup."""
+    from kafka_merge_purge_spark.operators.dedup import hamming_banded_frame
+
+    id_type = dict(fp_df.dtypes)[id_col]
+    banded = hamming_banded_frame(fp_df, id_col, fp_col, bits, max_hamming)
+    return banded.groupBy("band", "band_key").transformWithStateInPandas(
+        statefulProcessor=HammingNearDupPairs(
+            max_hamming, state_cap, state_ttl_ms, id_type
+        ),
+        outputStructType=f"id_a {id_type}, id_b {id_type}, hamming int",
+        outputMode="Append",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )
+
+
+def streaming_image_neardup(
+    images: DataFrame,
+    max_hamming: int = 6,
+    grid_rows: int = 7,
+    grid_cols: int = 8,
+    state_cap: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming image near-duplicate pairs — the multimodal flagship's
+    streaming leg (r8 verdict item 6): each arriving (media_id, payload)
+    is fingerprinted by the SAME narrow aHash kernel as the batch
+    operator (``multimodal.decode_image_ahash`` is one mapInPandas
+    pass — streaming-safe), pigeonhole-banded, and matched against the
+    in-window residents of its band buckets.  Undecodable / sub-grid
+    payloads carry NULL fingerprints and drop out at the banding.
+
+    Equals ``multimodal.image_neardup_pairs`` on a replayed stream
+    (distinct pairs, within state bounds) — the composition twin of
+    streaming_minhash_pairs for text."""
+    from kafka_merge_purge_spark.operators.multimodal import decode_image_ahash
+
+    fps = decode_image_ahash(images, grid_rows, grid_cols)
+    return streaming_hamming_pairs(
+        fps,
+        id_col="media_id",
+        fp_col="ahash",
+        bits=grid_rows * grid_cols,
+        max_hamming=max_hamming,
+        state_cap=state_cap,
+        state_ttl_ms=state_ttl_ms,
+    )

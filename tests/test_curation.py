@@ -686,3 +686,151 @@ def test_duplicate_spans_adaptive_finds_cjk_boilerplate(spark):
              dd.scrub_duplicate_spans(df, k=5, adaptive=True).collect()}
     assert scrub[1]["n_dup_tokens"] >= len(boiler) - 1
     assert "共通の定型文" not in scrub[1]["text_scrubbed"].replace(" ", "")
+
+
+def test_kmeans_assign_kernel_regime_matches_literal(spark):
+    """r9: the literal-vs-GEMM regime split now also covers
+    kmeans_fit's iteration assignment and kmeans_assign (previously
+    only the k-means|| passes switched — the fit/assign built a
+    ~9k-literal interpreted expression at auto-sized k).  Both regimes
+    must agree on cluster ids (numpy argmin = array_position first-min
+    tie-break), and the big-k assign must keep the row-set contract:
+    NULL-vector rows survive with NULL cluster_id."""
+    import random
+
+    from kafka_merge_purge_spark.operators import cluster as cl
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((999, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+
+    lit = {
+        r["vec_id"]: r["cluster_id"]
+        for r in cl.kmeans_assign(emb, centroids=centers).collect()
+    }
+    old = cl._MAX_LITERAL_CENTERS
+    try:
+        cl._MAX_LITERAL_CENTERS = 1  # force kernel + join path
+        ker = {
+            r["vec_id"]: r["cluster_id"]
+            for r in cl.kmeans_assign(emb, centroids=centers).collect()
+        }
+        # the fit loop also rides the kernel in this regime
+        cents_ker = cl.kmeans_fit(emb, k=5, iters=2)
+    finally:
+        cl._MAX_LITERAL_CENTERS = old
+    assert ker == lit and ker[999] is None and len(ker) == 61
+    cents_lit = cl.kmeans_fit(emb, k=5, iters=2)
+    assert [[round(x, 6) for x in c] for c in cents_ker] == [
+        [round(x, 6) for x in c] for c in cents_lit
+    ]
+    # and a genuinely big center set runs end to end (no codegen blowup)
+    big = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(150)]
+    assert cl.kmeans_assign(emb, centroids=big).count() == 61
+
+
+def test_gopher_keep_filter_survives_joins(spark):
+    """r9 regression (Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND): the
+    stopword rule's old HOF form captured the outer `toks` attribute
+    inside a lambda; once CollapseProject inlined the keep-predicate
+    into a join-side Filter, Spark 4.1 failed to bind the captured
+    reference at execution.  The array_intersect form is value-identical
+    and join-safe — this pins the exact composition that crashed."""
+    from kafka_merge_purge_spark.operators.curation import (
+        gopher_rules,
+        redact_pii,
+        synth_pii_text,
+    )
+    from kafka_merge_purge_spark.operators.text import tokens
+
+    docs = _docs(
+        spark,
+        [(i, "the and of word1 word2 word3 word4 word5 word6 word7", "en", "s", 50)
+         for i in range(12)],
+    )
+    red = redact_pii(synth_pii_text(docs)).select("doc_id", "text_redacted")
+    g = gopher_rules(
+        red.withColumn("toks", tokens(F.col("text_redacted"))),
+        text_col="text_redacted",
+        tokens_col="toks",
+    )
+    out = (
+        g.filter(F.col("keep") == 1)
+        .select("doc_id", "n_tokens")
+        .join(docs.select("doc_id"), "doc_id")
+    )
+    assert out.count() == 12  # executes without the binding crash
+
+
+def test_llm_pipeline_composes_and_plan_bounded(spark):
+    """r8 verdict item 7: the composed mega-pipeline equals its staged
+    computation (quality gate ∩ Gopher keep ∩ SemDeDup keep, packed by
+    redacted token counts in id order), and the one-plan composition is
+    exchange-bounded — the passthrough packing means no join-back
+    re-evaluates the survivor subtree."""
+    import random
+
+    from kafka_merge_purge_spark.operators.curation import (
+        gopher_rules,
+        llm_curation_pipeline,
+        quality_classifier,
+        redact_pii,
+        synth_pii_text,
+    )
+    from kafka_merge_purge_spark.operators.dedup import semantic_dedup
+    from kafka_merge_purge_spark.operators.text import tokens
+
+    rng = random.Random(3)
+    docs = spark.createDataFrame(
+        [(i, "the and of " + " ".join(f"w{rng.randrange(40)}" for _ in range(30)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(28)]
+        + [(28, None)],  # a doc with a NULL embedding row: sem drops it,
+        "vec_id long, embedding array<double>",  # the pipeline keeps it
+    )
+    weights, bias, cap = [0.3] * 16, 0.2, 64
+    out = llm_curation_pipeline(
+        docs, emb, weights=weights, bias=bias, k=2, capacity=cap
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 26  # pinned upper bound (r9 measure)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    # staged reference
+    qok = {
+        r["doc_id"]
+        for r in quality_classifier(docs, weights, bias).collect()
+        if r["prob"] >= 0.5
+    }
+    red = redact_pii(synth_pii_text(docs)).select("doc_id", "text_redacted")
+    gr = {
+        r["doc_id"]: r["n_tokens"]
+        for r in gopher_rules(
+            red.withColumn("toks", tokens(F.col("text_redacted"))),
+            text_col="text_redacted", tokens_col="toks",
+        ).collect()
+        if r["keep"] == 1
+    }
+    sem = {
+        r["vec_id"]: (r["cell_id"], r["is_kept"])
+        for r in semantic_dedup(emb, threshold=0.4, k=2).collect()
+    }
+    want_ids = {
+        d for d in gr
+        if d in qok and (d not in sem or sem[d][1] == 1)
+    }
+    assert set(got) == want_ids and got
+    assert 28 not in sem  # NULL embedding dropped from the dedup frame
+    if 28 in want_ids:
+        assert got[28]["cell_id"] is None  # pipeline kept it, cell NULL
+    before = 0
+    for d in sorted(want_ids):
+        assert got[d]["n_tokens"] == gr[d]
+        assert got[d]["tokens_before"] == before
+        assert got[d]["shard_id"] == before // cap
+        before += gr[d]
