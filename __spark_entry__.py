@@ -1585,9 +1585,13 @@ def x_pixel_stats(spark, sf_dir):
 
 
 def _synth_pgm16(spark, sf_dir):
-    """documents → (media_id, payload) spec-valid binary PGM, width 16
-    (shared by the image-fingerprint/near-dup queries: a FIXED width
-    keeps the oracle's pixel geometry a pure function of text length)."""
+    """documents → (media_id, payload) spec-valid binary Netpbm, width
+    16 (shared by the image-fingerprint/near-dup queries: a FIXED width
+    keeps the oracle's pixel geometry a pure function of text length).
+    Every third document (doc_id % 3 == 0) is a COLOR P6 (r8 verdict
+    item 8: the r+g+b luminance branch of image_ahash was pytest-only —
+    the P6 decode grammar, 3-bytes-per-pixel geometry, and integer
+    luminance sum now all ride the hash gates); the rest stay P5."""
     import pandas as pd
 
     from kafka_merge_purge_spark.operators import multimodal as mm
@@ -1600,7 +1604,10 @@ def _synth_pgm16(spark, sf_dir):
 
     def synth(batches):
         for pdf in batches:
-            payloads = [mm.synth_pgm(bytes(data), width=16) for data in pdf["data"]]
+            payloads = [
+                (mm.synth_ppm if mid % 3 == 0 else mm.synth_pgm)(bytes(data), width=16)
+                for mid, data in zip(pdf["media_id"], pdf["data"])
+            ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     return src.mapInPandas(synth, schema="media_id long, payload binary")
@@ -1637,11 +1644,18 @@ def x_image_neardup(spark, sf_dir):
 #: (block sums → bit assembly).  Shared by both image queries.
 _AHASH_FP_SQL = """
     m AS (SELECT doc_id, text, strlen(text) AS nb, 16 AS w,
-                 greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) AS h
+                 (doc_id % 3 = 0) AS color,
+                 greatest(1, CAST(ceil(strlen(text) /
+                     (CASE WHEN doc_id % 3 = 0 THEN 48.0 ELSE 16.0 END))
+                     AS BIGINT)) AS h
           FROM documents WHERE text IS NOT NULL),
     px AS (SELECT doc_id, w, h, i - 1 AS i,
-                  CASE WHEN i <= nb THEN ascii(substr(text, CAST(i AS INTEGER), 1))
-                       ELSE 0 END AS code
+                  CASE WHEN color THEN
+                         (CASE WHEN 3 * i - 2 <= nb THEN ascii(substr(text, CAST(3 * i - 2 AS INTEGER), 1)) ELSE 0 END)
+                       + (CASE WHEN 3 * i - 1 <= nb THEN ascii(substr(text, CAST(3 * i - 1 AS INTEGER), 1)) ELSE 0 END)
+                       + (CASE WHEN 3 * i     <= nb THEN ascii(substr(text, CAST(3 * i     AS INTEGER), 1)) ELSE 0 END)
+                  ELSE CASE WHEN i <= nb THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                       ELSE 0 END END AS code
            FROM m, unnest(range(1, w * h + 1)) AS t(i)
            WHERE h >= 7),
     blocks AS (SELECT doc_id,
@@ -2221,11 +2235,18 @@ def _wide_ahash_oracle() -> str:
     )
     return f"""
     WITH m AS (SELECT doc_id, text, strlen(text) AS nb, 16 AS w,
-                      greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) AS h
+                      (doc_id % 3 = 0) AS color,
+                      greatest(1, CAST(ceil(strlen(text) /
+                          (CASE WHEN doc_id % 3 = 0 THEN 48.0 ELSE 16.0 END))
+                          AS BIGINT)) AS h
                FROM documents WHERE text IS NOT NULL),
     px AS (SELECT doc_id, w, h, i - 1 AS i,
-                  CASE WHEN i <= nb THEN ascii(substr(text, CAST(i AS INTEGER), 1))
-                       ELSE 0 END AS code
+                  CASE WHEN color THEN
+                         (CASE WHEN 3 * i - 2 <= nb THEN ascii(substr(text, CAST(3 * i - 2 AS INTEGER), 1)) ELSE 0 END)
+                       + (CASE WHEN 3 * i - 1 <= nb THEN ascii(substr(text, CAST(3 * i - 1 AS INTEGER), 1)) ELSE 0 END)
+                       + (CASE WHEN 3 * i     <= nb THEN ascii(substr(text, CAST(3 * i     AS INTEGER), 1)) ELSE 0 END)
+                  ELSE CASE WHEN i <= nb THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                       ELSE 0 END END AS code
            FROM m, unnest(range(1, w * h + 1)) AS t(i)
            WHERE h >= 16),
     blocks AS (SELECT doc_id,
