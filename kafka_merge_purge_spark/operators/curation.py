@@ -551,11 +551,18 @@ def llm_curation_pipeline(
     from kafka_merge_purge_spark.operators.dedup import semantic_dedup
     from kafka_merge_purge_spark.operators.text import pack_sequences
     from kafka_merge_purge_spark.plans import projection_barrier
+    from kafka_merge_purge_spark.plans.introspect import python_barrier
 
     qc = quality_classifier(docs, weights, bias)
     red = redact_pii(synth_pii_text(docs)).select("doc_id", "text_redacted")
     red = projection_barrier(red.withColumn("toks", tokens(F.col("text_redacted"))))
-    g = gopher_rules(red, text_col="text_redacted", tokens_col="toks")
+    # python_barrier: the keep-filter below would otherwise be pushed
+    # through the metric projection and re-evaluate the whole Gopher
+    # chain as a per-row predicate (measured 1.8 -> 8.5 s at sf0.1)
+    g = python_barrier(
+        gopher_rules(red, text_col="text_redacted", tokens_col="toks")
+        .select("doc_id", "n_tokens", "keep")
+    )
     sem = semantic_dedup(
         emb, id_col=emb_id_col, vec_col=vec_col,
         threshold=sem_threshold, k=k, iters=iters, centroids=centroids,

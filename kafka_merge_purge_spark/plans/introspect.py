@@ -82,3 +82,26 @@ def projection_barrier(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return df.withColumn("_barrier", F.explode(F.array(F.lit(1)))).drop("_barrier")
+
+
+def python_barrier(df: DataFrame) -> DataFrame:
+    """A materialization boundary Catalyst cannot cross: an Arrow
+    identity pass (``mapInPandas`` of the identity function).
+
+    ``projection_barrier`` pins a projection against CollapseProject,
+    but **filters** still walk through it — PushPredicateThroughProject
+    substitutes the predicate's attribute references with their
+    producing expressions (no cost model), so ``df.filter(keep == 1)``
+    over a computed ``keep`` column re-evaluates the ENTIRE metric
+    chain as a per-row predicate (measured: the Gopher keep-filter
+    turned a 1.8 s stage into 8.5 s at sf0.1 — the top-word-fraction
+    HOF inlined into the predicate).  Optimizer rules cannot see inside
+    a Python eval node, so a filter above this stays a cheap attribute
+    comparison.
+
+    Costs one Arrow serialization round-trip of the frame — project to
+    the narrow column set FIRST (column pruning cannot cross it
+    either).  Batch-only (mapInPandas is streaming-safe, but the
+    POINT of the barrier — blocking pushdown — applies to batch
+    optimization)."""
+    return df.mapInPandas(lambda it: it, schema=df.schema)

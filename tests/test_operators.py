@@ -2080,3 +2080,26 @@ def test_image_ahash_words_wide_path(spark):
             if h <= 6:
                 want[(a, b)] = h
     assert got == want and any(h == 0 for h in want.values())
+
+
+def test_semantic_dedup_gemm_equals_pairs_strategy(spark):
+    """r9: the default in-cell chunked-GEMM prune must equal the legacy
+    pair-join scorer composition row for row (bit-identical quantized
+    cosine math), including with a sub-chunk and multi-chunk cell, and
+    both must keep the id dtype."""
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(300):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v))
+        if i % 7 == 0:
+            rows.append((i + 10000, [x + rng.gauss(0, 0.001) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, k=3, iters=2)
+    gemm = {tuple(r) for r in dd.semantic_dedup(df, strategy="gemm", **kw).collect()}
+    pairs = {tuple(r) for r in dd.semantic_dedup(df, strategy="pairs", **kw).collect()}
+    assert gemm == pairs and any(r[2] == 0 for r in gemm)
+    with pytest.raises(ValueError, match="strategy"):
+        dd.semantic_dedup(df, strategy="quadratic")
