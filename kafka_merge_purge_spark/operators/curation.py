@@ -392,6 +392,7 @@ def quality_classifier(
     bias: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "kernel",
 ) -> DataFrame:
     """Linear quality-classifier scoring over hashed n-gram features —
     the standard fasttext-style curation gate (public recipe: CCNet /
@@ -415,10 +416,22 @@ def quality_classifier(
     the identical integer arithmetic and hash-matches.
 
     Output: one row per document with ≥1 alphanumeric token —
-    ``(id_col, margin double, prob double)``.  At 100 TB: the weight
-    array is a literal (≤ a few hundred doubles — broadcast-free), the
-    only exchange is the per-(id, bucket) partial aggregate the feature
-    extractor already pays, then a per-id combine."""
+    ``(id_col, margin double, prob double)``.
+
+    ``impl`` picks the physical form (identical values, pinned equal):
+
+    - ``"kernel"`` (default, r9): ONE stateless Arrow kernel computes
+      each document's exact int64 dot in-process (same md5 → bucket →
+      ±sign arithmetic as ``text.hashed_embedding``, pure-Python per
+      token) and the margin→sigmoid stays a Spark expression — ZERO
+      shuffles.  The agg form's token explode pushes ~n_docs·dim
+      partial rows through an exchange; at 100 TB the classifier gate
+      should be a map stage, and statelessness makes this form
+      streaming-composable for free.
+    - ``"agg"``: the r8 explode + map-side-combined aggregate over
+      ``hashed_embedding`` — kept for corpora where JVM-side string
+      semantics must own normalization (non-ASCII lowercasing edge
+      cases) and as the equality pin."""
     import math
 
     from .text import hashed_embedding
@@ -428,6 +441,57 @@ def quality_classifier(
         raise ValueError("quality_classifier: weights must be non-empty")
     qw = [int(math.floor(w * 1e6 + 0.5)) for w in weights]
     bias_q = int(math.floor(bias * 1e6 + 0.5))
+
+    def finish(margin_src: DataFrame) -> DataFrame:
+        return margin_src.select(
+            id_col,
+            "margin",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6).alias(
+                "prob"
+            ),
+        )
+
+    if impl == "kernel":
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        qw_t = tuple(qw)
+
+        def score(batches):
+            has_alnum = re.compile(r"[a-zA-Z0-9]")
+            squeeze = re.compile(r"[^a-z0-9]+")
+            for pdf in batches:
+                ids, mq = [], []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    if t is None or not has_alnum.search(t):
+                        continue  # the agg form's rlike degenerate filter
+                    # normalize() twin: lower + squeeze + trim (post-
+                    # squeeze only plain spaces remain, so strip == trim)
+                    norm = squeeze.sub(" ", t.lower()).strip()
+                    dot = 0
+                    for tok in norm.split(" "):
+                        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                        w = qw_t[(h >> 1) % dim]
+                        dot += w if (h & 1) == 0 else -w
+                    ids.append(i)
+                    mq.append(dot + bias_q)
+                if ids:
+                    yield pd.DataFrame({id_col: ids, "_mq": mq})
+
+        mq = df.select(id_col, text_col).mapInPandas(
+            score, schema=f"{id_col} {id_type}, _mq long"
+        )
+        return finish(
+            mq.select(
+                id_col,
+                F.round(F.col("_mq").cast("double") / 1e6, 6).alias("margin"),
+            )
+        )
+    if impl != "agg":
+        raise ValueError(f"quality_classifier: impl must be 'kernel' or 'agg', got {impl!r}")
     feats = hashed_embedding(df, dim=dim, text_col=text_col, id_col=id_col)
     wcol = F.element_at(
         F.array(*[F.lit(q).cast("long") for q in qw]),
@@ -436,17 +500,7 @@ def quality_classifier(
     margin = (
         (F.sum(F.col("weight") * wcol) + F.lit(bias_q)).cast("double") / 1e6
     )
-    return (
-        feats.groupBy(id_col)
-        .agg(F.round(margin, 6).alias("margin"))
-        .select(
-            id_col,
-            "margin",
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6).alias(
-                "prob"
-            ),
-        )
-    )
+    return finish(feats.groupBy(id_col).agg(F.round(margin, 6).alias("margin")))
 
 
 def curation_pipeline(df: DataFrame) -> DataFrame:

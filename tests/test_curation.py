@@ -834,3 +834,30 @@ def test_llm_pipeline_composes_and_plan_bounded(spark):
         assert got[d]["tokens_before"] == before
         assert got[d]["shard_id"] == before // cap
         before += gr[d]
+
+
+def test_quality_classifier_kernel_equals_agg(spark):
+    """r9: the zero-shuffle kernel form must equal the explode+aggregate
+    form row for row (same md5→bucket→±sign arithmetic, same quantized
+    dot, same margin/sigmoid expressions) — including degenerate docs
+    (no alphanumerics → no row), NULL text, and punctuation-heavy
+    normalization edges."""
+    from kafka_merge_purge_spark.operators.curation import quality_classifier
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "  MIXED case,   punctuation!! and-dashes "),
+        (3, "???"),          # no alnum: dropped by both forms
+        (4, None),           # NULL: dropped by both forms
+        (5, "a"),
+        (6, "numbers 123 and 456 tokens tokens tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = [((j * 37) % 13 - 6) / 10.0 for j in range(64)]
+    kern = {tuple(r) for r in quality_classifier(df, w, 0.1).collect()}
+    agg = {tuple(r) for r in quality_classifier(df, w, 0.1, impl="agg").collect()}
+    assert kern == agg and len(kern) == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impl"):
+        quality_classifier(df, w, impl="svm")
