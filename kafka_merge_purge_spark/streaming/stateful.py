@@ -947,3 +947,190 @@ def streaming_image_neardup(
         state_cap=state_cap,
         state_ttl_ms=state_ttl_ms,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming semantic (embedding cosine) near-dup — the vector twin of the
+# MinHash and Hamming streams; completes the streaming dedup triad (r9)
+# --------------------------------------------------------------------------
+
+
+def quantized_cell_stream(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stateless prefix of the streaming semantic dedup: (id, vector) →
+    ``(cell_id, id, qv)`` with the vector already quantized to the exact
+    int64 grid the batch scorer uses (``dedup._quantize`` — floor(v·1e6
+    + 0.5)), so the stateful stage's cosine is bit-identical to
+    ``semantic_dedup``'s and state holds ints, never floats.
+
+    Cell assignment runs against STORED centroids (a streaming job
+    cannot fit; pass ``cluster.kmeans_fit`` output — the amortized
+    x_kmeans pattern) as one narrow numpy pass: argmin of squared L2,
+    first-min tie-break, matching ``cluster._assign_frame``'s GEMM
+    regime.  NULL vectors drop (no cell — same contract as the batch
+    operator)."""
+    import numpy as np
+
+    from kafka_merge_purge_spark.operators.dedup import _quantize
+
+    c = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(c)
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        cc = (cents * cents).sum(axis=1)
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cents.T) + cc[None, :]
+            qv = _quantize(x)
+            yield pd.DataFrame(
+                {
+                    "cell_id": (d2.argmin(axis=1) + 1).astype("int32"),
+                    "id": pdf[id_col],
+                    "qv": [row.tolist() for row in qv],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"cell_id int, id {id_type}, qv array<long>"
+    )
+
+
+def fold_cell_pairs(
+    state: tuple | None,
+    pdfs: Iterator[pd.DataFrame],
+    threshold: float = 0.95,
+    cap: int = 256,
+) -> tuple:
+    """Pure fold for ONE k-means cell: each new quantized vector scores
+    against every resident with the EXACT int64 dot + np.round cosine
+    (bit-identical to ``dedup.score_candidate_pairs`` /
+    ``semantic_dedup``'s GEMM prune), emitting ``(id_a, id_b, cos)``
+    for pairs at ``cos ≥ threshold``.
+
+    Same determinism contract as its MinHash/Hamming siblings:
+    id-ordered batch processing, idempotent redelivery, (min, max)
+    orientation, chop-invariant within ``cap`` (lowest ids kept on
+    overflow; the documented divergence above it).  State is
+    ``(ids, dim, flat_qvs)``."""
+    import numpy as np
+
+    ids: list = list(state[0]) if state is not None else []
+    dim: int = int(state[1]) if state is not None else 0
+    flat: list[int] = list(state[2]) if state is not None else []
+    resident = {
+        _unbox(i): flat[j * dim : (j + 1) * dim] for j, i in enumerate(ids)
+    }
+    pairs: list[tuple] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values("id")
+        for rid, qv in zip(batch["id"], batch["qv"]):
+            rid = _unbox(rid)
+            if rid in resident:
+                continue  # idempotent redelivery
+            qv = [int(x) for x in qv]
+            dim = len(qv)
+            if resident:
+                q = np.asarray(qv, dtype=np.int64)
+                r_ids = list(resident)
+                m = np.asarray([resident[i] for i in r_ids], dtype=np.int64)
+                dots = m @ q
+                aa = (m * m).sum(axis=1)
+                bb = int((q * q).sum())
+                cos = np.round(dots / (np.sqrt(aa) * np.sqrt(bb)), 6)
+                for oid, cv in zip(r_ids, cos):
+                    if cv >= threshold:
+                        lo, hi = (rid, oid) if rid < oid else (oid, rid)
+                        pairs.append((lo, hi, float(cv)))
+            resident[rid] = qv
+        if len(resident) > cap:
+            keep = sorted(resident)[:cap]
+            resident = {i: resident[i] for i in keep}
+    new_ids = sorted(resident)
+    new_flat = [x for i in new_ids for x in resident[i]]
+    return ((new_ids, dim, new_flat), pairs)
+
+
+class CellNearDupPairs(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming semantic near-dup processor: ValueState holds each
+    cell's resident (ids, dim, quantized vectors); the transition is the
+    pure ``fold_cell_pairs``.  TTL expiry drops the cell."""
+
+    _STATE_ATTRS = ("_bucket",)
+
+    def __init__(
+        self,
+        threshold: float = 0.95,
+        cap: int = 256,
+        ttl_ms: int | None = None,
+        id_type: str = "long",
+    ):
+        super().__init__(ttl_ms)
+        self._threshold = threshold
+        self._cap = cap
+        self._id_type = id_type
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._bucket = handle.getValueState(
+            "bucket", f"ids array<{self._id_type}>, dim int, qvs array<long>"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = tuple(self._bucket.get()) if self._bucket.exists() else None
+        state, pairs = fold_cell_pairs(prior, rows, self._threshold, self._cap)
+        self._bucket.update(state)
+        self._arm_ttl(timerValues)
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "id_a": [p[0] for p in pairs],
+                    "id_b": [p[1] for p in pairs],
+                    "cos": [p[2] for p in pairs],
+                }
+            )
+
+
+def streaming_semantic_pairs(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    state_cap: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming semantic near-dup pairs — the embedding twin of
+    ``streaming_minhash_pairs``/``streaming_hamming_pairs``, completing
+    the streaming dedup triad (text shingles / image fingerprints /
+    embedding cosine): each arriving vector is assigned to its stored
+    k-means cell (narrow GEMM, ``quantized_cell_stream``), then scored
+    against the cell's in-window residents with the exact quantized
+    cosine via ``transformWithStateInPandas``; a pair emits the moment
+    its later member arrives — batch-equivalence with ``semantic_dedup``
+    pinned under randomized chopped replays in tests/test_streaming.py.
+
+    Unlike the banded streams, a cell pair emits exactly ONCE (cells
+    partition the space — no cross-band duplicate emission, no
+    downstream dropDuplicates needed).  State per cell is ≤
+    ``state_cap`` quantized vectors (lowest-id residents), TTL-evicted
+    after ``state_ttl_ms`` idle."""
+    id_type = dict(emb.dtypes)[id_col]
+    tagged = quantized_cell_stream(emb, centroids, id_col, vec_col)
+    return tagged.groupBy("cell_id").transformWithStateInPandas(
+        statefulProcessor=CellNearDupPairs(
+            threshold, state_cap, state_ttl_ms, id_type
+        ),
+        outputStructType=f"id_a {id_type}, id_b {id_type}, cos double",
+        outputMode="Append",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )

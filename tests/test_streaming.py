@@ -1254,3 +1254,139 @@ def test_hamming_neardup_processor_ttl_protocol():
     assert not h.states["bucket"].exists()
     assert list(proc.handleInputRows((0, 0), iter([pdf([9])]), _tv(3_000))) == []
     assert list(h.states["bucket"].get()[0]) == [9]
+
+
+# ------------------------------------------- streaming semantic near-dup
+
+
+def test_streaming_semantic_matches_batch_semantic_dedup(spark):
+    """r9 (streaming dedup triad, embedding leg): quantized_cell_stream
+    assigns arriving vectors to the STORED centroids exactly as the
+    batch assign (well-separated planted clusters — no boundary
+    ambiguity between the literal and GEMM distance forms), and 10×
+    randomized chopped replays of fold_cell_pairs emit a pair set whose
+    max-side ids equal semantic_dedup's pruned set, with every cosine
+    recomputed independently from the quantized vectors."""
+    import random
+
+    import numpy as np
+
+    from kafka_merge_purge_spark.operators import dedup as dd
+    from kafka_merge_purge_spark.operators.cluster import kmeans_assign
+    from kafka_merge_purge_spark.streaming.stateful import (
+        fold_cell_pairs,
+        quantized_cell_stream,
+    )
+
+    rng = random.Random(19)
+    centers = [[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0], [0.0, 0.0, 5.0, 0.0]]
+    rows = []
+    for i in range(90):
+        base = centers[i % 3]
+        v = [x + rng.gauss(0, 0.3) for x in base]
+        rows.append((i, v))
+        if i % 5 == 0:  # planted near-dup (cos ≈ 1 within the cell)
+            rows.append((i + 1000, [x * (1 + rng.gauss(0, 0.0005)) for x in v]))
+    rows.append((9999, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    TH = 0.99
+    batch = {
+        r["vec_id"]: r
+        for r in dd.semantic_dedup(emb, threshold=TH, centroids=centers).collect()
+    }
+    batch_dropped = {i for i, r in batch.items() if r["is_kept"] == 0}
+    assert batch_dropped  # planted copies guarantee prunes
+
+    tagged = quantized_cell_stream(emb, centers).collect()
+    assert 9999 not in {r["id"] for r in tagged}  # NULL vector dropped
+    # cell assignment parity with the batch operator's assign
+    bcells = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(emb, centroids=centers).collect()
+        if r["cluster_id"] is not None
+    }
+    assert {r["id"]: r["cell_id"] for r in tagged} == bcells
+
+    buckets: dict = {}
+    qvs: dict = {}
+    for r in tagged:
+        buckets.setdefault(r["cell_id"], []).append(r["id"])
+        qvs[r["id"]] = list(r["qv"])
+
+    rng2 = random.Random(23)
+    for _ in range(10):
+        got: dict = {}
+        for members in buckets.values():
+            order = members[:]
+            rng2.shuffle(order)
+            if len(order) > 1 and rng2.random() < 0.5:
+                order.append(order[rng2.randrange(len(order) - 1)])  # redelivery
+            state, i = None, 0
+            while i < len(order):
+                j = min(len(order), i + rng2.randint(1, 3))
+                pdf = pd.DataFrame(
+                    {"id": order[i:j], "qv": [qvs[m] for m in order[i:j]]}
+                )
+                chunks = (
+                    [pdf.iloc[:1], pdf.iloc[1:]]
+                    if len(pdf) > 1 and rng2.random() < 0.5
+                    else [pdf]
+                )
+                state, pairs = fold_cell_pairs(
+                    state, iter(chunks), threshold=TH, cap=100_000
+                )
+                for a, b, c in pairs:
+                    assert a < b
+                    got[(a, b)] = c
+                i = j
+            assert state[0] == sorted(set(members))
+        assert {b for _, b in got} == batch_dropped
+        for (a, b), c in got.items():
+            qa = np.asarray(qvs[a], dtype=np.int64)
+            qb = np.asarray(qvs[b], dtype=np.int64)
+            want = float(np.round(
+                (qa @ qb) / (np.sqrt((qa * qa).sum()) * np.sqrt((qb * qb).sum())), 6
+            ))
+            assert c == want and c >= TH
+
+    # cap semantics: the lowest ids survive; a split that evicts a
+    # resident before its partner arrives drops exactly that pair
+    sig = {i: [1_000_000, 0, 0, i] for i in (1, 2, 3, 4)}  # cos≈1 pairs
+
+    def pdf(ids):
+        return pd.DataFrame({"id": ids, "qv": [sig[i] for i in ids]})
+
+    st, p = fold_cell_pairs(None, iter([pdf([4, 2, 1, 3])]), threshold=0.9, cap=2)
+    assert {(a, b) for a, b, _ in p} == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert st[0] == [1, 2]
+    st, p1 = fold_cell_pairs(None, iter([pdf([2, 3])]), threshold=0.9, cap=2)
+    st, p2 = fold_cell_pairs(st, iter([pdf([1])]), threshold=0.9, cap=2)
+    st, p3 = fold_cell_pairs(st, iter([pdf([4])]), threshold=0.9, cap=2)
+    got3 = {(a, b) for a, b, _ in p1 + p2 + p3}
+    assert got3 == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}  # (3,4) evicted
+
+
+def test_cell_neardup_processor_ttl_protocol():
+    """CellNearDupPairs lifecycle on the fake handle: pairs emit through
+    the (ids, dim, qvs) ValueState round-trip, TTL expiry drops the
+    cell, rebuild starts empty."""
+    from kafka_merge_purge_spark.streaming.stateful import CellNearDupPairs
+
+    def pdf(ids):
+        return pd.DataFrame({"id": ids, "qv": [[1000, 2000]] * len(ids)})
+
+    proc = CellNearDupPairs(threshold=0.9, cap=8, ttl_ms=1_000)
+    h = _FakeHandle()
+    proc.init(h)
+    out = list(proc.handleInputRows((1,), iter([pdf([1, 2])]), _tv(0)))
+    assert out[0][["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert out[0]["cos"].tolist() == [1.0]
+    assert h.timers == [1_000]
+    out = list(proc.handleInputRows((1,), iter([pdf([3])]), _tv(100)))
+    assert out[0][["id_a", "id_b"]].values.tolist() == [[1, 3], [2, 3]]
+    list(proc.handleExpiredTimer((1,), _tv(2_000), _eti(1_100)))
+    assert not h.states["bucket"].exists()
+    assert list(proc.handleInputRows((1,), iter([pdf([9])]), _tv(3_000))) == []
+    assert list(h.states["bucket"].get()[0]) == [9]
