@@ -2273,6 +2273,34 @@ def _wide_ahash_oracle() -> str:
 _LLM_ORACLES["x_image_neardup_wide"] = _wide_ahash_oracle()
 
 
+def x_multimodal_dedup(spark, sf_dir):
+    """CROSS-MODAL duplicate clustering (r9): a document is a duplicate
+    if its TEXT is a near-dup (MinHash-LSH banding + exact shingle
+    Jaccard ≥ 0.5 — the x_minhash_pairs machinery) OR its rendered
+    IMAGE is a near-dup (aHash + pigeonhole Hamming ≤ 6 — the
+    x_image_neardup machinery, P5+P6); the union of both pair sets
+    feeds connected components, so paraphrase-class and pixel-class
+    duplicates transitively merge into one cluster keyed by the
+    minimum doc id.  The composition a multimodal training-data
+    pipeline actually runs: per-modality candidate generation stays
+    banded/linear, only (id, id) pairs cross modalities, and the
+    clustering is the bounded-driver/Pregel split of
+    operators/components.py.  FULL hash oracle: both pair chains
+    replayed bit-for-bit + the recursive-CTE min-label closure."""
+    from kafka_merge_purge_spark.operators import multimodal as mm
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    tp = dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    ip = mm.image_neardup_pairs(_synth_pgm16(spark, sf_dir), max_hamming=6).select(
+        "id_a", "id_b"
+    )
+    return connected_components(
+        tp.unionByName(ip).dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _simhash_oracle(bits: int = 32, where: str = "") -> str:
     """Generate the per-bit vote SQL matching dedup.simhash exactly."""
     hash_expr = _MD5_INT.format(x="t")
@@ -2683,7 +2711,8 @@ _LLM_ORACLES["x_simhash_pairs"] = f"""
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
 def _minhash_pairs_oracle(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+    ctes_only: bool = False,
 ) -> str:
     """Full MinHash-LSH twin in SQL: the md5-affine signature chain is
     portable by construction (one md5 per shingle, low 31 bits, 16
@@ -2704,8 +2733,7 @@ def _minhash_pairs_oracle(
         + ")"
         for b in range(bands)
     )
-    return f"""
-        WITH base AS (
+    chain = f"""base AS (
             SELECT doc_id AS id, {_TOKS} AS toks FROM documents
             WHERE regexp_matches(text, '[a-zA-Z0-9]')),
         sh_t AS (SELECT id, {_SHINGLES} AS sh FROM base),
@@ -2718,7 +2746,11 @@ def _minhash_pairs_oracle(
         cand AS (
             SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
             FROM sig_t a JOIN sig_t b
-              ON a.id < b.id AND ({band_match}))
+              ON a.id < b.id AND ({band_match}))"""
+    if ctes_only:
+        return chain
+    return f"""
+        WITH {chain}
         SELECT id_a, id_b,
                round(len(list_intersect(sh_a, sh_b)) /
                      len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
@@ -2728,6 +2760,26 @@ def _minhash_pairs_oracle(
 
 
 _LLM_ORACLES["x_minhash_pairs"] = _minhash_pairs_oracle()
+
+_LLM_ORACLES["x_multimodal_dedup"] = (
+    "WITH RECURSIVE " + _minhash_pairs_oracle(ctes_only=True) + ","
+    + _AHASH_FP_SQL + """,
+    tp AS (SELECT id_a, id_b FROM cand
+           WHERE round(len(list_intersect(sh_a, sh_b)) /
+                       len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5),
+    ip AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+           FROM fp a JOIN fp b ON a.media_id < b.media_id
+           WHERE a.ahash IS NOT NULL AND b.ahash IS NOT NULL
+             AND bit_count(xor(a.ahash, b.ahash)) <= 6),
+    up AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM ip),
+    bi AS (SELECT id_a AS u, id_b AS v FROM up
+           UNION ALL SELECT id_b, id_a FROM up),
+    reach(node, lbl) AS (
+        SELECT u, u FROM bi
+        UNION
+        SELECT bi.v, reach.lbl FROM reach JOIN bi ON reach.node = bi.u)
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node"""
+)
 
 #: raw (non-distinct) k-gram list — repetition filter needs both counts
 _GRAMS_RAW = (

@@ -2103,3 +2103,54 @@ def test_semantic_dedup_gemm_equals_pairs_strategy(spark):
     assert gemm == pairs and any(r[2] == 0 for r in gemm)
     with pytest.raises(ValueError, match="strategy"):
         dd.semantic_dedup(df, strategy="quadratic")
+
+
+def test_multimodal_dedup_matches_reference_union_find(spark):
+    """r9 cross-modal dedup: the composed clustering equals a driver
+    union-find over the UNION of the independently computed text
+    (MinHash J≥0.5) and image (aHash hamming≤6) pair sets — and the
+    image modality genuinely contributes edges the text modality lacks
+    (otherwise the composition is vacuous)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    tp = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(
+            entry._t(spark, sf, "documents"), jaccard_threshold=0.5,
+            persist_shingles=False,
+        ).collect()
+    }
+    from kafka_merge_purge_spark.operators import multimodal as mm
+
+    ip = {
+        (r["id_a"], r["id_b"])
+        for r in mm.image_neardup_pairs(
+            entry._synth_pgm16(spark, sf), max_hamming=6
+        ).collect()
+    }
+    assert ip - tp  # image edges beyond the text modality
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in tp | ip:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {
+        r["node"]: r["component"]
+        for r in entry.x_multimodal_dedup(spark, sf).collect()
+    }
+    assert got == want
+    # transitive cross-modal merge is actually exercised: some component
+    # spans an edge set reachable only through BOTH modalities
+    comp_edges: dict = {}
+    for (a, b), tag in [((a, b), "t") for a, b in tp] + [((a, b), "i") for a, b in ip]:
+        comp_edges.setdefault(find(a), set()).add(tag)
+    assert any(tags == {"t", "i"} for tags in comp_edges.values())
