@@ -3911,6 +3911,113 @@ _RELATIONAL_ORACLES["x_overlap_join"] = """
       ON e.user_id = b.user_id AND e.e_start <= b.s_end AND b.s_start <= e.e_end"""
 
 
+def x_snapshot_diff(spark, sf_dir):
+    """Dataset snapshot diff (r9 — the incremental-curation driver):
+    documents vs a deterministically mutated twin (doc_id%13 removed,
+    %7 text-appended, %17 re-added under shifted ids), labeled
+    added/removed/changed.  Each side collapses to (key, content-hash)
+    BEFORE the one full-outer join — full-width rows never shuffle, and
+    NULL columns are nullity-tagged so NULL ≠ '' in the hash.  At
+    100 TB the changed+added output (≪ corpus) is exactly the work
+    list the re-embed/re-dedup stages consume.  FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text", "source")
+    mutated = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "text", "source")
+    )
+    added = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    return snapshot_diff(
+        old, mutated.unionByName(added), ["doc_id"], ["text", "source"]
+    )
+
+
+_LLM_ORACLES["x_snapshot_diff"] = """
+    WITH oldt AS (SELECT doc_id, text, source FROM documents),
+    newt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+               source
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 17 = 0),
+    oh AS (SELECT doc_id, md5(concat_ws(chr(31),
+               CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END,
+               CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END)) AS h
+           FROM oldt),
+    nh AS (SELECT doc_id, md5(concat_ws(chr(31),
+               CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END,
+               CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END)) AS h
+           FROM newt),
+    j AS (SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+                 oh.h AS ho, nh.h AS hn
+          FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id)
+    SELECT doc_id,
+           CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM j WHERE ho IS NULL OR hn IS NULL OR ho <> hn"""
+
+
+def x_scd2(spark, sf_dir):
+    """SCD type-2 history build (r9): per user, consecutive events with
+    an unchanged event_type collapse into version rows with
+    valid_from/valid_to (epoch seconds; NULL = current) — the warehouse
+    primitive that makes any past corpus state reconstructable.  Two
+    windows over ONE per-key partition (lag-compare run starts, running
+    version sum, lead closes each version); (ts, event_id) total order
+    so duplicate timestamps resolve deterministically.  FULL hash
+    oracle."""
+    from kafka_merge_purge_spark.operators.snapshot import scd2_history
+
+    h = scd2_history(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_tiebreak="event_id",
+    )
+    return h.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("from_sec"),
+        F.unix_timestamp("valid_to").alias("to_sec"),
+        "version",
+    )
+
+
+_RELATIONAL_ORACLES["x_scd2"] = """
+    WITH m AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN row_number() OVER w = 1
+                         OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (SELECT *, SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS version
+          FROM m),
+    st AS (SELECT user_id, event_type, ts AS valid_from, version
+           FROM v WHERE s = 1)
+    SELECT user_id, event_type,
+           CAST(floor(epoch(valid_from)) AS BIGINT) AS from_sec,
+           CAST(floor(epoch(lead(valid_from) OVER (PARTITION BY user_id
+                                                   ORDER BY version))) AS BIGINT)
+               AS to_sec,
+           CAST(version AS INTEGER) AS version
+    FROM st"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

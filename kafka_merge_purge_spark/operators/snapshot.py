@@ -1,0 +1,125 @@
+"""Dataset-evolution operators: snapshot diffing and slowly-changing
+history building.
+
+A training-data platform re-curates continuously; the two primitives it
+needs between corpus snapshots are (a) WHAT changed — ``snapshot_diff``,
+the incremental-work driver (re-embed/re-dedup only added+changed docs)
+— and (b) WHEN each key held which value — ``scd2_history``, the
+warehouse SCD-type-2 build that makes any past corpus state
+reconstructable.  Both are single-join / single-window plans with
+map-side-combinable hashes, SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: field separator for the row-content hash — a unit-separator control
+#: byte that cannot appear in the corpus text, so concatenated columns
+#: cannot alias each other ("ab"+"c" vs "a"+"bc")
+_SEP = "\x1f"
+
+
+def _row_hash(cols: list[str]):
+    """md5 over the null-tagged, separator-joined compare columns.
+    NULL must hash differently from '' (concat_ws silently drops NULLs,
+    which would make NULL == '' — a classic diff false-negative), so
+    each column is tagged with its own nullity first ("n" vs
+    "v"+value)."""
+    tagged = [
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws(_SEP, *tagged))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed dataset:
+    one row per key present in either side, labeled ``added`` /
+    ``removed`` / ``changed`` (or ``unchanged`` when
+    ``include_unchanged=True``).
+
+    Plan shape (the 100 TB part): each side collapses to
+    ``(key, content_hash)`` BEFORE the join — the full-width rows never
+    shuffle, only keys + 32-hex hashes — then ONE full-outer equi-join
+    on the key decides the label.  At scale both sides are
+    hash-partitioned on the same key, so bucketed/pre-partitioned
+    snapshots co-locate and the join is shuffle-free; the change-rate
+    output (typically ≪ corpus) is what downstream incremental stages
+    consume.  Keys are assumed unique per snapshot (a keyed corpus
+    table); duplicate keys diff per-occurrence-pair like any equi-join.
+
+    Output: ``(*key_cols, change string)``.
+    """
+    oh = old.select(*key_cols, _row_hash(compare_cols).alias("_h_old"))
+    nh = new.select(*key_cols, _row_hash(compare_cols).alias("_h_new"))
+    joined = oh.join(nh, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(*key_cols, change.alias("change"))
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event stream:
+    per key, consecutive events with UNCHANGED attributes collapse into
+    one version row with ``valid_from`` / ``valid_to`` (NULL = current)
+    and a 1-based ``version``.
+
+    Classic warehouse build, expressed as two windows over ONE
+    per-key partition (no global ordering stage): a lag-compare marks
+    version starts (the run-length encoding trick), a running sum of
+    start markers numbers versions, and the NEXT version's start
+    timestamp closes each row via lead over the version starts.  Total
+    order within a key is ``(ts, order_tiebreak)`` — pass the event id
+    so duplicate timestamps resolve deterministically (same guard as
+    the streaming folds' (ts, event_id) high-water mark).
+
+    Output: ``(key_col, *attr_cols, valid_from, valid_to, version)``.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(F.col(c)).over(w)
+        # null-safe inequality: a NULL→value or value→NULL transition
+        # IS a change; eqNullSafe is the portable form
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    is_start = (F.row_number().over(w) == 1) | changed
+    marked = events.select(
+        key_col, ts_col, *attr_cols,
+        *( [order_tiebreak] if order_tiebreak else [] ),
+    ).withColumn("_start", is_start.cast("int"))
+    ver = marked.withColumn(
+        "version", F.sum("_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    starts = ver.filter(F.col("_start") == 1)
+    wv = Window.partitionBy(key_col).orderBy("version")
+    return starts.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wv).alias("valid_to"),
+        F.col("version").cast("int").alias("version"),
+    )

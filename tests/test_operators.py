@@ -2154,3 +2154,64 @@ def test_multimodal_dedup_matches_reference_union_find(spark):
     for (a, b), tag in [((a, b), "t") for a, b in tp] + [((a, b), "i") for a, b in ip]:
         comp_edges.setdefault(find(a), set()).add(tag)
     assert any(tags == {"t", "i"} for tags in comp_edges.values())
+
+
+def test_snapshot_diff_and_scd2_semantics(spark):
+    """r9 dataset-evolution operators: diff labels (added/removed/
+    changed), the nullity tag (NULL ≠ '' — concat_ws would silently
+    equate them), include_unchanged, duplicate-timestamp determinism
+    and NULL-transition handling in the SCD2 run-length collapse."""
+    from kafka_merge_purge_spark.operators.snapshot import (
+        scd2_history,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s"), (3, None, "s"), (4, "d", "s")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "s"), (2, "B", "s"), (3, "", "s"), (5, "e", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(old, new, ["doc_id"], ["text", "source"]).collect()
+    }
+    # 3: NULL -> '' must be CHANGED, not silently equal
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    full = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(
+            old, new, ["doc_id"], ["text", "source"], include_unchanged=True
+        ).collect()
+    }
+    assert full[1] == "unchanged" and len(full) == 5
+
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: a,a,b,b,a -> versions a(0..2), b(2..4), a(4..)
+        (1, t(0), 10, "a"), (1, t(1), 11, "a"), (1, t(2), 12, "b"),
+        (1, t(3), 13, "b"), (1, t(4), 14, "a"),
+        # user 2: NULL -> x -> NULL transitions all count as changes;
+        # duplicate ts resolves by event_id (21 before 22)
+        (2, t(0), 20, None), (2, t(1), 21, "x"), (2, t(1), 22, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    h = {
+        (r["user_id"], r["version"]): (r["event_type"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(
+            df, "user_id", "ts", ["event_type"], order_tiebreak="event_id"
+        ).collect()
+    }
+    assert h[(1, 1)] == ("a", t(0), t(2))
+    assert h[(1, 2)] == ("b", t(2), t(4))
+    assert h[(1, 3)] == ("a", t(4), None)  # current version open-ended
+    assert h[(2, 1)] == (None, t(0), t(1))
+    assert h[(2, 2)] == ("x", t(1), t(1))  # closed by the same-ts successor
+    assert h[(2, 3)] == (None, t(1), None)
+    assert len(h) == 6
