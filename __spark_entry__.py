@@ -2212,7 +2212,7 @@ def x_image_neardup_wide(spark, sf_dir):
     return mm.image_neardup_pairs_wide(_synth_pgm16(spark, sf_dir), max_hamming=6)
 
 
-def _wide_ahash_oracle() -> str:
+def _wide_ahash_oracle(ctes_only: bool = False) -> str:
     """16×16-grid / 4-word twin of _AHASH_FP_SQL: same pixel geometry
     (width-16 synth), per-pixel block ids via the exact inverse mapping,
     HUGEINT bit packing per word with the signed wrap DuckDB needs
@@ -2233,7 +2233,7 @@ def _wide_ahash_oracle() -> str:
     ham = " + ".join(
         f"CAST(bit_count(xor(a.w{k}, b.w{k})) AS INTEGER)" for k in range(4)
     )
-    return f"""
+    chain = f"""
     WITH m AS (SELECT doc_id, text, strlen(text) AS nb, 16 AS w,
                       (doc_id % 3 = 0) AS color,
                       greatest(1, CAST(ceil(strlen(text) /
@@ -2263,7 +2263,10 @@ def _wide_ahash_oracle() -> str:
     fpu AS (SELECT ids.doc_id, {", ".join(words)}
             FROM ids LEFT JOIN bits ON ids.doc_id = bits.doc_id
             GROUP BY ids.doc_id),
-    fp AS (SELECT doc_id AS media_id, {signed} FROM fpu)
+    fp AS (SELECT doc_id AS media_id, {signed} FROM fpu)"""
+    if ctes_only:
+        return chain.replace("\n    WITH ", "\n    ", 1)
+    return chain + f"""
     SELECT a.media_id AS id_a, b.media_id AS id_b,
            CAST({ham} AS INTEGER) AS hamming
     FROM fp a JOIN fp b ON a.media_id < b.media_id
@@ -2277,8 +2280,10 @@ def x_multimodal_dedup(spark, sf_dir):
     """CROSS-MODAL duplicate clustering (r9): a document is a duplicate
     if its TEXT is a near-dup (MinHash-LSH banding + exact shingle
     Jaccard ≥ 0.5 — the x_minhash_pairs machinery) OR its rendered
-    IMAGE is a near-dup (aHash + pigeonhole Hamming ≤ 6 — the
-    x_image_neardup machinery, P5+P6); the union of both pair sets
+    IMAGE is a near-dup (256-bit WIDE aHash + multi-word pigeonhole
+    Hamming ≤ 6 — the x_image_neardup_wide machinery, P5+P6, whose
+    32-bit band keys survive the 10× keyspace saturation the 56-bit
+    form hits); the union of both pair sets
     feeds connected components, so paraphrase-class and pixel-class
     duplicates transitively merge into one cluster keyed by the
     minimum doc id.  The composition a multimodal training-data
@@ -2293,9 +2298,9 @@ def x_multimodal_dedup(spark, sf_dir):
     tp = dd.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
     ).select("id_a", "id_b")
-    ip = mm.image_neardup_pairs(_synth_pgm16(spark, sf_dir), max_hamming=6).select(
-        "id_a", "id_b"
-    )
+    ip = mm.image_neardup_pairs_wide(
+        _synth_pgm16(spark, sf_dir), max_hamming=6
+    ).select("id_a", "id_b")
     return connected_components(
         tp.unionByName(ip).dropDuplicates(["id_a", "id_b"])
     )
@@ -2761,16 +2766,18 @@ def _minhash_pairs_oracle(
 
 _LLM_ORACLES["x_minhash_pairs"] = _minhash_pairs_oracle()
 
+_MM_HAM = " + ".join(
+    f"CAST(bit_count(xor(a.w{k}, b.w{k})) AS INTEGER)" for k in range(4)
+)
 _LLM_ORACLES["x_multimodal_dedup"] = (
     "WITH RECURSIVE " + _minhash_pairs_oracle(ctes_only=True) + ","
-    + _AHASH_FP_SQL + """,
+    + _wide_ahash_oracle(ctes_only=True) + f""",
     tp AS (SELECT id_a, id_b FROM cand
            WHERE round(len(list_intersect(sh_a, sh_b)) /
                        len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5),
     ip AS (SELECT a.media_id AS id_a, b.media_id AS id_b
            FROM fp a JOIN fp b ON a.media_id < b.media_id
-           WHERE a.ahash IS NOT NULL AND b.ahash IS NOT NULL
-             AND bit_count(xor(a.ahash, b.ahash)) <= 6),
+           WHERE {_MM_HAM} <= 6),
     up AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM ip),
     bi AS (SELECT id_a AS u, id_b AS v FROM up
            UNION ALL SELECT id_b, id_a FROM up),

@@ -2106,11 +2106,12 @@ def test_semantic_dedup_gemm_equals_pairs_strategy(spark):
 
 
 def test_multimodal_dedup_matches_reference_union_find(spark):
-    """r9 cross-modal dedup: the composed clustering equals a driver
-    union-find over the UNION of the independently computed text
-    (MinHash J≥0.5) and image (aHash hamming≤6) pair sets — and the
-    image modality genuinely contributes edges the text modality lacks
-    (otherwise the composition is vacuous)."""
+    """r9 cross-modal dedup, part 1: the composed gate clustering
+    equals a driver union-find over the UNION of the independently
+    computed text (MinHash J≥0.5) and WIDE-image (hamming≤6) pair sets
+    on the gate corpus.  (On THIS synthetic corpus images are renders
+    of the text, so the image set is a consistency subset — the planted
+    cross-modal transitivity lives in part 2 below.)"""
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
@@ -2125,11 +2126,11 @@ def test_multimodal_dedup_matches_reference_union_find(spark):
 
     ip = {
         (r["id_a"], r["id_b"])
-        for r in mm.image_neardup_pairs(
+        for r in mm.image_neardup_pairs_wide(
             entry._synth_pgm16(spark, sf), max_hamming=6
         ).collect()
     }
-    assert ip - tp  # image edges beyond the text modality
+    assert ip  # the image leg produces pairs (non-degenerate corpus)
     parent: dict = {}
 
     def find(x):
@@ -2148,12 +2149,52 @@ def test_multimodal_dedup_matches_reference_union_find(spark):
         for r in entry.x_multimodal_dedup(spark, sf).collect()
     }
     assert got == want
-    # transitive cross-modal merge is actually exercised: some component
-    # spans an edge set reachable only through BOTH modalities
-    comp_edges: dict = {}
-    for (a, b), tag in [((a, b), "t") for a, b in tp] + [((a, b), "i") for a, b in ip]:
-        comp_edges.setdefault(find(a), set()).add(tag)
-    assert any(tags == {"t", "i"} for tags in comp_edges.values())
+
+
+def test_multimodal_dedup_transitive_merge_planted(spark):
+    """r9 cross-modal dedup, part 2: planted corpus where the modalities
+    genuinely diverge — docs 1,2 share TEXT (near-dup shingles, distinct
+    images); docs 2,3 share an IMAGE (same payload, unrelated texts) —
+    so the union clusters {1,2,3} through BOTH modalities while a
+    text-only or image-only clustering keeps them apart."""
+    import random
+
+    from kafka_merge_purge_spark.operators import multimodal as mm
+    from kafka_merge_purge_spark.operators.components import connected_components
+
+    rng = random.Random(3)
+    base = " ".join(f"w{rng.randrange(50)}" for _ in range(60))
+    other = " ".join(f"z{rng.randrange(50)}" for _ in range(60))
+    img_payload = bytes(rng.randrange(256) for _ in range(400))
+    texts = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, other), (4, "unrelated " * 30)],
+        "doc_id long, text string",
+    )
+    images = spark.createDataFrame(
+        [
+            (1, mm.synth_pgm(bytes(rng.randrange(256) for _ in range(400)), 16)),
+            (2, mm.synth_pgm(img_payload, 16)),
+            (3, mm.synth_pgm(img_payload, 16)),
+            (4, mm.synth_pgm(bytes(rng.randrange(256) for _ in range(400)), 16)),
+        ],
+        "media_id long, payload binary",
+    )
+    tp = dd.minhash_lsh_pairs(
+        texts, jaccard_threshold=0.5, persist_shingles=False
+    ).select("id_a", "id_b")
+    ip = mm.image_neardup_pairs_wide(images, max_hamming=6).select("id_a", "id_b")
+    tset = {(r["id_a"], r["id_b"]) for r in tp.collect()}
+    iset = {(r["id_a"], r["id_b"]) for r in ip.collect()}
+    assert (1, 2) in tset and (2, 3) not in tset  # text links 1-2 only
+    assert (2, 3) in iset and (1, 2) not in iset  # image links 2-3 only
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            tp.unionByName(ip).dropDuplicates(["id_a", "id_b"])
+        ).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1  # transitive cross-modal merge
+    assert 4 not in comp  # isolated doc never enters the edge set
 
 
 def test_snapshot_diff_and_scd2_semantics(spark):
