@@ -4025,6 +4025,34 @@ _RELATIONAL_ORACLES["x_scd2"] = """
     FROM st"""
 
 
+def x_grouped_heavy_hitters(spark, sf_dir):
+    """Per-group heavy hitters (r9): top-3 event types per user via the
+    GROUPED Misra-Gries sketch — per-(partition, group) counter dicts in
+    one Arrow pass (raw values never shuffle), merged by a (group,
+    value) sum, ranked by a window over sketch rows only.  Gated in the
+    EXACT REGIME: capacity 64 ≥ the ≤5 distinct event types per user,
+    where MG never decrements and the sketch equals the exact per-group
+    count — so the FULL hash oracle applies to the whole grouped-sketch
+    plumbing; the sub-capacity guarantees are pinned in pytest."""
+    from kafka_merge_purge_spark.operators.sketch import grouped_heavy_hitters
+
+    return grouped_heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", k=3, capacity=64
+    )
+
+
+_RELATIONAL_ORACLES["x_grouped_heavy_hitters"] = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS weight
+               FROM events WHERE event_type IS NOT NULL
+               GROUP BY user_id, event_type),
+    r AS (SELECT user_id, event_type, weight,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY weight DESC, event_type) AS rank
+          FROM c)
+    SELECT user_id, CAST(rank AS INTEGER) AS rank, event_type, weight
+    FROM r WHERE rank <= 3"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

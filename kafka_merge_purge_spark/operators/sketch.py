@@ -125,3 +125,83 @@ def heavy_hitters_exact(df: DataFrame, value_col: str, k: int = 20) -> DataFrame
         .orderBy(F.col("n").desc(), F.col(value_col))
         .limit(k)
     )
+
+
+def grouped_mg_summaries(
+    df: DataFrame, group_col: str, value_col: str, capacity: int = 256
+) -> DataFrame:
+    """Per-(partition, group) Misra-Gries summaries — the grouped form
+    of :func:`misra_gries_summaries`: one Arrow pass keeps an
+    independent ≤``capacity``-entry counter dict PER GROUP seen in the
+    partition, so raw values still never shuffle and each group's
+    summary carries the classic per-group guarantee (every value above
+    that group's partition-local n/capacity survives).
+
+    Memory note (the knob that matters at 100 TB): a task holds
+    ``groups-seen-in-partition × capacity`` entries.  For low-cardinality
+    groups (languages, sources, event types as GROUPS) that is trivial;
+    for high-cardinality groups repartition by ``group_col`` first —
+    each group then lands whole in one task, the merge becomes a
+    no-op, and the guarantee tightens to the group's full n_g/capacity."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    types = dict(df.select(group_col, value_col).dtypes)
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict = {}
+        for pdf in batches:
+            for g, v in zip(pdf[group_col], pdf[value_col]):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                mg_update(groups.setdefault(g, {}), v, capacity)
+        if groups:
+            yield pd.DataFrame(
+                {
+                    group_col: [g for g, c in groups.items() for _ in c],
+                    value_col: [v for c in groups.values() for v in c],
+                    "weight": [w for c in groups.values() for w in c.values()],
+                }
+            )
+
+    return df.select(group_col, value_col).mapInPandas(
+        summarize,
+        schema=f"{group_col} {types[group_col]}, "
+        f"{value_col} {types[value_col]}, weight long",
+    )
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 5,
+    capacity: int = 256,
+) -> DataFrame:
+    """Approximate top-``k`` values PER GROUP at bounded memory: the
+    grouped summaries merged by one (group, value) grouped sum, then a
+    per-group rank window over the ≤ partitions×capacity summary rows
+    (the window runs on sketch rows, never on the corpus).  ``weight``
+    is a lower bound on the true in-group count; ties break weight
+    desc, value asc, matching the exact twin.
+
+    EXACT REGIME (the oracle gate's lever): with ``capacity`` ≥ the
+    group's distinct-value count, Misra-Gries never decrements — the
+    sketch IS the exact per-group count, so the full hash oracle
+    applies; below that, the lower-bound/presence guarantees are pinned
+    in pytest against the exact twin."""
+    from pyspark.sql import Window
+
+    merged = (
+        grouped_mg_summaries(df, group_col, value_col, capacity)
+        .groupBy(group_col, value_col)
+        .agg(F.sum("weight").alias("weight"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("weight").desc(), F.col(value_col)
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", value_col, "weight")
+    )

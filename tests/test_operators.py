@@ -2256,3 +2256,52 @@ def test_snapshot_diff_and_scd2_semantics(spark):
     assert h[(2, 2)] == ("x", t(1), t(1))  # closed by the same-ts successor
     assert h[(2, 3)] == (None, t(1), None)
     assert len(h) == 6
+
+
+def test_grouped_heavy_hitters_guarantees(spark):
+    """r9 grouped Misra-Gries: per-group lower bounds (weight ≤ true
+    count), the per-group presence guarantee in the exact regime
+    (capacity ≥ distinct ⇒ sketch == exact counts), and sub-capacity
+    behavior — a group's dominant value survives a tight capacity while
+    weights stay lower bounds; NULL values are skipped."""
+    import random
+
+    from kafka_merge_purge_spark.operators.sketch import (
+        grouped_heavy_hitters,
+        grouped_mg_summaries,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for g in range(6):
+        items = [f"hot{g}"] * 60 + [f"v{i}" for i in range(25)]
+        rng.shuffle(items)
+        rows += [(g, it) for it in items]
+    rows.append((0, None))
+    df = spark.createDataFrame(rows, "g long, item string").repartition(4)
+
+    true = {}
+    for g, it in rows:
+        if it is not None:
+            true[(g, it)] = true.get((g, it), 0) + 1
+
+    # exact regime: capacity ≥ distinct per group → sketch == exact
+    exact = {
+        (r["g"], r["item"]): r["weight"]
+        for r in grouped_mg_summaries(df, "g", "item", capacity=64)
+        .groupBy("g", "item").agg(F.sum("weight").alias("weight")).collect()
+    }
+    assert exact == true
+
+    # sub-capacity: weights are lower bounds, the dominant value
+    # survives per group at rank 1
+    top = {
+        r["g"]: r
+        for r in grouped_heavy_hitters(df, "g", "item", k=1, capacity=8).collect()
+    }
+    for g in range(6):
+        assert top[g]["item"] == f"hot{g}"
+        assert top[g]["weight"] <= true[(g, f"hot{g}")]
+    summ = grouped_mg_summaries(df, "g", "item", capacity=8).collect()
+    for r in summ:
+        assert r["weight"] <= true[(r["g"], r["item"])]
