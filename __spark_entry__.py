@@ -3918,19 +3918,10 @@ _RELATIONAL_ORACLES["x_overlap_join"] = """
       ON e.user_id = b.user_id AND e.e_start <= b.s_end AND b.s_start <= e.e_end"""
 
 
-def x_snapshot_diff(spark, sf_dir):
-    """Dataset snapshot diff (r9 — the incremental-curation driver):
-    documents vs a deterministically mutated twin (doc_id%13 removed,
-    %7 text-appended, %17 re-added under shifted ids), labeled
-    added/removed/changed.  Each side collapses to (key, content-hash)
-    BEFORE the one full-outer join — full-width rows never shuffle, and
-    NULL columns are nullity-tagged so NULL ≠ '' in the hash.  At
-    100 TB the changed+added output (≪ corpus) is exactly the work
-    list the re-embed/re-dedup stages consume.  FULL hash oracle."""
-    from kafka_merge_purge_spark.operators.snapshot import snapshot_diff
-
-    d = _t(spark, sf_dir, "documents")
-    old = d.select("doc_id", "text", "source")
+def _mutated_documents(d):
+    """The deterministic snapshot twin shared by x_snapshot_diff and
+    x_incremental_dedup: doc_id%13 removed, %7 text-appended (" v2"),
+    %17 re-added under +1000000 ids."""
     mutated = (
         d.filter(F.col("doc_id") % 13 != 0)
         .withColumn(
@@ -3944,8 +3935,26 @@ def x_snapshot_diff(spark, sf_dir):
     added = d.filter(F.col("doc_id") % 17 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
     )
+    return mutated.unionByName(added)
+
+
+def x_snapshot_diff(spark, sf_dir):
+    """Dataset snapshot diff (r9 — the incremental-curation driver):
+    documents vs a deterministically mutated twin (doc_id%13 removed,
+    %7 text-appended, %17 re-added under shifted ids), labeled
+    added/removed/changed.  Each side collapses to (key, content-hash)
+    BEFORE the one full-outer join — full-width rows never shuffle, and
+    NULL columns are nullity-tagged so NULL ≠ '' in the hash.  At
+    100 TB the changed+added output (≪ corpus) is exactly the work
+    list the re-embed/re-dedup stages consume.  FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
     return snapshot_diff(
-        old, mutated.unionByName(added), ["doc_id"], ["text", "source"]
+        d.select("doc_id", "text", "source"),
+        _mutated_documents(d),
+        ["doc_id"],
+        ["text", "source"],
     )
 
 
@@ -4051,6 +4060,68 @@ _RELATIONAL_ORACLES["x_grouped_heavy_hitters"] = """
           FROM c)
     SELECT user_id, CAST(rank AS INTEGER) AS rank, event_type, weight
     FROM r WHERE rank <= 3"""
+
+
+def x_incremental_dedup(spark, sf_dir):
+    """Incremental re-dedup driven by the snapshot diff (r9 — the
+    composition the diff operator exists FOR): only the twin snapshot's
+    ADDED + CHANGED documents are screened against the old corpus via
+    the bipartite MinHash banding + exact Jaccard verify
+    (minhash_lsh_pairs_against) — the removed and unchanged majority
+    never re-enters the dedup pipeline.  Non-vacuous by construction:
+    changed docs (" v2"-appended) near-match their old selves and
+    re-added docs exact-match their source.  FULL hash oracle: the diff
+    replay + quadratic cross Jaccard over the same work set."""
+    from kafka_merge_purge_spark.operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text", "source")
+    new = _mutated_documents(d)
+    work_ids = (
+        snapshot_diff(old, new, ["doc_id"], ["text", "source"])
+        .filter(F.col("change").isin("added", "changed"))
+        .select("doc_id")
+    )
+    return dd.minhash_lsh_pairs_against(
+        new.join(work_ids, "doc_id"),
+        old,
+        num_hashes=24,
+        bands=8,
+        jaccard_threshold=0.5,
+    )
+
+
+_LLM_ORACLES["x_incremental_dedup"] = f"""
+    WITH newt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+               source
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 17 = 0),
+    oh AS (SELECT doc_id, md5(concat_ws(chr(31),
+               CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END,
+               CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END)) AS h
+           FROM documents),
+    nh AS (SELECT doc_id, text, md5(concat_ws(chr(31),
+               CASE WHEN text IS NULL THEN 'n' ELSE 'v' || text END,
+               CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END)) AS h
+           FROM newt),
+    work AS (SELECT nh.doc_id, nh.text
+             FROM nh LEFT JOIN oh ON nh.doc_id = oh.doc_id
+             WHERE oh.h IS NULL OR oh.h <> nh.h),
+    base_new AS (SELECT doc_id AS id, {_TOKS} AS toks FROM work
+                 WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    base_old AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+                 WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    sh_new AS (SELECT id, {_SHINGLES} AS sh FROM base_new),
+    sh_old AS (SELECT id, {_SHINGLES} AS sh FROM base_old),
+    pairs AS (
+        SELECT a.id AS new_id, b.id AS ref_id,
+               round(len(list_intersect(a.sh, b.sh)) /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh_new a, sh_old b)
+    SELECT new_id, ref_id, jaccard FROM pairs WHERE jaccard >= 0.5"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
