@@ -4062,6 +4062,32 @@ _RELATIONAL_ORACLES["x_grouped_heavy_hitters"] = """
     FROM r WHERE rank <= 3"""
 
 
+def x_kmv_distinct(spark, sf_dir):
+    """Per-group approximate COUNT(DISTINCT) via the KMV bottom-k
+    sketch (r9, Bar-Yossef et al. 2002): one Arrow pass keeps the k
+    smallest md5 hashes over each (partition, group)'s DISTINCT values
+    (raw values never shuffle), merged EXACTLY (bottom-k of a union —
+    no approximation from partitioning, unlike MG), estimate read off
+    the sketch.  Gated in the EXACT REGIME: k=64 > the ≤5 distinct
+    event types per user, so the sketch holds every distinct value and
+    the estimate IS the exact count; ``min_hash`` additionally pins the
+    md5/ordering plumbing in the oracle.  Estimator-regime error and
+    exact mergeability are pinned in pytest."""
+    from kafka_merge_purge_spark.operators.sketch import grouped_kmv_distinct
+
+    return grouped_kmv_distinct(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", k=64
+    )
+
+
+_RELATIONAL_ORACLES["x_kmv_distinct"] = """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_est,
+           MIN(MD5(event_type)) AS min_hash
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY user_id"""
+
+
 def x_incremental_dedup(spark, sf_dir):
     """Incremental re-dedup driven by the snapshot diff (r9 — the
     composition the diff operator exists FOR): only the twin snapshot's

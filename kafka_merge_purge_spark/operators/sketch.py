@@ -205,3 +205,161 @@ def grouped_heavy_hitters(
         .filter(F.col("rank") <= k)
         .select(group_col, "rank", value_col, "weight")
     )
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch — Bar-Yossef et al. 2002
+# --------------------------------------------------------------------------
+
+
+def kmv_hash(value) -> str:
+    """The KMV hash: lowercase md5 hex of the value's UTF-8 bytes —
+    chosen because Spark's ``F.md5``, DuckDB's ``MD5()`` and Python's
+    ``hashlib.md5`` all agree byte-for-byte on string input, so the
+    Arrow kernel, any Spark-expression twin and the SQL oracle order
+    values identically.  Hex is compared lexicographically, which for
+    fixed-width lowercase hex IS the numeric order of the 128-bit hash."""
+    import hashlib
+
+    return hashlib.md5(str(value).encode("utf-8")).hexdigest()
+
+
+def _kmv_prune(entries: dict, k: int) -> None:
+    """Keep the ``k`` smallest ``value -> hash`` entries by (hash,
+    value).  In place; no-op when the dict is already small enough."""
+    if len(entries) <= k:
+        return
+    keep = sorted(entries.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    entries.clear()
+    entries.update(keep)
+
+
+def grouped_kmv_summaries(
+    df: DataFrame, group_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-(partition, group) bottom-``k`` summaries: the ``k``
+    lexicographically-smallest md5 hashes over the partition's DISTINCT
+    values, one Arrow pass, raw values never shuffle (mirrors
+    :func:`grouped_mg_summaries` — ≤ ``partitions × groups × k`` rows
+    out).  Values are hashed as strings (``kmv_hash``); NULL values are
+    skipped (not a distinct class, matching COUNT(DISTINCT) semantics).
+    The amortized prune (trigger at 4k, cut to k) keeps the per-group
+    dict O(k) no matter how many distinct values stream past."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    group_type = dict(df.select(group_col).dtypes)[group_col]
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict = {}
+        for pdf in batches:
+            for g, v in zip(pdf[group_col], pdf[value_col]):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                entries = groups.setdefault(g, {})
+                if v not in entries:
+                    entries[v] = kmv_hash(v)
+                    if len(entries) > 4 * k:
+                        _kmv_prune(entries, k)
+        for entries in groups.values():
+            _kmv_prune(entries, k)
+        if groups:
+            yield pd.DataFrame(
+                {
+                    group_col: [g for g, e in groups.items() for _ in e],
+                    value_col: [str(v) for e in groups.values() for v in e],
+                    "h": [h for e in groups.values() for h in e.values()],
+                }
+            )
+
+    return df.select(group_col, value_col).mapInPandas(
+        summarize, schema=f"{group_col} {group_type}, {value_col} string, h string"
+    )
+
+
+def grouped_kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """The merged per-group KMV sketch: global bottom-``k`` distinct
+    values by hash.  KMV's merge is EXACT — the k smallest of a union
+    equals the k smallest over the per-partition k-smallest summaries
+    (any globally-surviving hash survives its own partition's cut), so
+    unlike Misra-Gries there is no approximation introduced by
+    partitioning: ``sketch(A ∪ B) == merge(sketch(A), sketch(B))``
+    bit-for-bit (pinned in pytest).  The rank window runs over sketch
+    rows only (≤ partitions × k per group), never the corpus."""
+    from pyspark.sql import Window
+
+    s = grouped_kmv_summaries(df, group_col, value_col, k).dropDuplicates(
+        [group_col, value_col]
+    )
+    w = Window.partitionBy(group_col).orderBy("h", value_col)
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", value_col, "h")
+    )
+
+
+def kmv_distinct_estimate(n_entries, k: int, max_hash):
+    """Column expression for the KMV distinct estimate given a group's
+    sketch size and its largest retained hash: with fewer than ``k``
+    entries the sketch saw EVERY distinct value (the estimate is exact
+    = ``n_entries``); at capacity the classic unbiased estimator
+    ``(k-1) / U(h_k)`` applies, where ``U`` maps the top-48-bits of the
+    k-th smallest hash into (0, 1)."""
+    frac = F.conv(F.substring(max_hash, 1, 12), 16, 10).cast("double") / F.lit(
+        float(16**12)
+    )
+    return F.when(n_entries < k, n_entries.cast("long")).otherwise(
+        F.round((F.lit(float(k - 1)) / frac)).cast("long")
+    )
+
+
+def grouped_kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT) at bounded memory via the
+    KMV sketch, plus the group's minimum hash (``min_hash`` pins the
+    whole hash/order plumbing in the oracle, not just the count).
+
+    EXACT REGIME (the oracle gate's lever, same as
+    :func:`grouped_heavy_hitters`): with ``k`` > the group's true
+    distinct count the sketch holds every distinct value and the
+    estimate IS ``COUNT(DISTINCT value)`` — full hash oracle; the
+    estimator regime's relative error (~1/sqrt(k-2)) is pinned in
+    pytest on a 5000-distinct corpus."""
+    sk = grouped_kmv_sketch(df, group_col, value_col, k)
+    agg = sk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.max("h").alias("h_k"),
+        F.min("h").alias("min_hash"),
+    )
+    return agg.select(
+        group_col,
+        kmv_distinct_estimate(F.col("n_entries"), k, F.col("h_k")).alias(
+            "distinct_est"
+        ),
+        "min_hash",
+    )
+
+
+def merge_kmv_sketches(
+    sk_a: DataFrame, sk_b: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Merge two per-group KMV sketches (e.g. two corpora, two days):
+    union → dedupe by value → re-rank → bottom-k.  The result is
+    bit-identical to the sketch of the concatenated corpora (KMV's
+    exact mergeability — pinned in pytest), so union distinct counts
+    come from ``kmv_distinct_estimate`` over the merged sketch with no
+    rescan of either side."""
+    from pyspark.sql import Window
+
+    u = sk_a.select(group_col, value_col, "h").unionByName(
+        sk_b.select(group_col, value_col, "h")
+    ).dropDuplicates([group_col, value_col])
+    w = Window.partitionBy(group_col).orderBy("h", value_col)
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", value_col, "h")
+    )

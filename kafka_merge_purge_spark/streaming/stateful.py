@@ -1134,3 +1134,114 @@ def streaming_semantic_pairs(
         outputMode="Append",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV distinct sketch (bottom-k) — the set-union fold
+# --------------------------------------------------------------------------
+
+KMV_OUTPUT_SCHEMA = "group_key string, distinct_est long, n_entries int, min_hash string"
+
+
+def fold_kmv(
+    state: dict | None,
+    pdfs: Iterator[pd.DataFrame],
+    k: int = 256,
+) -> dict:
+    """Pure KMV fold for streaming distinct counting: state is the
+    ``value -> md5-hash`` dict of the ≤``k`` smallest-hash DISTINCT
+    values seen so far (operators/sketch.py semantics, shared
+    ``kmv_hash``/``_kmv_prune`` so the twins cannot drift).
+
+    Stronger invariance class than the ordered folds: bottom-k of a set
+    union is ORDER-INDEPENDENT and REDELIVERY-IDEMPOTENT outright —
+    no (ts, event_id) high-water mark is needed, any chopping,
+    reordering or duplication of the input multiset folds to the
+    identical state (pinned under randomized replays incl. shuffles
+    and redeliveries in tests/test_streaming.py)."""
+    from kafka_merge_purge_spark.operators.sketch import _kmv_prune, kmv_hash
+
+    entries = dict(state) if state is not None else {}
+    for pdf in pdfs:
+        for v in pdf["item"]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            v = _unbox(v)
+            if v not in entries:
+                entries[v] = kmv_hash(v)
+                if len(entries) > 4 * k:
+                    _kmv_prune(entries, k)
+    _kmv_prune(entries, k)
+    return entries
+
+
+def emit_kmv(key, entries: dict, k: int) -> pd.DataFrame:
+    """Current distinct estimate of a key's KMV state — the same
+    exact-below-capacity / ``(k-1)/U(h_k)``-at-capacity rule as the
+    batch ``kmv_distinct_estimate``, computed on the driver-side ints."""
+    n = len(entries)
+    if n == 0:
+        return pd.DataFrame(
+            {"group_key": [], "distinct_est": [], "n_entries": [], "min_hash": []}
+        )
+    hashes = sorted(entries.values())
+    if n < k:
+        est = n
+    else:
+        frac = int(hashes[-1][:12], 16) / float(16**12)
+        est = int(round((k - 1) / frac))
+    return pd.DataFrame(
+        {
+            "group_key": [key],
+            "distinct_est": [est],
+            "n_entries": [n],
+            "min_hash": [hashes[0]],
+        }
+    )
+
+
+class KmvDistinctPerKey(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming per-key approximate COUNT(DISTINCT) processor:
+    ValueState holds each key's bounded bottom-k dict; every
+    micro-batch set-unions its items in (pure ``fold_kmv``) and emits
+    the key's current estimate — state ≤ ``k`` entries per key no
+    matter how many distinct items flow past, and the state after any
+    replay equals the batch ``grouped_kmv_sketch`` of the same rows."""
+
+    _STATE_ATTRS = ("_kmv",)
+
+    def __init__(self, k: int = 256, ttl_ms: int | None = None):
+        super().__init__(ttl_ms)
+        self._k = k
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._kmv = handle.getValueState("kmv", "entries map<string,string>")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = self._kmv.get()[0] if self._kmv.exists() else None
+        entries = fold_kmv(prior, rows, self._k)
+        self._kmv.update((entries,))
+        self._arm_ttl(timerValues)
+        out = emit_kmv(key[0], entries, self._k)
+        if len(out):
+            yield out
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    k: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key streaming distinct counting via
+    ``transformWithStateInPandas`` — e.g. live distinct visitors per
+    event_type with ≤``k`` hashes of state per key.  Input needs
+    (``group_key``, ``item`` string) columns; no ordering columns —
+    the KMV fold is order-independent and redelivery-idempotent, so
+    at-least-once upstream delivery needs no dedup stage at all."""
+    return events.groupBy("group_key").transformWithStateInPandas(
+        statefulProcessor=KmvDistinctPerKey(k, state_ttl_ms),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )

@@ -1390,3 +1390,71 @@ def test_cell_neardup_processor_ttl_protocol():
     assert not h.states["bucket"].exists()
     assert list(proc.handleInputRows((1,), iter([pdf([9])]), _tv(3_000))) == []
     assert list(h.states["bucket"].get()[0]) == [9]
+
+
+def test_streaming_kmv_chop_invariant_and_ttl():
+    """Streaming KMV distinct sketch: (1) the set-union fold is
+    order-independent AND redelivery-idempotent outright — ANY chop,
+    shuffle, or duplication of the input folds to the identical bottom-k
+    state (a strictly stronger invariance class than the ordered folds:
+    no high-water mark involved); (2) the state is exactly the k
+    smallest (md5, value) pairs over the distinct items; (3) the
+    estimate rule is exact below capacity; (4) the TTL protocol evicts
+    and the key rebuilds from scratch."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from kafka_merge_purge_spark.streaming.stateful import (
+        KmvDistinctPerKey,
+        emit_kmv,
+        fold_kmv,
+    )
+
+    rng = random.Random(47)
+    items = [f"item{i}" for i in range(60)] * 2  # duplicates built in
+    rng.shuffle(items)
+
+    def mk(batch_items):
+        return pd.DataFrame({"item": batch_items})
+
+    one_pass = fold_kmv(None, iter([mk(items)]), k=16)
+    for _ in range(20):
+        order = items[:]
+        rng.shuffle(order)
+        # random chop + per-batch chunking + random redeliveries
+        state, i = None, 0
+        while i < len(order):
+            j = min(len(order), i + rng.randint(1, 9))
+            b = order[i:j]
+            if rng.random() < 0.3:
+                b = b + order[max(0, i - 3):i]  # redeliver a recent slice
+            chunks = [mk(b[: len(b) // 2]), mk(b[len(b) // 2:])]
+            state = fold_kmv(state, iter(chunks), k=16)
+            i = j
+        assert state == one_pass
+
+    # state is exactly the k smallest (md5, value) pairs over distincts
+    expect = sorted(
+        ((hashlib.md5(v.encode()).hexdigest(), v) for v in set(items))
+    )[:16]
+    assert sorted((h, v) for v, h in one_pass.items()) == expect
+
+    # exact below capacity
+    small = fold_kmv(None, iter([mk(items)]), k=256)
+    out = emit_kmv("k", small, 256)
+    assert out["distinct_est"].iloc[0] == 60 and out["n_entries"].iloc[0] == 60
+    assert out["min_hash"].iloc[0] == expect[0][0]
+
+    # TTL protocol: evict, then rebuild from scratch
+    proc = KmvDistinctPerKey(k=16, ttl_ms=1_000)
+    h = _FakeHandle()
+    proc.init(h)
+    out = list(proc.handleInputRows(("k",), iter([mk(items[:30])]), _tv(0)))
+    assert len(out) == 1 and h.timers == [1_000]
+    list(proc.handleExpiredTimer(("k",), _tv(2_000), _eti(1_000)))
+    assert not h.states["kmv"].exists()
+    out = list(proc.handleInputRows(("k",), iter([mk(["a", "b", "a"])]), _tv(3_000)))
+    assert out[0]["distinct_est"].iloc[0] == 2
+    assert h.states["kmv"].get()[0] == fold_kmv(None, iter([mk(["a", "b"])]), k=16)
