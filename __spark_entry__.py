@@ -4088,6 +4088,77 @@ _RELATIONAL_ORACLES["x_kmv_distinct"] = """
     GROUP BY user_id"""
 
 
+def x_pagerank(spark, sf_dir):
+    """Quantized PageRank (r9) over the supplier↔customer co-trade
+    graph: distinct (supplier, customer) pairs from lineitem ⋈ orders,
+    made bidirectional, 3 fixed iterations in EXACT int64 microrank
+    arithmetic (integer DIV everywhere — the quantized-cosine precedent
+    applied to link analysis), so the full hash oracle unrolls the
+    iterations into plain CTEs with zero float drift.  Scale shape:
+    edges partitioned by src once and cached; only the (node, rank)
+    frame moves per iteration; N and the dangling mass ride single-row
+    broadcast cross-joins (no driver collect)."""
+    from kafka_merge_purge_spark.operators.components import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=3)
+
+
+_RELATIONAL_ORACLES["x_pagerank"] = """
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT COUNT(*) AS c FROM nodes),
+    od AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, 1000000000000 // c AS rank FROM nodes CROSS JOIN nn),
+    s1 AS (SELECT r.node, r.rank, od.od FROM r0 r LEFT JOIN od ON r.node = od.node),
+    f1 AS (SELECT e.dst AS node, SUM(s.rank // s.od) AS inflow
+           FROM e JOIN s1 s ON e.src = s.node GROUP BY e.dst),
+    d1 AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM s1 WHERE od IS NULL),
+    r1 AS (SELECT n2.node,
+                  CAST((3 * (1000000000000 // c)) // 20
+                     + (17 * (COALESCE(f1.inflow, 0) + (dang // c))) // 20
+                    AS BIGINT) AS rank
+           FROM nodes n2 CROSS JOIN nn CROSS JOIN d1
+           LEFT JOIN f1 ON n2.node = f1.node),
+    s2 AS (SELECT r.node, r.rank, od.od FROM r1 r LEFT JOIN od ON r.node = od.node),
+    f2 AS (SELECT e.dst AS node, SUM(s.rank // s.od) AS inflow
+           FROM e JOIN s2 s ON e.src = s.node GROUP BY e.dst),
+    d2 AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM s2 WHERE od IS NULL),
+    r2 AS (SELECT n2.node,
+                  CAST((3 * (1000000000000 // c)) // 20
+                     + (17 * (COALESCE(f2.inflow, 0) + (dang // c))) // 20
+                    AS BIGINT) AS rank
+           FROM nodes n2 CROSS JOIN nn CROSS JOIN d2
+           LEFT JOIN f2 ON n2.node = f2.node),
+    s3 AS (SELECT r.node, r.rank, od.od FROM r2 r LEFT JOIN od ON r.node = od.node),
+    f3 AS (SELECT e.dst AS node, SUM(s.rank // s.od) AS inflow
+           FROM e JOIN s3 s ON e.src = s.node GROUP BY e.dst),
+    d3 AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM s3 WHERE od IS NULL)
+    SELECT n2.node,
+           CAST((3 * (1000000000000 // c)) // 20
+              + (17 * (COALESCE(f3.inflow, 0) + (dang // c))) // 20
+             AS BIGINT) AS rank
+    FROM nodes n2 CROSS JOIN nn CROSS JOIN d3
+    LEFT JOIN f3 ON n2.node = f3.node"""
+
+
 def x_incremental_dedup(spark, sf_dir):
     """Incremental re-dedup driven by the snapshot diff (r9 — the
     composition the diff operator exists FOR): only the twin snapshot's

@@ -149,3 +149,110 @@ def _driver_union_find(spark, edge_tbl, id_type: str = "bigint") -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
     return spark.createDataFrame(rows, f"node {id_type}, component {id_type}")
+
+
+# --------------------------------------------------------------------------
+# Quantized PageRank — link-graph quality scoring (Page et al. 1999)
+# --------------------------------------------------------------------------
+
+#: PageRank fixed-point scale: ranks live in units of 1e-12.  Total mass
+#: is ~1e12 "microrank" units, so any single rank fits comfortably in an
+#: int64 and every arithmetic step below is exact integer math.
+PR_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list, in EXACT integer
+    arithmetic — the link-analysis quality signal curation pipelines
+    weight domains with (the public Common-Crawl-ranking use case), made
+    hash-gateable the same way this repo's cosine scorers are: quantize
+    first, then every engine replays the identical integers.
+
+    Semantics (all operations on int64 "microrank" units, ``//`` =
+    truncating division on non-negatives):
+
+    * ``rank0 = PR_SCALE // N`` for each of the N distinct nodes.
+    * per iteration, with ``d = damping_num/damping_den`` (default
+      17/20 = 0.85) and each edge ROW contributing once (parallel edge
+      rows weight their contribution — pass a distinct edge list for
+      set semantics)::
+
+        share(u)   = rank(u) // outdeg(u)
+        inflow(v)  = Σ share(u) over edge rows (u, v)
+        dang       = Σ rank(u) over nodes with no out-edge
+        rank'(v)   = (3·(PR_SCALE // N)) // 20
+                     + (17·(inflow(v) + dang // N)) // 20
+
+    The truncation losses are deterministic and identical in any
+    engine, so a fixed ``iterations`` unrolls into plain SQL CTEs with
+    a FULL hash oracle — no float drift, no convergence-detection
+    nondeterminism (contrast: the connected-components loop above stops
+    on a data-dependent flag; PageRank's fixpoint is approached, never
+    reached, so fixed iterations IS the public-spec semantics).
+
+    Scale shape: ``edges`` is hash-partitioned by ``src`` ONCE and
+    cached; each iteration moves only the (node, rank) frame — one
+    shuffle onto the edge partitioning, one groupBy(dst) shuffle for
+    the inflow, and two single-row broadcast cross-joins carry N and
+    the dangling mass (no driver collect anywhere).  Rank frames are
+    O(nodes), orders of magnitude smaller than the edge corpus at
+    100 TB link scale."""
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .repartition(F.col("_src"))
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    outdeg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    # every division below is Spark's integer DIV (exact truncating
+    # int64 division) — NOT float `/` + cast, whose rounding could
+    # cross an integer boundary and break the bit-identical contract
+    base_rank = F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV _n")
+    ranks = nodes.crossJoin(n_row).select("node", base_rank.alias("rank"))
+
+    for _ in range(iterations):
+        shared = ranks.join(outdeg, "node", "left")
+        live = shared.filter(F.col("od").isNotNull()).select(
+            "node", F.expr("rank DIV od").alias("share")
+        )
+        inflow = (
+            e.join(live, e["_src"] == live["node"])
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        dang_row = F.broadcast(
+            shared.filter(F.col("od").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("_dang")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(n_row)
+            .crossJoin(dang_row)
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(({damping_den - damping_num} * (CAST({PR_SCALE} AS BIGINT) DIV _n))"
+                    f" DIV {damping_den})"
+                    f" + (({damping_num} * (COALESCE(inflow, 0) + (_dang DIV _n)))"
+                    f" DIV {damping_den})"
+                ).alias("rank"),
+            )
+        )
+    return ranks

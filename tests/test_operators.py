@@ -2364,3 +2364,64 @@ def test_grouped_kmv_distinct_exact_merge_and_estimator(spark):
     ).repartition(8)
     est = grouped_kmv_distinct(big, "g", "item", k=256).collect()[0]["distinct_est"]
     assert abs(est - 5000) / 5000 < 0.15
+
+
+def test_pagerank_matches_reference_and_properties(spark):
+    """r9 quantized PageRank: (1) bit-identical to a driver-side
+    reference that replays the documented integer spec on 10 seeded
+    random graphs (incl. dangling nodes and parallel-edge weighting);
+    (2) structural sanity — symmetric 2-cycle ranks equal, a star's hub
+    outranks its leaves, total mass stays within the documented
+    truncation loss; (3) NULL-endpoint edges are dropped."""
+    import random
+
+    from kafka_merge_purge_spark.operators.components import PR_SCALE, pagerank
+
+    def reference(edge_rows, iterations=3):
+        nodes = sorted({u for u, _ in edge_rows} | {v for _, v in edge_rows})
+        n = len(nodes)
+        od: dict = {}
+        for u, _ in edge_rows:
+            od[u] = od.get(u, 0) + 1
+        rank = {v: PR_SCALE // n for v in nodes}
+        for _ in range(iterations):
+            inflow = {v: 0 for v in nodes}
+            for u, v in edge_rows:
+                inflow[v] += rank[u] // od[u]
+            dang = sum(rank[v] for v in nodes if v not in od)
+            rank = {
+                v: (3 * (PR_SCALE // n)) // 20
+                + (17 * (inflow[v] + dang // n)) // 20
+                for v in nodes
+            }
+        return rank
+
+    rng = random.Random(59)
+    for trial in range(10):
+        n = rng.randint(4, 14)
+        m = rng.randint(3, 30)
+        edge_rows = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)
+        ]
+        df = spark.createDataFrame(edge_rows, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+        assert got == reference(edge_rows), f"trial {trial}: {edge_rows}"
+
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    r = {x["node"]: x["rank"] for x in pagerank(cyc).collect()}
+    assert r["a"] == r["b"]
+    assert abs(sum(r.values()) - PR_SCALE) < 100  # truncation only
+
+    star_edges = [("hub", f"l{i}") for i in range(5)] + [
+        (f"l{i}", "hub") for i in range(5)
+    ]
+    star = spark.createDataFrame(star_edges, "src string, dst string")
+    r = {x["node"]: x["rank"] for x in pagerank(star).collect()}
+    assert all(r["hub"] > r[f"l{i}"] for i in range(5))
+
+    withnull = spark.createDataFrame(
+        [("a", "b"), ("b", None), (None, "a"), ("b", "a")],
+        "src string, dst string",
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(withnull).collect()}
+    assert set(r) == {"a", "b"} and r == reference([("a", "b"), ("b", "a")])
