@@ -168,6 +168,7 @@ def pagerank(
     iterations: int = 3,
     damping_num: int = 17,
     damping_den: int = 20,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list, in EXACT integer
     arithmetic — the link-analysis quality signal curation pipelines
@@ -198,12 +199,18 @@ def pagerank(
     reached, so fixed iterations IS the public-spec semantics).
 
     Scale shape: ``edges`` is hash-partitioned by ``src`` ONCE and
-    cached; each iteration moves only the (node, rank) frame — one
-    shuffle onto the edge partitioning, one groupBy(dst) shuffle for
-    the inflow, and two single-row broadcast cross-joins carry N and
-    the dangling mass (no driver collect anywhere).  Rank frames are
-    O(nodes), orders of magnitude smaller than the edge corpus at
-    100 TB link scale."""
+    cached; each iteration moves only the (node, rank) frame, and with
+    ``broadcast_ranks`` (the default) that frame rides broadcast joins
+    into the cached edge corpus — per iteration the only shuffle is the
+    groupBy(dst) on the contribution rows, plus two single-row
+    broadcast cross-joins carrying N and the dangling mass (no driver
+    collect anywhere).  Rank frames are O(nodes), orders of magnitude
+    smaller than the edge corpus, so broadcasting them is the right
+    default up to ~tens of millions of nodes; for a billion-node web
+    graph pass ``broadcast_ranks=False`` — rank/degree joins then
+    shuffle onto the edges' src partitioning instead of shipping a
+    too-big broadcast table to every executor."""
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
     e = (
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
@@ -216,8 +223,10 @@ def pagerank(
         .distinct()
         .cache()
     )
-    outdeg = e.groupBy(F.col("_src").alias("node")).agg(
-        F.count(F.lit(1)).alias("od")
+    outdeg = (
+        e.groupBy(F.col("_src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("od"))
+        .cache()  # computed once, joined every iteration
     )
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
     # every division below is Spark's integer DIV (exact truncating
@@ -232,7 +241,7 @@ def pagerank(
             "node", F.expr("rank DIV od").alias("share")
         )
         inflow = (
-            e.join(live, e["_src"] == live["node"])
+            e.join(hint(live), e["_src"] == live["node"])
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("share").alias("inflow"))
         )
@@ -244,7 +253,7 @@ def pagerank(
         ranks = (
             nodes.crossJoin(n_row)
             .crossJoin(dang_row)
-            .join(inflow, "node", "left")
+            .join(hint(inflow), "node", "left")
             .select(
                 "node",
                 F.expr(
@@ -254,5 +263,15 @@ def pagerank(
                     f" DIV {damping_den})"
                 ).alias("rank"),
             )
+            # executor-local materialization of the O(nodes) rank frame
+            # (same posture as the connected-components loop): each
+            # iteration's plan references `shared` twice (live shares +
+            # dangling mass), so without truncation the lineage doubles
+            # per iteration and evaluation goes exponential in
+            # `iterations` — measured 14.4 s for a 1.6k-node graph
+            .localCheckpoint(eager=True)
         )
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
     return ranks

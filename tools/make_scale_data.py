@@ -152,6 +152,39 @@ def scale_events(src: str, out: str, r_factor: int) -> None:
     print(f"events: {n} -> {n * r_factor} rows")
 
 
+def scale_orders(src: str, out: str, r_factor: int) -> None:
+    """Replicate orders with o_orderkey offset by the SAME max-key
+    scheme as scale_lineitem (the sf tables share max(l_orderkey) ==
+    max(o_orderkey), asserted below, so the lineitem ⋈ orders join
+    pairs each replica with itself) and o_custkey offset per replica —
+    a bigger deployment has more customers, while suppliers (not
+    offset in lineitem) stay shared, so e.g. the co-trade graph grows
+    10× in edges with the realistic more-customers-per-supplier shape."""
+    t = pq.read_table(f"{src}/orders.parquet")
+    li_max = int(pq.read_table(f"{src}/lineitem.parquet", columns=["l_orderkey"])
+                 .column("l_orderkey").to_numpy().max()) + 1
+    okey = t.column("o_orderkey").to_numpy()
+    ckey = t.column("o_custkey").to_numpy()
+    max_okey, max_ckey = int(okey.max()) + 1, int(ckey.max()) + 1
+    assert max_okey == li_max, "orderkey domains diverged; join would break"
+    n = t.num_rows
+    chunks = []
+    for r in range(r_factor):
+        rep = t.set_column(
+            t.schema.get_field_index("o_orderkey"),
+            "o_orderkey",
+            pa.array(okey + r * max_okey, type=t.schema.field("o_orderkey").type),
+        )
+        rep = rep.set_column(
+            rep.schema.get_field_index("o_custkey"),
+            "o_custkey",
+            pa.array(ckey + r * max_ckey, type=t.schema.field("o_custkey").type),
+        )
+        chunks.append(rep)
+    pq.write_table(pa.concat_tables(chunks), f"{out}/orders.parquet")
+    print(f"orders: {n} -> {n * r_factor} rows")
+
+
 def main() -> None:
     r_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -163,6 +196,7 @@ def main() -> None:
     scale_documents(src, out, r_factor)
     scale_embeddings(src, out, r_factor)
     scale_events(src, out, r_factor)
+    scale_orders(src, out, r_factor)
 
 
 if __name__ == "__main__":
