@@ -4088,6 +4088,40 @@ _RELATIONAL_ORACLES["x_kmv_distinct"] = """
     GROUP BY user_id"""
 
 
+def x_mp_quantiles(spark, sf_dir):
+    """Per-group quantiles via the deterministic Munro-Paterson digest
+    (r9 — the third sketch family next to MG frequency and KMV
+    distinct): per-partition multi-level k-buffers in one Arrow pass,
+    ONE grouped shuffle of sketch rows, pid-ordered deterministic
+    merge, DuckDB quantile_disc selection rule (rank = ceil(q·n),
+    exact rational arithmetic; binary-exact quantile fractions so no
+    float-ceil drift).  Gated in the EXACT REGIME: k=32768 ≥ each
+    event_type's row count through sf0.1, so no collapse runs, the
+    merged digest is the exact multiset, and each output IS
+    quantile_disc — values are pure selections, doubles hash
+    bit-for-bit.  Estimator-regime rank error is pinned in pytest."""
+    from kafka_merge_purge_spark.operators.sketch import grouped_mp_quantiles
+
+    return grouped_mp_quantiles(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        qs=(0.25, 0.5, 0.75, 0.875),
+        k=32768,
+    )
+
+
+_RELATIONAL_ORACLES["x_mp_quantiles"] = """
+    SELECT event_type,
+           quantile_disc(value, 0.25)  AS q_25,
+           quantile_disc(value, 0.5)   AS q_5,
+           quantile_disc(value, 0.75)  AS q_75,
+           quantile_disc(value, 0.875) AS q_875
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type"""
+
+
 def x_pagerank(spark, sf_dir):
     """Quantized PageRank (r9) over the supplier↔customer co-trade
     graph: distinct (supplier, customer) pairs from lineitem ⋈ orders,

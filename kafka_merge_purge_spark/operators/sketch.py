@@ -363,3 +363,206 @@ def merge_kmv_sketches(
         .filter(F.col("rank") <= k)
         .select(group_col, "rank", value_col, "h")
     )
+
+
+# --------------------------------------------------------------------------
+# Munro-Paterson quantile digest — deterministic mergeable quantile sketch
+# --------------------------------------------------------------------------
+#
+# The third sketch family next to Misra-Gries (frequency) and KMV
+# (distinct): bounded-memory quantiles via the classic deterministic
+# multi-level buffer scheme (Munro & Paterson 1980; the derandomized
+# ancestor of KLL).  All buffers hold exactly ``k`` sorted values; two
+# same-level buffers collapse into one ONE level up by merge-sorting 2k
+# values and keeping the odd positions (deterministic — no KLL coin),
+# so a level-L value represents 2^L originals and total represented
+# weight is conserved EXACTLY (collapse keeps k of 2k at double
+# weight), meaning the digest always knows its true n.
+
+
+def mp_new() -> dict:
+    """Empty digest: ``partial`` accumulates raw values until ``k`` of
+    them form a level-0 buffer; ``buffers`` maps level -> one sorted
+    k-buffer (binary-counter invariant: at most one buffer per level)."""
+    return {"partial": [], "buffers": {}}
+
+
+def _mp_collapse(a: list, b: list) -> list:
+    """Two size-k same-level buffers -> one size-k buffer a level up:
+    merge-sort, keep odd positions (1, 3, ..., 2k-1).  Deterministic;
+    the consistent odd-position choice is the standard derandomization
+    (each kept value's true rank is straddled within the classic
+    Munro-Paterson error bound)."""
+    m = sorted(a + b)
+    return m[1::2]
+
+
+def _mp_carry(buffers: dict, level: int, buf: list) -> None:
+    """Insert a sorted k-buffer at ``level``, collapsing upward while
+    the level is occupied — the binary-counter carry."""
+    while level in buffers:
+        buf = _mp_collapse(buffers.pop(level), buf)
+        level += 1
+    buffers[level] = buf
+
+
+def mp_update(digest: dict, value, k: int) -> None:
+    """ONE value into the digest (shared by the batch kernel and the
+    streaming fold, like ``mg_update``/``kmv_hash``)."""
+    digest["partial"].append(value)
+    if len(digest["partial"]) >= k:
+        buf = sorted(digest["partial"])
+        digest["partial"] = []
+        _mp_carry(digest["buffers"], 0, buf)
+
+
+def mp_merge(d1: dict, d2: dict, k: int) -> dict:
+    """Merge two digests: carry d2's buffers into d1's level-wise
+    (binary-counter addition), concatenate partials and re-carry any
+    full k-slice.  Deterministic given the merge ORDER — the grouped
+    operator below fixes that order by ascending partition id, and in
+    the exact regime (total n ≤ k: everything still in partials, no
+    collapse ever ran) the result is the plain multiset union,
+    independent of order — which is what the hash gate relies on."""
+    out = {"partial": list(d1["partial"]), "buffers": dict(d1["buffers"])}
+    for level in sorted(d2["buffers"]):
+        _mp_carry(out["buffers"], level, d2["buffers"][level])
+    out["partial"].extend(d2["partial"])
+    while len(out["partial"]) >= k:
+        head, out["partial"] = out["partial"][:k], out["partial"][k:]
+        _mp_carry(out["buffers"], 0, sorted(head))
+    return out
+
+
+def mp_count(digest: dict) -> int:
+    """Exact represented count (weight is conserved by collapses)."""
+    return len(digest["partial"]) + sum(
+        (1 << lvl) * len(buf) for lvl, buf in digest["buffers"].items()
+    )
+
+
+def mp_quantiles(digest: dict, qs: list[float]) -> list:
+    """Quantile estimates at the DuckDB ``quantile_disc`` selection
+    rule: 1-indexed target rank ``ceil(q * n)`` computed in EXACT
+    rational arithmetic (``Fraction(q)`` is the exact binary value of
+    the float, so binary-exact quantiles like 0.25/0.875 can never
+    drift across engines), answered with the smallest value whose
+    cumulative weight reaches the rank.  Values are pure selections —
+    no arithmetic touches them, so doubles hash bit-identically.
+    Empty digest -> all None."""
+    from fractions import Fraction
+
+    n = mp_count(digest)
+    if n == 0:
+        return [None] * len(qs)
+    items = [(v, 1) for v in digest["partial"]] + [
+        (v, 1 << lvl) for lvl, buf in digest["buffers"].items() for v in buf
+    ]
+    items.sort(key=lambda t: t[0])
+    out = []
+    for q in qs:
+        fr = Fraction(q) * n
+        rank = max(1, -((-fr.numerator) // fr.denominator))  # ceil, exact
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= rank:
+                out.append(v)
+                break
+    return out
+
+
+def grouped_mp_summaries(
+    df: DataFrame, group_col: str, value_col: str, k: int = 4096
+) -> DataFrame:
+    """Per-(partition, group) Munro-Paterson digests, exploded to rows
+    ``(group, pid, level, value)`` — level -1 marks partial-buffer
+    values (weight 1).  One Arrow pass; raw values never shuffle as a
+    corpus, only ≤ ``partitions × groups × (k + k·levels)`` sketch rows
+    do.  NULL values are skipped (matching quantile_disc)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark import TaskContext
+
+    types = dict(df.select(group_col, value_col).dtypes)
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        groups: dict = {}
+        for pdf in batches:
+            for g, v in zip(pdf[group_col], pdf[value_col]):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                mp_update(groups.setdefault(g, mp_new()), float(v), k)
+        rows_g, rows_l, rows_v = [], [], []
+        for g, d in groups.items():
+            for v in d["partial"]:
+                rows_g.append(g); rows_l.append(-1); rows_v.append(v)
+            for lvl, buf in d["buffers"].items():
+                for v in buf:
+                    rows_g.append(g); rows_l.append(lvl); rows_v.append(v)
+        if rows_g:
+            yield pd.DataFrame(
+                {
+                    group_col: rows_g,
+                    "pid": [pid] * len(rows_g),
+                    "level": rows_l,
+                    value_col: rows_v,
+                }
+            )
+
+    return df.select(group_col, value_col).mapInPandas(
+        summarize,
+        schema=f"{group_col} {types[group_col]}, pid int, level int, "
+        f"{value_col} double",
+    )
+
+
+def grouped_mp_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.875),
+    k: int = 4096,
+) -> DataFrame:
+    """Per-group quantiles at bounded memory: per-partition digests
+    (one Arrow pass) -> ONE grouped shuffle of sketch rows ->
+    ``applyInPandas`` rebuilds each partition's digest and merges them
+    in ascending-pid order (the deterministic merge order), then reads
+    the quantiles off the merged digest.  Output: one row per group
+    with a ``q_<pct>`` column per requested quantile.
+
+    EXACT REGIME (the oracle gate's lever, same as the MG and KMV
+    gates): with ``k`` ≥ the group's row count no collapse ever runs,
+    the merged digest is the group's exact multiset regardless of
+    merge order, and each quantile IS DuckDB's ``quantile_disc`` —
+    full hash oracle on the whole sketch plumbing (the values are pure
+    selections, so doubles match bit-for-bit).  The estimator regime's
+    rank-error bound is pinned in pytest."""
+    import pandas as pd
+
+    qcols = [f"q_{str(q)[2:]}" for q in qs]
+    summaries = grouped_mp_summaries(df, group_col, value_col, k)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group_col].iloc[0]
+        merged = mp_new()
+        for pid in sorted(pdf["pid"].unique()):
+            part = pdf[pdf["pid"] == pid]
+            d = mp_new()
+            # arrival order of partial values does not survive the
+            # shuffle; sort so the merge's overflow slicing is
+            # canonical — deterministic regardless of row order
+            d["partial"] = sorted(part[part["level"] == -1][value_col])
+            for lvl in sorted(part[part["level"] >= 0]["level"].unique()):
+                d["buffers"][int(lvl)] = sorted(
+                    part[part["level"] == lvl][value_col]
+                )
+            merged = mp_merge(merged, d, k)
+        ests = mp_quantiles(merged, list(qs))
+        return pd.DataFrame({group_col: [g], **{c: [e] for c, e in zip(qcols, ests)}})
+
+    gtype = dict(df.select(group_col).dtypes)[group_col]
+    out_schema = f"{group_col} {gtype}, " + ", ".join(f"{c} double" for c in qcols)
+    return summaries.groupBy(group_col).applyInPandas(finish, schema=out_schema)

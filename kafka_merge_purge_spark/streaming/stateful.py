@@ -1245,3 +1245,146 @@ def streaming_kmv_distinct(
         outputMode="Update",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Munro-Paterson quantiles — the sequential quantile fold
+# --------------------------------------------------------------------------
+
+MP_OUTPUT_SCHEMA = (
+    "group_key string, n long, q_25 double, q_5 double, q_75 double, q_875 double"
+)
+MP_QS = (0.25, 0.5, 0.75, 0.875)
+
+
+def fold_mp(
+    state: tuple | None,
+    pdfs: Iterator[pd.DataFrame],
+    k: int = 256,
+) -> tuple:
+    """Pure sequential Munro-Paterson fold for streaming quantiles:
+    thread one key's digest through its record batches.  State is
+    ``(digest, last_ts, last_event_id)`` — the bounded multi-level
+    buffer summary (operators/sketch.py semantics via the shared
+    ``mp_update``, so the twins cannot drift) plus the cross-batch
+    high-water mark.
+
+    Chop-invariant BY CONSTRUCTION like ``fold_heavy_hitters``: the
+    digest transition is purely sequential, so folding one
+    (ts, event_id)-ordered stream through any batch chop replays the
+    identical update sequence (chunks concatenated and re-sorted per
+    batch; cross-batch regressors dropped at the high-water mark —
+    pinned under randomized splits incl. redeliveries)."""
+    from kafka_merge_purge_spark.operators.sketch import mp_new, mp_update
+
+    if state is None:
+        digest, last_ts, last_eid = mp_new(), None, None
+    else:
+        digest = {
+            "partial": list(state[0]["partial"]),
+            "buffers": {int(lv): list(b) for lv, b in state[0]["buffers"].items()},
+        }
+        last_ts, last_eid = state[1], state[2]
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return (digest, last_ts, last_eid)
+    batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
+        ["ts", "event_id"]
+    )
+    for ts, eid, v in zip(batch["ts"], batch["event_id"], batch["value"]):
+        if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+            continue  # cross-batch regressor: drop, never fold out of order
+        if v is not None and not pd.isna(v):
+            mp_update(digest, float(v), k)
+        last_ts, last_eid = ts, int(eid)
+    return (digest, last_ts, last_eid)
+
+
+def emit_mp(key, digest: dict) -> pd.DataFrame:
+    """Current quantile estimates of a key's digest (the batch
+    ``mp_quantiles`` selection rule — rank = ceil(q·n), exact rational
+    arithmetic) plus the exact represented count."""
+    from kafka_merge_purge_spark.operators.sketch import mp_count, mp_quantiles
+
+    n = mp_count(digest)
+    if n == 0:
+        return pd.DataFrame(
+            {"group_key": [], "n": [], "q_25": [], "q_5": [], "q_75": [], "q_875": []}
+        )
+    ests = mp_quantiles(digest, list(MP_QS))
+    return pd.DataFrame(
+        {
+            "group_key": [key],
+            "n": [n],
+            "q_25": [ests[0]],
+            "q_5": [ests[1]],
+            "q_75": [ests[2]],
+            "q_875": [ests[3]],
+        }
+    )
+
+
+class MpQuantilesPerKey(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming per-key quantiles processor: ValueState holds each
+    key's bounded Munro-Paterson digest + high-water mark; every
+    micro-batch folds its records in (pure ``fold_mp``) and emits the
+    key's current quantiles — the stream twin of
+    ``operators/sketch.grouped_mp_quantiles`` with the same error
+    bound, state ≤ k·(levels+1) doubles per key forever."""
+
+    _STATE_ATTRS = ("_mp",)
+
+    def __init__(self, k: int = 256, ttl_ms: int | None = None):
+        super().__init__(ttl_ms)
+        self._k = k
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._mp = handle.getValueState(
+            "mp",
+            "partial array<double>, buffers map<string, array<double>>, "
+            "last_ts timestamp, last_eid long",
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._mp.exists():
+            partial, buffers, last_ts, last_eid = tuple(self._mp.get())
+            prior = (
+                {"partial": list(partial), "buffers": dict(buffers or {})},
+                last_ts,
+                last_eid,
+            )
+        else:
+            prior = None
+        digest, last_ts, last_eid = fold_mp(prior, rows, self._k)
+        self._mp.update(
+            (
+                digest["partial"],
+                {str(lv): buf for lv, buf in digest["buffers"].items()},
+                last_ts,
+                last_eid,
+            )
+        )
+        self._arm_ttl(timerValues)
+        out = emit_mp(key[0], digest)
+        if len(out):
+            yield out
+
+
+def streaming_mp_quantiles(
+    events: DataFrame,
+    k: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key streaming quantiles via ``transformWithStateInPandas``
+    — e.g. live latency percentiles per endpoint with ≤ k·(levels+1)
+    doubles of state per key.  Input needs (ts, event_id) for the
+    ordering guard and a ``value`` double column; same protobuf note
+    as streaming_compaction (the transition is the pure ``fold_mp``,
+    batch-equivalence fake-tested)."""
+    return events.groupBy("group_key").transformWithStateInPandas(
+        statefulProcessor=MpQuantilesPerKey(k, state_ttl_ms),
+        outputStructType=MP_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )

@@ -2425,3 +2425,78 @@ def test_pagerank_matches_reference_and_properties(spark):
     )
     r = {x["node"]: x["rank"] for x in pagerank(withnull).collect()}
     assert set(r) == {"a", "b"} and r == reference([("a", "b"), ("b", "a")])
+
+
+def test_grouped_mp_quantiles_exact_and_estimator_regimes(spark):
+    """r9 Munro-Paterson quantile digest: (1) exact regime — k ≥ group
+    rows ⇒ each output equals the brute-force quantile_disc rule
+    (rank = ceil(q·n), 1-indexed) incl. duplicates, negatives and an
+    all-NULL-value group vanishing; (2) estimator regime — 20k values
+    through k=64 digests: every estimate's true rank is within the
+    classic levels·n/(2k) bound (asserted at the looser 0.08·n), and
+    the summary actually compressed (sketch rows ≪ n); (3) weight
+    conservation — the merged digest still knows the exact n."""
+    import math
+    import random
+
+    from kafka_merge_purge_spark.operators.sketch import (
+        grouped_mp_quantiles,
+        grouped_mp_summaries,
+        mp_count,
+        mp_merge,
+        mp_new,
+        mp_update,
+    )
+
+    rng = random.Random(71)
+    rows = []
+    for g in range(4):
+        n_g = rng.randint(5, 40)
+        vals = [round(rng.uniform(-50, 50), 3) for _ in range(n_g)]
+        vals += vals[: n_g // 3]  # duplicates
+        rows += [(g, v) for v in vals]
+    rows.append((9, None))  # all-NULL group must vanish
+    df = spark.createDataFrame(rows, "g long, v double").repartition(5)
+
+    def disc(vals, q):
+        s = sorted(vals)
+        from fractions import Fraction
+
+        fr = Fraction(q) * len(s)
+        rank = max(1, -((-fr.numerator) // fr.denominator))
+        return s[rank - 1]
+
+    qs = (0.25, 0.5, 0.75, 0.875)
+    got = {r["g"]: r for r in grouped_mp_quantiles(df, "g", "v", qs=qs, k=512).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    truth = {}
+    for g, v in rows:
+        if v is not None:
+            truth.setdefault(g, []).append(v)
+    for g, vals in truth.items():
+        for q, col in zip(qs, ("q_25", "q_5", "q_75", "q_875")):
+            assert got[g][col] == disc(vals, q), (g, q)
+
+    # estimator regime
+    big_vals = [rng.gauss(0, 100) for _ in range(20000)]
+    big = spark.createDataFrame([(0, v) for v in big_vals], "g long, v double").repartition(8)
+    n_rows = grouped_mp_summaries(big, "g", "v", k=64).count()
+    assert n_rows < len(big_vals) / 4  # compression actually happened
+    est = grouped_mp_quantiles(big, "g", "v", qs=qs, k=64).collect()[0]
+    s = sorted(big_vals)
+    for q, col in zip(qs, ("q_25", "q_5", "q_75", "q_875")):
+        import bisect
+
+        # true rank window of the estimate (duplicates-aware)
+        lo = bisect.bisect_left(s, est[col])
+        hi = bisect.bisect_right(s, est[col])
+        target = max(1, math.ceil(q * len(s))) - 1
+        err = 0 if lo <= target < hi else min(abs(lo - target), abs(hi - 1 - target))
+        assert err <= 0.08 * len(s), (q, err)
+
+    # weight conservation through merges and collapses
+    d1, d2 = mp_new(), mp_new()
+    for i, v in enumerate(big_vals[:5000]):
+        mp_update(d1 if i % 2 else d2, v, 32)
+    merged = mp_merge(d1, d2, 32)
+    assert mp_count(merged) == 5000

@@ -1458,3 +1458,75 @@ def test_streaming_kmv_chop_invariant_and_ttl():
     out = list(proc.handleInputRows(("k",), iter([mk(["a", "b", "a"])]), _tv(3_000)))
     assert out[0]["distinct_est"].iloc[0] == 2
     assert h.states["kmv"].get()[0] == fold_kmv(None, iter([mk(["a", "b"])]), k=16)
+
+
+def test_streaming_mp_quantiles_chop_invariant_and_ttl():
+    """Streaming Munro-Paterson quantiles: (1) folding one ordered
+    stream through ANY randomized batch chop (with mid-stream
+    redeliveries dropped by the high-water mark) equals the single-pass
+    fold — digest AND emitted quantiles; (2) the fold's digest equals a
+    direct sequential mp_update replay (batch-twin parity via the
+    shared kernel); (3) the estimates respect the digest error bound;
+    (4) the TTL protocol evicts and the key rebuilds from scratch."""
+    import random
+
+    import pandas as pd
+
+    from kafka_merge_purge_spark.operators.sketch import mp_new, mp_update
+    from kafka_merge_purge_spark.streaming.stateful import (
+        MpQuantilesPerKey,
+        emit_mp,
+        fold_mp,
+    )
+
+    rng = random.Random(83)
+    ts0 = pd.Timestamp("2024-01-01")
+    vals = [round(rng.gauss(50, 20), 4) for _ in range(400)]
+    evs = [(ts0 + pd.Timedelta(seconds=i), i + 1, v) for i, v in enumerate(vals)]
+
+    def mk(rows):
+        return pd.DataFrame(
+            {"ts": [e[0] for e in rows], "event_id": [e[1] for e in rows],
+             "value": [e[2] for e in rows]}
+        )
+
+    one_pass = fold_mp(None, iter([mk(evs)]), k=32)
+
+    # direct kernel replay == the fold (shared-kernel parity)
+    direct = mp_new()
+    for _, _, v in evs:
+        mp_update(direct, v, 32)
+    assert one_pass[0] == direct
+
+    for _ in range(15):
+        state, i = None, 0
+        while i < len(evs):
+            j = min(len(evs), i + rng.randint(1, 13))
+            b = evs[i:j]
+            if rng.random() < 0.3:
+                b = evs[max(0, i - 4):i] + b  # redelivery: regressors dropped
+            bdf = mk(b).sample(frac=1.0, random_state=rng.randint(0, 999))
+            chunks = [bdf.iloc[: len(bdf) // 2], bdf.iloc[len(bdf) // 2:]]
+            state = fold_mp(state, iter(chunks), k=32)
+            i = j
+        assert state[0] == one_pass[0]
+        assert emit_mp("k", state[0]).equals(emit_mp("k", one_pass[0]))
+
+    out = emit_mp("lat", one_pass[0])
+    assert out["n"].iloc[0] == 400
+    s = sorted(vals)
+    for q, col in ((0.25, "q_25"), (0.5, "q_5"), (0.75, "q_75"), (0.875, "q_875")):
+        est = out[col].iloc[0]
+        true_rank = sum(1 for v in s if v <= est)
+        assert abs(true_rank - q * 400) <= 0.15 * 400  # k=32 is coarse
+
+    proc = MpQuantilesPerKey(k=32, ttl_ms=1_000)
+    h = _FakeHandle()
+    proc.init(h)
+    out = list(proc.handleInputRows(("lat",), iter([mk(evs[:100])]), _tv(0)))
+    assert len(out) == 1 and out[0]["n"].iloc[0] == 100
+    assert h.timers == [1_000]
+    list(proc.handleExpiredTimer(("lat",), _tv(2_000), _eti(1_000)))
+    assert not h.states["mp"].exists()
+    out = list(proc.handleInputRows(("lat",), iter([mk(evs[100:103])]), _tv(3_000)))
+    assert out[0]["n"].iloc[0] == 3  # rebuilt from scratch
