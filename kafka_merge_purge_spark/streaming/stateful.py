@@ -1388,3 +1388,152 @@ def streaming_mp_quantiles(
         outputMode="Update",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SCD2 — the dataset-evolution family's streaming leg
+# --------------------------------------------------------------------------
+
+
+def fold_scd2(
+    state: tuple | None,
+    pdfs: Iterator[pd.DataFrame],
+    attr_cols: tuple,
+) -> tuple:
+    """Pure sequential SCD-type-2 fold for one key: thread the OPEN
+    version through record batches, emitting a CLOSED version row the
+    moment any attribute changes (null-safe compare, matching the
+    batch ``scd2_history``'s eqNullSafe lag).  State is ``(attrs
+    tuple | None, valid_from, version, last_ts, last_event_id)`` — the
+    open version plus the cross-batch high-water mark; returns
+    ``(new_state, closed_rows)`` where each closed row is
+    ``(attrs, valid_from, valid_to, version)``.
+
+    Chop-invariant BY CONSTRUCTION like the other ordered folds
+    (chunks concatenated + re-sorted per batch, cross-batch regressors
+    dropped at the high-water mark): the closed-row STREAM and the
+    final open version equal the single-pass replay under any batch
+    chop — and the union of emitted closed rows + the open row equals
+    the batch ``scd2_history`` of the same events (both pinned in
+    tests/test_streaming.py)."""
+    attrs, valid_from, version, last_ts, last_eid = (
+        state if state is not None else (None, None, 0, None, None)
+    )
+    closed: list = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return (attrs, valid_from, version, last_ts, last_eid), closed
+    batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
+        ["ts", "event_id"]
+    )
+    for _, r in batch.iterrows():
+        ts, eid = r["ts"], int(r["event_id"])
+        if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+            continue  # cross-batch regressor: drop, never fold out of order
+        new_attrs = tuple(
+            None if pd.isna(r[c]) else _unbox(r[c]) for c in attr_cols
+        )
+        if attrs is None:
+            attrs, valid_from, version = new_attrs, ts, 1
+        elif new_attrs != attrs:  # null-safe: None == None is NOT a change
+            closed.append((attrs, valid_from, ts, version))
+            attrs, valid_from, version = new_attrs, ts, version + 1
+        last_ts, last_eid = ts, eid
+    return (attrs, valid_from, version, last_ts, last_eid), closed
+
+
+class Scd2PerKey(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming SCD2 processor: ValueState holds each key's open
+    version; every micro-batch folds its (ts, event_id)-ordered
+    records in (pure ``fold_scd2``) and APPENDS the versions that
+    closed this batch — the stream twin of
+    ``operators/snapshot.scd2_history`` (closed rows match the batch
+    build's non-NULL-valid_to rows exactly; the open version lives in
+    state until its closing event arrives).  Attribute dtypes are
+    derived from the caller's frame (string ids / typed attrs pass
+    through — same contract as the near-dup processors)."""
+
+    _STATE_ATTRS = ("_open",)
+
+    def __init__(
+        self,
+        key_type: str,
+        attr_cols: tuple,
+        attr_types: tuple,
+        ttl_ms: int | None = None,
+    ):
+        super().__init__(ttl_ms)
+        self._attr_cols = tuple(attr_cols)
+        self._attr_types = tuple(attr_types)
+        self._key_type = key_type
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        attrs_schema = ", ".join(
+            f"a{i} {t}" for i, t in enumerate(self._attr_types)
+        )
+        self._open = handle.getValueState(
+            "open",
+            f"{attrs_schema}, valid_from timestamp, version long, "
+            "last_ts timestamp, last_eid long",
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n_attr = len(self._attr_cols)
+        if self._open.exists():
+            row = tuple(self._open.get())
+            prior = (tuple(row[:n_attr]), row[n_attr], row[n_attr + 1],
+                     row[n_attr + 2], row[n_attr + 3])
+        else:
+            prior = None
+        (attrs, valid_from, version, last_ts, last_eid), closed = fold_scd2(
+            prior, rows, self._attr_cols
+        )
+        if attrs is not None:
+            self._open.update(
+                tuple(attrs) + (valid_from, version, last_ts, last_eid)
+            )
+        self._arm_ttl(timerValues)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    **{
+                        c: [row[0][i] for row in closed]
+                        for i, c in enumerate(self._attr_cols)
+                    },
+                    "valid_from": [row[1] for row in closed],
+                    "valid_to": [row[2] for row in closed],
+                    "version": [row[3] for row in closed],
+                }
+            )
+
+
+def streaming_scd2(
+    events: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key streaming SCD2 history via ``transformWithStateInPandas``
+    — closed version rows append as their closing events arrive; the
+    open version per key is O(attrs) state.  Input needs (ts, event_id)
+    for the ordering guard; output
+    ``(key, *attr_cols, valid_from, valid_to, version)`` matches the
+    batch ``scd2_history`` closed rows (same run-length semantics,
+    fake-tested batch equivalence under randomized chops)."""
+    dtypes = dict(events.dtypes)
+    attr_schema = ", ".join(f"{c} {dtypes[c]}" for c in attr_cols)
+    renamed = events.withColumnRenamed(key_col, "group_key")
+    return renamed.groupBy("group_key").transformWithStateInPandas(
+        statefulProcessor=Scd2PerKey(
+            dtypes[key_col], tuple(attr_cols),
+            tuple(dtypes[c] for c in attr_cols), state_ttl_ms,
+        ),
+        outputStructType=(
+            f"key {dtypes[key_col]}, {attr_schema}, valid_from timestamp, "
+            "valid_to timestamp, version long"
+        ),
+        outputMode="Append",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )

@@ -1530,3 +1530,85 @@ def test_streaming_mp_quantiles_chop_invariant_and_ttl():
     assert not h.states["mp"].exists()
     out = list(proc.handleInputRows(("lat",), iter([mk(evs[100:103])]), _tv(3_000)))
     assert out[0]["n"].iloc[0] == 3  # rebuilt from scratch
+
+
+def test_streaming_scd2_matches_batch_history(spark):
+    """Streaming SCD2: (1) under randomized chops with redeliveries the
+    emitted closed-version stream and the final open version equal the
+    single-pass fold; (2) closed rows ∪ open row == the batch
+    scd2_history of the same events (valid_to NULL = the open row),
+    incl. NULL→value / value→NULL transitions counting as changes and
+    duplicate timestamps resolved by the event-id tiebreak; (3) the
+    TTL protocol evicts and the key rebuilds."""
+    import random
+
+    import pandas as pd
+
+    from kafka_merge_purge_spark.operators.snapshot import scd2_history
+    from kafka_merge_purge_spark.streaming.stateful import Scd2PerKey, fold_scd2
+
+    rng = random.Random(97)
+    ts0 = pd.Timestamp("2024-01-01")
+    attrs_pool = ["red", "blue", None]
+    evs = []
+    for i in range(120):
+        # duplicate timestamps every 10th event exercise the tiebreak
+        ts = ts0 + pd.Timedelta(minutes=i - (1 if i % 10 == 0 and i else 0))
+        evs.append((ts, i + 1, rng.choice(attrs_pool), rng.randint(0, 2)))
+
+    def mk(rows):
+        return pd.DataFrame(
+            {"ts": [e[0] for e in rows], "event_id": [e[1] for e in rows],
+             "color": [e[2] for e in rows], "size": [e[3] for e in rows]}
+        )
+
+    cols = ("color", "size")
+    one_state, one_closed = fold_scd2(None, iter([mk(evs)]), cols)
+
+    for _ in range(15):
+        state, closed, i = None, [], 0
+        while i < len(evs):
+            j = min(len(evs), i + rng.randint(1, 11))
+            b = evs[i:j]
+            if rng.random() < 0.3:
+                b = evs[max(0, i - 3):i] + b  # redelivered regressors dropped
+            bdf = mk(b).sample(frac=1.0, random_state=rng.randint(0, 999))
+            state, got = fold_scd2(
+                state, iter([bdf.iloc[: len(bdf) // 2], bdf.iloc[len(bdf) // 2:]]), cols
+            )
+            closed += got
+            i = j
+        assert state == one_state and closed == one_closed
+
+    # batch equivalence: closed ∪ open == scd2_history
+    df = spark.createDataFrame(
+        [("k", e[0].to_pydatetime(), e[1], e[2], e[3]) for e in evs],
+        "k string, ts timestamp, event_id long, color string, size long",
+    )
+    hist = scd2_history(df, "k", "ts", ["color", "size"], order_tiebreak="event_id")
+    batch_rows = {
+        ((r["color"], r["size"]), pd.Timestamp(r["valid_from"]),
+         None if r["valid_to"] is None else pd.Timestamp(r["valid_to"]), r["version"])
+        for r in hist.collect()
+    }
+    stream_rows = {
+        (a, pd.Timestamp(vf), pd.Timestamp(vt), ver) for a, vf, vt, ver in one_closed
+    }
+    open_attrs, open_from, open_ver = one_state[0], one_state[1], one_state[2]
+    stream_rows.add((open_attrs, pd.Timestamp(open_from), None, open_ver))
+    assert stream_rows == batch_rows
+
+    # TTL protocol
+    proc = Scd2PerKey("string", cols, ("string", "long"), ttl_ms=1_000)
+    h = _FakeHandle()
+    proc.init(h)
+    out = list(proc.handleInputRows(("k",), iter([mk(evs[:30])]), _tv(0)))
+    assert out and h.timers == [1_000]
+    list(proc.handleExpiredTimer(("k",), _tv(2_000), _eti(1_000)))
+    assert not h.states["open"].exists()
+    out = list(proc.handleInputRows(("k",), iter([mk(evs[30:32])]), _tv(3_000)))
+    st = tuple(h.states["open"].get())
+    rebuilt, _ = fold_scd2(None, iter([mk(evs[30:32])]), cols)
+    # rebuilt from scratch: state equals a fresh fold of only the
+    # post-eviction events (version counter restarted)
+    assert (tuple(st[:2]), st[2], st[3]) == (rebuilt[0], rebuilt[1], rebuilt[2])
