@@ -106,3 +106,15 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None 
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options
+) -> DataFrame:
+    """ORC batch scan (native Spark datasource — no extra jar): same
+    pushdown posture as the parquet path (predicate + column pruning
+    reach the ORC reader; plan-pinned in tests/test_sources.py)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -46,3 +46,20 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.mode(mode).options(**options).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_within: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same layout controls as ``write_parquet``
+    (directory partitions prune; in-task sort clusters rows for ORC's
+    min/max stripe skipping)."""
+    out = df.sortWithinPartitions(*sort_within) if sort_within else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
