@@ -4193,6 +4193,88 @@ _RELATIONAL_ORACLES["x_pagerank"] = """
     LEFT JOIN f3 ON n2.node = f3.node"""
 
 
+def x_trustrank(spark, sf_dir):
+    """TrustRank (r9, Gyöngyi et al. 2004): personalized PageRank whose
+    teleport set is the SUPPLIER side of the co-trade graph — trust
+    flows only from audited seeds, so nodes no trust path reaches stay
+    near zero (the link-spam demotion signal; spam-farm demotion is
+    pinned in pytest).  Same quantized integer machinery as
+    x_pagerank with t(v)·(… DIV S) teleport terms; FULL hash oracle
+    unrolls the 3 iterations with the seed flag as a CASE column."""
+    from kafka_merge_purge_spark.operators.components import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        # quarter-supplier subgraph: x_pagerank carries the full-size
+        # measurement; this gate buys the teleport-term coverage at a
+        # quarter of the suite cost (same fixed-prefix posture as
+        # x_hashed_ann_exact)
+        .filter(F.col("l_suppkey") % 4 == 0)
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = edges.select("src").filter(F.col("src").startswith("s")).distinct()
+    return pagerank(edges, iterations=3, teleport=seeds)
+
+
+_RELATIONAL_ORACLES["x_trustrank"] = """
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_suppkey % 4 = 0),
+    e AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    nodes AS (SELECT src AS node,
+                     CASE WHEN src LIKE 's%' THEN 1 ELSE 0 END AS t
+              FROM (SELECT DISTINCT src FROM e)),
+    nn AS (SELECT SUM(t) AS c FROM nodes),
+    od AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, t * (1000000000000 // c) AS rank
+           FROM nodes CROSS JOIN nn),
+    s1 AS (SELECT r.node, r.rank, od.od FROM r0 r LEFT JOIN od ON r.node = od.node),
+    f1 AS (SELECT e.dst AS node, SUM(s.rank // s.od) AS inflow
+           FROM e JOIN s1 s ON e.src = s.node GROUP BY e.dst),
+    d1 AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM s1 WHERE od IS NULL),
+    r1 AS (SELECT n2.node,
+                  CAST(n2.t * ((3 * (1000000000000 // c)) // 20)
+                     + (17 * (COALESCE(f1.inflow, 0) + n2.t * (dang // c))) // 20
+                    AS BIGINT) AS rank
+           FROM nodes n2 CROSS JOIN nn CROSS JOIN d1
+           LEFT JOIN f1 ON n2.node = f1.node),
+    s2 AS (SELECT r.node, r.rank, od.od FROM r1 r LEFT JOIN od ON r.node = od.node),
+    f2 AS (SELECT e.dst AS node, SUM(s.rank // s.od) AS inflow
+           FROM e JOIN s2 s ON e.src = s.node GROUP BY e.dst),
+    d2 AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM s2 WHERE od IS NULL),
+    r2 AS (SELECT n2.node,
+                  CAST(n2.t * ((3 * (1000000000000 // c)) // 20)
+                     + (17 * (COALESCE(f2.inflow, 0) + n2.t * (dang // c))) // 20
+                    AS BIGINT) AS rank
+           FROM nodes n2 CROSS JOIN nn CROSS JOIN d2
+           LEFT JOIN f2 ON n2.node = f2.node),
+    s3 AS (SELECT r.node, r.rank, od.od FROM r2 r LEFT JOIN od ON r.node = od.node),
+    f3 AS (SELECT e.dst AS node, SUM(s.rank // s.od) AS inflow
+           FROM e JOIN s3 s ON e.src = s.node GROUP BY e.dst),
+    d3 AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM s3 WHERE od IS NULL)
+    SELECT n2.node,
+           CAST(n2.t * ((3 * (1000000000000 // c)) // 20)
+              + (17 * (COALESCE(f3.inflow, 0) + n2.t * (dang // c))) // 20
+             AS BIGINT) AS rank
+    FROM nodes n2 CROSS JOIN nn CROSS JOIN d3
+    LEFT JOIN f3 ON n2.node = f3.node"""
+
+
 def x_incremental_dedup(spark, sf_dir):
     """Incremental re-dedup driven by the snapshot diff (r9 — the
     composition the diff operator exists FOR): only the twin snapshot's

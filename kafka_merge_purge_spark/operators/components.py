@@ -169,6 +169,7 @@ def pagerank(
     damping_num: int = 17,
     damping_den: int = 20,
     broadcast_ranks: bool = True,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list, in EXACT integer
     arithmetic — the link-analysis quality signal curation pipelines
@@ -176,10 +177,20 @@ def pagerank(
     hash-gateable the same way this repo's cosine scorers are: quantize
     first, then every engine replays the identical integers.
 
-    Semantics (all operations on int64 "microrank" units, ``//`` =
-    truncating division on non-negatives):
+    With ``teleport`` (a one-column ``node`` frame) the random surfer
+    restarts uniformly over that SEED SET instead of all nodes — this
+    is personalized PageRank, and with a hand-audited trusted seed set
+    it is exactly TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004),
+    the classic link-spam demotion signal for web-corpus curation:
+    spam farms that inflate vanilla PageRank stay near zero because no
+    trust path reaches them (pinned in pytest on a planted spam-farm
+    graph).
 
-    * ``rank0 = PR_SCALE // N`` for each of the N distinct nodes.
+    Semantics (all operations on int64 "microrank" units, ``//`` =
+    truncating division on non-negatives; T = teleport set, S = |T|,
+    t(v) = 1 if v ∈ T else 0 — default T = all nodes):
+
+    * ``rank0 = t(v)·(PR_SCALE // S)``.
     * per iteration, with ``d = damping_num/damping_den`` (default
       17/20 = 0.85) and each edge ROW contributing once (parallel edge
       rows weight their contribution — pass a distinct edge list for
@@ -188,8 +199,8 @@ def pagerank(
         share(u)   = rank(u) // outdeg(u)
         inflow(v)  = Σ share(u) over edge rows (u, v)
         dang       = Σ rank(u) over nodes with no out-edge
-        rank'(v)   = (3·(PR_SCALE // N)) // 20
-                     + (17·(inflow(v) + dang // N)) // 20
+        rank'(v)   = t(v)·((3·(PR_SCALE // S)) // 20)
+                     + (17·(inflow(v) + t(v)·(dang // S))) // 20
 
     The truncation losses are deterministic and identical in any
     engine, so a fixed ``iterations`` unrolls into plain SQL CTEs with
@@ -217,22 +228,29 @@ def pagerank(
         .repartition(F.col("_src"))
         .cache()
     )
-    nodes = (
+    base_nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .cache()
     )
+    if teleport is None:
+        nodes = base_nodes.withColumn("_t", F.lit(1)).cache()
+    else:
+        seeds = teleport.select(F.col(teleport.columns[0]).alias("node")).distinct()
+        nodes = base_nodes.join(
+            seeds.withColumn("_m", F.lit(1)), "node", "left"
+        ).select("node", F.coalesce(F.col("_m"), F.lit(0)).alias("_t")).cache()
     outdeg = (
         e.groupBy(F.col("_src").alias("node"))
         .agg(F.count(F.lit(1)).alias("od"))
         .cache()  # computed once, joined every iteration
     )
-    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    # S = teleport-set size (graph nodes only); default = all N nodes
+    n_row = F.broadcast(nodes.agg(F.sum("_t").cast("long").alias("_n")))
     # every division below is Spark's integer DIV (exact truncating
     # int64 division) — NOT float `/` + cast, whose rounding could
     # cross an integer boundary and break the bit-identical contract
-    base_rank = F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV _n")
+    base_rank = F.expr(f"_t * (CAST({PR_SCALE} AS BIGINT) DIV _n)")
     ranks = nodes.crossJoin(n_row).select("node", base_rank.alias("rank"))
 
     for _ in range(iterations):
@@ -257,10 +275,10 @@ def pagerank(
             .select(
                 "node",
                 F.expr(
-                    f"(({damping_den - damping_num} * (CAST({PR_SCALE} AS BIGINT) DIV _n))"
-                    f" DIV {damping_den})"
-                    f" + (({damping_num} * (COALESCE(inflow, 0) + (_dang DIV _n)))"
-                    f" DIV {damping_den})"
+                    f"_t * (({damping_den - damping_num} *"
+                    f" (CAST({PR_SCALE} AS BIGINT) DIV _n)) DIV {damping_den})"
+                    f" + (({damping_num} * (COALESCE(inflow, 0) +"
+                    f" _t * (_dang DIV _n))) DIV {damping_den})"
                 ).alias("rank"),
             )
             # executor-local materialization of the O(nodes) rank frame

@@ -2530,3 +2530,39 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tables, tmp_path):
     assert "PartitionFilters" in formatted_plan(pruned)
     assert (tmp_path / "orders_orc_part" / "o_orderstatus=F").exists()
     assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_trustrank_demotes_spam_farm(spark):
+    """r9 TrustRank: on a graph where a spam farm of mutually-linking
+    pages inflates vanilla PageRank, seeding the teleport set with the
+    trusted cluster keeps every farm node at (near) zero — no trust
+    path reaches it — while vanilla PageRank ranks farm nodes ABOVE
+    trusted ones (the exact failure TrustRank exists to fix).  Also:
+    teleport == all nodes reproduces vanilla bit-for-bit, and seeds
+    absent from the graph are ignored."""
+    from kafka_merge_purge_spark.operators.components import pagerank
+
+    trusted = [("t1", "t2"), ("t2", "t3"), ("t3", "t1"), ("t1", "t3")]
+    # spam farm: 6 pages all linking to a boosted target
+    farm = [(f"f{i}", "spam") for i in range(6)] + [
+        ("spam", f"f{i}") for i in range(6)
+    ]
+    edges = spark.createDataFrame(trusted + farm, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("t1",), ("t2",), ("t3",), ("ghost",)], "node string"
+    )
+
+    vanilla = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    trust = {
+        r["node"]: r["rank"] for r in pagerank(edges, teleport=seeds).collect()
+    }
+    # vanilla: the farm target outranks every trusted page
+    assert vanilla["spam"] > max(vanilla[n] for n in ("t1", "t2", "t3"))
+    # trustrank: all mass stays in the trusted cluster; the farm is ~0
+    assert all(trust[n] == 0 for n in ["spam"] + [f"f{i}" for i in range(6)])
+    assert all(trust[n] > 0 for n in ("t1", "t2", "t3"))
+
+    all_nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    assert {r["node"]: r["rank"] for r in pagerank(edges, teleport=all_nodes).collect()} == vanilla
