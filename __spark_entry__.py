@@ -2766,6 +2766,77 @@ def _minhash_pairs_oracle(
 
 _LLM_ORACLES["x_minhash_pairs"] = _minhash_pairs_oracle()
 
+
+def x_set_similarity(spark, sf_dir):
+    """Generic set-similarity join (r9): MinHash-LSH over ANY
+    array<string> column — here each supplier's market basket of part
+    buckets (l_partkey % 997) — via dedup.set_similarity_pairs, the
+    same banded tail minhash_lsh_pairs runs (factored
+    _banded_jaccard_pairs, so text and set fronts share the machinery
+    literally).  FULL hash oracle: the md5-affine signature chain +
+    OR-of-bands candidate join + exact Jaccard replayed in SQL (the
+    x_minhash_pairs construction, basket base)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_suppkey").agg(
+        F.collect_set((F.col("l_partkey") % 997).cast("string")).alias("items")
+    )
+    return dd.set_similarity_pairs(
+        baskets,
+        id_col="l_suppkey",
+        set_col="items",
+        num_hashes=16,
+        bands=8,
+        jaccard_threshold=0.25,
+    )
+
+
+def _set_similarity_oracle(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.25
+) -> str:
+    """The x_minhash_pairs oracle construction with the shingle stage
+    replaced by the supplier part-bucket baskets — banding replayed
+    bit-for-bit, so LSH recall is part of the gated contract, not an
+    approximation the oracle papers over."""
+    rows = num_hashes // bands
+    hash_expr = _MD5_INT.format(x="s")
+    sig_terms = ",\n                 ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {dd.MERSENNE_61}))"
+        for a, b in dd._minhash_coeffs(num_hashes)
+    )
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.sig[{b * rows + r + 1}] = b.sig[{b * rows + r + 1}]"
+            for r in range(rows)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh_t AS (
+            SELECT l_suppkey AS id,
+                   list_distinct(list(CAST(l_partkey % 997 AS VARCHAR))) AS sh
+            FROM lineitem GROUP BY l_suppkey),
+        hs_t AS (SELECT id, sh,
+                        list_transform(sh, s -> {hash_expr} & 2147483647) AS hs
+                 FROM sh_t),
+        sig_t AS (SELECT id, sh,
+                 [{sig_terms}] AS sig
+                  FROM hs_t),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM sig_t a JOIN sig_t b
+              ON a.id < b.id AND ({band_match}))
+        SELECT id_a, id_b,
+               round(len(list_intersect(sh_a, sh_b)) /
+                     len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+        FROM cand
+        WHERE round(len(list_intersect(sh_a, sh_b)) /
+                    len(list_distinct(list_concat(sh_a, sh_b))), 6) >= {threshold}"""
+
+
+_LLM_ORACLES["x_set_similarity"] = _set_similarity_oracle()
+
 _MM_HAM = " + ".join(
     f"CAST(bit_count(xor(a.w{k}, b.w{k})) AS INTEGER)" for k in range(4)
 )

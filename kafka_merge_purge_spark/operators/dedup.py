@@ -351,7 +351,25 @@ def minhash_lsh_pairs(
         vectorized,
         adaptive=adaptive,
     )
-    if persist_shingles:
+    return _banded_jaccard_pairs(
+        sh_df, num_hashes, bands, jaccard_threshold, vectorized, persist_shingles
+    )
+
+
+def _banded_jaccard_pairs(
+    sh_df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    vectorized: bool,
+    persist_sets: bool,
+) -> DataFrame:
+    """Banded candidates + exact-Jaccard verify over an ``(id, sh)``
+    set frame — the LSH tail shared VERBATIM by ``minhash_lsh_pairs``
+    (text shingles) and ``set_similarity_pairs`` (any array column), so
+    the two fronts cannot drift (the hamming_banded_pairs factoring
+    precedent).  See minhash_lsh_pairs for the plan-shape notes."""
+    if persist_sets:
         from pyspark import StorageLevel
 
         sh_df = sh_df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -388,9 +406,44 @@ def minhash_lsh_pairs(
     # record what was cached so callers can release it after materializing
     # (fuzzy_dedup does; see release_persisted — r6 review: per-call
     # MEMORY_AND_DISK blocks otherwise accumulate for the context's life)
-    out._kmp_persisted = [sh_df] if persist_shingles else []
+    out._kmp_persisted = [sh_df] if persist_sets else []
     _register_persisted(out._kmp_persisted)
     return out
+
+
+def set_similarity_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    set_col: str = "items",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    jaccard_threshold: float = 0.5,
+    vectorized: bool = True,
+    persist_sets: bool = True,
+) -> DataFrame:
+    """Generic set-similarity join over ANY ``array<string>`` column —
+    market baskets, tag sets, feature bags — not just text: the exact
+    MinHash-LSH machinery of :func:`minhash_lsh_pairs` with the
+    shingling stage replaced by the caller's sets (elements are
+    md5-hashed as strings; duplicates within a set are dropped — KMV
+    precedent: Jaccard is over DISTINCT elements).  Empty and NULL sets
+    are filtered before banding (a [] set would degenerate-collide in
+    every band — the same mega-bucket hazard the text front filters
+    with its content regex).  Output: ``(id_a, id_b, jaccard)`` with
+    exact-Jaccard verification ≥ ``jaccard_threshold``."""
+    sh_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.col(set_col)).alias("sh"),
+    ).filter(F.col("sh").isNotNull() & (F.size("sh") > 0))
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    return _banded_jaccard_pairs(
+        sh_df.repartition(n_part, "id"),
+        num_hashes,
+        bands,
+        jaccard_threshold,
+        vectorized,
+        persist_sets,
+    )
 
 
 #: module-level registry of every shingle/side frame the dedup operators

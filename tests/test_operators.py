@@ -2566,3 +2566,63 @@ def test_trustrank_demotes_spam_farm(spark):
         edges.select(F.col("dst").alias("node"))
     ).distinct()
     assert {r["node"]: r["rank"] for r in pagerank(edges, teleport=all_nodes).collect()} == vanilla
+
+
+def test_set_similarity_pairs_generic_sets(spark):
+    """r9 generic set-similarity join: (1) on a planted corpus where
+    every banding collision is certain (identical sets share every
+    band), pairs equal the quadratic Jaccard ≥ threshold brute force;
+    (2) within-set duplicates don't inflate Jaccard (DISTINCT-element
+    semantics); (3) NULL and empty sets are dropped, never
+    mega-bucketed; (4) long ids pass through."""
+    import itertools
+
+    from kafka_merge_purge_spark.operators.dedup import (
+        release_all_persisted,
+        set_similarity_pairs,
+    )
+
+    sets = {
+        1: ["a", "b", "c", "d"],
+        2: ["a", "b", "c", "d"],          # exact dup of 1
+        3: ["a", "b", "c", "d", "a", "b"],  # dup elements: same set as 1
+        4: ["w", "x", "y", "z"],
+        5: ["a", "b"],                     # subset: J = 0.5 vs 1
+        6: [],                             # dropped
+    }
+    rows = [(k, v) for k, v in sets.items()] + [(7, None)]
+    df = spark.createDataFrame(rows, "id long, items array<string>")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_pairs(
+            df, id_col="id", set_col="items", jaccard_threshold=0.99
+        ).collect()
+    }
+    release_all_persisted()
+    # identical sets agree on every band -> banding recall is certain
+    assert got == {(1, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0}
+
+    # lower threshold: the subset pair appears iff banding collides —
+    # verify against the SAME banded contract via a band-key replay
+    got_low = set_similarity_pairs(
+        df, id_col="id", set_col="items", jaccard_threshold=0.4
+    )
+    rows_low = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got_low.collect()}
+    release_all_persisted()
+    from kafka_merge_purge_spark.operators.dedup import _banded_minhash_keys
+
+    sh = spark.createDataFrame(
+        [(k, sorted(set(v))) for k, v in sets.items() if v],
+        "id long, sh array<string>",
+    )
+    keys = _banded_minhash_keys(sh, 24, 8, True).collect()
+    by_id = {}
+    for r in keys:
+        by_id.setdefault(r["id"], set()).add((r["band"], r["band_key"]))
+    expect = {}
+    for a, b in itertools.combinations(sorted(k for k, v in sets.items() if v), 2):
+        if by_id[a] & by_id[b]:
+            ja = len(set(sets[a]) & set(sets[b])) / len(set(sets[a]) | set(sets[b]))
+            if round(ja, 6) >= 0.4:
+                expect[(a, b)] = round(ja, 6)
+    assert rows_low == expect and (1, 2) in rows_low
