@@ -2769,32 +2769,52 @@ _LLM_ORACLES["x_minhash_pairs"] = _minhash_pairs_oracle()
 
 def x_set_similarity(spark, sf_dir):
     """Generic set-similarity join (r9): MinHash-LSH over ANY
-    array<string> column — here each supplier's market basket of part
-    buckets (l_partkey % 997) — via dedup.set_similarity_pairs, the
-    same banded tail minhash_lsh_pairs runs (factored
-    _banded_jaccard_pairs, so text and set fronts share the machinery
-    literally).  FULL hash oracle: the md5-affine signature chain +
-    OR-of-bands candidate join + exact Jaccard replayed in SQL (the
-    x_minhash_pairs construction, basket base)."""
+    array<string> column — here per-ORDER market baskets of part
+    keys (raw l_partkey — the element universe must SCALE with the
+    corpus: a %997 bucketing saturated the band keyspace at 10× and
+    OOM'd the candidate join, the keyspace-saturation class the wide
+    image path fixed; see BENCH_SCALE r9f) with planted twins (every 7th order gets
+    a one-element-appended near-copy, J = n/(n+1) ≥ 0.5; every 13th an
+    exact copy — the x_incremental_dedup non-vacuity construction) —
+    via dedup.set_similarity_pairs, the same banded tail
+    minhash_lsh_pairs runs (factored _banded_jaccard_pairs, so text
+    and set fronts share the machinery literally).  Random 4-item
+    baskets are near-disjoint, so the background stays sparse — the
+    first gate draft used per-SUPPLIER baskets where every pair had
+    J≈0.3 and the verify stage was quadratic-by-corpus-density
+    (118 s at sf0.1; see BENCH_SCALE r9f).  FULL hash oracle: the
+    md5-affine signature chain + OR-of-bands candidate join + exact
+    Jaccard replayed in SQL (the x_minhash_pairs construction)."""
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_suppkey").agg(
-        F.collect_set((F.col("l_partkey") % 997).cast("string")).alias("items")
+    base = li.groupBy("l_orderkey").agg(
+        F.collect_set(F.col("l_partkey").cast("string")).alias("items")
     )
+    near = base.filter(F.col("l_orderkey") % 7 == 0).select(
+        (F.col("l_orderkey") + 10_000_000).alias("l_orderkey"),
+        F.array_union(
+            F.col("items"),
+            F.array(F.concat(F.lit("m"), (F.col("l_orderkey") % 997).cast("string"))),
+        ).alias("items"),
+    )
+    exact = base.filter(F.col("l_orderkey") % 13 == 0).select(
+        (F.col("l_orderkey") + 20_000_000).alias("l_orderkey"), "items"
+    )
+    corpus = base.unionByName(near).unionByName(exact)
     return dd.set_similarity_pairs(
-        baskets,
-        id_col="l_suppkey",
+        corpus,
+        id_col="l_orderkey",
         set_col="items",
         num_hashes=16,
-        bands=8,
-        jaccard_threshold=0.25,
+        bands=4,
+        jaccard_threshold=0.5,
     )
 
 
 def _set_similarity_oracle(
-    num_hashes: int = 16, bands: int = 8, threshold: float = 0.25
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> str:
     """The x_minhash_pairs oracle construction with the shingle stage
-    replaced by the supplier part-bucket baskets — banding replayed
+    replaced by the planted-twin order baskets — banding replayed
     bit-for-bit, so LSH recall is part of the gated contract, not an
     approximation the oracle papers over."""
     rows = num_hashes // bands
@@ -2813,10 +2833,18 @@ def _set_similarity_oracle(
         for b in range(bands)
     )
     return f"""
-        WITH sh_t AS (
-            SELECT l_suppkey AS id,
-                   list_distinct(list(CAST(l_partkey % 997 AS VARCHAR))) AS sh
-            FROM lineitem GROUP BY l_suppkey),
+        WITH b AS (
+            SELECT l_orderkey AS id,
+                   list_distinct(list(CAST(l_partkey AS VARCHAR))) AS sh
+            FROM lineitem GROUP BY l_orderkey),
+        sh_t AS (
+            SELECT id, sh FROM b
+            UNION ALL
+            SELECT id + 10000000,
+                   list_append(sh, 'm' || CAST(id % 997 AS VARCHAR))
+            FROM b WHERE id % 7 = 0
+            UNION ALL
+            SELECT id + 20000000, sh FROM b WHERE id % 13 = 0),
         hs_t AS (SELECT id, sh,
                         list_transform(sh, s -> {hash_expr} & 2147483647) AS hs
                  FROM sh_t),

@@ -2626,3 +2626,24 @@ def test_set_similarity_pairs_generic_sets(spark):
             if round(ja, 6) >= 0.4:
                 expect[(a, b)] = round(ja, 6)
     assert rows_low == expect and (1, 2) in rows_low
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Snapshots drift schemas over a 100 TB corpus's lifetime; the
+    parquet source must read a directory whose files disagree on
+    columns.  mergeSchema=True unions the schemas (missing columns
+    NULL-fill per file), and a filter on the NEW column still prunes
+    to the files that have it."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "de")], "doc_id long, text string, lang string"
+    )
+    path = tmp_path / "evolving"
+    old.write.parquet(str(path / "batch=0"))
+    new.write.parquet(str(path / "batch=1"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(path))
+    assert set(merged.columns) == {"doc_id", "text", "lang", "batch"}
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en"), 4: ("d", "de")}
+    assert merged.filter(F.col("lang") == "en").count() == 1
