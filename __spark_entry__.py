@@ -4221,6 +4221,38 @@ _RELATIONAL_ORACLES["x_mp_quantiles"] = """
     GROUP BY event_type"""
 
 
+def x_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss projection (r9, Achlioptas 2003 ±1
+    "database-friendly" form): embeddings quantized to the repo's 1e-6
+    grid, one numpy GEMM per Arrow batch against the md5-derived ±1
+    sign matrix, 64 → 8 exact-int64 components — the dimension front
+    that cuts every downstream LSH/IVF signature cost.  ZERO shuffles
+    (pure map stage).  FULL hash oracle: Σ ±q_i replayed per (row,
+    dim) with the identical md5-parity sign rule; distortion bound
+    pinned in pytest."""
+    from kafka_merge_purge_spark.operators.similarity import jl_project
+
+    return jl_project(
+        _t(spark, sf_dir, "embeddings"), out_dim=8, as_rows=True
+    )
+
+
+_LLM_ORACLES["x_jl_project"] = """
+    WITH q AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+               FROM embeddings WHERE embedding IS NOT NULL),
+    d AS (SELECT UNNEST(range(8)) AS dim)
+    SELECT vec_id AS id,
+           CAST(dim AS INTEGER) AS dim,
+           CAST(list_sum(list_transform(range(1, len(q) + 1),
+                i -> (CASE WHEN strpos('13579bdf',
+                           substring(md5('jl:' || CAST(i - 1 AS VARCHAR) || ':'
+                                         || CAST(dim AS VARCHAR)), 1, 1)) > 0
+                      THEN 1 ELSE -1 END) * q[i])) AS BIGINT) AS component
+    FROM q CROSS JOIN d"""
+
+
 def x_pagerank(spark, sf_dir):
     """Quantized PageRank (r9) over the supplier↔customer co-trade
     graph: distinct (supplier, customer) pairs from lineitem ⋈ orders,

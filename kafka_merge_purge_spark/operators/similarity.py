@@ -941,3 +941,84 @@ def ivf_topk_indexed(
         )
     )
     return _ivf_score_topk(corpus_assigned, probes, k)
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection (Achlioptas ±1) — ANN's dimension front
+# --------------------------------------------------------------------------
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: str = "jl"):
+    """The deterministic ±1 projection matrix (in_dim × out_dim):
+    sign(i, j) = +1 iff the first hex nibble of md5("{seed}:{i}:{j}")
+    is odd.  Achlioptas 2003 ("database-friendly random projections")
+    proves ±1 entries satisfy the JL lemma with the same distortion
+    bounds as Gaussians — and ±1 keeps the projected components EXACT
+    int64 sums of the quantized inputs, so the operator hash-gates the
+    way every quantized kernel here does.  md5 is the portability
+    anchor: Python, Spark and DuckDB rebuild the identical matrix."""
+    import hashlib
+
+    import numpy as np
+
+    S = np.empty((in_dim, out_dim), dtype=np.int64)
+    for i in range(in_dim):
+        for j in range(out_dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            S[i, j] = 1 if int(h[0], 16) & 1 else -1
+    return S
+
+
+def jl_project(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: str = "jl",
+    as_rows: bool = False,
+) -> DataFrame:
+    """Project embeddings to ``out_dim`` exact-int64 components:
+    quantize to the repo's 1e-6 grid (dedup.QUANT_SCALE — the same
+    grid every cosine kernel scores on), then one numpy GEMM against
+    the ±1 sign matrix per Arrow batch.  ZERO shuffles — a pure map
+    stage, so it composes in front of LSH/IVF indexing where cutting
+    dimension cuts every downstream signature/scan cost at 100 TB
+    (project once, index the 4× smaller vectors).
+
+    Distortion is the JL guarantee (pinned empirically in pytest:
+    pairwise cosine drift bounded on a seeded corpus at out_dim 16 and
+    64); exactness of the arithmetic is the gate's job — components
+    are Σ ±q_i, bit-identical in SQL.
+
+    ``as_rows=True`` emits the oracle-friendly long form
+    ``(id, dim, component)``; default is ``(id, proj array<bigint>)``
+    for pipeline composition.  NULL vectors are dropped at entry
+    (drop_null_vectors posture)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from kafka_merge_purge_spark.operators.dedup import QUANT_SCALE
+
+    id_type = dict(emb.dtypes)[id_col]
+    sign_cache: dict = {}
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q = np.floor(mat * QUANT_SCALE + 0.5).astype(np.int64)
+            in_dim = q.shape[1]
+            if in_dim not in sign_cache:
+                sign_cache[in_dim] = jl_signs(in_dim, out_dim, seed)
+            proj = q @ sign_cache[in_dim]  # |q|≤~2e6·64 terms ≪ 2^63
+            yield pd.DataFrame({"id": pdf[id_col], "proj": list(map(list, proj))})
+
+    src = emb.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    out = src.mapInPandas(project, schema=f"id {id_type}, proj array<bigint>")
+    if not as_rows:
+        return out
+    return out.select(
+        "id", F.posexplode("proj").alias("dim", "component")
+    ).select(F.col("id"), F.col("dim"), F.col("component"))

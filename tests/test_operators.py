@@ -2647,3 +2647,55 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["doc_id"]: (r["text"], r["lang"]) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en"), 4: ("d", "de")}
     assert merged.filter(F.col("lang") == "en").count() == 1
+
+
+def test_jl_projection_distortion_and_exactness(spark):
+    """r9 JL projection: (1) kernel output equals the driver-side
+    quantize→±1-GEMM reference bit-for-bit (both array and long
+    forms); (2) the JL guarantee, empirically: cosine drift scales as
+    ~1/sqrt(out_dim) (σ≈0.25 at out_dim 16), so over 300 seeded pairs
+    the worst |Δcos| stays under ~3σ and the mean under σ, halving at
+    out_dim 64 (deterministic seed — the numbers cannot drift); (3) NULL vectors are
+    dropped; (4) the plan is a pure map stage — zero exchanges."""
+    import random
+
+    import numpy as np
+
+    from kafka_merge_purge_spark.operators.dedup import QUANT_SCALE
+    from kafka_merge_purge_spark.operators.similarity import jl_project, jl_signs
+    from kafka_merge_purge_spark.plans.introspect import formatted_plan
+
+    rng = random.Random(103)
+    vecs = [
+        [rng.gauss(0, 1) for _ in range(64)] for _ in range(120)
+    ]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r["id"]: list(r["proj"]) for r in jl_project(df, out_dim=16).collect()}
+    assert 999 not in got and len(got) == 120
+
+    # float32 storage: the reference must quantize the float32-rounded
+    # values, exactly like the Arrow kernel sees them
+    f32 = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v in enumerate(vecs)}
+    S16 = jl_signs(64, 16)
+    for i in (0, 7, 63, 119):
+        q = np.floor(f32[i] * QUANT_SCALE + 0.5).astype(np.int64)
+        assert got[i] == list(q @ S16), i
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+
+    for out_dim, worst_bound, mean_bound in ((16, 0.75, 0.25), (64, 0.40, 0.125)):
+        S = jl_signs(64, out_dim)
+        proj = {i: (np.floor(f32[i] * QUANT_SCALE + 0.5).astype(np.int64) @ S).astype(np.float64) for i in f32}
+        deltas = []
+        for _ in range(300):
+            a, b = rng.sample(range(120), 2)
+            deltas.append(abs(cos(f32[a], f32[b]) - cos(proj[a], proj[b])))
+        assert max(deltas) <= worst_bound, (out_dim, max(deltas))
+        assert sum(deltas) / len(deltas) <= mean_bound, (out_dim, sum(deltas) / len(deltas))
+
+    plan = formatted_plan(jl_project(df, out_dim=16))
+    assert "Exchange" not in plan
