@@ -3770,6 +3770,9 @@ def x_llm_pipeline(spark, sf_dir):
         k=4,
         iters=2,
         centroids=_km_cents(spark, sf_dir),
+        # Benchmark knob (r9 ADVICE): the injection lives in the GATE,
+        # not the operator default — the oracle below replays it.
+        synth_pii=True,
     )
 
 

@@ -429,9 +429,17 @@ def quality_classifier(
       should be a map stage, and statelessness makes this form
       streaming-composable for free.
     - ``"agg"``: the r8 explode + map-side-combined aggregate over
-      ``hashed_embedding`` — kept for corpora where JVM-side string
-      semantics must own normalization (non-ASCII lowercasing edge
-      cases) and as the equality pin."""
+      ``hashed_embedding`` — kept as the kernel's equality pin.
+
+    Normalization parity (r9 ADVICE): Spark 4's default UTF8_BINARY
+    ``lower()`` implements the locale-invariant Unicode default
+    lowercase mapping — the same mapping as Python ``str.lower()`` —
+    so the kernel and agg forms agree on non-ASCII text too (İ→i̇,
+    K→k, Σ→σ, ǅ→ǆ, ligatures; pinned on a mixed-script corpus in
+    ``test_quality_classifier_kernel_matches_agg_non_ascii``).  On a
+    pre-4.0 Spark whose ``lower`` routed through the JVM default
+    locale, a tr/az-locale JVM could diverge on dotted-I — use
+    ``impl="agg"`` there."""
     import math
 
     from .text import hashed_embedding
@@ -573,6 +581,7 @@ def llm_curation_pipeline(
     capacity: int = 2048,
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    synth_pii: bool = False,
 ) -> DataFrame:
     """The full LLM training-data curation pipeline as ONE composed plan
     (r8 verdict item 7): quality-classifier gate → PII redaction →
@@ -584,6 +593,15 @@ def llm_curation_pipeline(
     joins, and the packer's two-level prefix sum each appear ONCE in
     the optimized plan (exchange count pinned in pytest, the
     x_curation_pipeline pattern).
+
+    ``synth_pii=False`` (default) redacts the caller's REAL text —
+    what a production run wants.  ``synth_pii=True`` first appends
+    synthetic emails/phones/IPs to every document
+    (:func:`synth_pii_text`) so the redaction stage provably fires on
+    corpora that contain no PII; it POLLUTES the Gopher metrics, token
+    counts, and packing budgets, so it is a benchmark/demo knob only
+    (the ``x_llm_pipeline`` gate uses it — its oracle replays the
+    injection).
 
     Survivor rule: Gopher ``keep`` AND classifier ``prob ≥ prob_min``
     AND (no embedding row OR ``is_kept = 1`` from the semantic prune).
@@ -608,7 +626,11 @@ def llm_curation_pipeline(
     from kafka_merge_purge_spark.plans.introspect import python_barrier
 
     qc = quality_classifier(docs, weights, bias)
-    red = redact_pii(synth_pii_text(docs)).select("doc_id", "text_redacted")
+    if synth_pii:
+        red = redact_pii(synth_pii_text(docs))
+    else:
+        red = redact_pii(docs, text_col="text")
+    red = red.select("doc_id", "text_redacted")
     red = projection_barrier(red.withColumn("toks", tokens(F.col("text_redacted"))))
     # python_barrier: the keep-filter below would otherwise be pushed
     # through the metric projection and re-evaluate the whole Gopher

@@ -267,7 +267,15 @@ def estimate_junk_cos(
     a per-batch pipeline over one persisted frame — skips the sample
     job entirely (r8 verdict item 5).  Safe because the sample is a
     deterministic function of the plan; pass ``memo=False`` for
-    non-deterministic inputs (e.g. a ``rand()``-derived corpus)."""
+    non-deterministic inputs (e.g. a ``rand()``-derived corpus).
+
+    Mutable-source caveat (r9 ADVICE): "deterministic function of the
+    plan" holds only while the data UNDER the plan holds — a file-backed
+    corpus that is overwritten/appended at the same path between calls
+    yields the SAME plan and would return the stale estimate, and the
+    memo pins a strong DataFrame reference for the session.  For
+    corpora that are rewritten in place, pass ``memo=False`` or call
+    :func:`clear_junk_cos_memo` after the rewrite."""
     import numpy as np
 
     if memo:
@@ -308,6 +316,17 @@ def estimate_junk_cos(
         _JUNK_MEMO.append((corpus, sample_size, quantile, out))
         del _JUNK_MEMO[:-_JUNK_MEMO_CAP]
     return out
+
+
+def clear_junk_cos_memo() -> int:
+    """Invalidate every memoized junk-cosine estimate and release the
+    DataFrame references the memo pins (r9 ADVICE): call after
+    rewriting a file-backed corpus in place — the re-read produces the
+    same PLAN, so ``sameSemantics`` alone cannot see the new bytes.
+    Returns the number of entries dropped."""
+    n = len(_JUNK_MEMO)
+    _JUNK_MEMO.clear()
+    return n
 
 
 def auto_ivf_params(n_rows: int, max_cells: int = 256) -> tuple[int, int]:

@@ -989,3 +989,4 @@ def bigram_logprob(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+

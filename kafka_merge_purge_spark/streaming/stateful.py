@@ -17,6 +17,7 @@ Python.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -829,7 +830,12 @@ def fold_hamming_pairs(
                 continue  # idempotent redelivery
             fp = int(fp)
             for oid, ofp in resident.items():
-                h = (fp ^ ofp).bit_count()
+                # Mask the xor to the 64-bit pattern before popcount:
+                # Python ints are sign-extended, so a negative int64
+                # fingerprint (bit 63 set) would otherwise count
+                # magnitude bits and diverge from the batch
+                # F.bit_count two's-complement popcount.
+                h = ((fp ^ ofp) & 0xFFFFFFFFFFFFFFFF).bit_count()
                 if h <= max_hamming:
                     lo, hi = (rid, oid) if rid < oid else (oid, rid)
                     pairs.append((lo, hi, h))
@@ -1189,7 +1195,10 @@ def emit_kmv(key, entries: dict, k: int) -> pd.DataFrame:
         est = n
     else:
         frac = int(hashes[-1][:12], 16) / float(16**12)
-        est = int(round((k - 1) / frac))
+        # floor(x + 0.5) = Spark F.round's HALF_UP, which the batch
+        # kmv_distinct_estimate uses; Python round() is half-to-even
+        # and would differ by 1 on exact-.5 ties.
+        est = int(math.floor((k - 1) / frac + 0.5))
     return pd.DataFrame(
         {
             "group_key": [key],

@@ -795,7 +795,8 @@ def test_llm_pipeline_composes_and_plan_bounded(spark):
     )
     weights, bias, cap = [0.3] * 16, 0.2, 64
     out = llm_curation_pipeline(
-        docs, emb, weights=weights, bias=bias, k=2, capacity=cap
+        docs, emb, weights=weights, bias=bias, k=2, capacity=cap,
+        synth_pii=True,  # staged reference below injects synthetic PII
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     # r9 pinned bound: 26 at first gate, 12 after the GEMM prune +
@@ -872,3 +873,62 @@ def test_quality_classifier_kernel_equals_agg(spark):
 
     with _pytest.raises(ValueError, match="impl"):
         quality_classifier(df, w, impl="svm")
+
+
+def test_quality_classifier_kernel_matches_agg_non_ascii(spark):
+    """r9 ADVICE (low): the kernel's Python str.lower() vs the agg
+    form's JVM lower().  Spark 4's UTF8_BINARY lower implements the
+    locale-invariant Unicode default mapping — same as Python — so the
+    two physical forms must agree bit-for-bit on the notorious cases
+    too: dotted-İ (→ i + combining dot, squeezed to 'i '), KELVIN K,
+    final sigma, titlecase ǅ, ﬁ-ligature, ĳ, sharp-ß."""
+    from kafka_merge_purge_spark.operators.curation import quality_classifier
+
+    docs = spark.createDataFrame(
+        [
+            (1, "İstanbul I İĲK text1"),
+            (2, "KELVIN K degrees 273"),
+            (3, "ΣΙΣΥΦΟΣ mixed ascii tail"),
+            (4, "ǅungla ǄX ﬁle FI"),
+            (5, "STRASSE ẞ ß plain9"),
+            (6, "normal ascii words only 42"),
+        ],
+        "doc_id long, text string",
+    )
+    weights = [((i * 37) % 11 - 5) / 10.0 for i in range(16)]
+    kern = sorted(
+        map(tuple, quality_classifier(docs, weights, bias=0.1).collect())
+    )
+    agg = sorted(
+        map(tuple, quality_classifier(docs, weights, bias=0.1, impl="agg").collect())
+    )
+    assert kern == agg and len(kern) == 6
+
+
+def test_llm_pipeline_defaults_to_real_text_no_synth_pii(spark):
+    """r9 ADVICE (medium): llm_curation_pipeline must NOT pollute the
+    caller's corpus by default — synth_pii=False redacts the real text,
+    so Gopher token counts / packing budgets are computed over what the
+    caller supplied; synth_pii=True (the gate's knob) appends the
+    synthetic PII block and inflates the counts."""
+    from kafka_merge_purge_spark.operators.curation import llm_curation_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, "the and of " + " ".join(f"tok{j}" for j in range(30))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    w = [0.3] * 16
+    real = {r["doc_id"]: r["n_tokens"] for r in
+            llm_curation_pipeline(docs, emb, weights=w, k=2, prob_min=0.0).collect()}
+    injected = {r["doc_id"]: r["n_tokens"] for r in
+                llm_curation_pipeline(docs, emb, weights=w, k=2, prob_min=0.0,
+                                      synth_pii=True).collect()}
+    assert real and set(real) == set(injected)
+    # every doc's text is 33 tokens; the synthetic PII block adds more
+    assert all(n == 33 for n in real.values())
+    assert all(injected[d] > real[d] for d in real)
+

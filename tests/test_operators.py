@@ -1451,6 +1451,32 @@ def test_estimate_junk_cos_pins_measured_background(spark, tables):
     assert sim.estimate_junk_cos(one) == 0.0
 
 
+def test_clear_junk_cos_memo_invalidates(spark, tmp_path):
+    """r9 ADVICE (low): a file-backed corpus rewritten IN PLACE yields
+    the same plan, so the sameSemantics memo would return the stale
+    estimate — clear_junk_cos_memo() is the documented invalidation
+    hook and also releases the pinned DataFrame refs."""
+    import numpy as np
+
+    p = str(tmp_path / "vecs")
+    rows = [(i, [float(i % 7), 1.0, 0.5]) for i in range(64)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(p)
+    df = spark.read.parquet(p)
+    first = sim.estimate_junk_cos(df)
+    # rewrite the SAME path with a very different geometry
+    rows2 = [(i, [float(np.cos(i)), float(np.sin(i)), 0.0]) for i in range(64)]
+    spark.createDataFrame(rows2, "vec_id long, embedding array<double>").write.mode(
+        "overwrite"
+    ).parquet(p)
+    df2 = spark.read.parquet(p)
+    # same plan -> memo serves the stale value (the documented caveat)
+    assert sim.estimate_junk_cos(df2) == first
+    assert sim.clear_junk_cos_memo() >= 1
+    fresh = sim.estimate_junk_cos(df2)
+    assert fresh != first  # recomputed on the new bytes
+    assert sim.estimate_junk_cos(df2, memo=False) == fresh
+
+
 def test_lsh_planes_split_anisotropic_cone(spark):
     """r6 review regression: on a cone corpus (every pairwise cosine
     positive — the usual real sentence-embedding shape) corpus-drawn
@@ -2699,3 +2725,4 @@ def test_jl_projection_distortion_and_exactness(spark):
 
     plan = formatted_plan(jl_project(df, out_dim=16))
     assert "Exchange" not in plan
+

@@ -1645,3 +1645,66 @@ def test_quality_classifier_composes_with_streams(spark, tmp_path):
     # empty/NULL text rows are dropped by the classifier contract on
     # both paths; the scorable rows match bit-for-bit
     assert got == batch and [r[0] for r in got] == [1, 2]
+
+
+def test_fold_hamming_negative_int64_matches_jvm_popcount(spark):
+    """r9 ADVICE (medium): full 64-bit fingerprints set bit 63, so the
+    int64 is NEGATIVE; the batch path popcounts the two's-complement
+    xor (F.bit_count), and the fold must mask the Python xor to the
+    64-bit pattern before bit_count() — unmasked, Python counts the
+    sign-extended magnitude and silently adds/drops pairs."""
+    from kafka_merge_purge_spark.streaming.stateful import fold_hamming_pairs
+
+    fps = [-1, 0, -(1 << 63), (1 << 63) - 1, -6148914691236517206, 123456789]
+    pdf = pd.DataFrame({"id": list(range(len(fps))), "fp": fps})
+    _, pairs = fold_hamming_pairs(None, iter([pdf]), max_hamming=64, cap=100)
+    got = {(a, b): h for a, b, h in pairs}
+    assert len(got) == len(fps) * (len(fps) - 1) // 2  # 64-cut passes all
+    assert got[(0, 1)] == 64  # -1 ^ 0 = all 64 bits (unmasked would say 1)
+
+    rows = (
+        spark.createDataFrame(
+            [
+                (a, b, fps[a], fps[b])
+                for a in range(len(fps))
+                for b in range(a + 1, len(fps))
+            ],
+            "a long, b long, fa long, fb long",
+        )
+        .select("a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("h"))
+        .collect()
+    )
+    assert got == {(r["a"], r["b"]): r["h"] for r in rows}
+
+    # a tight threshold now keeps the right pairs: -1 vs ~0 digit flip
+    near = pd.DataFrame({"id": [10, 11], "fp": [-1, -2]})  # hamming 1
+    _, p = fold_hamming_pairs(None, iter([near]), max_hamming=1, cap=8)
+    assert p == [(10, 11, 1)]
+
+
+def test_emit_kmv_half_up_rounding_matches_batch(spark):
+    """r9 ADVICE (low): the streaming estimate must round HALF_UP like
+    the batch kmv_distinct_estimate's F.round — Python round() is
+    half-to-even and differed by 1 on exact-.5 ties.  The pinned tie:
+    k=26, h_k top-48-bits = 0x8fd35cb212e9 → (k-1)/U = exactly 44.5;
+    HALF_UP says 45, round() said 44."""
+    from kafka_merge_purge_spark.operators.sketch import kmv_distinct_estimate
+    from kafka_merge_purge_spark.streaming.stateful import emit_kmv
+
+    k = 26
+    top = f"{158132009388009:012x}"
+    assert (k - 1) / (158132009388009 / float(16**12)) == 44.5  # exact tie
+    entries = {f"v{i:02d}": f"{i:012x}" + "0" * 20 for i in range(k - 1)}
+    entries["vtop"] = top + "f" * 20
+    out = emit_kmv("g", entries, k)
+    assert int(out["distinct_est"].iloc[0]) == 45
+
+    batch = (
+        spark.range(1)
+        .select(
+            kmv_distinct_estimate(F.lit(k), k, F.lit(entries["vtop"])).alias("e")
+        )
+        .collect()[0]["e"]
+    )
+    assert batch == 45
+
