@@ -4471,6 +4471,305 @@ _LLM_ORACLES["x_incremental_dedup"] = f"""
     SELECT new_id, ref_id, jaccard FROM pairs WHERE jaccard >= 0.5"""
 
 
+
+# ---------------------------------------------------------------------------
+# Round 10: char entropy, inverted index
+# ---------------------------------------------------------------------------
+
+
+def x_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document (text.py char_entropy):
+    the gibberish/boilerplate quality signal — zero-shuffle narrow map,
+    entropy terms folded in sorted-char order on BOTH engines so the
+    float sequence (and the rounded hash) is identical."""
+    return tx.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def x_inverted_index(spark, sf_dir):
+    """Corpus inverted index (text.py inverted_index): term -> exact
+    doc_freq + capped sorted posting list; within-doc dedup BEFORE the
+    shuffle, lowest-id postings kept at the cap."""
+    return tx.inverted_index(_t(spark, sf_dir, "documents"), max_postings=32)
+
+
+_LLM_ORACLES["x_char_entropy"] = """
+    WITH base AS (
+        SELECT doc_id, string_split_regex(text, '') AS cs
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), d AS (
+        SELECT doc_id, cs, list_sort(list_distinct(cs)) AS dk, len(cs) AS n
+        FROM base
+    )
+    SELECT doc_id, n AS n_chars, len(dk) AS n_distinct_chars,
+           round((ln(CAST(n AS DOUBLE))
+                  - list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(dk, ch ->
+                          CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                          * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)))),
+                      (a, b) -> a + b) / n) / ln(2.0), 6) AS entropy_bits
+    FROM d"""
+
+_LLM_ORACLES["x_inverted_index"] = """
+    SELECT term, COUNT(*) AS doc_freq,
+           array_to_string(
+             list_transform(list_slice(list_sort(list(doc_id)), 1, 32),
+                            d -> CAST(d AS VARCHAR)), ',') AS postings
+    FROM (SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+            WHERE text IS NOT NULL AND regexp_matches(text, '[a-zA-Z0-9]')))
+    WHERE term <> ''
+    GROUP BY term"""
+
+
+def _synth_url(did):
+    """Deterministic messy URL from doc_id: mixed case, www, default
+    port, trailing slash, unsorted + tracking params, fragment — every
+    normalization branch of canonical_url fires.  Replayed verbatim in
+    the oracle."""
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"), (did % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"), (did % 20).cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="), (did % 3).cast("string"), F.lit("&a=1"),
+        F.when(did % 3 == 0, F.lit("&gclid=x")).otherwise(F.lit("")),
+        F.lit("#f"),
+    )
+
+
+def x_url_dedup(spark, sf_dir):
+    """URL-level dedup (curation.py url_dedup): canonicalize —
+    lowercase scheme/host, strip www/default-port/trailing-slash/
+    fragment/tracking-params, sort the query — then keep the lowest
+    doc_id per canonical URL.  The web-corpus FIRST dedup pass: a pure
+    projection + one map-side-combined aggregate."""
+    from kafka_merge_purge_spark.operators.curation import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url(F.col("doc_id")).alias("url")
+    )
+    return url_dedup(docs)
+
+
+_LLM_ORACLES["x_url_dedup"] = """
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://WWW.Site' || (doc_id % 5) || '.Example.COM' ||
+               CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+               '/Path/' || (doc_id % 20) ||
+               CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+               '?utm_source=feed&b=' || (doc_id % 3) || '&a=1' ||
+               CASE WHEN doc_id % 3 = 0 THEN '&gclid=x' ELSE '' END || '#f'
+               AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host0,
+               regexp_replace(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+               regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM u
+    ), canon AS (
+        SELECT doc_id,
+               scheme || '://' ||
+               CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                    WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+                    ELSE host0 END ||
+               path ||
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+        FROM (
+            SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+                       p -> p <> ''
+                            AND NOT string_split(p, '=')[1] IN
+                                ('fbclid','gclid','msclkid','ref','sessionid')
+                            AND NOT starts_with(string_split(p, '=')[1], 'utm_'))),
+                   '&') AS qs
+            FROM parts)
+    )
+    SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_fetches
+    FROM canon GROUP BY canonical_url"""
+
+
+def x_countmin(spark, sf_dir):
+    """Count-min frequency estimates over events.user_id (sketch.py
+    countmin_frequencies, depth 4 x width 128 — the COLLIDING regime at
+    this scale, so the oracle proves the sketch arithmetic itself, not
+    just exact counting).  Shuffle volume is constant (<= depth*width
+    rows) in corpus size; the probe join broadcasts the sketch."""
+    from kafka_merge_purge_spark.operators.sketch import countmin_frequencies
+
+    return countmin_frequencies(
+        _t(spark, sf_dir, "events"), "user_id", depth=4, width=128
+    )
+
+
+_LLM_ORACLES["x_countmin"] = """
+    WITH src AS (
+        SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL
+    ), sk AS (
+        SELECT i,
+               CAST(('0x' || substr(md5(i || ':' || v), 1, 15)) AS BIGINT) % 128
+                   AS bucket,
+               COUNT(*) AS cnt
+        FROM src CROSS JOIN range(4) t(i)
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT item, i,
+               CAST(('0x' || substr(md5(i || ':' || item), 1, 15)) AS BIGINT) % 128
+                   AS bucket
+        FROM (SELECT DISTINCT v AS item FROM src) CROSS JOIN range(4) t(i)
+    )
+    SELECT item, MIN(cnt) AS est
+    FROM probes JOIN sk USING (i, bucket)
+    GROUP BY item"""
+
+
+def x_pmi(spark, sf_dir):
+    """Document-level PMI collocations over the top-40 vocabulary
+    (text.py pmi_cooccurrence): vocab restricted FIRST (bounded
+    TakeOrdered probe), all i<j pairs generated in-expression — no
+    self-join, the only exchange is the <= m^2/2-key pair aggregate."""
+    return tx.pmi_cooccurrence(
+        _t(spark, sf_dir, "documents"), top_m=40, min_count=5
+    )
+
+
+_LLM_ORACLES["x_pmi"] = """
+    WITH base AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND regexp_matches(text, '[a-zA-Z0-9]')
+    ), dt AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(toks) AS term FROM base) WHERE term <> ''
+    ), freq AS (
+        SELECT term, COUNT(*) AS c FROM dt GROUP BY term
+    ), vocab AS (
+        SELECT term, c FROM freq ORDER BY c DESC, term LIMIT 40
+    ), dtv AS (
+        SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)
+    ), c12 AS (
+        SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c12
+        FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ), n AS (SELECT COUNT(*) AS nn FROM base)
+    SELECT w1, w2, c12,
+           round(ln((CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                    / (CAST(v1.c AS DOUBLE) * CAST(v2.c AS DOUBLE))), 6) AS pmi
+    FROM c12
+    JOIN vocab v1 ON v1.term = c12.w1
+    JOIN vocab v2 ON v2.term = c12.w2
+    CROSS JOIN n"""
+
+
+def x_containment(spark, sf_dir):
+    """EXACT directed containment join (dedup.containment_pairs —
+    prefix filtering, Bayardo et al. 2007) over the quarter-order
+    basket corpus: order partkey baskets vs their customers' union
+    baskets (every order is contained in its customer by construction
+    — planted asymmetric near-dups Jaccard misses).  Oracle = the
+    naive shared-element join: recall 1 is the operator's CONTRACT,
+    so the hash gate proves it."""
+    from kafka_merge_purge_spark.operators.dedup import containment_pairs
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    ob = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("id"),
+            "items",
+        )
+    )
+    cb = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("id"),
+            "items",
+        )
+    )
+    return containment_pairs(
+        ob.unionByName(cb), threshold=0.9, min_set_size=3
+    )
+
+
+_LLM_ORACLES["x_containment"] = """
+    WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0),
+    ob AS (
+        SELECT 'o' || l_orderkey AS id, list_distinct(list(l_partkey)) AS sh
+        FROM li GROUP BY l_orderkey
+    ), cb AS (
+        SELECT 'c' || o_custkey AS id, list_distinct(list(l_partkey)) AS sh
+        FROM li JOIN orders ON l_orderkey = o_orderkey AND o_orderkey % 4 = 0
+        GROUP BY o_custkey
+    ), f AS (
+        SELECT id, sh FROM (SELECT * FROM ob UNION ALL SELECT * FROM cb)
+        WHERE len(sh) >= 3
+    ), e AS (
+        SELECT id, unnest(sh) AS el, len(sh) AS sz FROM f
+    ), c12 AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.sz AS sza, COUNT(*) AS c
+        FROM e a JOIN e b ON a.el = b.el AND a.id <> b.id
+        GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, round(c / sza, 6) AS containment
+    FROM c12 WHERE c * 1000000 >= 900000 * sza"""
+
+
+def x_profile(spark, sf_dir):
+    """One-pass dataset profile of the documents table
+    (analytics.dataset_profile): per-column rows/nulls/distinct/min/max
+    from a SINGLE scan.  Gated with exact_distinct=True (the Expand
+    plan) so the hash oracle pins exact counts; the operator default is
+    the HLL single-pass 100 TB posture."""
+    from kafka_merge_purge_spark.operators.analytics import dataset_profile
+
+    return dataset_profile(
+        _t(spark, sf_dir, "documents"), exact_distinct=True
+    )
+
+
+_LLM_ORACLES["x_profile"] = """
+    SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*),
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT text),
+           CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT lang),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT source),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

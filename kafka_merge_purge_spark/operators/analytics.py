@@ -103,3 +103,51 @@ def chi_square_cells(
             F.round(contrib, 6).alias("chi2_contrib"),
         )
     )
+
+
+def dataset_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One-pass dataset profile — the "dataset card" summary a corpus
+    publication or ingest-validation step wants: per column its row
+    count, NULL count, distinct count and min/max (rendered as strings
+    for a uniform schema).
+
+    Scale shape: ONE aggregate over the scan computes every column's
+    stats simultaneously; the single stat row then explodes to long
+    form in a narrow map, so the corpus is read exactly once no matter
+    how many columns are profiled.  ``exact_distinct=False`` (default —
+    the 100 TB posture) uses HyperLogLog ``approx_count_distinct``,
+    keeping the plan a plain one-shuffle partial aggregate;
+    ``exact_distinct=True`` switches to exact ``count_distinct``, which
+    Spark plans via an Expand (input replicated ×columns before the
+    exchange) — the oracle gate uses it because exactness is what the
+    hash check pins.
+
+    Output: (column, n_rows, n_null, n_distinct, min_value, max_value).
+    """
+    cols = columns if columns is not None else df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        nd = (
+            F.count_distinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(col)
+        )
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(col.isNull().cast("long")).alias("n_null"),
+                nd.alias("n_distinct"),
+                F.min(col).cast("string").alias("min_value"),
+                F.max(col).cast("string").alias("max_value"),
+            ).alias(f"_s_{c}")
+        )
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(F.array(*[F.col(f"_s_{c}") for c in cols])).alias("s")
+    ).select("s.*")

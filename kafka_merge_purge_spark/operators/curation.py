@@ -664,3 +664,103 @@ def llm_curation_pipeline(
         survivors, capacity=capacity, tokenizer="counts",
         passthrough=("prob", "cell_id"),
     ).select("doc_id", "n_tokens", "prob", "cell_id", "tokens_before", "shard_id")
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (the CommonCrawl-style first pass)
+# --------------------------------------------------------------------------
+
+#: query parameters stripped by canonical_url: tracking/session noise that
+#: differs between fetches of the SAME resource (the public URL-normalization
+#: recipe web-scale dedup pipelines apply before any content hashing)
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAM_KEYS = ("fbclid", "gclid", "msclkid", "ref", "sessionid")
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL as ONE narrow column
+    expression (regexp extracts + array ops — no UDF, codegen'd):
+
+    - scheme and host lowercased; leading ``www.`` stripped
+    - default port stripped (``:443`` for https, ``:80`` for http)
+    - path: trailing slashes stripped (``/a/`` ≡ ``/a``; root ≡ empty)
+    - query: tracking params dropped (TRACKING_PARAM_*), remaining
+      params sorted bytewise, rejoined with ``&``; empty query drops
+      its ``?``
+    - fragment dropped
+
+    URL-level dedup is the FIRST pass of a web-corpus pipeline — it
+    collapses refetches of one resource before any content hash runs,
+    at the cost of a pure projection.  A non-URL input yields
+    ``://`` + empty parts rather than NULL — screen inputs upstream."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(host)
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    key = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
+    is_tracking = lambda p: (  # noqa: E731
+        F.array_contains(
+            F.array(*[F.lit(k) for k in TRACKING_PARAM_KEYS]), key(p)
+        )
+        | functools_reduce_or(
+            [key(p).startswith(pref) for pref in TRACKING_PARAM_PREFIXES]
+        )
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"), lambda p: (p != "") & ~is_tracking(p)
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def functools_reduce_or(cols: list[Column]) -> Column:
+    """OR-fold a non-empty Column list (tiny helper; keeps
+    canonical_url_expr readable)."""
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append the canonical form of ``url_col`` (see
+    :func:`canonical_url_expr`) — a pure narrow map."""
+    return df.withColumn(out_col, canonical_url_expr(F.col(url_col)))
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup: group by canonical URL, keep the LOWEST id (the
+    dedup tier's deterministic survivor rule) and count the collapsed
+    fetches.  One map-side-combined aggregate over the canonical key —
+    the cheapest dedup tier, run before any content fingerprint.
+
+    Output: (canonical_url, keep_id, n_fetches)."""
+    return (
+        canonical_url(df, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_fetches"),
+        )
+    )

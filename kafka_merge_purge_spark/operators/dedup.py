@@ -1883,3 +1883,86 @@ def scrub_duplicate_spans(
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_dup_tokens"),
         F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    set_col: str = "items",
+    threshold: float = 0.8,
+    min_set_size: int = 2,
+) -> DataFrame:
+    """EXACT directed set-containment join via prefix filtering
+    (Bayardo/Ma/Srikant 2007 "Scaling up all pairs", Chaudhuri et al.
+    SSJoin): emit every ordered pair with ``|A∩B| / |A| ≥ threshold``
+    — "A is (mostly) contained in B", the asymmetric near-dup relation
+    Jaccard misses (a quote inside a long document, an order basket
+    inside its customer's union basket — |A∩B|/|A∪B| is tiny there).
+
+    EXACT, not approximate: if ``|A∩B| ≥ k_min = ⌈t·|A|⌉`` then A's
+    ``|A| − k_min + 1`` globally-RAREST elements must intersect B
+    (pigeonhole on the fixed total order), so probing only those
+    prefix elements against the element index has recall 1 — the
+    oracle is the naive shared-element join, no banding contract.
+    The rarity order (global frequency asc, element asc) makes prefix
+    probes hit short postings: candidate volume ~ Σ_A posting(rarest
+    elements of A), the AllPairs bound, vs Σ_e posting(e)² for the
+    naive join.  Heavily-skewed element distributions keep the win —
+    the skew lives in the COMMON elements, exactly the ones prefixes
+    avoid; the residual hot spot is a corpus where even rare elements
+    have huge postings (then no exact algorithm beats the output size).
+
+    Thresholding is exact-integer: ``t`` quantized to 1e-6
+    (``floor(t·1e6 + 0.5)``), compare ``inter·1e6 ≥ t_q·|A|`` — no
+    float division decides membership; the reported ``containment`` is
+    the single rounded double the oracle replays.
+
+    ``min_set_size`` screens degenerate tiny sets (a 1-element set is
+    contained in every superset — pure noise at threshold anything).
+
+    Output: (id_a, id_b, containment) — DIRECTED (id_a contained in
+    id_b), both orientations can appear."""
+    import math
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"containment_pairs: threshold in (0, 1], got {threshold}")
+    t_q = int(math.floor(threshold * 1e6 + 0.5))
+    base = (
+        df.select(F.col(id_col).alias("id"), F.array_distinct(set_col).alias("sh"))
+        .filter(F.col("sh").isNotNull() & (F.size("sh") >= min_set_size))
+    )
+    elems = base.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("e"))
+    freq = elems.groupBy("e").agg(F.count(F.lit(1)).alias("_c"))
+    # per-set elements in global rarity order (freq asc, element asc)
+    ranked = (
+        elems.join(freq, "e")
+        .groupBy("id", "sz")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_c", "e"))), lambda s: s["e"]
+            ).alias("_ordered")
+        )
+    )
+    k_min = F.floor((F.lit(t_q) * F.col("sz") + 999999) / F.lit(1000000.0)).cast("int")
+    prefix = F.slice(F.col("_ordered"), 1, F.col("sz") - k_min + 1)
+    probes = ranked.select(
+        F.col("id").alias("id_a"), F.explode(prefix).alias("e")
+    )
+    cand = (
+        probes.join(elems.select(F.col("id").alias("id_b"), "e"), "e")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.filter(inter * 1000000 >= F.lit(t_q) * F.size("sh_a"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("sh_a"), 6).alias("containment"),
+        )
+    )

@@ -566,3 +566,100 @@ def grouped_mp_quantiles(
     gtype = dict(df.select(group_col).dtypes)[group_col]
     out_schema = f"{group_col} {gtype}, " + ", ".join(f"{c} double" for c in qcols)
     return summaries.groupBy(group_col).applyInPandas(finish, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+def _cm_bucket(row: int, value, width: int):
+    """Portable count-min bucket: ``md5_int(row ':' value) mod width``
+    — the same 60-bit md5 integer the KMV/heavy-hitter tiers use, so
+    Spark, the Arrow fold and the DuckDB oracle land every value in the
+    same cell."""
+    from kafka_merge_purge_spark.operators.dedup import md5_int
+
+    return F.pmod(
+        md5_int(F.concat(F.lit(str(row)), F.lit(":"), value.cast("string"))),
+        F.lit(width),
+    )
+
+
+def countmin_sketch(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the count-min sketch of ``value_col`` in long form: one row
+    per non-empty cell ``(row, bucket, cnt)``, ≤ depth·width rows total
+    no matter the input size.
+
+    Scale shape: a narrow ``depth``-way explode (inline array of
+    (row, bucket) structs) followed by ONE map-side-combined aggregate
+    whose key space is depth·width — partial aggregation collapses each
+    input partition to ≤ depth·width rows before the exchange, so the
+    shuffle volume is CONSTANT in corpus size.  That is the whole point
+    of a sketch at 100 TB: the reduce side sees kilobytes."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cm_bucket(i, F.col(value_col), width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_frequencies(
+    df: DataFrame,
+    value_col: str,
+    queries: DataFrame | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min frequency estimates: ``est(v) = min over rows of
+    cnt[row][h_row(v)]`` — never under-estimates, over-estimates by at
+    most ~2·N/width with probability 1-2^-depth (the classic CM bound).
+
+    ``queries``: one-column frame of items to probe; ``None`` (the
+    demo/gate form) probes the input's own distinct values.  The sketch
+    is ≤ depth·width rows, so the probe join is a broadcast — the big
+    side never shuffles.
+
+    Output: (item string, est long) — deterministic, fully replayable
+    in SQL (the oracle recomputes the identical md5 cell arithmetic),
+    so the gate hash-matches even in the colliding regime."""
+    sk = countmin_sketch(df, value_col, depth, width)
+    if queries is None:
+        q = (
+            df.filter(F.col(value_col).isNotNull())
+            .select(F.col(value_col).cast("string").alias("item"))
+            .distinct()
+        )
+    else:
+        qcol = queries.columns[0]
+        q = queries.select(F.col(qcol).cast("string").alias("item")).distinct()
+    probes = q.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_bucket(i, F.col("item"), width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sk), ["row", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+    )

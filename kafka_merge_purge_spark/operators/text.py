@@ -990,3 +990,204 @@ def bigram_logprob(
         )
     )
 
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the cheap
+    gibberish/boilerplate quality signal curation pipelines run next to
+    the Gopher rules: natural prose sits ~4 bits, single-char spam near
+    0, uniform random base36 near log2(36) ≈ 5.17.
+
+    Engine-portable determinism: the per-character counts are exact
+    integers (``size(filter(...))`` over the codepoint array), the
+    entropy terms fold in SORTED distinct-character order on both
+    engines (Spark ``aggregate`` over the sorted distinct list; DuckDB
+    ``list_reduce`` over a char-ordered list), so the float sum
+    sequence — and therefore the rounded value — is identical, and the
+    result hash-matches the SQL oracle.
+
+    Scale shape: a pure narrow map — split, sort, then ONE O(L)
+    run-length fold over the sorted codepoint array (each run is one
+    distinct char, so the fold adds the same ``c·ln(c)`` terms, in the
+    same sorted order, as the oracle's per-distinct-char list) — zero
+    shuffles, the right 100 TB posture for a per-doc score.  (A first
+    draft counted each distinct char with ``size(filter(...))`` —
+    O(k·L) with k array materializations per doc; the fold is ~7×
+    faster at sf0.1.)  Documents with NULL/empty text drop (the tier's
+    degenerate-filter convention).
+
+    Output: (id_col, n_chars, n_distinct_chars, entropy_bits)."""
+    cs = F.array_sort(F.split(F.col(text_col), ""))
+    n = F.size(cs)
+    # one pass: state (prev char, current run length, Σ c·ln(c), #runs)
+    state0 = F.struct(
+        F.lit("").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0.0).alias("a"),
+        F.lit(0).cast("int").alias("k"),
+    )
+
+    def step(s, ch):
+        same = s["p"] == ch
+        run = s["r"].cast("double")
+        return F.struct(
+            ch.alias("p"),
+            F.when(same, s["r"] + 1).otherwise(F.lit(1).cast("long")).alias("r"),
+            F.when(same, s["a"])
+            .otherwise(s["a"] + F.when(s["r"] > 0, run * F.log(run)).otherwise(F.lit(0.0)))
+            .alias("a"),
+            (s["k"] + F.when(same, F.lit(0)).otherwise(F.lit(1))).alias("k"),
+        )
+
+    def fin(s):
+        run = s["r"].cast("double")
+        return F.struct(
+            (s["a"] + F.when(s["r"] > 0, run * F.log(run)).otherwise(F.lit(0.0))).alias("a"),
+            s["k"].alias("k"),
+        )
+
+    folded = F.aggregate(cs, state0, step, fin)
+    ent = (F.log(n.cast("double")) - folded["a"] / n.cast("double")) / F.lit(
+        float(__import__("math").log(2.0))
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            id_col,
+            n.alias("n_chars"),
+            folded["k"].alias("n_distinct_chars"),
+            F.round(ent, 6).alias("entropy_bits"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Corpus inverted index: one row per term with its document
+    frequency and the sorted posting list — the IR-side complement of
+    :func:`tfidf_top_terms`/:func:`bm25_top_terms` (those score docs;
+    this materializes the term → documents map a retrieval or
+    contamination-lookup stage consumes).
+
+    Scale shape: within-document dedup happens BEFORE the shuffle
+    (``array_distinct`` in the narrow projection), so the exchange
+    carries one row per (doc, distinct term), never per token
+    occurrence; the aggregate is a single map-side-combined groupBy.
+    ``max_postings`` caps the materialized list per term (stop-words'
+    postings are corpus-sized at 100 TB — the cap keeps the index row
+    bounded while ``doc_freq`` stays exact); the kept postings are the
+    LOWEST ids (deterministic, same rule as the dedup tier's
+    keep-min-id).
+
+    Output: (term, doc_freq, postings) — postings comma-joined for
+    engine-portable value hashing."""
+    pairs = (
+        df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+        .select(
+            F.col(id_col).alias("_d"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    postings = F.array_sort(F.collect_list("_d"))
+    if max_postings is not None:
+        postings = F.slice(postings, 1, max_postings)
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.array_join(F.transform(postings, lambda d: d.cast("string")), ",").alias(
+            "postings"
+        ),
+    )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_m: int = 40,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over document-level co-occurrence of
+    the ``top_m`` most document-frequent terms — the classic
+    collocation / association statistic (Church & Hanks 1990):
+    ``pmi(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) )`` with document
+    probabilities ``c/N``.
+
+    Scale shape: the vocabulary is restricted FIRST (top-``top_m`` by
+    document frequency, deterministic count-desc/term-asc tie-break —
+    a TakeOrdered heap and a bounded ``top_m``-row collect, the
+    ngram_contamination probe posture).  Each document then reduces to
+    its sorted ≤``top_m`` vocab-term array in a narrow map
+    (``array_intersect`` against the inlined vocab literal), and ALL
+    i<j pairs are generated in-expression (nested ``transform`` +
+    ``flatten`` — no self-join, no doc_id shuffle): the only exchange
+    is the final (w1, w2) aggregate, whose key space is ≤ m²/2
+    regardless of corpus size.  Per-term counts join back as a
+    broadcast (≤ m rows).
+
+    Float determinism: counts are exact ints; the single double
+    expression ``ln((c12·N)/(c1·c2))`` is evaluated with an identical
+    op order in the SQL oracle, then rounded to 6.
+
+    Output: (w1, w2, c12, pmi) for pairs with ``c12 ≥ min_count``,
+    ``w1 < w2``."""
+    base = df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    freq = (
+        base.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = freq.orderBy(F.col("c").desc(), F.col("term")).limit(top_m).collect()
+    vocab = [r["term"] for r in top]
+    if not vocab:
+        return base.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, c12 long, pmi double"
+        )
+    vlit = F.array(*[F.lit(w) for w in vocab])
+    # barrier: the nested pair transform references the doc's vocab
+    # array O(m) times (slice per index) — without it CollapseProject
+    # inlines the intersect+sort per reference (measured 6.8 → 1.7 s
+    # at sf0.1, the curation-pipeline hazard)
+    from kafka_merge_purge_spark.plans.introspect import projection_barrier
+
+    mid = projection_barrier(
+        base.select(F.array_sort(F.array_intersect(toks, vlit)).alias("_arr"))
+    )
+    arr = F.col("_arr")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        )
+    )
+    c12 = (
+        mid.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    vc = freq.filter(F.col("term").isin(vocab))
+    n_docs = base.agg(F.count(F.lit(1)).alias("_n"))
+    out = (
+        c12.join(F.broadcast(vc.select(F.col("term").alias("w1"), F.col("c").alias("_c1"))), "w1")
+        .join(F.broadcast(vc.select(F.col("term").alias("w2"), F.col("c").alias("_c2"))), "w2")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("_n").cast("double"))
+            / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+        ),
+        6,
+    )
+    return out.select("w1", "w2", "c12", pmi.alias("pmi"))

@@ -1546,3 +1546,60 @@ def streaming_scd2(
         outputMode="Append",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming count-min — the additive frequency-sketch fold
+# --------------------------------------------------------------------------
+
+CM_OUTPUT_SCHEMA = "group_key string, item string, est long"
+
+
+def cm_bucket_py(row: int, value: str, width: int) -> int:
+    """Python twin of sketch._cm_bucket: ``int(md5(row ':' value)[:15],
+    16) mod width`` — the identical 60-bit md5 cell, so a fold-built
+    sketch equals the batch ``countmin_sketch`` cell-for-cell."""
+    import hashlib
+
+    return int(hashlib.md5(f"{row}:{value}".encode()).hexdigest()[:15], 16) % width
+
+
+def fold_countmin(
+    state: dict | None,
+    pdfs: Iterator[pd.DataFrame],
+    depth: int = 4,
+    width: int = 256,
+) -> dict:
+    """Pure additive count-min fold: one key's ``(row, bucket) → cnt``
+    dict updated with every item of the micro-batch.  Addition
+    commutes, so the fold is chop/order-invariant BY CONSTRUCTION (no
+    ordering columns needed) and the state after any replay equals the
+    batch ``countmin_sketch`` of the same rows; state is ≤ depth·width
+    counters per key regardless of stream length.  NOT redelivery-
+    idempotent (counts are additive) — upstream must be exactly-once,
+    the same contract as any counting aggregate."""
+    counts: dict = dict(state) if state is not None else {}
+    for pdf in pdfs:
+        for v in pdf["item"]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            s = str(_unbox(v))
+            for i in range(depth):
+                cell = (i, cm_bucket_py(i, s, width))
+                counts[cell] = counts.get(cell, 0) + 1
+    return counts
+
+
+def emit_countmin(
+    key, counts: dict, items: list[str], depth: int = 4, width: int = 256
+) -> pd.DataFrame:
+    """Frequency estimates for ``items`` from a fold-built sketch —
+    ``min`` over the depth rows, the batch ``countmin_frequencies``
+    rule on the same cells."""
+    if not items:
+        return pd.DataFrame({"group_key": [], "item": [], "est": []})
+    ests = [
+        min(counts.get((i, cm_bucket_py(i, s, width)), 0) for i in range(depth))
+        for s in items
+    ]
+    return pd.DataFrame({"group_key": [key] * len(items), "item": items, "est": ests})

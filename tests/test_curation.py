@@ -932,3 +932,35 @@ def test_llm_pipeline_defaults_to_real_text_no_synth_pii(spark):
     assert all(n == 33 for n in real.values())
     assert all(injected[d] > real[d] for d in real)
 
+
+def test_canonical_url_normalization_branches(spark):
+    """Every normalization branch: case, www, default ports (scheme-
+    matched), trailing slash, tracking params, param sort, fragment;
+    non-default ports and unknown schemes survive; plan is a pure
+    narrow map."""
+    from kafka_merge_purge_spark.operators.curation import canonical_url, url_dedup
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/a/b?a=1&b=2"),
+        (3, "http://Example.com:80"),
+        (4, "http://example.com/"),
+        (5, "https://example.com/a/b?gclid=zz&b=2&utm_campaign=y&a=1"),
+        (6, "https://site.org:8443/path?ref=tw&z=9"),   # non-default port kept
+        (7, "ftp://host.net:443/f"),                    # unknown scheme: port kept
+        (8, "https://example.com/a/b?sessionid=s&a=1&b=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in canonical_url(df).collect()}
+    assert got[1] == got[2] == got[5] == got[8] == "https://example.com/a/b?a=1&b=2"
+    assert got[3] == got[4] == "http://example.com"
+    assert got[6] == "https://site.org:8443/path?z=9"
+    assert got[7] == "ftp://host.net:443/f"
+
+    dd_ = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert dd_["https://example.com/a/b?a=1&b=2"]["keep_id"] == 1
+    assert dd_["https://example.com/a/b?a=1&b=2"]["n_fetches"] == 4
+    assert dd_["http://example.com"]["keep_id"] == 3
+
+    plan = canonical_url(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

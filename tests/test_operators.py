@@ -2726,3 +2726,119 @@ def test_jl_projection_distortion_and_exactness(spark):
     plan = formatted_plan(jl_project(df, out_dim=16))
     assert "Exchange" not in plan
 
+
+def test_char_entropy_hand_values_and_plan(spark):
+    """Hand-derived entropies: 'aaaa' -> 0 bits, 'ab' -> 1, 'abcd' -> 2,
+    'aab' -> H(2/3,1/3); NULL/empty drop; and the plan is a pure narrow
+    map — zero Exchange at any scale."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "aab"), (5, None), (6, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.char_entropy(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["entropy_bits"] == 0.0
+    assert out[2]["entropy_bits"] == 1.0
+    assert out[3]["entropy_bits"] == 2.0
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(out[4]["entropy_bits"] - round(h, 6)) < 1e-9
+    assert out[3]["n_chars"] == 4 and out[3]["n_distinct_chars"] == 4
+    plan = tx.char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_inverted_index_postings_and_cap(spark):
+    """Exact doc_freq, sorted postings, within-doc dedup before the
+    explode (repeated terms in one doc count once), cap keeps the
+    LOWEST ids while doc_freq stays exact."""
+    df = spark.createDataFrame(
+        [(3, "a b a a"), (1, "b c"), (2, "c a"), (4, None), (5, "...")],
+        "doc_id long, text string",
+    )
+    full = {r["term"]: r for r in tx.inverted_index(df).collect()}
+    assert full["a"]["doc_freq"] == 2 and full["a"]["postings"] == "2,3"
+    assert full["b"]["doc_freq"] == 2 and full["b"]["postings"] == "1,3"
+    assert full["c"]["postings"] == "1,2"
+    capped = {r["term"]: r for r in tx.inverted_index(df, max_postings=1).collect()}
+    assert capped["a"]["doc_freq"] == 2 and capped["a"]["postings"] == "2"
+    # the within-doc dedup is in the narrow projection, before the shuffle
+    plan = tx.inverted_index(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("array_distinct") > plan.index("Aggregate")  # bottom-up string: distinct below the agg
+
+
+def test_pmi_cooccurrence_hand_values(spark):
+    """Hand-derived PMI on a 4-doc corpus; vocab restriction and the
+    min_count floor; plan has no self-join on doc_id (pairs are
+    generated in-expression)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b c x")],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): r for r in
+           tx.pmi_cooccurrence(df, top_m=10, min_count=1).collect()}
+    assert out[("a", "b")]["c12"] == 2
+    assert abs(out[("a", "b")]["pmi"] - round(math.log(2 * 4 / (3 * 3)), 6)) < 1e-9
+    assert out[("a", "c")]["c12"] == 1
+    assert abs(out[("a", "c")]["pmi"] - round(math.log(1 * 4 / (3 * 2)), 6)) < 1e-9
+    assert ("b", "x") in out and ("c", "x") in out and ("x", "b") not in out
+    # min_count floor drops the singletons
+    floored = {(r["w1"], r["w2"]) for r in
+               tx.pmi_cooccurrence(df, top_m=10, min_count=2).collect()}
+    assert floored == {("a", "b")}
+    # vocab restriction: top_m=3 keeps a,b,c (count desc, term asc) — x drops
+    v3 = {(r["w1"], r["w2"]) for r in
+          tx.pmi_cooccurrence(df, top_m=3, min_count=1).collect()}
+    assert v3 == {("a", "b"), ("a", "c"), ("b", "c")}
+    # no doc_id self-join: the only joins are the broadcast count joins
+    plan = tx.pmi_cooccurrence(df, top_m=3, min_count=1)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_pairs_exact_vs_bruteforce(spark):
+    """Prefix filtering is EXACT (recall 1): the directed pair set
+    equals the naive quadratic containment join on a seeded random
+    corpus; duplicate elements collapse; min_set_size screens tiny
+    sets; both orientations can appear."""
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [f"e{rng.randrange(50)}" for _ in range(rng.randint(1, 12))])
+        for i in range(80)
+    ]
+    # plant strict subsets so high-containment pairs exist
+    rows += [(100 + i, list(set(rows[i][1]))[:3]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, items array<string>")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_pairs(df, threshold=0.7, min_set_size=3).collect()
+    }
+    sets = {i: set(s) for i, s in rows}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        if len(sets[a]) < 3 or len(sets[b]) < 3:
+            continue
+        inter = len(sets[a] & sets[b])
+        if inter * 1_000_000 >= 700_000 * len(sets[a]):
+            want[(a, b)] = round(inter / len(sets[a]), 6)
+    assert got == want and want
+    assert any(a != b and (b, a) in got for a, b in got)  # asymmetric pairs
+
+    # hand pins: {a,b,c} ⊂ {a,b,c,d} directed, not the reverse at 0.9
+    h = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "b", "c", "d"]), (3, ["x", "y", "z"])],
+        "id long, items array<string>",
+    )
+    hp = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_pairs(h, threshold=0.9, min_set_size=3).collect()
+    }
+    assert hp == {(1, 2): 1.0}
+
+    with pytest.raises(ValueError):
+        dd.containment_pairs(h, threshold=0.0)

@@ -1708,3 +1708,60 @@ def test_emit_kmv_half_up_rounding_matches_batch(spark):
     )
     assert batch == 45
 
+
+def test_fold_countmin_matches_batch_sketch_and_estimates(spark):
+    """Round 10: the streaming count-min fold builds the SAME cells as
+    the batch countmin_sketch under randomized chops/orderings (addition
+    commutes — chop-invariant by construction), and emit_countmin
+    equals the batch countmin_frequencies min-rule on every item."""
+    import random
+
+    from kafka_merge_purge_spark.operators.sketch import (
+        countmin_frequencies,
+        countmin_sketch,
+    )
+    from kafka_merge_purge_spark.streaming.stateful import (
+        emit_countmin,
+        fold_countmin,
+    )
+
+    rng = random.Random(11)
+    items = [f"u{rng.randrange(60)}" for _ in range(800)]
+    df = spark.createDataFrame([(v,) for v in items], "x string")
+    depth, width = 4, 64
+
+    batch_cells = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in countmin_sketch(df, "x", depth, width).collect()
+    }
+    batch_est = {
+        r["item"]: r["est"]
+        for r in countmin_frequencies(df, "x", depth=depth, width=width).collect()
+    }
+    true: dict = {}
+    for v in items:
+        true[v] = true.get(v, 0) + 1
+    assert all(batch_est[v] >= true[v] for v in true)  # CM never under
+
+    for _ in range(5):
+        order = items[:]
+        rng.shuffle(order)
+        state, i = None, 0
+        while i < len(order):
+            j = min(len(order), i + rng.randint(1, 97))
+            state = fold_countmin(
+                state, iter([pd.DataFrame({"item": order[i:j]})]), depth, width
+            )
+            i = j
+        assert state == batch_cells
+        out = emit_countmin("k", state, sorted(true), depth, width)
+        assert dict(zip(out["item"], out["est"])) == {
+            v: batch_est[v] for v in sorted(true)
+        }
+
+    # wide regime: no collisions -> exact counts
+    wide = {
+        r["item"]: r["est"]
+        for r in countmin_frequencies(df, "x", depth=depth, width=65536).collect()
+    }
+    assert wide == true
