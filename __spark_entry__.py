@@ -4770,6 +4770,117 @@ _LLM_ORACLES["x_profile"] = """
     FROM documents"""
 
 
+def x_winsorize(spark, sf_dir):
+    """Per-group winsorization of l_extendedprice at p05/p95
+    (analytics.winsorize): exact percentile bounds broadcast onto the
+    facts — the fact table never shuffles (x_zscore posture); bounds
+    quantized to 1e-6 before the clamp so the clip decision is
+    engine-portable."""
+    from kafka_merge_purge_spark.operators.analytics import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    return winsorize(
+        li, "l_extendedprice", "l_returnflag", 0.05, 0.95,
+        passthrough=("l_orderkey", "l_linenumber"),
+    )
+
+
+_LLM_ORACLES["x_winsorize"] = """
+    WITH b AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_extendedprice AS value,
+           round(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS clamped,
+           CAST(l_extendedprice < lo OR l_extendedprice > hi AS INTEGER)
+               AS clipped
+    FROM lineitem JOIN b USING (l_returnflag)"""
+
+
+def x_label_prop(spark, sf_dir):
+    """Synchronous derandomized label propagation (components.
+    label_propagation, Raghavan et al. 2007 with the deterministic
+    (count desc, label asc) tie-break) — 3 sweeps over the
+    bidirectional supplier-customer co-trade graph, the community side
+    of the graph family next to components/PageRank/TrustRank.  FULL
+    hash oracle: the sweeps unroll into plain CTEs (row_number over
+    the same tie-break), the pagerank precedent."""
+    from kafka_merge_purge_spark.operators.components import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 4 == 0)  # quarter subgraph (the
+        .select("l_orderkey", "l_suppkey")    # x_trustrank posture)
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iterations=3)
+
+
+_RELATIONAL_ORACLES["x_label_prop"] = """
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_suppkey % 4 = 0
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), l0 AS (
+        SELECT node, node AS label FROM (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    ),
+    c1 AS (
+        SELECT e.dst AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2
+    ), p1 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM c1) WHERE rn = 1
+    ), l1 AS (
+        SELECT l0.node, COALESCE(p1.label, l0.label) AS label
+        FROM l0 LEFT JOIN p1 USING (node)
+    ),
+    c2 AS (
+        SELECT e.dst AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2
+    ), p2 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM c2) WHERE rn = 1
+    ), l2 AS (
+        SELECT l1.node, COALESCE(p2.label, l1.label) AS label
+        FROM l1 LEFT JOIN p2 USING (node)
+    ),
+    c3 AS (
+        SELECT e.dst AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2
+    ), p3 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM c3) WHERE rn = 1
+    ), l3 AS (
+        SELECT l2.node, COALESCE(p3.label, l2.label) AS label
+        FROM l2 LEFT JOIN p3 USING (node)
+    )
+    SELECT node, label FROM l3"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

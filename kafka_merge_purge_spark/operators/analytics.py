@@ -151,3 +151,45 @@ def dataset_profile(
     return one.select(
         F.explode(F.array(*[F.col(f"_s_{c}") for c in cols])).alias("s")
     ).select("s.*")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` to its group's
+    [``lower``, ``upper``] exact interpolated percentiles — the
+    standard outlier treatment before scaling/normalizing features or
+    token-count-style metrics.
+
+    Scale shape: the x_zscore posture — ONE tiny per-group percentile
+    aggregate (exact sort-based percentile, the q_percentiles twin)
+    broadcast back onto the facts; the fact table itself NEVER
+    shuffles (no corpus-wide window).  Bounds are rounded to 1e-6
+    BEFORE clamping so the clamp decision is engine-portable
+    (both engines compare against the identical quantized bound).
+
+    Output: passthrough + (group, value, clamped, clipped)."""
+    aggs = (
+        F.round(F.percentile(value_col, lower), 6).alias("_lo"),
+        F.round(F.percentile(value_col, upper), 6).alias("_hi"),
+    )
+    if group_col is not None:
+        j = df.join(F.broadcast(df.groupBy(group_col).agg(*aggs)), group_col)
+    else:
+        j = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    out_cols = list(passthrough)
+    if group_col is not None:
+        out_cols.append(group_col)
+    return j.select(
+        *out_cols,
+        v.alias("value"),
+        F.round(clamped, 6).alias("clamped"),
+        ((v < F.col("_lo")) | (v > F.col("_hi"))).cast("int").alias("clipped"),
+    )

@@ -992,7 +992,10 @@ def bigram_logprob(
 
 
 def char_entropy(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "kernel",
 ) -> DataFrame:
     """Per-document Shannon character entropy (bits/char) — the cheap
     gibberish/boilerplate quality signal curation pipelines run next to
@@ -1007,17 +1010,77 @@ def char_entropy(
     sequence — and therefore the rounded value — is identical, and the
     result hash-matches the SQL oracle.
 
-    Scale shape: a pure narrow map — split, sort, then ONE O(L)
-    run-length fold over the sorted codepoint array (each run is one
-    distinct char, so the fold adds the same ``c·ln(c)`` terms, in the
-    same sorted order, as the oracle's per-distinct-char list) — zero
-    shuffles, the right 100 TB posture for a per-doc score.  (A first
-    draft counted each distinct char with ``size(filter(...))`` —
-    O(k·L) with k array materializations per doc; the fold is ~7×
-    faster at sf0.1.)  Documents with NULL/empty text drop (the tier's
-    degenerate-filter convention).
+    Scale shape: zero shuffles on either physical form — the right
+    100 TB posture for a per-doc score.  Documents with NULL/empty
+    text drop (the tier's degenerate-filter convention).
+
+    ``impl`` picks the physical form (identical values, pinned equal):
+
+    - ``"kernel"`` (default): ONE stateless Arrow pass computes each
+      document's exact ``(n, k, Σ c·ln(c))`` in-process — counts per
+      codepoint, terms accumulated in sorted-codepoint order with
+      plain IEEE doubles — and the final ``(ln n − acc/n)/ln 2`` +
+      round STAY Spark expressions (JVM libm, the quality_classifier
+      kernel pattern, so the oracle's float path is untouched).  The
+      HOF fold below is interpreted, not codegen'd: the kernel is ~10×
+      faster at 10× scale (23.7 → 2.3 s).
+    - ``"agg"``: pure JVM expression — split, sort, ONE O(L)
+      run-length ``aggregate`` fold over the sorted codepoint array
+      (each run is one distinct char, so the fold adds the same
+      ``c·ln(c)`` terms, in the same sorted order, as the oracle's
+      per-distinct-char list).  Kept as the kernel's equality pin.
+      (A first draft counted each distinct char with
+      ``size(filter(...))`` — O(k·L); the fold is ~2.6× faster.)
+
+    Sort-order note: terms accumulate in codepoint order on every
+    path (Python ``sorted`` == Spark binary string order == DuckDB
+    ``list_sort`` for the BMP; astral-plane corpora should pin their
+    own ordering before trusting cross-engine hashes).
 
     Output: (id_col, n_chars, n_distinct_chars, entropy_bits)."""
+    base = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+    ln2 = float(__import__("math").log(2.0))
+    if impl == "kernel":
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def stats(batches):
+            for pdf in batches:
+                ids, ns, ks, accs = [], [], [], []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    if t is None or len(t) == 0:
+                        continue
+                    counts = Counter(t)
+                    acc = 0.0
+                    for ch in sorted(counts):
+                        c = float(counts[ch])
+                        acc += c * math.log(c)
+                    ids.append(i)
+                    ns.append(len(t))
+                    ks.append(len(counts))
+                    accs.append(acc)
+                if ids:
+                    yield pd.DataFrame(
+                        {id_col: ids, "_n": ns, "_k": ks, "_a": accs}
+                    )
+
+        st = base.select(id_col, text_col).mapInPandas(
+            stats, schema=f"{id_col} {id_type}, _n long, _k int, _a double"
+        )
+        nn = F.col("_n")
+        ent_k = (F.log(nn.cast("double")) - F.col("_a") / nn.cast("double")) / F.lit(ln2)
+        return st.select(
+            id_col,
+            nn.alias("n_chars"),
+            F.col("_k").alias("n_distinct_chars"),
+            F.round(ent_k, 6).alias("entropy_bits"),
+        )
+    if impl != "agg":
+        raise ValueError(f"char_entropy: impl must be 'kernel' or 'agg', got {impl!r}")
     cs = F.array_sort(F.split(F.col(text_col), ""))
     n = F.size(cs)
     # one pass: state (prev char, current run length, Σ c·ln(c), #runs)
@@ -1048,11 +1111,9 @@ def char_entropy(
         )
 
     folded = F.aggregate(cs, state0, step, fin)
-    ent = (F.log(n.cast("double")) - folded["a"] / n.cast("double")) / F.lit(
-        float(__import__("math").log(2.0))
-    )
+    ent = (F.log(n.cast("double")) - folded["a"] / n.cast("double")) / F.lit(ln2)
     return (
-        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        base
         .select(
             id_col,
             n.alias("n_chars"),

@@ -2842,3 +2842,102 @@ def test_containment_pairs_exact_vs_bruteforce(spark):
 
     with pytest.raises(ValueError):
         dd.containment_pairs(h, threshold=0.0)
+
+
+def test_char_entropy_kernel_matches_agg(spark, tables):
+    """The Arrow kernel (default) equals the JVM expression form
+    bit-for-bit on the real corpus + crafted edge docs (runs of one
+    char, full-range distinct, multibyte)."""
+    docs = tables["documents"]
+    a = sorted(map(tuple, tx.char_entropy(docs).collect()))
+    b = sorted(map(tuple, tx.char_entropy(docs, impl="agg").collect()))
+    assert a == b and a
+    edge = spark.createDataFrame(
+        [(1, "aaaabbbbccccdddd"), (2, "zyxw vut"), (3, "αβγ αβ α"), (4, "a" * 500)],
+        "doc_id long, text string",
+    )
+    ka = sorted(map(tuple, tx.char_entropy(edge).collect()))
+    ag = sorted(map(tuple, tx.char_entropy(edge, impl="agg").collect()))
+    assert ka == ag
+    with pytest.raises(ValueError):
+        tx.char_entropy(edge, impl="nope")
+
+
+def test_label_propagation_matches_reference(spark):
+    """Synchronous derandomized LPA equals a driver-side reference
+    (same mode + (count desc, label asc) tie-break) on seeded random
+    graphs; bridged triangles resolve to two communities; nodes
+    without in-edges keep their label."""
+    import random
+
+    from kafka_merge_purge_spark.operators.components import label_propagation
+
+    def reference(edges, iters):
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        lab = {v: v for v in nodes}
+        for _ in range(iters):
+            inc: dict = {}
+            for u, v in edges:
+                inc.setdefault(v, []).append(lab[u])
+            new = dict(lab)
+            for v, ls in inc.items():
+                cnt: dict = {}
+                for l in ls:
+                    cnt[l] = cnt.get(l, 0) + 1
+                new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+            lab = new
+        return lab
+
+    rng = random.Random(9)
+    for trial in range(4):
+        nodes = [f"n{i}" for i in range(24)]
+        edges = list({
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(60)
+        })
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["label"] for r in
+               label_propagation(df, iterations=3).collect()}
+        assert got == reference(edges, 3), f"trial {trial}"
+
+    tri = [("a","b"),("b","c"),("c","a"),("x","y"),("y","z"),("z","x"),("c","x")]
+    und = tri + [(b, a) for a, b in tri]
+    df = spark.createDataFrame(und, "src string, dst string")
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, iterations=4).collect()}
+    assert got == reference(und, 4)
+    assert len({got["a"], got["x"]}) == 2  # two communities survive the bridge
+
+    # directed: a source-only node keeps its own label
+    d2 = spark.createDataFrame([("s", "t")], "src string, dst string")
+    g2 = {r["node"]: r["label"] for r in label_propagation(d2, iterations=2).collect()}
+    assert g2 == {"s": "s", "t": "s"}
+
+
+def test_winsorize_bounds_and_facts_never_shuffle(spark):
+    """Hand percentiles on 1..100 at p05/p95 (interpolated: 5.95 /
+    95.05), exactly 10 clipped; ungrouped form; the fact side of the
+    plan carries no Exchange (bounds broadcast — the x_zscore
+    posture)."""
+    from kafka_merge_purge_spark.operators.analytics import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    out = winsorize(df, "v", "g", 0.05, 0.95).collect()
+    assert min(r["clamped"] for r in out) == 5.95
+    assert max(r["clamped"] for r in out) == 95.05
+    assert sum(r["clipped"] for r in out) == 10
+    kept = [r for r in out if not r["clipped"]]
+    assert all(r["clamped"] == r["value"] for r in kept)
+
+    ug = winsorize(df, "v", lower=0.05, upper=0.95).collect()
+    assert sum(r["clipped"] for r in ug) == 10
+
+    plan = (
+        winsorize(df, "v", "g")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only non-broadcast exchange is the tiny percentile aggregate's
+    assert plan.count("Exchange hashpartitioning") <= 1
