@@ -4114,6 +4114,33 @@ def x_scd2(spark, sf_dir):
     )
 
 
+_RELATIONAL_ORACLES["x_scd2_asof"] = """
+    WITH m AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN row_number() OVER w = 1
+                         OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (SELECT *, SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS version
+          FROM m),
+    st AS (SELECT user_id, event_type, ts AS vf, version
+           FROM v WHERE s = 1),
+    hist AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
+               CAST(floor(epoch(lead(vf) OVER (PARTITION BY user_id
+                                               ORDER BY version))) AS BIGINT)
+                   AS valid_to,
+               CAST(version AS INTEGER) AS version
+        FROM st)
+    SELECT user_id, event_type, version, valid_from, valid_to
+    FROM hist
+    WHERE valid_from <= 1719792000
+      AND (valid_to IS NULL OR 1719792000 < valid_to)"""
+
+
 _RELATIONAL_ORACLES["x_scd2"] = """
     WITH m AS (
         SELECT user_id, ts, event_id, event_type,
@@ -4879,6 +4906,148 @@ _RELATIONAL_ORACLES["x_label_prop"] = """
         FROM l2 LEFT JOIN p3 USING (node)
     )
     SELECT node, label FROM l3"""
+
+
+def x_weighted_sample(spark, sf_dir):
+    """Fixed-size weighted sampling without replacement per group
+    (curation.weighted_reservoir, Efraimidis-Spirakis A-ES): exactly 5
+    orders per o_orderpriority, weight = o_totalprice, md5-uniform u,
+    ranked by the monotone ln(u)/w key — deterministic, FULL hash
+    oracle via the identical window in SQL."""
+    from kafka_merge_purge_spark.operators.curation import weighted_reservoir
+
+    return weighted_reservoir(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority", "o_orderkey", "o_totalprice", k=5,
+    )
+
+
+_LLM_ORACLES["x_weighted_sample"] = """
+    WITH keyed AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ln(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0) / o_totalprice
+                   AS k
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY k DESC, o_orderkey)
+                   AS rank
+        FROM keyed)
+    WHERE rank <= 5"""
+
+
+def x_hopping_window(spark, sf_dir):
+    """Hopping (sliding) event-time windows in BATCH: per (2h window
+    hopping 1h, event_type) count + decimal-stable value sum via
+    F.window — every event lands in exactly two windows; window starts
+    emitted as epoch seconds for engine-portable hashing.  The batch
+    twin of the streaming windowed_counts (streaming/pipeline.py);
+    the explode-by-slot plan is ONE narrow ×2 expansion + one
+    map-side-combined aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_LLM_ORACLES["x_hopping_window"] = """
+    WITH slotted AS (
+        SELECT epoch(date_trunc('hour', ts)) - 3600 * off AS window_start,
+               event_type, "value"
+        FROM events CROSS JOIN range(2) t(off)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM slotted GROUP BY window_start, event_type"""
+
+
+def x_topk_recall(spark, sf_dir):
+    """Recall@5 evaluation primitive (similarity.topk_recall): the
+    operator every approximate path is audited with (ANN vs brute
+    force in pytest).  Gate form: exact top-5 orders per priority by
+    totalprice vs a coarsened proxy ranking (price rounded to 1000s)
+    — a SQL-expressible approximate ranking, so the metric itself is
+    FULL hash-gated."""
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.operators.similarity import topk_recall
+
+    o = _t(spark, sf_dir, "orders")
+    wref = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    ref = o.select(
+        F.col("o_orderpriority").alias("query_id"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(wref).alias("rank"),
+    )
+    wc = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice"), -3).desc(), "o_orderkey"
+    )
+    cand = o.select(
+        F.col("o_orderpriority").alias("query_id"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(wc).alias("rank"),
+    )
+    return topk_recall(ref, cand, k=5)
+
+
+_LLM_ORACLES["x_topk_recall"] = """
+    WITH ref AS (
+        SELECT o_orderpriority AS q, o_orderkey AS i FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders) WHERE rank <= 5
+    ), cand AS (
+        SELECT o_orderpriority AS q, o_orderkey AS i FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY round(o_totalprice, -3) DESC, o_orderkey) AS rank
+            FROM orders) WHERE rank <= 5
+    ), d AS (SELECT q, COUNT(*) AS n_ref FROM ref GROUP BY q),
+    h AS (SELECT ref.q, COUNT(*) AS n_hit FROM ref JOIN cand USING (q, i)
+          GROUP BY ref.q)
+    SELECT d.q AS query_id, n_ref, COALESCE(n_hit, 0) AS n_hit,
+           round(COALESCE(n_hit, 0) / n_ref, 6) AS recall
+    FROM d LEFT JOIN h ON d.q = h.q"""
+
+
+def x_scd2_asof(spark, sf_dir):
+    """Time-travel read (snapshot.scd2_asof): each user's CURRENT
+    version at the corpus's median instant, from the x_scd2 history —
+    the consumer side of the SCD2 build; a pure partition-prunable
+    filter.  FULL hash oracle (history replay + the same as-of
+    predicate)."""
+    from kafka_merge_purge_spark.operators.snapshot import scd2_asof, scd2_history
+
+    h = scd2_history(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_tiebreak="event_id",
+    )
+    hs = h.select(
+        "user_id", "event_type", "version",
+        F.unix_timestamp("valid_from").alias("valid_from"),
+        F.unix_timestamp("valid_to").alias("valid_to"),
+    )
+    return scd2_asof(hs, _SCD2_ASOF_T)
+
+
+#: fixed instant for the as-of gate: mid-2024, inside the events span
+_SCD2_ASOF_T = 1719792000
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

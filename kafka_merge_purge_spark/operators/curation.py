@@ -764,3 +764,47 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_fetches"),
         )
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement per group —
+    Efraimidis & Spirakis 2006 (A-ES): each row draws ``u ∈ (0,1)``
+    and the ``k`` largest ``u^(1/w)`` keys win, which is exactly
+    weight-proportional sampling without replacement.  The complement
+    of :func:`importance_sample` (Bernoulli, variable output size):
+    this one returns EXACTLY ``k`` rows per group (fewer only if the
+    group is smaller), the shape quota-ed data mixing wants.
+
+    Deterministic and engine-portable: ``u`` is the 60-bit md5 of the
+    id (the repo's hash-uniform convention, not ``rand()``), and rows
+    are ranked by the MONOTONE transform ``ln(u)/w`` (same order as
+    ``u^(1/w)``, avoids cross-engine ``pow`` while ``ln``/``/`` are
+    bitwise-stable per the unigram-logprob precedent), ties broken by
+    id.  Non-positive/NULL weights drop (zero-weight rows must never
+    be sampled; a NULL weight is a data bug surfaced by the count).
+
+    Scale shape: ONE shuffle (the per-group window).  The window sorts
+    each group fully; for groups of billions of rows, pre-prune with a
+    per-partition top-k (mapPartitions heap or a (group, pid) window)
+    before the global window — each partition only ever needs its own
+    top ``k``.
+
+    Output: (group_col, id_col, weight_col, rank 1..k)."""
+    from pyspark.sql import Window
+
+    u = md5_int(F.col(id_col).cast("string")).cast("double") / F.lit(float(2**60))
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(F.desc("_key"), id_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(group_col, id_col, weight_col, key.alias("_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, id_col, weight_col, "rank")
+    )

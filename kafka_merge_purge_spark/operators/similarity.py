@@ -1041,3 +1041,49 @@ def jl_project(
     return out.select(
         "id", F.posexplode("proj").alias("dim", "component")
     ).select(F.col("id"), F.col("dim"), F.col("component"))
+
+
+def topk_recall(
+    reference: DataFrame,
+    candidate: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of a candidate ranking against a reference ranking —
+    the evaluation primitive for every approximate path in this repo
+    (LSH/IVF/hashed ANN vs brute-force cosine, sketch top-k vs exact):
+    per query, ``|top-k(candidate) ∩ top-k(reference)| / |top-k(
+    reference)|``.
+
+    Queries present in the reference but absent from the candidate
+    score 0 (an ANN index that silently drops a query is a recall
+    failure, not a missing row).  Scale shape: two rank filters, one
+    equi join and two tiny per-query aggregates — the join keys on
+    (query, item), so candidate lists never fan out.
+
+    Output: (query_col, n_ref, n_hit, recall)."""
+    ref = reference.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    cand = candidate.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    denom = ref.groupBy("_q").agg(F.count(F.lit(1)).alias("n_ref"))
+    hits = (
+        ref.join(cand, ["_q", "_i"])
+        .groupBy("_q")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        denom.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_ref",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_ref"), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -123,3 +123,22 @@ def scd2_history(
         F.lead(ts_col).over(wv).alias("valid_to"),
         F.col("version").cast("int").alias("version"),
     )
+
+
+def scd2_asof(
+    history: DataFrame,
+    at_epoch_s: int,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Time-travel read over an SCD2 history: the version of each key
+    that was current at instant ``at_epoch_s`` — ``valid_from ≤ t``
+    and (``valid_to`` is NULL or ``t < valid_to``).  The consumer side
+    of :func:`scd2_history`: a pure partition-prunable filter, so a
+    history parquet partitioned/sorted on ``valid_from`` answers any
+    as-of question with a bounded scan."""
+    t = F.lit(int(at_epoch_s))
+    return history.filter(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (t < F.col(to_col)))
+    )

@@ -1603,3 +1603,68 @@ def emit_countmin(
         for s in items
     ]
     return pd.DataFrame({"group_key": [key] * len(items), "item": items, "est": ests})
+
+
+class CountMinPerKey(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming per-key count-min processor: ValueState holds each
+    key's ``(row, bucket) → cnt`` cells (encoded ``"row:bucket"`` →
+    long, ≤ depth·width entries per key forever); every micro-batch
+    adds its items (pure ``fold_countmin``) and emits the CURRENT
+    frequency estimate for each item that arrived in the batch — the
+    batch ``countmin_frequencies`` min-rule on the same cells."""
+
+    _STATE_ATTRS = ("_cm",)
+
+    def __init__(self, depth: int = 4, width: int = 256, ttl_ms: int | None = None):
+        super().__init__(ttl_ms)
+        self._depth = depth
+        self._width = width
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._cm = handle.getValueState("cm", "cells map<string,long>")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = None
+        if self._cm.exists():
+            enc = self._cm.get()[0]
+            prior = {
+                (int(k.split(":")[0]), int(k.split(":")[1])): int(v)
+                for k, v in enc.items()
+            }
+        pdfs = [pdf for pdf in rows if len(pdf)]
+        items = sorted(
+            {
+                str(_unbox(v))
+                for pdf in pdfs
+                for v in pdf["item"]
+                if v is not None and not (isinstance(v, float) and pd.isna(v))
+            }
+        )
+        counts = fold_countmin(prior, iter(pdfs), self._depth, self._width)
+        self._cm.update(({f"{i}:{b}": c for (i, b), c in counts.items()},))
+        self._arm_ttl(timerValues)
+        out = emit_countmin(key[0], counts, items, self._depth, self._width)
+        if len(out):
+            yield out
+
+
+def streaming_countmin(
+    events: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key streaming count-min frequency estimates via
+    ``transformWithStateInPandas`` — live per-item frequency with
+    ≤ depth·width counters of state per key.  Input needs
+    (``group_key``, ``item`` string) columns.  Addition commutes, so
+    batch chops/orderings don't matter; upstream must be exactly-once
+    (counting is NOT redelivery-idempotent — the fold_countmin
+    contract)."""
+    return events.groupBy("group_key").transformWithStateInPandas(
+        statefulProcessor=CountMinPerKey(depth, width, state_ttl_ms),
+        outputStructType=CM_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )

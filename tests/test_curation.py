@@ -964,3 +964,37 @@ def test_canonical_url_normalization_branches(spark):
 
     plan = canonical_url(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_reservoir_quota_and_bias(spark):
+    """A-ES semantics: exactly k rows per group (fewer only when the
+    group is smaller), deterministic across invocations, non-positive/
+    NULL weights never sampled, and heavy weights win far more often
+    than their row share (10x-weight rows are 10% of rows but take
+    ~half the samples across 40 groups)."""
+    from kafka_merge_purge_spark.operators.curation import weighted_reservoir
+
+    rows = [
+        (g, g * 1000 + i, 10.0 if i < 5 else 1.0)
+        for g in range(40)
+        for i in range(50)
+    ]
+    rows += [(0, 99991, 0.0), (0, 99992, None), (1, 99993, -3.0)]
+    df = spark.createDataFrame(rows, "g int, id long, w double")
+    out = weighted_reservoir(df, "g", "id", "w", k=5).collect()
+    per_group: dict = {}
+    for r in out:
+        per_group.setdefault(r["g"], []).append(r)
+        assert r["id"] < 99991  # degenerate weights never sampled
+    assert all(len(v) == 5 for v in per_group.values()) and len(per_group) == 40
+    assert all(sorted(x["rank"] for x in v) == [1, 2, 3, 4, 5]
+               for v in per_group.values())
+    heavy = sum(1 for r in out if r["id"] % 1000 < 5) / len(out)
+    assert 0.3 < heavy < 0.7  # expected ~0.5 (weight share 50/95)
+
+    again = weighted_reservoir(df, "g", "id", "w", k=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    # tiny group: returns the whole group
+    tiny = spark.createDataFrame([(9, 1, 2.0), (9, 2, 1.0)], "g int, id long, w double")
+    assert weighted_reservoir(tiny, "g", "id", "w", k=5).count() == 2

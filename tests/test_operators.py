@@ -2941,3 +2941,54 @@ def test_winsorize_bounds_and_facts_never_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     # the only non-broadcast exchange is the tiny percentile aggregate's
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_topk_recall_audits_ann_paths(spark, tables):
+    """topk_recall composes with the repo's own rankings: brute-force
+    cosine vs itself scores 1.0 everywhere; vs LSH it reports the
+    recall the pytest pins asserted by hand; a candidate missing a
+    query scores 0 for it."""
+    emb = tables["embeddings"].limit(200)
+    exact = sim.brute_force_topk(emb, emb, k=5).select(
+        "query_id", F.col("neighbor_id").alias("item"), "rank"
+    )
+    perfect = sim.topk_recall(exact, exact, k=5).collect()
+    assert perfect and all(r["recall"] == 1.0 for r in perfect)
+
+    approx = sim.lsh_topk(emb, emb, k=5, n_planes=6, n_tables=12).select(
+        "query_id", F.col("neighbor_id").alias("item"), "rank"
+    )
+    audited = sim.topk_recall(exact, approx, k=5).collect()
+    macro = sum(r["recall"] for r in audited) / len(audited)
+    assert 0.3 <= macro <= 1.0  # sane, and never above 1
+
+    # a dropped query scores 0, not a missing row
+    one = spark.createDataFrame([("q1", "a", 1), ("q2", "b", 1)],
+                                "query_id string, item string, rank int")
+    cand = spark.createDataFrame([("q1", "a", 1)],
+                                 "query_id string, item string, rank int")
+    got = {r["query_id"]: r["recall"] for r in sim.topk_recall(one, cand, k=5).collect()}
+    assert got == {"q1": 1.0, "q2": 0.0}
+
+
+def test_scd2_asof_selects_the_covering_version(spark):
+    """As-of semantics: half-open [valid_from, valid_to) with NULL =
+    current; exactly one version per key covers any instant inside the
+    key's span."""
+    from kafka_merge_purge_spark.operators.snapshot import scd2_asof
+
+    hist = spark.createDataFrame(
+        [
+            (1, "a", 1, 100, 200),
+            (1, "b", 2, 200, None),
+            (2, "x", 1, 150, None),
+            (3, "z", 1, 500, None),   # starts after T
+        ],
+        "user_id long, event_type string, version int, valid_from long, valid_to long",
+    )
+    got = {r["user_id"]: r for r in scd2_asof(hist, 200).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["event_type"] == "b"  # boundary: valid_to is EXCLUSIVE
+    assert got[2]["event_type"] == "x"
+    at150 = {r["user_id"]: r["event_type"] for r in scd2_asof(hist, 150).collect()}
+    assert at150 == {1: "a", 2: "x"}

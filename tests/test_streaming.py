@@ -1765,3 +1765,53 @@ def test_fold_countmin_matches_batch_sketch_and_estimates(spark):
         for r in countmin_frequencies(df, "x", depth=depth, width=65536).collect()
     }
     assert wide == true
+
+
+def test_countmin_processor_ttl_protocol(spark):
+    """CountMinPerKey lifecycle on the fake handle: estimates equal the
+    batch min-rule for the arrived items, state round-trips through the
+    encoded map, TTL evicts, the key rebuilds from scratch."""
+    from kafka_merge_purge_spark.operators.sketch import countmin_frequencies
+    from kafka_merge_purge_spark.streaming.stateful import (
+        CountMinPerKey,
+        fold_countmin,
+    )
+
+    items = [f"v{i % 9}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in items], "x string")
+    batch_est = {
+        r["item"]: r["est"]
+        for r in countmin_frequencies(df, "x", depth=3, width=32).collect()
+    }
+
+    proc = CountMinPerKey(depth=3, width=32, ttl_ms=1_000)
+    h = _FakeHandle()
+    proc.init(h)
+    out = list(
+        proc.handleInputRows(
+            ("k",), iter([pd.DataFrame({"item": items})]), _tv(0)
+        )
+    )
+    assert len(out) == 1 and h.timers == [1_000]
+    got = dict(zip(out[0]["item"], out[0]["est"]))
+    assert got == batch_est
+
+    # state round-trip: encoded map == fold cells
+    cells = fold_countmin(None, iter([pd.DataFrame({"item": items})]), 3, 32)
+    enc = h.states["cm"].get()[0]
+    assert {(int(k.split(":")[0]), int(k.split(":")[1])): v for k, v in enc.items()} == cells
+
+    # second batch ACCUMULATES (est for a re-arriving item grows)
+    out2 = list(
+        proc.handleInputRows(("k",), iter([pd.DataFrame({"item": ["v0"]})]), _tv(10))
+    )
+    got2 = dict(zip(out2[0]["item"], out2[0]["est"]))
+    assert got2["v0"] == batch_est["v0"] + 1
+
+    # TTL evicts; rebuild from scratch
+    list(proc.handleExpiredTimer(("k",), _tv(2_000), _eti(1_000)))
+    assert not h.states["cm"].exists()
+    out3 = list(
+        proc.handleInputRows(("k",), iter([pd.DataFrame({"item": ["a", "a"]})]), _tv(3_000))
+    )
+    assert dict(zip(out3[0]["item"], out3[0]["est"])) == {"a": 2}
