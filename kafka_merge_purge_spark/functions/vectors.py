@@ -48,3 +48,50 @@ def drop_null_vectors(df, vec_col: str = "embedding"):
     from pyspark.sql import functions as F
 
     return df.filter(F.col(vec_col).isNotNull())
+
+
+def dimension_stats(
+    df,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Per-dimension corpus statistics of an embedding column — the
+    embedding-QA primitive (dead/saturated dimensions, scale drift
+    between ingest batches): for each vector position (1-based), count,
+    mean and sample variance plus min/max.
+
+    Engine-portable: moments derive from the repo's decimal-stable
+    Σx / Σx² sums (the q_stats_agg convention — order-independent, so
+    the one float division per output is bit-identical in the oracle);
+    min/max are pure selections rounded to 6.
+
+    Scale shape: posexplode → ONE map-side-combined aggregate keyed by
+    the (tiny) dimension index; the exchange carries dim × partials,
+    never the corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_merge_purge_spark.functions.stable import dsum
+
+    exploded = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "_x")
+        )
+        .select((F.col("pos0") + 1).alias("pos"), "_x")
+    )
+    g = exploded.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("_x", "s"),
+        dsum(F.col("_x") * F.col("_x"), "s2"),
+        F.round(F.min("_x"), 6).alias("min_value"),
+        F.round(F.max("_x"), 6).alias("max_value"),
+    )
+    n, sx, sxx = F.col("n"), F.col("s"), F.col("s2")
+    return g.select(
+        "pos",
+        "n",
+        F.round(sx / n, 6).alias("mean"),
+        F.round((sxx - sx * sx / n) / (n - F.lit(1)), 6).alias("variance"),
+        "min_value",
+        "max_value",
+    )

@@ -372,3 +372,79 @@ def label_propagation(
     # the edge cache before returning, the pagerank convention
     e.unpersist()
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph — the input to
+    clustering coefficients and the standard cohesion signal for link-
+    graph curation (a spam farm is star-shaped: high degree, no
+    triangles; organic communities are triangle-dense).
+
+    Algorithm: the classic degree-oriented "forward" counting
+    (Schank & Wagner 2005 / Cohen's MapReduce form): normalize to
+    distinct undirected edges, orient each edge from the endpoint with
+    the smaller (degree, node) to the larger, enumerate wedges by
+    self-joining oriented edges on their SOURCE, and close each wedge
+    with one hash-join probe against the oriented edge set.  Every
+    triangle is counted exactly once (its unique orientation-minimal
+    apex), then credited to all three corners.
+
+    Scale shape: orientation bounds each node's out-degree by
+    O(√(2m)), so the wedge join produces Σ d_out(v)² ≤ m·√(2m) rows —
+    the arboricity bound that makes exact triangle counting feasible
+    on web-scale graphs; all three joins are equi hash joins on node
+    ids.  No iteration, no driver state.
+
+    Output: (node, n_triangles) — nodes in no triangle report 0."""
+    und = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    with_deg = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("_d").alias("_da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("_d").alias("_db")), "b")
+    )
+    lower_is_a = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("w1"))
+    e2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("w2"))
+    wedges = e1.join(e2, "apex").filter(F.col("w1") < F.col("w2"))
+    # close against the NORMALIZED undirected set (w1 < w2 already), so
+    # the probe is a plain two-key equi hash join — an OR over both
+    # orientations would forbid hashing and degrade to a nested loop
+    tri = wedges.join(
+        und.select(F.col("a").alias("w1"), F.col("b").alias("w2")),
+        ["w1", "w2"],
+    ).select("apex", "w1", "w2")
+    credited = (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("w1").alias("node")))
+        .unionByName(tri.select(F.col("w2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(credited, "node", "left")
+        .select("node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+    )

@@ -2992,3 +2992,55 @@ def test_scd2_asof_selects_the_covering_version(spark):
     assert got[2]["event_type"] == "x"
     at150 = {r["user_id"]: r["event_type"] for r in scd2_asof(hist, 150).collect()}
     assert at150 == {1: "a", 2: "x"}
+
+
+def test_triangle_counts_reference_and_orientation(spark):
+    """K4 (every node in 3 triangles), triangle-free path, duplicate/
+    reversed/self edges collapse; equals a driver brute-force count on
+    seeded random graphs (every triangle counted once, credited to all
+    three corners)."""
+    import itertools
+    import random
+
+    from kafka_merge_purge_spark.operators.components import triangle_counts
+
+    k4 = [(a, b) for a in "pqrs" for b in "pqrs" if a < b]
+    edges = k4 + [("x", "y"), ("y", "z")] + [("q", "p"), ("p", "q"), ("p", "p")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {"p": 3, "q": 3, "r": 3, "s": 3, "x": 0, "y": 0, "z": 0}
+
+    rng = random.Random(3)
+    for trial in range(3):
+        nodes = list(range(18))
+        es = list({(min(a, b), max(a, b))
+                   for a, b in (rng.sample(nodes, 2) for _ in range(60))})
+        adj = {n: set() for n in nodes}
+        for u, v in es:
+            adj[u].add(v); adj[v].add(u)
+        want = {n: 0 for n in {x for e in es for x in e}}
+        for t in itertools.combinations(sorted(want), 3):
+            if t[1] in adj[t[0]] and t[2] in adj[t[0]] and t[2] in adj[t[1]]:
+                for n in t:
+                    want[n] += 1
+        df2 = spark.createDataFrame(es, "src long, dst long")
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(df2).collect()}
+        assert got == want, f"trial {trial}"
+
+
+def test_dimension_stats_hand_moments(spark):
+    """Per-dimension moments on a hand corpus: dim 1 constant (variance
+    0), dim 2 = {0, 2} (mean 1, sample var 2), NULL vectors drop; pos
+    is 1-based."""
+    from kafka_merge_purge_spark.functions.vectors import dimension_stats
+
+    df = spark.createDataFrame(
+        [(1, [5.0, 0.0]), (2, [5.0, 2.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["pos"]: r for r in dimension_stats(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n"] == 2 and out[1]["mean"] == 5.0 and out[1]["variance"] == 0.0
+    assert out[2]["mean"] == 1.0 and out[2]["variance"] == 2.0
+    assert out[2]["min_value"] == 0.0 and out[2]["max_value"] == 2.0
