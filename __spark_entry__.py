@@ -5139,6 +5139,77 @@ _LLM_ORACLES["x_embedding_dim_stats"] = """
     FROM g"""
 
 
+def x_record_linkage(spark, sf_dir):
+    """Entity resolution (linkage.record_linkage): customers vs a
+    deterministically perturbed twin table (name substitutions, account
+    drift, segment corruption — the snapshot-diff mutation precedent);
+    blocked on (nation, name-suffix), scored name-Levenshtein +
+    segment-equality + balance-tolerance, thresholded.  ONE equi join
+    on the block key + a narrow scoring projection; FULL hash oracle
+    (DuckDB levenshtein + the identical weighted fold)."""
+    from kafka_merge_purge_spark.operators.linkage import record_linkage
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name2 = F.concat(
+        F.substring("c_name", 1, 9), F.lit("X"), F.substring("c_name", 11, 2),
+        F.when(k % 5 == 0, F.lit("Y")).otherwise(F.substring("c_name", 13, 1)),
+        F.expr("substring(c_name, 14)"),
+    )
+    twin = c.select(
+        (k + 1000000).alias("c_custkey"),
+        name2.alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + (k % 9).cast("double")).alias("c_acctbal"),
+        F.when(k % 7 == 0, F.lit("CORRUPTED")).otherwise(
+            F.col("c_mktsegment")
+        ).alias("c_mktsegment"),
+    )
+    withblock = lambda df: df.withColumn("_sfx", F.expr("right(c_name, 4)"))  # noqa: E731
+    return record_linkage(
+        withblock(c),
+        withblock(twin),
+        "c_custkey",
+        ["c_nationkey", "_sfx"],
+        [
+            ("c_name", "string", 2.0),
+            ("c_mktsegment", "exact", 1.0),
+            ("c_acctbal", ("numeric", 10.0), 1.0),
+        ],
+        threshold=0.85,
+    )
+
+
+_RELATIONAL_ORACLES["x_record_linkage"] = """
+    WITH twin AS (
+        SELECT c_custkey + 1000000 AS c_custkey,
+               substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 2) ||
+               CASE WHEN c_custkey % 5 = 0 THEN 'Y'
+                    ELSE substr(c_name, 13, 1) END ||
+               substr(c_name, 14) AS c_name,
+               c_nationkey,
+               c_acctbal + CAST(c_custkey % 9 AS DOUBLE) AS c_acctbal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'CORRUPTED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    ), scored AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               round((2.0 * (CASE WHEN greatest(length(a.c_name), length(b.c_name)) = 0
+                                  THEN 1.0
+                                  ELSE 1.0 - levenshtein(a.c_name, b.c_name)
+                                        / greatest(length(a.c_name), length(b.c_name))
+                             END)
+                      + 1.0 * CAST(a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+                                   AS DOUBLE)
+                      + 1.0 * (1.0 - least(abs(a.c_acctbal - b.c_acctbal) / 10.0,
+                                           1.0))) / 4.0, 6) AS score
+        FROM customer a JOIN twin b
+        ON a.c_nationkey = b.c_nationkey
+           AND right(a.c_name, 4) = right(b.c_name, 4)
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.85"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

@@ -1,0 +1,93 @@
+"""Record linkage (entity resolution): blocked candidate generation +
+multi-field similarity scoring + thresholded match decision — the
+deterministic-scoring half of the classic Fellegi-Sunter setup (the
+other half, EM-learned log-likelihood weights, is a model-fitting
+problem; this operator takes the caller's weights, which is how the
+public production recipes (dedupe.io-style, Splink's deterministic
+tier) run at scale).
+
+Built for the oracle-gate discipline: every similarity kind is an
+exact, engine-portable expression (integer Levenshtein, equality,
+tolerance-clamped numeric distance), the weighted sum folds in the
+caller's field order, and the one float division per field rounds at
+the end — so the whole match set hash-matches a DuckDB replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: similarity kinds: how one field pair scores in [0, 1]
+#: - "string":  1 − levenshtein/max(len)  (0 when both empty → 1.0)
+#: - "exact":   1.0 on equality (null-safe), else 0.0
+#: - ("numeric", tol): 1 − min(|a−b|/tol, 1)
+SimSpec = tuple  # (col, kind, weight)
+
+
+def _field_sim(kind, a: Column, b: Column) -> Column:
+    if kind == "string":
+        mx = F.greatest(F.length(a), F.length(b))
+        return F.when(mx == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.levenshtein(a, b) / mx
+        )
+    if kind == "exact":
+        return a.eqNullSafe(b).cast("double")
+    if isinstance(kind, tuple) and kind[0] == "numeric":
+        tol = float(kind[1])
+        return F.lit(1.0) - F.least(F.abs(a - b) / F.lit(tol), F.lit(1.0))
+    raise ValueError(f"record_linkage: unknown similarity kind {kind!r}")
+
+
+def record_linkage(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    sim_cols: list[SimSpec],
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Link records of ``a`` to records of ``b``: candidates share ALL
+    ``block_cols`` (equi join — the blocking pass every production
+    linkage runs, since scoring all n·m pairs is the definition of not
+    scaling), each candidate pair scores
+    ``Σ wᵢ·simᵢ / Σ wᵢ`` over ``sim_cols`` = (column, kind, weight),
+    and pairs with ``score ≥ threshold`` emit.
+
+    Blocking recall is the caller's contract (same as every blocking
+    system): a true match whose block key was corrupted is missed —
+    pick keys from stable fields, or union several
+    ``record_linkage`` passes with different block keys (multi-pass
+    blocking) for corruption-tolerant recall.
+
+    Scale shape: ONE equi join on the block key (near-uniform if the
+    key is selective), scoring is a narrow projection on the candidate
+    rows, no window.  Output: (id_a, id_b, score ∈ [0,1])."""
+    tw = sum(float(w) for _, _, w in sim_cols)
+    if tw <= 0:
+        raise ValueError("record_linkage: weights must sum > 0")
+    left = a.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_ba_{i}") for i, c in enumerate(block_cols)],
+        *[F.col(c).alias(f"_fa_{i}") for i, (c, _, _) in enumerate(sim_cols)],
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_bb_{i}") for i, c in enumerate(block_cols)],
+        *[F.col(c).alias(f"_fb_{i}") for i, (c, _, _) in enumerate(sim_cols)],
+    )
+    cond = None
+    for i in range(len(block_cols)):
+        c = F.col(f"_ba_{i}") == F.col(f"_bb_{i}")
+        cond = c if cond is None else (cond & c)
+    score = F.lit(0.0)
+    for i, (_, kind, w) in enumerate(sim_cols):
+        score = score + F.lit(float(w)) * _field_sim(
+            kind, F.col(f"_fa_{i}"), F.col(f"_fb_{i}")
+        )
+    score = F.round(score / F.lit(tw), 6)
+    return (
+        left.join(right, cond)
+        .select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

@@ -3044,3 +3044,45 @@ def test_dimension_stats_hand_moments(spark):
     assert out[1]["n"] == 2 and out[1]["mean"] == 5.0 and out[1]["variance"] == 0.0
     assert out[2]["mean"] == 1.0 and out[2]["variance"] == 2.0
     assert out[2]["min_value"] == 0.0 and out[2]["max_value"] == 2.0
+
+
+def test_record_linkage_scoring_and_blocking(spark):
+    """Field kinds score as specified (hand arithmetic), blocking
+    prunes cross-block pairs even when fields match, weights must sum
+    positive, unknown kinds raise."""
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.linkage import record_linkage
+
+    a = spark.createDataFrame(
+        [(1, "jonathan smith", "NY", 100.0), (2, "mary jones", "CA", 50.0),
+         (3, "bob brown", "NY", 77.0)],
+        "id long, name string, state string, bal double",
+    )
+    b = spark.createDataFrame(
+        [(11, "jonathon smith", "NY", 101.0),   # 1 edit + close bal
+         (12, "mary j0nes", "CA", 500.0),       # 1 edit, far bal
+         (13, "bob brown", "TX", 77.0)],        # exact but other block
+        "id long, name string, state string, bal double",
+    )
+    spec = [("name", "string", 2.0), ("bal", ("numeric", 10.0), 1.0)]
+    out = {(r["id_a"], r["id_b"]): r["score"]
+           for r in record_linkage(a, b, "id", ["state"], spec, 0.8).collect()}
+    want_1_11 = round((2 * (1 - 1 / 14) + 1 * (1 - 1 / 10)) / 3, 6)
+    assert out == {(1, 11): want_1_11}
+    # mary scores (2*0.9 + 0)/3 = 0.6 -> below threshold; visible at 0.5
+    low = {(r["id_a"], r["id_b"]): r["score"]
+           for r in record_linkage(a, b, "id", ["state"], spec, 0.5).collect()}
+    assert low[(2, 12)] == 0.6
+    assert (3, 13) not in low  # blocked out despite identical fields
+
+    # exact kind is null-safe
+    an = spark.createDataFrame([(1, None, "NY")], "id long, seg string, state string")
+    bn = spark.createDataFrame([(2, None, "NY")], "id long, seg string, state string")
+    got = record_linkage(an, bn, "id", ["state"], [("seg", "exact", 1.0)], 0.9).collect()
+    assert got[0]["score"] == 1.0
+
+    with _pytest.raises(ValueError):
+        record_linkage(a, b, "id", ["state"], [("name", "fuzzy?", 1.0)]).collect()
+    with _pytest.raises(ValueError):
+        record_linkage(a, b, "id", ["state"], [("name", "string", 0.0)])

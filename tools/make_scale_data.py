@@ -185,6 +185,33 @@ def scale_orders(src: str, out: str, r_factor: int) -> None:
     print(f"orders: {n} -> {n * r_factor} rows")
 
 
+def scale_customer(src: str, out: str, r_factor: int) -> None:
+    """Replicate customers with key offsets, REGENERATING each
+    replica's c_name from its new key (names are key-derived in TPC-H,
+    so replicated names would alias the originals and corrupt any
+    name-blocked linkage or suffix-keyed join at 10×)."""
+    t = pq.read_table(f"{src}/customer.parquet")
+    n = t.num_rows
+    key = t.column("c_custkey").to_numpy()
+    max_key = int(key.max()) + 1
+    chunks = []
+    for r in range(r_factor):
+        new_key = key + r * max_key
+        rep = t.set_column(
+            t.schema.get_field_index("c_custkey"),
+            "c_custkey",
+            pa.array(new_key, type=t.schema.field("c_custkey").type),
+        )
+        rep = rep.set_column(
+            t.schema.get_field_index("c_name"),
+            "c_name",
+            pa.array([f"Customer#{int(k):09d}" for k in new_key]),
+        )
+        chunks.append(rep)
+    pq.write_table(pa.concat_tables(chunks), f"{out}/customer.parquet")
+    print(f"customer: {n} -> {n * r_factor} rows")
+
+
 def main() -> None:
     r_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -197,6 +224,7 @@ def main() -> None:
     scale_embeddings(src, out, r_factor)
     scale_events(src, out, r_factor)
     scale_orders(src, out, r_factor)
+    scale_customer(src, out, r_factor)
 
 
 if __name__ == "__main__":
