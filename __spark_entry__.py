@@ -5210,6 +5210,110 @@ _RELATIONAL_ORACLES["x_record_linkage"] = """
     SELECT id_a, id_b, score FROM scored WHERE score >= 0.85"""
 
 
+def x_web_pipeline(spark, sf_dir):
+    """The web-corpus curation capstone as ONE composed plan (the
+    x_llm_pipeline pattern for the round-10 tier): canonical-URL dedup
+    (keep lowest doc per canonical URL, synthesized messy URLs) →
+    char-entropy + token-count quality gate on the survivors →
+    weighted reservoir quota (Efraimidis-Spirakis, k=10 per source,
+    weight = n_tokens).  Every stage keeps its own posture: the URL
+    pass is a projection + one aggregate, entropy is the zero-shuffle
+    Arrow kernel, the quota is one per-group window over survivors.
+    FULL hash oracle — the URL regexps, the sorted-order entropy fold,
+    and the ln(u)/w ranking all replay in SQL."""
+    from kafka_merge_purge_spark.operators.curation import (
+        url_dedup,
+        weighted_reservoir,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = url_dedup(
+        docs.select("doc_id", _synth_url(F.col("doc_id")).alias("url"))
+    ).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id")
+    ent = tx.char_entropy(survivors).select("doc_id", "entropy_bits")
+    tok = tx.token_count(survivors).select("doc_id", "n_tokens")
+    scored = (
+        survivors.select("doc_id", "source")
+        .join(ent, "doc_id")
+        .join(tok, "doc_id")
+        .filter((F.col("entropy_bits") >= 3.0) & (F.col("n_tokens") >= 10))
+    )
+    return weighted_reservoir(scored, "source", "doc_id", "n_tokens", k=10)
+
+
+_LLM_ORACLES["x_web_pipeline"] = """
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://WWW.Site' || (doc_id % 5) || '.Example.COM' ||
+               CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+               '/Path/' || (doc_id % 20) ||
+               CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+               '?utm_source=feed&b=' || (doc_id % 3) || '&a=1' ||
+               CASE WHEN doc_id % 3 = 0 THEN '&gclid=x' ELSE '' END || '#f'
+               AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS host0,
+               regexp_replace(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS q
+        FROM u
+    ), canon AS (
+        SELECT doc_id,
+               scheme || '://' ||
+               CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                    WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+                    ELSE host0 END || path ||
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+        FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> ''
+                        AND NOT string_split(p, '=')[1] IN
+                            ('fbclid','gclid','msclkid','ref','sessionid')
+                        AND NOT starts_with(string_split(p, '=')[1], 'utm_'))),
+               '&') AS qs FROM parts)
+    ), keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY canonical_url
+    ), surv AS (
+        SELECT d.doc_id, d.source, d.text FROM documents d JOIN keepers USING (doc_id)
+        WHERE d.text IS NOT NULL AND length(d.text) > 0
+    ), entbase AS (
+        SELECT doc_id, source, text, string_split_regex(text, '') AS cs FROM surv
+    ), entd AS (
+        SELECT doc_id, source, text, cs,
+               list_sort(list_distinct(cs)) AS dk, len(cs) AS n
+        FROM entbase
+    ), scored AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               round((ln(CAST(n AS DOUBLE))
+                      - list_reduce(
+                          list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(dk, ch ->
+                              CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                              * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)))),
+                          (a, b) -> a + b) / n) / ln(2.0), 6) AS entropy_bits
+        FROM entd
+    ), gated AS (
+        SELECT doc_id, source, n_tokens FROM scored
+        WHERE entropy_bits >= 3.0 AND n_tokens >= 10
+    ), keyed AS (
+        SELECT source, doc_id, n_tokens,
+               ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0)
+                   / CAST(n_tokens AS DOUBLE) AS k
+        FROM gated WHERE n_tokens > 0
+    )
+    SELECT source, doc_id, n_tokens, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+                   AS rank
+        FROM keyed)
+    WHERE rank <= 10"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

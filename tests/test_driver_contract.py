@@ -59,3 +59,40 @@ def test_every_primary_has_a_full_oracle():
 def test_no_orphan_oracles():
     orphans = set(entry.oracle_sql()) - set(entry.queries())
     assert not orphans
+
+
+def test_web_pipeline_composes_and_is_plan_bounded(spark):
+    """The round-10 capstone composes without re-evaluation hazards:
+    bounded exchange count, and the result equals the staged
+    computation of its three stages at sf0.001."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from kafka_merge_purge_spark.operators.curation import (
+        url_dedup,
+        weighted_reservoir,
+    )
+    from kafka_merge_purge_spark.operators import text as tx
+
+    sf = "/root/testdata/sf0.001"
+    out = m.queries()["x_web_pipeline"](spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 12
+    got = sorted(map(tuple, out.collect()))
+
+    docs = m._t(spark, sf, "documents")
+    keep = {r["keep_id"] for r in url_dedup(
+        docs.select("doc_id", m._synth_url(F.col("doc_id")).alias("url"))
+    ).collect()}
+    surv = docs.filter(F.col("doc_id").isin(list(keep)))
+    ent = {r["doc_id"]: r["entropy_bits"] for r in tx.char_entropy(surv).collect()}
+    tok = {r["doc_id"]: r["n_tokens"] for r in tx.token_count(surv).collect()}
+    gated = surv.filter(
+        F.col("doc_id").isin([d for d in ent
+                              if ent[d] >= 3.0 and tok.get(d, 0) >= 10])
+    ).select("doc_id", "source").withColumn(
+        "n_tokens", F.udf(lambda d: tok[d], "long")("doc_id")
+    )
+    want = sorted(map(tuple, weighted_reservoir(
+        gated, "source", "doc_id", "n_tokens", k=10).collect()))
+    assert got == want and got
