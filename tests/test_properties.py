@@ -408,3 +408,78 @@ def test_snm_full_window_equals_exact_all_pairs(spark):
         ).collect()
     )
     assert snm == exact and len(exact) > 0
+
+
+url_strategy = st.lists(
+    st.builds(
+        lambda scheme, www, host, port, path, slash, params, frag: (
+            f"{scheme}://{www}{host}{port}/{path}{slash}"
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        ),
+        scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        www=st.sampled_from(["", "www.", "WWW."]),
+        host=st.sampled_from(["a.example.com", "B.example.COM", "site.org"]),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        path=st.sampled_from(["", "p", "p/q", "P/Q"]),
+        slash=st.sampled_from(["", "/", "//"]),
+        params=st.lists(
+            st.sampled_from(["a=1", "b=2", "utm_source=x", "gclid=z", "z=9"]),
+            max_size=4,
+        ),
+        frag=st.sampled_from(["", "#f"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(urls=url_strategy)
+@SETTINGS
+def test_canonical_url_is_idempotent(spark, urls):
+    """canonical_url(canonical_url(u)) == canonical_url(u): the
+    canonical form is a fixed point — re-canonicalizing a cleaned URL
+    never changes it (no normalization step reintroduces work for a
+    later one)."""
+    from kafka_merge_purge_spark.operators.curation import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    once = canonical_url(df).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = canonical_url(once)
+    rows = twice.collect()
+    assert all(r["url"] == r["canonical_url"] for r in rows)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_char_entropy_bounds(spark, texts):
+    """0 ≤ entropy ≤ log2(n_distinct_chars) for every document, with
+    equality at 0 iff one distinct char; kernel == agg bit-for-bit on
+    arbitrary printable input."""
+    import math
+
+    from kafka_merge_purge_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, char_entropy(df).collect()))
+    b = sorted(map(tuple, char_entropy(df, impl="agg").collect()))
+    assert a == b
+    for _, n, k, ent in a:
+        assert 0.0 <= ent <= round(math.log2(k), 6) + 1e-9
+        assert (ent == 0.0) == (k == 1)
