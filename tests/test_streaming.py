@@ -1815,3 +1815,29 @@ def test_countmin_processor_ttl_protocol(spark):
         proc.handleInputRows(("k",), iter([pd.DataFrame({"item": ["a", "a"]})]), _tv(3_000))
     )
     assert dict(zip(out3[0]["item"], out3[0]["est"])) == {"a": 2}
+
+
+def test_canonical_url_composes_with_streams(spark, tmp_path):
+    """The URL canonicalizer is a pure projection, so it runs unchanged
+    on a streaming frame (readStream → canonicalize → watermarkless
+    dedup-by-canonical is the streaming leg of url_dedup: FIRST arrival
+    wins, vs the batch MIN-id rule — both documented)."""
+    from kafka_merge_purge_spark.operators.curation import canonical_url
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/?utm_source=x&b=2&a=1#f"),
+        (2, "https://example.com/a?a=1&b=2"),
+        (3, "http://other.org/p"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    src = tmp_path / "urls_in"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "_stage"))
+    next((tmp_path / "_stage").glob("part-*.parquet")).rename(src / "u.parquet")
+
+    stream = spark.readStream.schema("doc_id long, url string").parquet(str(src))
+    canon = canonical_url(stream).dropDuplicates(["canonical_url"])
+    _drain_to_memory(canon, "canon_out", str(tmp_path / "ckpt_url"))
+    got = {r["canonical_url"] for r in spark.sql("SELECT * FROM canon_out").collect()}
+    batch = {r["canonical_url"] for r in canonical_url(docs).collect()}
+    assert got == batch == {"https://example.com/a?a=1&b=2", "http://other.org/p"}
