@@ -1931,7 +1931,12 @@ def containment_pairs(
         df.select(F.col(id_col).alias("id"), F.array_distinct(set_col).alias("sh"))
         .filter(F.col("sh").isNotNull() & (F.size("sh") >= min_set_size))
     )
-    elems = base.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("e"))
+    # sizes ride as LONG everywhere: size() is int32 and the threshold
+    # compares t_q·|A| with t_q up to 1e6 — int32 silently wraps past
+    # |A| ≈ 2147 (ANSI off), flipping membership on big sets
+    elems = base.select(
+        "id", F.size("sh").cast("long").alias("sz"), F.explode("sh").alias("e")
+    )
     freq = elems.groupBy("e").agg(F.count(F.lit(1)).alias("_c"))
     # per-set elements in global rarity order (freq asc, element asc)
     ranked = (
@@ -1957,12 +1962,13 @@ def containment_pairs(
     pairs = cand.join(
         base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    sz_a = F.size("sh_a").cast("long")
     return (
-        pairs.filter(inter * 1000000 >= F.lit(t_q) * F.size("sh_a"))
+        pairs.filter(inter * F.lit(1000000).cast("long") >= F.lit(t_q) * sz_a)
         .select(
             "id_a",
             "id_b",
-            F.round(inter / F.size("sh_a"), 6).alias("containment"),
+            F.round(inter / sz_a, 6).alias("containment"),
         )
     )

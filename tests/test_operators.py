@@ -3086,3 +3086,19 @@ def test_record_linkage_scoring_and_blocking(spark):
         record_linkage(a, b, "id", ["state"], [("name", "fuzzy?", 1.0)]).collect()
     with _pytest.raises(ValueError):
         record_linkage(a, b, "id", ["state"], [("name", "string", 0.0)])
+
+
+def test_containment_pairs_survives_int32_overflow_sizes(spark):
+    """Sets larger than ~2147 elements overflow int32 at t_q·|A|
+    (t_q up to 1e6); the threshold compare must run in long.  A 4000-
+    element set 90%-contained in its superset must emit — the wrapped
+    compare silently dropped it."""
+    big = [f"e{i}" for i in range(4000)]
+    df = spark.createDataFrame(
+        [(1, big[:3700]), (2, big)],  # 3700/3700 = 1.0 contained in 2
+        "id long, items array<string>",
+    )
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in dd.containment_pairs(df, threshold=0.9, min_set_size=3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(2, 1)] == 0.925  # 3700/4000, also over the bar
