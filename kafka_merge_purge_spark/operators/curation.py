@@ -801,8 +801,15 @@ def weighted_reservoir(
     u = md5_int(F.col(id_col).cast("string")).cast("double") / F.lit(float(2**60))
     key = F.log(u) / F.col(weight_col)
     w = Window.partitionBy(group_col).orderBy(F.desc("_key"), id_col)
+    wcol = F.col(weight_col)
+    guard = wcol.isNotNull() & (wcol > 0)
+    if dict(df.dtypes).get(weight_col) in ("float", "double"):
+        # Spark orders NaN ABOVE every number, so `NaN > 0` is true —
+        # without this a NaN weight sails through the positivity screen
+        # and its NaN sort key scrambles the ranking
+        guard = guard & ~F.isnan(wcol)
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(guard)
         .select(group_col, id_col, weight_col, key.alias("_key"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

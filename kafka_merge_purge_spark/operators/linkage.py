@@ -26,16 +26,23 @@ SimSpec = tuple  # (col, kind, weight)
 
 
 def _field_sim(kind, a: Column, b: Column) -> Column:
+    # NULL discipline: a NULL on either side scores 0.0 (no agreement
+    # evidence), NEVER NULL — a NULL similarity would null the whole
+    # weighted sum and silently drop the pair at the threshold filter,
+    # turning one missing phone number into a guaranteed non-match.
+    # ("exact" keeps eqNullSafe: NULL≡NULL is positive evidence there.)
     if kind == "string":
         mx = F.greatest(F.length(a), F.length(b))
-        return F.when(mx == 0, F.lit(1.0)).otherwise(
+        sim = F.when(mx == 0, F.lit(1.0)).otherwise(
             F.lit(1.0) - F.levenshtein(a, b) / mx
         )
+        return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(sim)
     if kind == "exact":
         return a.eqNullSafe(b).cast("double")
     if isinstance(kind, tuple) and kind[0] == "numeric":
         tol = float(kind[1])
-        return F.lit(1.0) - F.least(F.abs(a - b) / F.lit(tol), F.lit(1.0))
+        sim = F.lit(1.0) - F.least(F.abs(a - b) / F.lit(tol), F.lit(1.0))
+        return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(sim)
     raise ValueError(f"record_linkage: unknown similarity kind {kind!r}")
 
 

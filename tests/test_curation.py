@@ -998,3 +998,17 @@ def test_weighted_reservoir_quota_and_bias(spark):
     # tiny group: returns the whole group
     tiny = spark.createDataFrame([(9, 1, 2.0), (9, 2, 1.0)], "g int, id long, w double")
     assert weighted_reservoir(tiny, "g", "id", "w", k=5).count() == 2
+
+
+def test_weighted_reservoir_nan_weight_screened(spark):
+    """Spark orders NaN above every number, so NaN > 0 passes the
+    positivity screen; the operator must drop NaN weights explicitly or
+    the NaN sort key scrambles the ranking."""
+    from kafka_merge_purge_spark.operators.curation import weighted_reservoir
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, float("nan")), (1, 3, 1.0)],
+        "g int, id long, w double",
+    )
+    out = weighted_reservoir(df, "g", "id", "w", k=3).collect()
+    assert sorted(r["id"] for r in out) == [1, 3]

@@ -3102,3 +3102,26 @@ def test_containment_pairs_survives_int32_overflow_sizes(spark):
            for r in dd.containment_pairs(df, threshold=0.9, min_set_size=3).collect()}
     assert out[(1, 2)] == 1.0
     assert out[(2, 1)] == 0.925  # 3700/4000, also over the bar
+
+
+def test_record_linkage_null_fields_score_zero_not_null(spark):
+    """A NULL on either side of a string/numeric field scores 0.0 —
+    NEVER NULL: a NULL similarity would null the whole weighted sum and
+    silently drop the pair, turning one missing field into a
+    guaranteed non-match even when every other field agrees."""
+    from kafka_merge_purge_spark.operators.linkage import record_linkage
+
+    a = spark.createDataFrame(
+        [(1, "alice smith", "NY", None)], "id long, name string, state string, bal double"
+    )
+    b = spark.createDataFrame(
+        [(2, "alice smith", "NY", 10.0)], "id long, name string, state string, bal double"
+    )
+    spec = [("name", "string", 2.0), ("bal", ("numeric", 5.0), 1.0)]
+    out = record_linkage(a, b, "id", ["state"], spec, threshold=0.6).collect()
+    # name exact (2/3 of weight), bal missing -> 0: score 2/3, pair kept
+    assert len(out) == 1 and out[0]["score"] == round(2 / 3, 6)
+
+    an = a.withColumn("name", F.lit(None).cast("string"))
+    out2 = record_linkage(an, b, "id", ["state"], spec, threshold=0.0).collect()
+    assert out2[0]["score"] == 0.0  # all-null fields: 0, not a dropped row
