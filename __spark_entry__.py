@@ -5314,6 +5314,74 @@ _LLM_ORACLES["x_web_pipeline"] = """
     WHERE rank <= 10"""
 
 
+def x_text_search(spark, sf_dir):
+    """Ranked BM25 retrieval (text.bm25_search): top-20 documents for a
+    3-term query — the query-side complement of x_bm25's per-doc term
+    scoring.  Per-(doc, term) scores quantize to int64 before the
+    per-doc sum (order-independent fold); candidates are only docs
+    sharing a query term.  FULL hash oracle."""
+    return tx.bm25_search(
+        _t(spark, sf_dir, "documents"), ["spark", "window", "merge"], k=20
+    )
+
+
+_LLM_ORACLES["x_text_search"] = """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n, SUM(dl) / COUNT(*) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM words
+        WHERE word IN ('spark', 'window', 'merge') GROUP BY doc_id, word
+    ), dfreq AS (
+        SELECT word, round(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf, avgdl
+        FROM (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words)
+              WHERE word IN ('spark', 'window', 'merge') GROUP BY word)
+        CROSS JOIN stats
+    ), per_term AS (
+        SELECT tf.doc_id,
+               CAST(floor(round(idf * (tf * 2.2)
+                                / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+                          * 1000000.0 + 0.5) AS BIGINT) AS sq
+        FROM tf JOIN dfreq USING (word) JOIN dl ON dl.doc_id = tf.doc_id
+    ), totals AS (
+        SELECT doc_id, CAST(SUM(sq) AS DOUBLE) / 1000000.0 AS score
+        FROM per_term GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM totals)
+    WHERE rank <= 20"""
+
+
+def x_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostics (analytics.skew_report): the top-10
+    heaviest l_suppkey values with absolute/relative mass and corpus
+    totals — the pre-flight for the salting tier; NULL keys surface as
+    the literal "NULL" key.  One combine-heavy count + a top-N heap +
+    a 1-row broadcast.  FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.analytics import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey", top=10)
+
+
+_RELATIONAL_ORACLES["x_skew_report"] = """
+    WITH counts AS (
+        SELECT COALESCE(CAST(l_suppkey AS VARCHAR), 'NULL') AS key,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ), totals AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM counts
+    )
+    SELECT rank, key, cnt, round(cnt / CAST(n_rows AS DOUBLE), 6) AS share,
+           n_rows, n_keys
+    FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+          FROM counts) CROSS JOIN totals
+    WHERE rank <= 10"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

@@ -193,3 +193,49 @@ def winsorize(
         F.round(clamped, 6).alias("clamped"),
         ((v < F.col("_lo")) | (v > F.col("_hi"))).cast("int").alias("clipped"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics — the pre-flight check
+    before shuffling 100 TB on a key: the ``top`` heaviest keys with
+    their absolute and relative mass, against the corpus totals.  A
+    key whose share dwarfs 1/shuffle-partitions is the one that
+    stalls the stage — feed it to the salting tier
+    (operators/skew.py) or AQE skew-join handles it at runtime.
+
+    Output: (rank, key string, cnt, share, n_rows, n_keys) — totals
+    ride every row (single-row broadcast cross-join) so one glance
+    gives both the heavy key and its denominator.  NULL keys count as
+    the literal key "NULL" (a null-heavy foreign key is the single
+    most common real-world skew).
+
+    Scale shape: ONE map-side-combined count aggregate, a top-N heap
+    (TakeOrderedAndProject), and a 1-row broadcast — no full sort, no
+    second scan."""
+    keyed = df.select(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")).alias("key")
+    )
+    counts = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            "n_rows",
+            "n_keys",
+        )
+    )

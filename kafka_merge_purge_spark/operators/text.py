@@ -1252,3 +1252,91 @@ def pmi_cooccurrence(
         6,
     )
     return out.select("w1", "w2", "c12", pmi.alias("pmi"))
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked full-text retrieval: top-``k`` documents for a bag of
+    query terms under Okapi BM25 — the query-side complement of
+    :func:`bm25_top_terms` (that scores a doc's own terms; this ranks
+    docs FOR a query), same formula, same engine-portability policy.
+
+    Float discipline: the per-(doc, term) score rounds to 1e-6 and then
+    QUANTIZES to an int64 before the per-doc sum (floor(s·1e6 + 0.5) —
+    the dedup tier's rule), so the document total is an exact integer
+    fold, order-independent on both engines; only the final /1e6
+    touches doubles again.
+
+    Scale shape: the explode filters to the query terms IMMEDIATELY
+    (the candidate set is docs sharing ≥1 query term — the inverted-
+    index posting union, no corpus-wide scoring); document frequency,
+    length and corpus stats come from the same one-pass aggregates
+    bm25_top_terms uses; the finish is a global TakeOrdered of k rows.
+
+    Output: (doc_id, score, rank 1..k), ties by doc_id."""
+    if not query_terms:
+        raise ValueError("bm25_search: query_terms must be non-empty")
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    words = df.select("doc_id", F.explode(toks).alias("word"))
+    dl = df.select("doc_id", F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q = [str(t) for t in query_terms]
+    cand = words.filter(F.col("word").isin(q))
+    tf = cand.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        words.distinct()
+        .filter(F.col("word").isin(q))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            "avgdl",
+            F.round(
+                F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+                6,
+            ).alias("idf"),
+        )
+    )
+    k1p1, one_m_b = float(k1 + 1.0), float(1.0 - b)
+    per_term = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                F.round(
+                    F.col("idf")
+                    * (F.col("tf") * F.lit(k1p1))
+                    / (
+                        F.col("tf")
+                        + F.lit(float(k1))
+                        * (F.lit(one_m_b) + F.lit(float(b)) * F.col("dl") / F.col("avgdl"))
+                    ),
+                    6,
+                )
+                * 1e6
+                + 0.5
+            ).cast("long").alias("_sq"),
+        )
+    )
+    totals = per_term.groupBy("doc_id").agg(
+        (F.sum("_sq").cast("double") / 1e6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )

@@ -3125,3 +3125,40 @@ def test_record_linkage_null_fields_score_zero_not_null(spark):
     an = a.withColumn("name", F.lit(None).cast("string"))
     out2 = record_linkage(an, b, "id", ["state"], spec, threshold=0.0).collect()
     assert out2[0]["score"] == 0.0  # all-null fields: 0, not a dropped row
+
+
+def test_bm25_search_ranks_and_quantized_sum(spark):
+    """Retrieval semantics: docs sharing more/rarer query terms rank
+    first, docs without any query term never appear, ties break by
+    doc_id, empty query raises."""
+    from kafka_merge_purge_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark window merge spark"),
+            (2, "spark table row"),
+            (3, "other words entirely"),
+            (4, "window window window pad pad pad pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(df, ["spark", "window"], k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 3 not in ranked and set(ranked) == {1, 2, 4}
+    assert ranked[0] == 1  # both terms, short doc
+    assert all(r["score"] > 0 for r in out)
+    with pytest.raises(ValueError):
+        bm25_search(df, [])
+
+
+def test_skew_report_totals_and_null_key(spark):
+    """Top-N heavy keys with shares; NULL keys surface as the literal
+    'NULL' key; totals ride every row."""
+    from kafka_merge_purge_spark.operators.analytics import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rank"]: r for r in skew_report(df, "k", top=3).collect()}
+    assert [out[i]["key"] for i in (1, 2, 3)] == ["a", "b", "NULL"]
+    assert out[1]["cnt"] == 6 and out[1]["share"] == 0.5
+    assert out[1]["n_rows"] == 12 and out[1]["n_keys"] == 4
