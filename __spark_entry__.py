@@ -4599,7 +4599,7 @@ _LLM_ORACLES["x_url_dedup"] = """
                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host0,
                regexp_replace(regexp_extract(url,
                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
-               regexp_extract(url, '\?([^#]*)', 1) AS q
+               regexp_extract(split_part(url, '#', 1), '\?(.*)$', 1) AS q
         FROM u
     ), canon AS (
         SELECT doc_id,
@@ -5260,7 +5260,7 @@ _LLM_ORACLES["x_web_pipeline"] = """
                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS host0,
                regexp_replace(regexp_extract(url,
                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
-               regexp_extract(url, '\\?([^#]*)', 1) AS q
+               regexp_extract(split_part(url, '#', 1), '\\?(.*)$', 1) AS q
         FROM u
     ), canon AS (
         SELECT doc_id,

@@ -53,7 +53,6 @@ def drop_null_vectors(df, vec_col: str = "embedding"):
 def dimension_stats(
     df,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ):
     """Per-dimension corpus statistics of an embedding column — the
     embedding-QA primitive (dead/saturated dimensions, scale drift

@@ -173,17 +173,33 @@ def winsorize(
     BEFORE clamping so the clamp decision is engine-portable
     (both engines compare against the identical quantized bound).
 
+    NULL/NaN discipline: NULL and NaN values pass through UNCLAMPED
+    (clamped = value, clipped = 0) — greatest/least skip NULLs, so a
+    naive clamp would FABRICATE the bound for a NULL input; and both
+    are masked out of the percentile aggregate — Spark's percentile
+    ranks NaN above every number, so one NaN row would silently shift
+    the whole group's upper bound.
+
     Output: passthrough + (group, value, clamped, clipped)."""
+    v = F.col(value_col)
+    is_degenerate = v.isNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        is_degenerate = is_degenerate | F.isnan(v)
+    clean = F.when(~is_degenerate, v)
     aggs = (
-        F.round(F.percentile(value_col, lower), 6).alias("_lo"),
-        F.round(F.percentile(value_col, upper), 6).alias("_hi"),
+        F.round(F.percentile(clean, lower), 6).alias("_lo"),
+        F.round(F.percentile(clean, upper), 6).alias("_hi"),
     )
     if group_col is not None:
         j = df.join(F.broadcast(df.groupBy(group_col).agg(*aggs)), group_col)
     else:
         j = df.crossJoin(F.broadcast(df.agg(*aggs)))
-    v = F.col(value_col)
-    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    clamped = F.when(
+        is_degenerate, v
+    ).otherwise(F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+    clipped = F.when(is_degenerate, F.lit(0)).otherwise(
+        ((v < F.col("_lo")) | (v > F.col("_hi"))).cast("int")
+    )
     out_cols = list(passthrough)
     if group_col is not None:
         out_cols.append(group_col)
@@ -191,7 +207,7 @@ def winsorize(
         *out_cols,
         v.alias("value"),
         F.round(clamped, 6).alias("clamped"),
-        ((v < F.col("_lo")) | (v > F.col("_hi"))).cast("int").alias("clipped"),
+        clipped.alias("clipped"),
     )
 
 

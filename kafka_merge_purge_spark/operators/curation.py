@@ -705,7 +705,12 @@ def canonical_url_expr(url: Column) -> Column:
     )
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, "/+$", "")
-    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the query must be extracted from the PRE-fragment text: on a
+    # query-less URL like '/a#sec?x=1' an un-anchored \\?([^#]*) match
+    # would read the fragment's '?x=1' as the query — the fragment
+    # (documented as dropped) would leak into the canonical key
+    pre_frag = F.substring_index(url, "#", 1)
+    q = F.regexp_extract(pre_frag, r"\?(.*)$", 1)
     key = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
     is_tracking = lambda p: (  # noqa: E731
         F.array_contains(

@@ -658,8 +658,13 @@ def countmin_frequencies(
             )
         ).alias("c"),
     ).select("item", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    # LEFT join + coalesce 0: an empty cell means NO hashed value ever
+    # landed there, so the count-min estimate for that row is 0 — an
+    # inner join would silently drop never-seen probe items entirely
+    # (and over-estimate items with a mix of empty and colliding
+    # cells), diverging from the streaming twin's counts.get(cell, 0)
     return (
-        probes.join(F.broadcast(sk), ["row", "bucket"])
+        probes.join(F.broadcast(sk), ["row", "bucket"], "left")
         .groupBy("item")
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )

@@ -1138,12 +1138,17 @@ def inverted_index(
     Scale shape: within-document dedup happens BEFORE the shuffle
     (``array_distinct`` in the narrow projection), so the exchange
     carries one row per (doc, distinct term), never per token
-    occurrence; the aggregate is a single map-side-combined groupBy.
-    ``max_postings`` caps the materialized list per term (stop-words'
-    postings are corpus-sized at 100 TB — the cap keeps the index row
-    bounded while ``doc_freq`` stays exact); the kept postings are the
-    LOWEST ids (deterministic, same rule as the dedup tier's
-    keep-min-id).
+    occurrence.  ``max_postings`` caps the BUILD, not just the output:
+    the kept postings (the LOWEST ids — deterministic, the dedup
+    tier's keep-min-id rule) are selected by a spillable sort-based
+    rank window BEFORE any list materializes, so a stop-word term
+    whose full posting list is corpus-sized at 100 TB never assembles
+    a corpus-sized aggregation buffer (slicing AFTER collect_list
+    would bound only the row, and OOM on exactly the skewed terms the
+    cap exists for); ``doc_freq`` stays exact from its own
+    map-side-combined count.  ``max_postings=None`` materializes full
+    lists in one aggregate — only safe when every term's posting list
+    fits an executor.
 
     Output: (term, doc_freq, postings) — postings comma-joined for
     engine-portable value hashing."""
@@ -1155,21 +1160,31 @@ def inverted_index(
         )
         .filter(F.col("term") != "")
     )
-    postings = F.array_sort(F.collect_list("_d"))
-    if max_postings is not None:
-        postings = F.slice(postings, 1, max_postings)
-    return pairs.groupBy("term").agg(
-        F.count(F.lit(1)).alias("doc_freq"),
-        F.array_join(F.transform(postings, lambda d: d.cast("string")), ",").alias(
-            "postings"
-        ),
+    as_list = lambda col: F.array_join(  # noqa: E731
+        F.transform(F.array_sort(F.collect_list(col)), lambda d: d.cast("string")),
+        ",",
     )
+    if max_postings is None:
+        return pairs.groupBy("term").agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            as_list("_d").alias("postings"),
+        )
+    from pyspark.sql import Window
+
+    freq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("term").orderBy("_d")
+    kept = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_postings)
+        .groupBy("term")
+        .agg(as_list("_d").alias("postings"))
+    )
+    return freq.join(kept, "term")
 
 
 def pmi_cooccurrence(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_m: int = 40,
     min_count: int = 5,
 ) -> DataFrame:
@@ -1261,6 +1276,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Ranked full-text retrieval: top-``k`` documents for a bag of
     query terms under Okapi BM25 — the query-side complement of
@@ -1285,8 +1301,8 @@ def bm25_search(
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
-    words = df.select("doc_id", F.explode(toks).alias("word"))
-    dl = df.select("doc_id", F.size(toks).alias("dl"))
+    words = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("word"))
+    dl = df.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("_n"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
@@ -1338,5 +1354,9 @@ def bm25_search(
     return (
         totals.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
     )

@@ -3162,3 +3162,68 @@ def test_skew_report_totals_and_null_key(spark):
     assert [out[i]["key"] for i in (1, 2, 3)] == ["a", "b", "NULL"]
     assert out[1]["cnt"] == 6 and out[1]["share"] == 0.5
     assert out[1]["n_rows"] == 12 and out[1]["n_keys"] == 4
+
+
+def test_countmin_absent_probe_estimates_zero(spark):
+    """A probe item none of whose cells is populated estimates 0 — an
+    inner join silently dropped it, and a mixed empty/colliding item
+    over-estimated (the documented min-rule says 0); matches the
+    streaming twin's counts.get(cell, 0)."""
+    from kafka_merge_purge_spark.operators.sketch import countmin_frequencies
+    from kafka_merge_purge_spark.streaming.stateful import (
+        emit_countmin,
+        fold_countmin,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "x string")
+    q = spark.createDataFrame([("a",), ("absent_item_zzz",)], "item string")
+    est = {r["item"]: r["est"] for r in
+           countmin_frequencies(df, "x", queries=q, depth=4, width=4096).collect()}
+    assert est == {"a": 2, "absent_item_zzz": 0}
+    cells = fold_countmin(None, iter([__import__("pandas").DataFrame({"item": ["a", "a", "b"]})]), 4, 4096)
+    out = emit_countmin("k", cells, ["a", "absent_item_zzz"], 4, 4096)
+    assert dict(zip(out["item"], out["est"])) == est
+
+
+def test_canonical_url_fragment_question_mark(spark):
+    """A '?' inside the fragment of a query-less URL must NOT be parsed
+    as the query — the fragment is dropped, so the canonical form
+    collapses with the bare path, not with a genuinely-parameterized
+    URL."""
+    from kafka_merge_purge_spark.operators.curation import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a#sec?x=1"),
+            (2, "https://example.com/a"),
+            (3, "https://example.com/a?x=1"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["canonical_url"] for r in canonical_url(df).collect()}
+    assert got[1] == got[2] == "https://example.com/a"
+    assert got[3] == "https://example.com/a?x=1" and got[1] != got[3]
+
+
+def test_winsorize_null_nan_pass_through_unclamped(spark):
+    """NULL/NaN values pass through unclamped (no fabricated bound) and
+    are masked out of the percentile aggregate (one NaN would shift the
+    whole group's upper bound — Spark ranks NaN above every number)."""
+    from kafka_merge_purge_spark.operators.analytics import winsorize
+
+    rows = [("a", float(i)) for i in range(1, 101)]
+    rows += [("a", None), ("a", float("nan"))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", "g", 0.05, 0.95).collect()
+    import math
+
+    degenerate = [r for r in out if r["value"] is None or math.isnan(r["value"])]
+    assert len(degenerate) == 2
+    for r in degenerate:
+        assert r["clipped"] == 0
+        assert r["clamped"] is None or math.isnan(r["clamped"])
+    clean = [r for r in out if r["value"] is not None and not math.isnan(r["value"])]
+    # bounds computed over the CLEAN 1..100 only: same as the NaN-free pin
+    assert max(r["clamped"] for r in clean) == 95.05
+    assert min(r["clamped"] for r in clean) == 5.95
+    assert sum(r["clipped"] for r in clean) == 10
