@@ -794,11 +794,11 @@ def weighted_reservoir(
     id.  Non-positive/NULL weights drop (zero-weight rows must never
     be sampled; a NULL weight is a data bug surfaced by the count).
 
-    Scale shape: ONE shuffle (the per-group window).  The window sorts
-    each group fully; for groups of billions of rows, pre-prune with a
-    per-partition top-k (mapPartitions heap or a (group, pid) window)
-    before the global window — each partition only ever needs its own
-    top ``k``.
+    Scale shape: ONE shuffle (the per-group window) — and Spark plans
+    the ``rank ≤ k`` filter as a WindowGroupLimit with a PARTIAL phase
+    (plan-verified: ``row_number(), k, Partial`` before the exchange),
+    so each map task forwards only its own top ``k`` per group; the
+    billion-row group never assembles anywhere.
 
     Output: (group_col, id_col, weight_col, rank 1..k)."""
     from pyspark.sql import Window

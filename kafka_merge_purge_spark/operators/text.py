@@ -1140,10 +1140,11 @@ def inverted_index(
     carries one row per (doc, distinct term), never per token
     occurrence.  ``max_postings`` caps the BUILD, not just the output:
     the kept postings (the LOWEST ids — deterministic, the dedup
-    tier's keep-min-id rule) are selected by a spillable sort-based
-    rank window BEFORE any list materializes, so a stop-word term
-    whose full posting list is corpus-sized at 100 TB never assembles
-    a corpus-sized aggregation buffer (slicing AFTER collect_list
+    tier's keep-min-id rule) are selected by a rank window BEFORE any
+    list materializes — and Spark plans the ``rank ≤ k`` filter as a
+    WindowGroupLimit with a PARTIAL pre-shuffle phase, so a stop-word
+    term whose full posting list is corpus-sized at 100 TB never
+    assembles a corpus-sized buffer on any task (slicing AFTER collect_list
     would bound only the row, and OOM on exactly the skewed terms the
     cap exists for); ``doc_freq`` stays exact from its own
     map-side-combined count.  ``max_postings=None`` materializes full
