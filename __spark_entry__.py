@@ -5382,6 +5382,31 @@ _RELATIONAL_ORACLES["x_skew_report"] = """
     WHERE rank <= 10"""
 
 
+def x_histogram_eqdepth(spark, sf_dir):
+    """Equi-depth histogram (analytics.equidepth_histogram): 8 equal-
+    frequency value buckets per event_type with exact counts/bounds —
+    edges adapt to the mass where the fixed-width x_histogram starves
+    on skew.  ntile over a TOTAL order ((value, event_id) tiebreak) so
+    both engines split ties identically.  FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.analytics import equidepth_histogram
+
+    return equidepth_histogram(
+        _t(spark, sf_dir, "events"), "value", "event_type",
+        buckets=8, tiebreak_col="event_id",
+    )
+
+
+_RELATIONAL_ORACLES["x_histogram_eqdepth"] = """
+    SELECT event_type, bucket, COUNT(*) AS n,
+           round(MIN("value"), 6) AS lo, round(MAX("value"), 6) AS hi
+    FROM (
+        SELECT event_type, "value",
+               ntile(8) OVER (PARTITION BY event_type
+                              ORDER BY "value", event_id) AS bucket
+        FROM events WHERE "value" IS NOT NULL)
+    GROUP BY event_type, bucket"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

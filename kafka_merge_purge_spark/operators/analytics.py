@@ -255,3 +255,43 @@ def skew_report(
             "n_keys",
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    buckets: int = 8,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency (equi-depth) histogram per group: ``buckets``
+    quantile buckets with their exact row counts and value bounds —
+    the optimizer-statistics / feature-binning companion to the
+    fixed-width x_histogram (equal-WIDTH bins starve on skewed data;
+    equi-depth bins adapt their edges to the mass).
+
+    Determinism: ``ntile`` splits ties by ROW ORDER, so engines
+    disagree on duplicated values unless the sort is a total order —
+    pass ``tiebreak_col`` (a unique key) whenever ``value_col`` can
+    repeat; bounds round to 1e-6.
+
+    Scale shape: one per-group window (sort-based, spillable) + one
+    tiny (group, bucket) aggregate.  NULL values drop (no quantile
+    rank).  Output: (group, bucket 1..buckets, n, lo, hi)."""
+    from pyspark.sql import Window
+
+    order = [F.col(value_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(group_col, value_col, *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("bucket", F.ntile(buckets).over(w))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col), 6).alias("lo"),
+            F.round(F.max(value_col), 6).alias("hi"),
+        )
+    )

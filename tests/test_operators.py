@@ -3227,3 +3227,30 @@ def test_winsorize_null_nan_pass_through_unclamped(spark):
     assert max(r["clamped"] for r in clean) == 95.05
     assert min(r["clamped"] for r in clean) == 5.95
     assert sum(r["clipped"] for r in clean) == 10
+
+
+def test_equidepth_histogram_buckets(spark):
+    """8 rows / 4 buckets → 2 rows each, contiguous non-overlapping
+    bounds; duplicated values need the tiebreak for determinism; NULLs
+    drop."""
+    from kafka_merge_purge_spark.operators.analytics import equidepth_histogram
+
+    rows = [("a", float(v), i) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8])]
+    rows += [("a", None, 99)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    out = {r["bucket"]: r for r in
+           equidepth_histogram(df, "v", "g", buckets=4, tiebreak_col="id").collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert all(out[b]["n"] == 2 for b in out)
+    assert out[1]["lo"] == 1.0 and out[1]["hi"] == 2.0
+    assert out[4]["lo"] == 7.0 and out[4]["hi"] == 8.0
+    for b in (1, 2, 3):
+        assert out[b]["hi"] <= out[b + 1]["lo"]
+
+    # determinism on duplicated values via the tiebreak
+    dup = spark.createDataFrame(
+        [("a", 5.0, i) for i in range(8)], "g string, v double, id long"
+    )
+    a = sorted(map(tuple, equidepth_histogram(dup, "v", "g", 4, "id").collect()))
+    b2 = sorted(map(tuple, equidepth_histogram(dup, "v", "g", 4, "id").collect()))
+    assert a == b2 and all(r[2] == 2 for r in a)
