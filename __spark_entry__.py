@@ -5407,6 +5407,68 @@ _RELATIONAL_ORACLES["x_histogram_eqdepth"] = """
     GROUP BY event_type, bucket"""
 
 
+def x_apply_changes(spark, sf_dir):
+    """Batch CDC apply / MERGE INTO (snapshot.apply_changes): fold a
+    synthesized change batch — deletes, updates (with a stale earlier
+    version that must LOSE to last-write-wins), inserts — into the
+    documents snapshot and return the new snapshot.  The third leg of
+    the dataset-evolution family (diff detects, SCD2 records, apply
+    replays).  One window over the CHANGES + one full-outer join onto
+    the snapshot.  FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.snapshot import apply_changes
+
+    d = _t(spark, sf_dir, "documents")
+    snap = d.select("doc_id", "text", "source")
+    k = F.col("doc_id")
+    deletes = d.filter(k % 10 == 0).select(
+        "doc_id", F.lit(1).alias("ts"), F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    updates = d.filter(k % 10 == 5).select(
+        "doc_id", F.lit(2).alias("ts"), F.lit("upsert").alias("op"),
+        F.concat(F.lit("updated "), F.col("text")).alias("text"), "source",
+    )
+    stale = d.filter(k % 20 == 5).select(
+        "doc_id", F.lit(1).alias("ts"), F.lit("upsert").alias("op"),
+        F.concat(F.lit("stale "), F.col("text")).alias("text"), "source",
+    )
+    inserts = d.filter(k % 50 == 0).select(
+        (k + 1000000).alias("doc_id"), F.lit(1).alias("ts"),
+        F.lit("upsert").alias("op"), F.lit("new doc").alias("text"),
+        F.lit("ingest").alias("source"),
+    )
+    changes = deletes.unionByName(updates).unionByName(stale).unionByName(inserts)
+    return apply_changes(snap, changes, "doc_id", ["text", "source"])
+
+
+_LLM_ORACLES["x_apply_changes"] = """
+    WITH ch AS (
+        SELECT doc_id AS k, 1 AS ts, 'delete' AS op,
+               CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS source
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, 2, 'upsert', 'updated ' || text, source
+        FROM documents WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id, 1, 'upsert', 'stale ' || text, source
+        FROM documents WHERE doc_id % 20 = 5
+        UNION ALL
+        SELECT doc_id + 1000000, 1, 'upsert', 'new doc', 'ingest'
+        FROM documents WHERE doc_id % 50 = 0
+    ), last AS (
+        SELECT k, op, text, source FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+            FROM ch) WHERE rn = 1
+    )
+    SELECT COALESCE(d.doc_id, last.k) AS doc_id,
+           CASE WHEN last.op IS NOT NULL THEN last.text ELSE d.text END AS text,
+           CASE WHEN last.op IS NOT NULL THEN last.source ELSE d.source END
+               AS source
+    FROM documents d FULL OUTER JOIN last ON d.doc_id = last.k
+    WHERE last.op IS NULL OR last.op = 'upsert'"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

@@ -142,3 +142,81 @@ def scd2_asof(
         (F.col(from_col) <= t)
         & (F.col(to_col).isNull() | (t < F.col(to_col)))
     )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    op_col: str = "op",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch CDC apply — MERGE INTO semantics as one declarative plan:
+    fold a change batch into a snapshot and return the NEW snapshot.
+    The third leg of the dataset-evolution family: ``snapshot_diff``
+    detects change, ``scd2_history`` records it, ``apply_changes``
+    replays it.
+
+    Semantics (Delta/Hudi-style upsert-or-delete):
+
+    - per key, only the LAST change applies — greatest (``ts_col``,
+      ``tiebreak_col``) wins, the SCD2 total-order convention (pass a
+      unique tiebreak when one key can change twice at one timestamp);
+    - ``op = 'upsert'``: the key's row becomes the change's
+      ``attr_cols`` (insert if absent from the snapshot);
+    - ``op = 'delete'``: the key disappears; deleting an absent key is
+      a no-op (idempotent replay);
+    - any OTHER op value fails the job eagerly (``raise_error`` inside
+      the plan — a typo'd op must never silently drop a change);
+    - snapshot keys untouched by the batch pass through unchanged.
+
+    Scale shape: one per-key window over the CHANGES only (batches are
+    small relative to snapshots), then ONE full-outer equi join onto
+    the snapshot — the snapshot never shuffles more than that join;
+    with a bucketed snapshot the join is exchange-free on its side.
+
+    Output: (key_col, *attr_cols) — the new snapshot."""
+    ops = F.col(op_col)
+    checked = F.when(ops.isin("upsert", "delete"), ops).otherwise(
+        F.raise_error(
+            F.concat(F.lit("apply_changes: unknown op '"), ops, F.lit("'"))
+        )
+    )
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order)
+    last = (
+        changes.select(
+            key_col, ts_col, checked.alias("_op"), *attr_cols,
+            *([tiebreak_col] if tiebreak_col else []),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key_col).alias("_k"),
+            "_op",
+            *[F.col(c).alias(f"_c_{c}") for c in attr_cols],
+        )
+    )
+    joined = snapshot.join(
+        last, snapshot[key_col] == last["_k"], "full_outer"
+    )
+    has_change = F.col("_op").isNotNull()
+    keep = ~has_change | (F.col("_op") == "upsert")
+    return (
+        joined.filter(keep)
+        .select(
+            F.coalesce(snapshot[key_col], F.col("_k")).alias(key_col),
+            *[
+                F.when(has_change, F.col(f"_c_{c}"))
+                .otherwise(snapshot[c])
+                .alias(c)
+                for c in attr_cols
+            ],
+        )
+    )

@@ -3254,3 +3254,45 @@ def test_equidepth_histogram_buckets(spark):
     a = sorted(map(tuple, equidepth_histogram(dup, "v", "g", 4, "id").collect()))
     b2 = sorted(map(tuple, equidepth_histogram(dup, "v", "g", 4, "id").collect()))
     assert a == b2 and all(r[2] == 2 for r in a)
+
+
+def test_apply_changes_merge_semantics(spark):
+    """MERGE INTO semantics: last-write-wins per key, delete drops,
+    delete-of-absent is a no-op, upsert inserts or replaces, untouched
+    keys pass through, unknown ops fail EAGERLY (a typo'd op must never
+    silently drop a change), and applying the same batch twice is
+    idempotent."""
+    from kafka_merge_purge_spark.operators.snapshot import apply_changes
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    ch = spark.createDataFrame(
+        [
+            (1, 10, "upsert", "a2"),
+            (1, 20, "upsert", "a3"),
+            (2, 10, "delete", None),
+            (4, 10, "upsert", "d"),
+            (5, 10, "delete", None),
+            (6, 10, "upsert", "e"),
+            (6, 20, "delete", None),
+        ],
+        "k long, ts long, op string, v string",
+    )
+    out1 = apply_changes(snap, ch, "k", ["v"])
+    got = {r["k"]: r["v"] for r in out1.collect()}
+    assert got == {1: "a3", 3: "c", 4: "d"}
+    # idempotent replay of the same net batch
+    got2 = {r["k"]: r["v"] for r in apply_changes(out1, ch, "k", ["v"]).collect()}
+    assert got2 == got
+
+    bad = spark.createDataFrame([(1, 1, "Upsert", "x")], "k long, ts long, op string, v string")
+    with pytest.raises(Exception, match="unknown op"):
+        apply_changes(snap, bad, "k", ["v"]).collect()
+
+    # duplicate (key, ts): the tiebreak column decides deterministically
+    dup = spark.createDataFrame(
+        [(1, 5, 1, "upsert", "x"), (1, 5, 2, "upsert", "y")],
+        "k long, ts long, seq long, op string, v string",
+    )
+    got3 = {r["k"]: r["v"] for r in
+            apply_changes(snap, dup, "k", ["v"], tiebreak_col="seq").collect()}
+    assert got3[1] == "y"
