@@ -5469,6 +5469,94 @@ _LLM_ORACLES["x_apply_changes"] = """
     WHERE last.op IS NULL OR last.op = 'upsert'"""
 
 
+def x_record_linkage_mp(spark, sf_dir):
+    """Multi-pass blocking (linkage.record_linkage_multipass): the twin
+    table now also CORRUPTS the nation key for every 11th customer —
+    pass 1 (nation, name-suffix) misses exactly those; pass 2
+    (segment, name-suffix) rescues them unless the segment is corrupted
+    too (the documented recall contract).  Scores are pass-invariant,
+    so the union dedups by pair.  FULL hash oracle (UNION of both
+    blocked joins)."""
+    from kafka_merge_purge_spark.operators.linkage import record_linkage_multipass
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name2 = F.concat(
+        F.substring("c_name", 1, 9), F.lit("X"), F.substring("c_name", 11, 2),
+        F.when(k % 5 == 0, F.lit("Y")).otherwise(F.substring("c_name", 13, 1)),
+        F.expr("substring(c_name, 14)"),
+    )
+    twin = c.select(
+        (k + 1000000).alias("c_custkey"),
+        name2.alias("c_name"),
+        F.when(k % 11 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey")).alias("c_nationkey"),
+        (F.col("c_acctbal") + (k % 9).cast("double")).alias("c_acctbal"),
+        F.when(k % 7 == 0, F.lit("CORRUPTED")).otherwise(
+            F.col("c_mktsegment")
+        ).alias("c_mktsegment"),
+    )
+    withblock = lambda df: df.withColumn("_sfx", F.expr("right(c_name, 4)"))  # noqa: E731
+    return record_linkage_multipass(
+        withblock(c),
+        withblock(twin),
+        "c_custkey",
+        [["c_nationkey", "_sfx"], ["c_mktsegment", "_sfx"]],
+        [
+            ("c_name", "string", 2.0),
+            ("c_mktsegment", "exact", 1.0),
+            ("c_acctbal", ("numeric", 10.0), 1.0),
+        ],
+        threshold=0.85,
+    )
+
+
+_RELATIONAL_ORACLES["x_record_linkage_mp"] = """
+    WITH twin AS (
+        SELECT c_custkey + 1000000 AS c_custkey,
+               substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 2) ||
+               CASE WHEN c_custkey % 5 = 0 THEN 'Y'
+                    ELSE substr(c_name, 13, 1) END ||
+               substr(c_name, 14) AS c_name,
+               CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS c_nationkey,
+               c_acctbal + CAST(c_custkey % 9 AS DOUBLE) AS c_acctbal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'CORRUPTED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    ), p1 AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS na, b.c_name AS nb,
+               a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+               a.c_acctbal AS ba, b.c_acctbal AS bb
+        FROM customer a JOIN twin b
+        ON a.c_nationkey = b.c_nationkey
+           AND right(a.c_name, 4) = right(b.c_name, 4)
+    ), p2 AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS na, b.c_name AS nb,
+               a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+               a.c_acctbal AS ba, b.c_acctbal AS bb
+        FROM customer a JOIN twin b
+        ON a.c_mktsegment = b.c_mktsegment
+           AND right(a.c_name, 4) = right(b.c_name, 4)
+    ), u AS (
+        SELECT * FROM p1 UNION SELECT * FROM p2
+    ), scored AS (
+        SELECT id_a, id_b,
+               round((2.0 * (CASE WHEN greatest(length(na), length(nb)) = 0
+                                  THEN 1.0
+                                  ELSE 1.0 - levenshtein(na, nb)
+                                        / greatest(length(na), length(nb))
+                             END)
+                      + 1.0 * CAST(sa IS NOT DISTINCT FROM sb AS DOUBLE)
+                      + 1.0 * (1.0 - least(abs(ba - bb) / 10.0, 1.0))) / 4.0,
+                     6) AS score
+        FROM u
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.85"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

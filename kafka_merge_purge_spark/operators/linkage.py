@@ -98,3 +98,30 @@ def record_linkage(
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def record_linkage_multipass(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    passes: list[list[str]],
+    sim_cols: list[SimSpec],
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Multi-pass blocking (the corruption-tolerant recall documented
+    in :func:`record_linkage`): run one blocked pass per block-key set
+    in ``passes`` and union the matches — a true match whose key was
+    corrupted in one pass survives via any pass whose keys held.  The
+    score is a pure function of the FIELD values, so a pair found by
+    several passes scores identically everywhere; duplicates collapse
+    with ``dropDuplicates`` (no max-aggregate needed).
+
+    Scale shape: each pass is one equi join; the union's dedup keys on
+    the (id_a, id_b) pair — output-sized, not candidate-sized."""
+    if not passes:
+        raise ValueError("record_linkage_multipass: passes must be non-empty")
+    out = None
+    for block_cols in passes:
+        p = record_linkage(a, b, id_col, block_cols, sim_cols, threshold)
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])

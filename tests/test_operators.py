@@ -3296,3 +3296,32 @@ def test_apply_changes_merge_semantics(spark):
     got3 = {r["k"]: r["v"] for r in
             apply_changes(snap, dup, "k", ["v"], tiebreak_col="seq").collect()}
     assert got3[1] == "y"
+
+
+def test_record_linkage_multipass_rescues_corrupted_blocks(spark):
+    """A match whose pass-1 block key is corrupted survives via pass 2;
+    pairs found by both passes dedup to one row; empty passes raise."""
+    from kafka_merge_purge_spark.operators.linkage import (
+        record_linkage,
+        record_linkage_multipass,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "jon smith", "NY", "M"), (2, "ann lee", "CA", "F")],
+        "id long, name string, state string, seg string",
+    )
+    b = spark.createDataFrame(
+        [(11, "jon smith", "TX", "M"), (12, "ann lee", "CA", "F")],
+        "id long, name string, state string, seg string",
+    )
+    spec = [("name", "string", 1.0)]
+    single = {(r["id_a"], r["id_b"])
+              for r in record_linkage(a, b, "id", ["state"], spec, 0.9).collect()}
+    assert single == {(2, 12)}  # (1, 11) lost to the corrupted state
+    multi = record_linkage_multipass(
+        a, b, "id", [["state"], ["seg"]], spec, 0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in multi} == {(1, 11), (2, 12)}
+    assert len(multi) == 2  # (2,12) found by BOTH passes dedups to one row
+    with pytest.raises(ValueError):
+        record_linkage_multipass(a, b, "id", [], spec)
