@@ -4613,7 +4613,7 @@ _LLM_ORACLES["x_url_dedup"] = """
             SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
                        p -> p <> ''
                             AND NOT string_split(p, '=')[1] IN
-                                ('fbclid','gclid','msclkid','ref','sessionid')
+                                ('fbclid','gclid','msclkid','sessionid')
                             AND NOT starts_with(string_split(p, '=')[1], 'utm_'))),
                    '&') AS qs
             FROM parts)
@@ -4651,8 +4651,8 @@ _LLM_ORACLES["x_countmin"] = """
                    AS bucket
         FROM (SELECT DISTINCT v AS item FROM src) CROSS JOIN range(4) t(i)
     )
-    SELECT item, MIN(cnt) AS est
-    FROM probes JOIN sk USING (i, bucket)
+    SELECT item, MIN(COALESCE(cnt, 0)) AS est
+    FROM probes LEFT JOIN sk USING (i, bucket)
     GROUP BY item"""
 
 
@@ -5127,14 +5127,15 @@ _LLM_ORACLES["x_embedding_dim_stats"] = """
             FROM embeddings WHERE embedding IS NOT NULL)
     ), g AS (
         SELECT pos, COUNT(*) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(x * x AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS s2,
                round(MIN(x), 6) AS min_value,
                round(MAX(x), 6) AS max_value
         FROM e GROUP BY pos
     )
     SELECT pos, n, round(s / n, 6) AS mean,
-           round((s2 - s * s / n) / (n - 1), 6) AS variance,
+           CASE WHEN n > 1
+                THEN round((s2 - s * s / n) / (n - 1), 6) END AS variance,
            min_value, max_value
     FROM g"""
 
@@ -5272,7 +5273,7 @@ _LLM_ORACLES["x_web_pipeline"] = """
         FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
                    p -> p <> ''
                         AND NOT string_split(p, '=')[1] IN
-                            ('fbclid','gclid','msclkid','ref','sessionid')
+                            ('fbclid','gclid','msclkid','sessionid')
                         AND NOT starts_with(string_split(p, '=')[1], 'utm_'))),
                '&') AS qs FROM parts)
     ), keepers AS (

@@ -35,6 +35,26 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+#: fine-scale variant for small-magnitude data (unit-norm embedding
+#: components are ~1e-2, their squares ~1e-4 — DECIMAL(18,4) quantizes
+#: those to zero).  28 digits / 12 fractional keeps exactness (Spark sums
+#: decimal(28,12) into decimal(38,12), no overflow below ~1e26 rows) while
+#: preserving ~1e-12 resolution.
+DECIMAL_FINE_TYPE = "decimal(28,12)"
+
+
+def dsum_fine(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent SUM at DECIMAL(28,12) — for moment sums over
+    small-magnitude values (embedding components, probabilities) where
+    the 1e-4 grid of :func:`dsum` destroys the signal.
+
+    DuckDB twin:  CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DECIMAL_FINE_TYPE)).cast("double")
+    return out.alias(alias) if alias else out
+
+
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent AVG: exact decimal sum ÷ count, rounded to 6.
 

@@ -62,14 +62,21 @@ def dimension_stats(
     Engine-portable: moments derive from the repo's decimal-stable
     Σx / Σx² sums (the q_stats_agg convention — order-independent, so
     the one float division per output is bit-identical in the oracle);
-    min/max are pure selections rounded to 6.
+    min/max are pure selections rounded to 6.  The moment sums use the
+    FINE decimal scale (DECIMAL(28,12), stable.dsum_fine): unit-norm
+    embedding components are ~1e-2 and their squares ~1e-4, which the
+    coarse 1e-4 grid of dsum would quantize to zero — inverting the
+    dead/drifting-dimension signal this function exists to surface.
+    Sample variance is an explicit NULL when n <= 1 (no silent
+    DIVIDE_BY_ZERO under Spark 4's ANSI default, no engine-dependent
+    NULL-vs-error divergence).
 
     Scale shape: posexplode → ONE map-side-combined aggregate keyed by
     the (tiny) dimension index; the exchange carries dim × partials,
     never the corpus."""
     from pyspark.sql import functions as F
 
-    from kafka_merge_purge_spark.functions.stable import dsum
+    from kafka_merge_purge_spark.functions.stable import dsum_fine
 
     exploded = (
         df.filter(F.col(vec_col).isNotNull())
@@ -80,8 +87,8 @@ def dimension_stats(
     )
     g = exploded.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("_x", "s"),
-        dsum(F.col("_x") * F.col("_x"), "s2"),
+        dsum_fine("_x", "s"),
+        dsum_fine(F.col("_x") * F.col("_x"), "s2"),
         F.round(F.min("_x"), 6).alias("min_value"),
         F.round(F.max("_x"), 6).alias("max_value"),
     )
@@ -90,7 +97,9 @@ def dimension_stats(
         "pos",
         "n",
         F.round(sx / n, 6).alias("mean"),
-        F.round((sxx - sx * sx / n) / (n - F.lit(1)), 6).alias("variance"),
+        F.when(
+            n > 1, F.round((sxx - sx * sx / n) / (n - F.lit(1)), 6)
+        ).alias("variance"),
         "min_value",
         "max_value",
     )

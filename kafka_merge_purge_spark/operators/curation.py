@@ -672,12 +672,22 @@ def llm_curation_pipeline(
 
 #: query parameters stripped by canonical_url: tracking/session noise that
 #: differs between fetches of the SAME resource (the public URL-normalization
-#: recipe web-scale dedup pipelines apply before any content hashing)
+#: recipe web-scale dedup pipelines apply before any content hashing).
+#: NOTE: bare ``ref`` is deliberately NOT in the default list — unlike
+#: fbclid/gclid it is frequently content-bearing (?ref=<branch> on code
+#: hosts, ?ref=<page> pagination), and stripping it would merge genuinely
+#: distinct resources which url_dedup then silently drops.  Corpora where
+#: ref IS tracking noise pass ``tracking_keys=TRACKING_PARAM_KEYS +
+#: ("ref",)`` explicitly.
 TRACKING_PARAM_PREFIXES = ("utm_",)
-TRACKING_PARAM_KEYS = ("fbclid", "gclid", "msclkid", "ref", "sessionid")
+TRACKING_PARAM_KEYS = ("fbclid", "gclid", "msclkid", "sessionid")
 
 
-def canonical_url_expr(url: Column) -> Column:
+def canonical_url_expr(
+    url: Column,
+    tracking_keys: tuple[str, ...] = TRACKING_PARAM_KEYS,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES,
+) -> Column:
     """Canonical form of an absolute http(s) URL as ONE narrow column
     expression (regexp extracts + array ops — no UDF, codegen'd):
 
@@ -714,10 +724,10 @@ def canonical_url_expr(url: Column) -> Column:
     key = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
     is_tracking = lambda p: (  # noqa: E731
         F.array_contains(
-            F.array(*[F.lit(k) for k in TRACKING_PARAM_KEYS]), key(p)
+            F.array(*[F.lit(k) for k in tracking_keys]), key(p)
         )
         | functools_reduce_or(
-            [key(p).startswith(pref) for pref in TRACKING_PARAM_PREFIXES]
+            [key(p).startswith(pref) for pref in tracking_prefixes]
         )
     )
     params = F.array_sort(
@@ -745,15 +755,28 @@ def functools_reduce_or(cols: list[Column]) -> Column:
 
 
 def canonical_url(
-    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    tracking_keys: tuple[str, ...] = TRACKING_PARAM_KEYS,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES,
 ) -> DataFrame:
     """Append the canonical form of ``url_col`` (see
-    :func:`canonical_url_expr`) — a pure narrow map."""
-    return df.withColumn(out_col, canonical_url_expr(F.col(url_col)))
+    :func:`canonical_url_expr`) — a pure narrow map.  The stripped
+    tracking-key set is caller-overridable (corpus-dependent: see the
+    ``ref`` note on TRACKING_PARAM_KEYS)."""
+    return df.withColumn(
+        out_col,
+        canonical_url_expr(F.col(url_col), tracking_keys, tracking_prefixes),
+    )
 
 
 def url_dedup(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    tracking_keys: tuple[str, ...] = TRACKING_PARAM_KEYS,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES,
 ) -> DataFrame:
     """URL-level dedup: group by canonical URL, keep the LOWEST id (the
     dedup tier's deterministic survivor rule) and count the collapsed
@@ -762,7 +785,7 @@ def url_dedup(
 
     Output: (canonical_url, keep_id, n_fetches)."""
     return (
-        canonical_url(df, url_col)
+        canonical_url(df, url_col, "canonical_url", tracking_keys, tracking_prefixes)
         .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("keep_id"),

@@ -42,7 +42,19 @@ def _field_sim(kind, a: Column, b: Column) -> Column:
     if isinstance(kind, tuple) and kind[0] == "numeric":
         tol = float(kind[1])
         sim = F.lit(1.0) - F.least(F.abs(a - b) / F.lit(tol), F.lit(1.0))
-        return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(sim)
+        # NaN is "missing" too: a NaN on either side would make the
+        # weighted sum NaN, and `NaN >= threshold` is false — the pair
+        # would be silently dropped, exactly the failure the NULL
+        # discipline above forbids (and inconsistent with the explicit
+        # NaN screens in weighted_reservoir / winsorize).  Cast before
+        # isnan so integer-typed numeric fields stay legal.
+        degenerate = (
+            a.isNull()
+            | b.isNull()
+            | F.isnan(a.cast("double"))
+            | F.isnan(b.cast("double"))
+        )
+        return F.when(degenerate, F.lit(0.0)).otherwise(sim)
     raise ValueError(f"record_linkage: unknown similarity kind {kind!r}")
 
 

@@ -954,8 +954,22 @@ def test_canonical_url_normalization_branches(spark):
     got = {r["doc_id"]: r["canonical_url"] for r in canonical_url(df).collect()}
     assert got[1] == got[2] == got[5] == got[8] == "https://example.com/a/b?a=1&b=2"
     assert got[3] == got[4] == "http://example.com"
-    assert got[6] == "https://site.org:8443/path?z=9"
+    # bare `ref` is content-bearing (branch/pagination) — NOT stripped by
+    # default (r10 ADVICE); params still sort bytewise
+    assert got[6] == "https://site.org:8443/path?ref=tw&z=9"
     assert got[7] == "ftp://host.net:443/f"
+
+    # corpora where ref IS tracking noise opt in per call
+    from kafka_merge_purge_spark.operators.curation import TRACKING_PARAM_KEYS
+
+    got_ref = {
+        r["doc_id"]: r["canonical_url"]
+        for r in canonical_url(
+            df, tracking_keys=TRACKING_PARAM_KEYS + ("ref",)
+        ).collect()
+    }
+    assert got_ref[6] == "https://site.org:8443/path?z=9"
+    assert got_ref[1] == got[1]  # other branches unaffected
 
     dd_ = {r["canonical_url"]: r for r in url_dedup(df).collect()}
     assert dd_["https://example.com/a/b?a=1&b=2"]["keep_id"] == 1

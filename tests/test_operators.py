@@ -3045,6 +3045,24 @@ def test_dimension_stats_hand_moments(spark):
     assert out[2]["mean"] == 1.0 and out[2]["variance"] == 2.0
     assert out[2]["min_value"] == 0.0 and out[2]["max_value"] == 2.0
 
+    # Unit-norm-scale components (~1e-2): the fine decimal route must NOT
+    # quantize the second moment to zero (the r10 ADVICE regression — at
+    # DECIMAL(18,4) this corpus reported variance 0, inverting the
+    # dead-dimension QA signal).
+    small = spark.createDataFrame(
+        [(1, [0.01]), (2, [0.03]), (3, [0.05])],
+        "vec_id long, embedding array<double>",
+    )
+    row = dimension_stats(small).collect()[0]
+    assert row["mean"] == 0.03
+    assert row["variance"] == 0.0004  # sample var of {1,3,5}e-2 exactly
+
+    # n == 1: sample variance undefined → explicit NULL (never a
+    # DIVIDE_BY_ZERO under ANSI mode).
+    one = spark.createDataFrame([(1, [0.5, 0.25])], "vec_id long, embedding array<double>")
+    for r in dimension_stats(one).collect():
+        assert r["n"] == 1 and r["variance"] is None
+
 
 def test_record_linkage_scoring_and_blocking(spark):
     """Field kinds score as specified (hand arithmetic), blocking
@@ -3081,6 +3099,24 @@ def test_record_linkage_scoring_and_blocking(spark):
     bn = spark.createDataFrame([(2, None, "NY")], "id long, seg string, state string")
     got = record_linkage(an, bn, "id", ["state"], [("seg", "exact", 1.0)], 0.9).collect()
     assert got[0]["score"] == 1.0
+
+    # NaN on a numeric field is "missing" (scores 0.0), not a silent
+    # drop: without the screen the weighted sum goes NaN and
+    # `NaN >= threshold` is false, vanishing a pair whose OTHER fields
+    # match perfectly (r10 ADVICE).
+    anan = spark.createDataFrame(
+        [(1, "bob brown", "NY", float("nan"))],
+        "id long, name string, state string, bal double",
+    )
+    bnan = spark.createDataFrame(
+        [(2, "bob brown", "NY", 77.0)],
+        "id long, name string, state string, bal double",
+    )
+    nan_out = record_linkage(
+        anan, bnan, "id", ["state"], spec, 0.5
+    ).collect()
+    # score = (2*1.0 + 1*0.0)/3 — name exact, bal degenerate
+    assert len(nan_out) == 1 and nan_out[0]["score"] == round(2 / 3, 6)
 
     with _pytest.raises(ValueError):
         record_linkage(a, b, "id", ["state"], [("name", "fuzzy?", 1.0)]).collect()
