@@ -3281,11 +3281,10 @@ _LLM_ORACLES["x_dup_spans"] = f"""
                    FOR i IN generate_series(1, greatest(len(toks) - 4, 1))] AS l
            FROM base),
     g AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS gram FROM gl),
-    gh AS (SELECT doc_id, pos, {_MD5_INT.format(x='gram')} AS h FROM g),
-    dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
     d AS (SELECT doc_id, pos,
                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-          FROM gh WHERE h IN (SELECT h FROM dup)),
+          FROM g WHERE gram IN (SELECT gram FROM dup)),
     nt AS (SELECT doc_id, len(toks) AS n_toks FROM base)
     SELECT d.doc_id, MIN(pos) AS span_start,
            least(MAX(pos) + 4, nt.n_toks) AS span_end,
@@ -3334,11 +3333,10 @@ _LLM_ORACLES["x_dup_spans_cjk"] = f"""
                    FOR i IN generate_series(1, greatest(len(toks) - 4, 1))] AS l
            FROM base),
     g AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS gram FROM gl),
-    gh AS (SELECT doc_id, pos, {_MD5_INT.format(x='gram')} AS h FROM g),
-    dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
     d AS (SELECT doc_id, pos,
                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-          FROM gh WHERE h IN (SELECT h FROM dup)),
+          FROM g WHERE gram IN (SELECT gram FROM dup)),
     nt AS (SELECT doc_id, len(toks) AS n_toks FROM base)
     SELECT d.doc_id, MIN(pos) AS span_start,
            least(MAX(pos) + 4, nt.n_toks) AS span_end,
@@ -3362,11 +3360,10 @@ _LLM_ORACLES["x_span_scrub"] = f"""
                    FOR i IN generate_series(1, greatest(len(toks) - 4, 1))] AS l
            FROM base),
     g AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS gram FROM gl),
-    gh AS (SELECT doc_id, pos, {_MD5_INT.format(x='gram')} AS h FROM g),
-    dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
     d AS (SELECT doc_id, pos,
                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-          FROM gh WHERE h IN (SELECT h FROM dup)),
+          FROM g WHERE gram IN (SELECT gram FROM dup)),
     spans AS (
         SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
         FROM d GROUP BY doc_id, pos - rn),

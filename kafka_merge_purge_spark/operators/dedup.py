@@ -1741,15 +1741,30 @@ def duplicate_spans(
 
     Spark-first shape, per stage:
       1. positional k-gram hashes via :func:`positional_gram_hashes` —
-         one vectorized kernel; every downstream exchange carries 8-byte
+         one vectorized kernel; the full-corpus exchange carries 8-byte
          hashes + positions, never gram strings;
-      2. duplicated-gram membership.  For the default ``min_docs=2``, a
-         single window over ``h`` decides it as ``min(id) ≠ max(id)`` —
-         ONE exchange on a near-uniform 8-byte key, no aggregate+join
-         double-scan of the gram stream (the first cut computed the gram
-         subtree twice; this halves the work and removes a shuffle).
-         For ``min_docs > 2``, the generic count-distinct aggregate +
-         membership join;
+      2a. CANDIDATE membership on the 60-bit hash.  For the default
+         ``min_docs=2``, a single window over ``h`` decides it as
+         ``min(id) ≠ max(id)`` — ONE exchange on a near-uniform 8-byte
+         key, no aggregate+join double-scan of the gram stream.  For
+         ``min_docs > 2``, the generic count-distinct aggregate +
+         membership join.  Candidates are a SUPERSET of the truth
+         (equal grams always share a hash);
+      2b. EXACT verification on the gram TEXT.  The 60-bit hash alone
+         is NOT a correctness guarantee at scale: at ~10¹² grams
+         (100 TB) birthday collisions are expected in the tens of
+         thousands, and each one would fabricate a duplicate span that
+         :func:`scrub_duplicate_spans` then REMOVES from a legitimate
+         document — silent data loss in the cleaner.  So candidate
+         positions re-slice their gram text from the doc's token array
+         (positions collected per doc → ONE array copy per doc, grams
+         re-cut in-expression) and membership is re-decided on the
+         gram string itself.  Exchange volume here is candidate-bound
+         (duplicated mass + collision noise), never corpus-bound —
+         the same verify posture as :func:`fuzzy_dedup`'s exact-Jaccard
+         re-check after banding.  GUARANTEE: emitted spans are decided
+         by token-level equality; a hash collision can cost cycles,
+         never text;
       3. island detection per document: ``pos − row_number()`` over a
          window partitioned by doc — bounded by document length;
       4. span rollup: min/max positions per island; adjacent/overlapping
@@ -1764,12 +1779,20 @@ def duplicate_spans(
         # min_docs=1 would mark EVERY gram duplicated (each doc is its own
         # 1 document) — reject rather than silently treating it as 2.
         raise ValueError("duplicate_spans requires min_docs >= 2")
+    # one tokenizer expression end-to-end: the verify tier's gram re-cut
+    # and the span_end cap must see exactly the hashing kernel's tokens
+    if adaptive:
+        from kafka_merge_purge_spark.operators.text import tokens_adaptive
+
+        tok_expr = tokens_adaptive(normalize_unicode(F.col(text_col)))
+    else:
+        tok_expr = tokens(normalize(F.col(text_col)))
     g = positional_gram_hashes(
         df, k=k, text_col=text_col, id_col=id_col, adaptive=adaptive
     )
     if min_docs == 2:
         wh = Window.partitionBy("h")
-        d = (
+        cand = (
             g.withColumn("_dup", F.min("id").over(wh) != F.max("id").over(wh))
             .filter(F.col("_dup"))
             .drop("_dup")
@@ -1781,22 +1804,60 @@ def duplicate_spans(
             .filter(F.col("nd") >= min_docs)
             .select("h")
         )
-        d = g.join(dup, "h")
+        cand = g.join(dup, "h")
+    # stage 2b: exact token-level verification (see docstring) — re-cut
+    # each candidate position's gram from its doc's token array and
+    # re-decide membership on the gram STRING.  coalesce-to-[""] mirrors
+    # the hashing kernel's NULL-text fold (single "" gram at pos 1).
+    cand_pos = cand.groupBy("id").agg(F.collect_list("pos").alias("_ps"))
+    tok_frame = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(tok_expr, F.array(F.lit(""))).alias("_toks"),
+    )
+    cand_g = (
+        cand_pos.join(tok_frame, "id")
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    "_ps",
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice("_toks", p, F.lit(k))
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("_pg"),
+        )
+        .select("id", F.col("_pg.pos").alias("pos"), F.col("_pg.gram").alias("gram"))
+    )
+    if min_docs == 2:
+        wg = Window.partitionBy("gram")
+        d = (
+            cand_g.withColumn(
+                "_dup", F.min("id").over(wg) != F.max("id").over(wg)
+            )
+            .filter(F.col("_dup"))
+            .select("id", "pos")
+        )
+    else:
+        dupg = (
+            cand_g.groupBy("gram")
+            .agg(F.count_distinct("id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("gram")
+        )
+        d = cand_g.join(dupg, "gram").select("id", "pos")
     wi = Window.partitionBy("id").orderBy("pos")
     islands = d.withColumn("isl", F.col("pos") - F.row_number().over(wi))
     # token counts cap span_end for sub-k documents (whose single gram is
     # the whole text): without the cap, span_end = 1 + k - 1 would claim
     # k tokens from an n<k-token doc and disagree with
     # scrub_duplicate_spans' n_dup_tokens for the same document.
-    if adaptive:
-        from kafka_merge_purge_spark.operators.text import tokens_adaptive
-
-        cap_toks = tokens_adaptive(normalize_unicode(F.col(text_col)))
-    else:
-        cap_toks = tokens(normalize(F.col(text_col)))
     n_toks = df.select(
         F.col(id_col).alias("id"),
-        F.size(cap_toks).alias("_n_toks"),
+        F.size(tok_expr).alias("_n_toks"),
     )
     return (
         islands.groupBy("id", "isl")

@@ -214,11 +214,83 @@ def test_duplicate_spans_shuffles_hashes_not_grams(spark):
 
     df = _docs(spark, [(1, "a b c d e f", "en", "s", 0)])
     plan = duplicate_spans(df)._jdf.queryExecution().executedPlan().toString()
-    # every exchange between the gram map and the span rollup carries the
-    # 60-bit hash / positions — the gram STRING must never ride a shuffle
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "gram" not in line
+    # FULL-CORPUS discipline: the gram kernel emits (id, pos, h) only —
+    # gram strings structurally cannot ride the corpus-wide candidate
+    # exchange (keyed on the 60-bit h).  The r11 exact-verify tier DOES
+    # shuffle gram strings, but only for CANDIDATES (post-dup-filter,
+    # duplicated-mass-bound), re-cut from per-doc token arrays.
+    assert "MapInPandas" in plan
+    kernel_lines = [ln for ln in plan.splitlines() if "MapInPandas" in ln]
+    assert all("gram" not in ln for ln in kernel_lines)
+    # the corpus candidate stage still exchanges on h
+    assert any(
+        "Exchange hashpartitioning(h#" in ln for ln in plan.splitlines()
+    )
+
+
+def test_duplicate_spans_exact_verify_kills_hash_collisions(spark, monkeypatch):
+    """The r10 verdict's one correctness-at-scale hole: a 60-bit gram-hash
+    collision between DIFFERENT grams must NOT fabricate a span (which
+    scrub would then cut from a legitimate document).  Planted collision:
+    force EVERY gram onto one hash value — membership must still be
+    decided by token-level gram equality."""
+    import kafka_merge_purge_spark.operators.dedup as dd
+
+    orig = dd.positional_gram_hashes
+
+    def total_collision(df, **kw):
+        from pyspark.sql import functions as F
+
+        return orig(df, **kw).withColumn("h", F.lit(0).cast("long"))
+
+    monkeypatch.setattr(dd, "positional_gram_hashes", total_collision)
+
+    # no shared 5-gram anywhere → zero spans even though every hash collides
+    disjoint = _docs(
+        spark,
+        [
+            (1, "a1 a2 a3 a4 a5 a6 a7 a8", "en", "s", 0),
+            (2, "b1 b2 b3 b4 b5 b6 b7 b8", "en", "s", 0),
+        ],
+    )
+    assert dd.duplicate_spans(disjoint, k=5, min_docs=2).collect() == []
+    # ...and the cleaner removes nothing
+    scrubbed = {
+        r["doc_id"]: r
+        for r in dd.scrub_duplicate_spans(disjoint, k=5, min_docs=2).collect()
+    }
+    assert all(r["n_dup_tokens"] == 0 for r in scrubbed.values())
+    assert scrubbed[1]["text_scrubbed"] == "a1 a2 a3 a4 a5 a6 a7 a8"
+
+    # a truly-shared passage is still found, exactly, under total collision
+    shared = "s1 s2 s3 s4 s5 s6 s7"
+    mixed = _docs(
+        spark,
+        [
+            (1, shared + " a1 a2 a3 a4 a5", "en", "s", 0),
+            (2, "b1 b2 " + shared + " b3", "en", "s", 0),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8", "en", "s", 0),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dd.duplicate_spans(mixed, k=5, min_docs=2).collect()}
+    assert out[1]["span_start"] == 1 and out[1]["span_end"] == 7
+    assert out[2]["span_start"] == 3 and out[2]["span_end"] == 9
+    assert 3 not in out
+
+    # min_docs > 2 path verifies on gram text too
+    three = _docs(
+        spark,
+        [
+            (1, shared + " a1 a2 a3", "en", "s", 0),
+            (2, "b1 " + shared, "en", "s", 0),
+            (3, shared + " c1 c2", "en", "s", 0),
+            (4, "d1 d2 d3 d4 d5 d6 d7", "en", "s", 0),
+        ],
+    )
+    out3 = {
+        r["doc_id"]: r for r in dd.duplicate_spans(three, k=5, min_docs=3).collect()
+    }
+    assert set(out3) == {1, 2, 3} and out3[2]["span_start"] == 2
 
 
 def test_positional_gram_kernel_matches_expression_twin(spark):
