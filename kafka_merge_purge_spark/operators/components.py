@@ -81,13 +81,15 @@ def connected_components(
         if probe.num_rows <= max_driver_edges:
             return _driver_union_find(edges.sparkSession, probe, out_type)
 
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
     bi = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     bi = bi.unionByName(bi.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
-    labels = (
+    labels0 = (
         bi.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    def pregel_round(labels: DataFrame, _i: int) -> DataFrame:
         # 1. neighbor min: the classic propagation step (one shuffle)
         nbr_min = (
             bi.join(labels, bi["v"] == labels["node"])
@@ -105,23 +107,18 @@ def connected_components(
         # only ids transitively connected to u — correctness is
         # unchanged, rounds drop from O(diameter) to O(log diameter).
         parent = l1.select(F.col("node").alias("_p"), F.col("lbl").alias("_plbl"))
-        new_labels = (
-            l1.join(parent, l1["lbl"] == parent["_p"], "left")
-            .select(
-                l1["node"],
-                F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"])).alias("lbl"),
-                (
-                    F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"]))
-                    < F.col("_orig")
-                ).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)  # the round's one materializing job
+        return l1.join(parent, l1["lbl"] == parent["_p"], "left").select(
+            l1["node"],
+            F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"])).alias("lbl"),
+            (
+                F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"]))
+                < F.col("_orig")
+            ).alias("_changed"),
         )
-        labels = new_labels.drop("_changed")
-        # limit-1 probe over materialized partitions — no recompute, no
-        # second shuffle; stop when no label moved this round
-        if new_labels.filter(F.col("_changed")).isEmpty():
-            break
+
+    # iterate() materializes each round (localCheckpoint) and stops on the
+    # first round where no label moved — the in-pass `_changed` contract
+    labels = iterate(labels0, pregel_round, max_rounds=max_iter)
     bi.unpersist()
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
@@ -251,9 +248,9 @@ def pagerank(
     # int64 division) — NOT float `/` + cast, whose rounding could
     # cross an integer boundary and break the bit-identical contract
     base_rank = F.expr(f"_t * (CAST({PR_SCALE} AS BIGINT) DIV _n)")
-    ranks = nodes.crossJoin(n_row).select("node", base_rank.alias("rank"))
+    ranks0 = nodes.crossJoin(n_row).select("node", base_rank.alias("rank"))
 
-    for _ in range(iterations):
+    def power_round(ranks: DataFrame, _i: int) -> DataFrame:
         shared = ranks.join(outdeg, "node", "left")
         live = shared.filter(F.col("od").isNotNull()).select(
             "node", F.expr("rank DIV od").alias("share")
@@ -268,7 +265,7 @@ def pagerank(
                 F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("_dang")
             )
         )
-        ranks = (
+        return (
             nodes.crossJoin(n_row)
             .crossJoin(dang_row)
             .join(hint(inflow), "node", "left")
@@ -281,14 +278,18 @@ def pagerank(
                     f" _t * (_dang DIV _n))) DIV {damping_den})"
                 ).alias("rank"),
             )
-            # executor-local materialization of the O(nodes) rank frame
-            # (same posture as the connected-components loop): each
-            # iteration's plan references `shared` twice (live shares +
-            # dangling mass), so without truncation the lineage doubles
-            # per iteration and evaluation goes exponential in
-            # `iterations` — measured 14.4 s for a 1.6k-node graph
-            .localCheckpoint(eager=True)
         )
+
+    # iterate() materializes the O(nodes) rank frame per round
+    # (localCheckpoint): each round's plan references `shared` twice
+    # (live shares + dangling mass), so without truncation the lineage
+    # doubles per round and evaluation goes exponential in `iterations`
+    # — measured 14.4 s for a 1.6k-node graph.  No `_changed` column:
+    # PageRank's fixpoint is approached, never reached; fixed rounds IS
+    # the hash-gated spec.
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    ranks = iterate(ranks0, power_round, max_rounds=iterations)
     e.unpersist()
     nodes.unpersist()
     outdeg.unpersist()
@@ -301,6 +302,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 3,
     broadcast_labels: bool = True,
+    until_stable: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
     with a DETERMINISTIC tie-break — community detection for the link
@@ -327,7 +329,18 @@ def label_propagation(
     the only shuffles are the two label aggregates, keyed by (node,
     label) then node.
 
+    ``until_stable=True`` adds an in-pass ``_changed`` flag (new label ≠
+    old label) so :func:`iterate` stops on the first sweep where no node
+    moved — ``iterations`` then becomes the ROUND CAP, not the count.
+    Early stop makes the sweep count data-dependent, so the stable form
+    has no SQL oracle; its contract is the pytest pin "equals the
+    fixed-sweep twin run to convergence" (synchronous LPA can 2-cycle on
+    bipartite structure — under a 2-cycle no stable sweep exists and the
+    cap fires, identical to the fixed form).
+
     Output: (node, label)."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
     hint = F.broadcast if broadcast_labels else (lambda df: df)
     e = (
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
@@ -340,8 +353,9 @@ def label_propagation(
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
-    labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(iterations):
+    labels0 = nodes.select("node", F.col("node").alias("label"))
+
+    def sweep(labels: DataFrame, _i: int) -> DataFrame:
         contrib = e.join(
             hint(labels.withColumnRenamed("node", "_src")), "_src"
         ).select(F.col("_dst").alias("node"), "label")
@@ -357,17 +371,21 @@ def label_propagation(
             )
             .select("node", F.col("_b.l").alias("_new"))
         )
-        labels = (
-            labels.join(hint(best), "node", "left")
-            .select("node", F.coalesce("_new", "label").alias("label"))
-            # each sweep references the previous label frame TWICE
-            # (contrib join + the keep-old left join): without a
-            # per-sweep materialization the lineage re-executes
-            # 2^sweeps-fold (the pagerank checkpoint lesson;
-            # measured 18.0 -> 14.4 -> 8.7 s at sf0.1 with the
-            # checkpoint, then the broadcast keep-old join)
-            .localCheckpoint(eager=True)
-        )
+        new_label = F.coalesce("_new", "label")
+        out = labels.join(hint(best), "node", "left")
+        if until_stable:
+            return out.select(
+                "node",
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("_changed"),
+            )
+        return out.select("node", new_label.alias("label"))
+
+    # each sweep references the previous label frame TWICE (contrib join
+    # + the keep-old left join): iterate()'s per-sweep materialization
+    # stops the 2^sweeps lineage re-execution (measured 18.0 -> 14.4 ->
+    # 8.7 s at sf0.1 with the checkpoint, then the broadcast keep-old join)
+    labels = iterate(labels0, sweep, max_rounds=iterations)
     # the final labels are checkpointed (no lineage into e) — release
     # the edge cache before returning, the pagerank convention
     e.unpersist()

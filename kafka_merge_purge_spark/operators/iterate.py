@@ -1,0 +1,96 @@
+"""Generic distributed fixed-point iteration — the loop machinery every
+iterative DataFrame algorithm re-derives, factored once.
+
+Spark has no native iteration primitive: a loop that reuses its previous
+frame N times builds a 2^N lineage (each round's plan references the
+prior round's plan wherever the step touches it twice), and convergence
+detection naively costs an extra count() job per round.  pagerank,
+label_propagation and the connected-components Pregel loop each
+hand-rolled the same three mitigations; :func:`iterate` packages them so
+the NEXT iterative algorithm (SSSP, HITS, random walks, iterative
+closeness) starts from a correct loop instead of re-learning these:
+
+* **lineage truncation** — the state frame is materialized
+  executor-locally (``localCheckpoint(eager=True)`` — NOT a driver
+  collect, NOT a HDFS checkpoint) every ``checkpoint_every`` rounds, so
+  the optimizer sees a leaf instead of an exponentially growing tree
+  (measured on label_propagation: 18.0 s → 8.7 s at sf0.1; on pagerank a
+  1.6k-node graph took 14.4 s WITHOUT truncation);
+* **in-pass convergence detection** — the step function may attach a
+  boolean ``changed_col`` computed inside its own projection (zero extra
+  joins/jobs); :func:`iterate` probes it with a ``filter(...).isEmpty()``
+  limit-1 scan over the just-materialized partitions — no recompute — and
+  stops early.  Steps that omit the column run exactly ``max_rounds``
+  times (the fixed-unroll semantics the hash-gated graph queries need:
+  a data-dependent stopping round would make results depend on
+  convergence-detection timing, which no SQL oracle can replay);
+* **bounded state** — only the state frame crosses rounds; corpus-sized
+  inputs (edge lists) stay cached OUTSIDE the loop in the caller, the
+  pagerank/LPA posture.
+
+100 TB shape: per round the driver launches the step's jobs and one
+limit-1 probe; all data movement is whatever the step itself shuffles.
+The state materialization is executor-local disk/memory, never the
+driver.  ``localCheckpoint`` does mean executor loss forces a
+recompute-from-truncated-lineage failure (Spark re-runs the job); for
+multi-hour loops on preemptible fleets pass
+``checkpoint_dir`` to use resilient ``checkpoint`` instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def iterate(
+    state: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_rounds: int,
+    changed_col: str = "_changed",
+    checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run ``state ← step(state, round)`` up to ``max_rounds`` times.
+
+    ``step`` takes the current state frame and the 0-based round number
+    and returns the next state.  If the returned frame carries a boolean
+    ``changed_col``, the loop stops early on the first materialized
+    round where no row has it true; the column is stripped from the
+    state between rounds and from the final result.  Convergence is only
+    PROBED on rounds that materialize (every ``checkpoint_every``-th),
+    so with ``checkpoint_every > 1`` the loop can overshoot the fixpoint
+    by up to ``checkpoint_every − 1`` cheap rounds — steps are required
+    to be idempotent at the fixpoint (step(fix) == fix), which every
+    monotone propagation step is.
+
+    Returns the final state (without ``changed_col``).
+    """
+    if max_rounds < 0:
+        raise ValueError(f"iterate: max_rounds must be >= 0, got {max_rounds}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"iterate: checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    if checkpoint_dir is not None:
+        state.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    for i in range(max_rounds):
+        nxt = step(state, i)
+        has_flag = changed_col in nxt.columns
+        materializing = ((i + 1) % checkpoint_every == 0) or i == max_rounds - 1
+        if materializing:
+            nxt = _materialize(nxt)
+        state = nxt.drop(changed_col) if has_flag else nxt
+        # probe only materialized rounds: the limit-1 isEmpty scan then
+        # reads already-computed partitions instead of re-running the step
+        if has_flag and materializing and nxt.filter(F.col(changed_col)).isEmpty():
+            break
+    return state

@@ -2915,6 +2915,72 @@ def test_label_propagation_matches_reference(spark):
     assert g2 == {"s": "s", "t": "s"}
 
 
+def test_label_propagation_until_stable_matches_fixed_twin(spark):
+    """Convergence-stopped LPA (until_stable=True over the generic
+    iterate() primitive) equals the fixed-sweep twin run past
+    convergence: once a sweep moves no label, every further fixed sweep
+    is a no-op, so the early-stopped labels ARE the fixed-form labels
+    for any iterations >= the stable round."""
+    from kafka_merge_purge_spark.operators.components import label_propagation
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+    und = tri + [(b, a) for a, b in tri]
+    df = spark.createDataFrame(und, "src string, dst string")
+    stable = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=20, until_stable=True).collect()
+    }
+    fixed = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=20).collect()
+    }
+    assert stable == fixed
+    # the `_changed` plumbing column never leaks into the output schema
+    out = label_propagation(df, iterations=2, until_stable=True)
+    assert out.columns == ["node", "label"]
+
+
+def test_iterate_primitive_contract(spark):
+    """iterate(): fixed rounds without a changed col; early stop with
+    one; checkpoint_every probes only materialized rounds (monotone
+    steps may overshoot the fixpoint but land on the same state);
+    max_rounds=0 returns the initial state; bad args raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    init = spark.createDataFrame([(0,)], "x int")
+
+    # no changed col → exactly max_rounds applications
+    out = iterate(init, lambda s, i: s.select((F.col("x") + 1).alias("x")), 5)
+    assert out.collect()[0]["x"] == 5
+
+    # changed col → stop at the fixpoint (x saturates at 3), col stripped
+    calls = []
+
+    def sat(s, i):
+        calls.append(i)
+        nxt = F.least(F.col("x") + 1, F.lit(3))
+        return s.select(nxt.alias("x"), (nxt != F.col("x")).alias("_changed"))
+
+    out = iterate(init, sat, 50)
+    assert out.collect()[0]["x"] == 3 and out.columns == ["x"]
+    # 3 moving rounds + the round that detects no movement
+    assert len(calls) == 4
+
+    # checkpoint_every=2: probes on rounds 2,4,... — may run one extra
+    # cheap round past the fixpoint but returns the identical state
+    out2 = iterate(init, sat, 50, checkpoint_every=2)
+    assert out2.collect()[0]["x"] == 3
+
+    assert iterate(init, sat, 0).collect()[0]["x"] == 0
+    with _pytest.raises(ValueError):
+        iterate(init, sat, -1)
+    with _pytest.raises(ValueError):
+        iterate(init, sat, 5, checkpoint_every=0)
+
+
 def test_winsorize_bounds_and_facts_never_shuffle(spark):
     """Hand percentiles on 1..100 at p05/p95 (interpolated: 5.95 /
     95.05), exactly 10 clipped; ungrouped form; the fact side of the
