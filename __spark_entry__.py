@@ -4351,6 +4351,62 @@ _RELATIONAL_ORACLES["x_pagerank"] = """
     LEFT JOIN f3 ON n2.node = f3.node"""
 
 
+def x_sssp(spark, sf_dir):
+    """Single-source shortest paths (components.sssp, r11): synchronous
+    Bellman-Ford hop distances from supplier 's1' over the
+    supplier↔customer co-trade graph, 6 fixed relaxation rounds — the
+    first algorithm written ON the generic iterate() primitive.  Exact
+    int64 arithmetic; nodes beyond 6 hops stay NULL.  FULL hash oracle
+    (rounds unrolled as chained CTEs, the pagerank precedent)."""
+    from kafka_merge_purge_spark.operators.components import sssp
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sssp(edges, "s1", rounds=6)
+
+
+def _sssp_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled Bellman-Ford twin: d_{i+1}(v) = MIN(d_i(v),
+    min over edges (u,v) of d_i(u) + 1) — one chained CTE per round."""
+    ctes = [
+        """d0 AS (SELECT node, CASE WHEN node = 's1'
+                       THEN CAST(0 AS BIGINT) END AS dist FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM e JOIN d{i - 1} d ON e.src = d.node
+            WHERE d.dist IS NOT NULL) GROUP BY node)"""
+        )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    {', '.join(ctes)}
+    SELECT node, dist FROM d{rounds}"""
+
+
+_RELATIONAL_ORACLES["x_sssp"] = _sssp_oracle_sql(6)
+
+
 def x_trustrank(spark, sf_dir):
     """TrustRank (r9, Gyöngyi et al. 2004): personalized PageRank whose
     teleport set is the SUPPLIER side of the co-trade graph — trust

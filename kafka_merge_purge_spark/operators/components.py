@@ -392,6 +392,89 @@ def label_propagation(
     return labels
 
 
+def sssp(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    rounds: int = 8,
+    until_stable: bool = False,
+    broadcast_dists: bool = True,
+) -> DataFrame:
+    """Single-source shortest paths by synchronous Bellman-Ford
+    relaxation — the first "next iterative algorithm" written ON
+    :func:`~kafka_merge_purge_spark.operators.iterate.iterate` (the r10
+    verdict's motivating case): the loop body is the three-line
+    relaxation; caching, lineage truncation and early stop come from the
+    primitive.
+
+    Semantics: ``dist0(source) = 0``, all other nodes NULL (unreached);
+    per round ``dist'(v) = min(dist(v), min over edge rows (u,v) of
+    dist(u) + w(u,v))``.  ``weight=None`` counts hops (w ≡ 1); a weight
+    column must be non-negative integral (int64 arithmetic end-to-end —
+    the exact-integer convention that makes the fixed-round form
+    hash-oracle-able; Bellman-Ford with negative edges needs |V|−1
+    rounds and a negative-cycle check, out of scope).
+
+    Fixed ``rounds`` (default) is the gated spec: distances are exact
+    for every node within ``rounds`` relaxation hops of the source,
+    NULL beyond — deterministic, so a SQL oracle unrolls the rounds as
+    chained CTEs (the pagerank precedent).  ``until_stable=True`` adds
+    the in-pass ``_changed`` flag and stops as soon as no distance
+    improved — exact SSSP in O(diameter) rounds with ``rounds`` as the
+    cap (pytest-pinned against the fixed twin, the LPA posture).
+
+    Scale shape: edges hash-partitioned by ``src`` once and cached;
+    per round only the (node, dist) frame moves (broadcast by default;
+    ``broadcast_dists=False`` for billion-node graphs), and the one
+    shuffle is the min-aggregate on relaxed candidates.
+
+    Output: (node, dist) — NULL dist = unreached within the rounds."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    hint = F.broadcast if broadcast_dists else (lambda df: df)
+    w_expr = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_expr.alias("_w"))
+        .repartition(F.col("_src"))
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    dist0 = nodes.select(
+        "node",
+        F.when(F.col("node") == F.lit(source), F.lit(0).cast("long")).alias("dist"),
+    )
+
+    def relax(d: DataFrame, _i: int) -> DataFrame:
+        live = d.filter(F.col("dist").isNotNull()).withColumnRenamed("node", "_src")
+        best = (
+            e.join(hint(live), "_src")
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_nd"))
+        )
+        out = d.join(hint(best), "node", "left")
+        # least() skips NULLs: an unreached node adopts its first offer
+        new_dist = F.least(F.col("dist"), F.col("_nd"))
+        if until_stable:
+            improved = F.col("_nd").isNotNull() & (
+                F.col("dist").isNull() | (F.col("_nd") < F.col("dist"))
+            )
+            return out.select(
+                "node", new_dist.alias("dist"), improved.alias("_changed")
+            )
+        return out.select("node", new_dist.alias("dist"))
+
+    dists = iterate(dist0, relax, max_rounds=rounds)
+    e.unpersist()
+    return dists
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

@@ -2940,6 +2940,69 @@ def test_label_propagation_until_stable_matches_fixed_twin(spark):
     assert out.columns == ["node", "label"]
 
 
+def test_sssp_matches_reference_and_stable_twin(spark):
+    """Bellman-Ford on iterate(): hop + weighted distances equal a
+    driver-side Dijkstra on seeded random graphs; unreached nodes NULL;
+    until_stable equals the fixed twin run past convergence."""
+    import heapq
+    import random
+
+    from kafka_merge_purge_spark.operators.components import sssp
+
+    def dijkstra(edges, source):
+        adj: dict = {}
+        nodes = set()
+        for u, v, w in edges:
+            adj.setdefault(u, []).append((v, w))
+            nodes.update((u, v))
+        dist = {source: 0}
+        pq = [(0, source)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return {n: dist.get(n) for n in nodes}
+
+    rng = random.Random(11)
+    for trial in range(3):
+        nodes = [f"n{i}" for i in range(20)]
+        edges = list(
+            {
+                (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+                for _ in range(45)
+            }
+        )
+        edges = [(u, v, w) for u, v, w in edges if u != v]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        want = dijkstra(edges, "n0")
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp(df, "n0", weight="w", rounds=25).collect()
+        }
+        assert got == want, f"trial {trial}"
+        stable = {
+            r["node"]: r["dist"]
+            for r in sssp(
+                df, "n0", weight="w", rounds=25, until_stable=True
+            ).collect()
+        }
+        assert stable == want, f"trial {trial} (until_stable)"
+
+    # hop counting + bounded rounds: nodes beyond the round budget stay NULL
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r["dist"] for r in sssp(path, "a", rounds=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": None}
+    # output schema carries no plumbing column
+    assert sssp(path, "a", rounds=2, until_stable=True).columns == ["node", "dist"]
+
+
 def test_iterate_primitive_contract(spark):
     """iterate(): fixed rounds without a changed col; early stop with
     one; checkpoint_every probes only materialized rounds (monotone
