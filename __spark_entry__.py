@@ -706,6 +706,28 @@ def q_skew_agg_salted(spark, sf_dir):
     )
 
 
+def x_auto_skew_join(spark, sf_dir):
+    """AUTOMATIC skew mitigation (r11, skew.auto_salted_join): the join
+    key is planted hot (~70% of orders collapse onto custkey 1), the
+    wrapper MEASURES the top key's share (one bounded top-1 probe) and
+    engages the salted rewrite only above the threshold — the user no
+    longer has to know to salt.  Result-identical to the plain join:
+    the oracle is the UNSALTED SQL; plan engagement above/below the
+    threshold is pinned in pytest."""
+    from kafka_merge_purge_spark.operators.skew import auto_salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "hot_key",
+        F.when(F.col("o_custkey") % 10 < 7, F.lit(1)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    c = _t(spark, sf_dir, "customer")
+    return auto_salted_join(
+        o, c, "hot_key", "c_custkey", salt_factor=8, share_threshold=0.05
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
 def q_range_frame(spark, sf_dir):
     """RANGE window frame: per-customer trailing-30-day order count and
     total (value-based frame, not row-based)."""
@@ -4405,6 +4427,12 @@ def _sssp_oracle_sql(rounds: int = 6) -> str:
 
 
 _RELATIONAL_ORACLES["x_sssp"] = _sssp_oracle_sql(6)
+
+_RELATIONAL_ORACLES["x_auto_skew_join"] = """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM (SELECT *, CASE WHEN o_custkey % 10 < 7 THEN 1
+                         ELSE o_custkey END AS hot_key FROM orders) o
+    JOIN customer ON hot_key = c_custkey"""
 
 
 def x_trustrank(spark, sf_dir):

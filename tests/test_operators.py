@@ -369,6 +369,64 @@ def test_salted_join_matches_plain_join(tables):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_auto_salted_join_engages_only_above_threshold(spark):
+    """The r10 verdict's missing last mile, wired: auto_salted_join
+    measures the hottest fact-key share and salts only when it crosses
+    the threshold.  Planted-skew frame → salted plan (the `_salt`
+    explode is visible); uniform frame → plain join (no `_salt`);
+    results equal the plain join in BOTH regimes."""
+    from pyspark.sql import functions as F2
+
+    from kafka_merge_purge_spark.operators.skew import (
+        auto_salted_aggregation,
+        auto_salted_join,
+        measured_key_share,
+    )
+
+    # 700 rows of key 1 + 300 distinct keys → top share ~0.7
+    hot = spark.range(1000).select(
+        F2.when(F2.col("id") < 700, F2.lit(1)).otherwise(F2.col("id")).alias("k"),
+        F2.col("id").alias("payload"),
+    )
+    uniform = spark.range(1000).select(
+        F2.col("id").alias("k"), F2.col("id").alias("payload")
+    )
+    dim = spark.range(1000).select(
+        F2.col("id").alias("dk"), F2.concat(F2.lit("n"), F2.col("id")).alias("name")
+    )
+    assert measured_key_share(hot, "k") == 0.7
+    assert measured_key_share(uniform, "k") < 0.05
+    assert measured_key_share(hot.limit(0), "k") == 0.0
+
+    engaged = auto_salted_join(hot, dim, "k", "dk", share_threshold=0.05)
+    assert "_salt" in engaged._jdf.queryExecution().executedPlan().toString()
+    off = auto_salted_join(uniform, dim, "k", "dk", share_threshold=0.05)
+    assert "_salt" not in off._jdf.queryExecution().executedPlan().toString()
+
+    for out, fact in ((engaged, hot), (off, uniform)):
+        plain = fact.join(dim, fact["k"] == dim["dk"]).select("payload", "name")
+        got = out.select("payload", "name")
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+
+    # aggregation twin: same threshold logic, schema identical either way
+    aggs = {"n": F2.count(F2.lit(1)), "sum_payload": F2.sum("payload")}
+    a_on = auto_salted_aggregation(hot, ["k"], aggs, share_threshold=0.05)
+    a_off = auto_salted_aggregation(uniform, ["k"], aggs, share_threshold=0.05)
+    assert "_salt" in a_on._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in a_off._jdf.queryExecution().executedPlan().toString()
+    assert a_on.columns == a_off.columns == ["k", "n", "sum_payload"]
+    want = {r["k"]: (r["n"], r["sum_payload"]) for r in
+            hot.groupBy("k").agg(*[e.alias(n) for n, e in aggs.items()]).collect()}
+    got = {r["k"]: (r["n"], r["sum_payload"]) for r in a_on.collect()}
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        auto_salted_aggregation(hot, ["k"], {"avg_payload": F2.avg("payload")})
+
+
 def test_salted_join_spreads_hot_key(spark):
     from kafka_merge_purge_spark.operators.skew import salted_join
     from pyspark.sql import functions as F2
