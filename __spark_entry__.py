@@ -961,7 +961,157 @@ def x_late_shipment_priority(spark, sf_dir):
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late"))
 
 
+def x_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (r11 completeness sweep): per-supplier count of
+    finalized multi-supplier orders where THIS supplier returned goods
+    and NO other supplier in the order did — the semi-join + anti-join
+    chain on one fact table (EXISTS other-supplier line, NOT EXISTS
+    other-supplier returned line) that Q21 composes and nothing else in
+    the suite exercised.  Both subqueries compile to one left_semi and
+    one left_anti hash join on (orderkey) with the supplier-inequality
+    conjunct; no window, no self-aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    base = (
+        l1.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            l1["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(s, l1["l_suppkey"] == s["s_suppkey"])
+        .join(
+            n.filter(F.col("n_nationkey") < 10),
+            s["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    some_other = base.join(
+        l2,
+        (F.col("_ok2") == base["l_orderkey"]) & (F.col("_sk2") != base["l_suppkey"]),
+        "left_semi",
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    sole_failer = some_other.join(
+        l3,
+        (F.col("_ok3") == some_other["l_orderkey"])
+        & (F.col("_sk3") != some_other["l_suppkey"]),
+        "left_anti",
+    )
+    return sole_failer.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+def x_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (r11): max over an aggregated view — quarterly
+    revenue per supplier, return the supplier(s) hitting the maximum.
+    The scalar max rides a single-row broadcast cross-join against the
+    (small) revenue view; revenue is the decimal-stable sum so the
+    equality against the max is exact on every engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def x_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (r11): substring-derived country code + scalar
+    AVG subquery + NOT EXISTS — per-code count and balance of
+    above-average customers with no RECENT order (every fixture
+    customer has SOME order, so the classic never-ordered predicate
+    would gate a 0-row result; the recent-window variant keeps the
+    anti-join shape with rows behind it).  The scalar average is a
+    single-row broadcast; the NOT EXISTS is one left_anti join on the
+    customer key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    codes = ["1", "3", "5", "7", "9"]
+    coded = c.withColumn("cntrycode", F.expr("right(c_name, 1)")).filter(
+        F.col("cntrycode").isin(codes)
+    )
+    avg_bal = F.broadcast(
+        coded.filter(F.col("c_acctbal") > 0.0).agg(
+            davg("c_acctbal", "_avg_bal")
+        )
+    )
+    rich = (
+        coded.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey", "cntrycode", "c_acctbal")
+    )
+    never_ordered = rich.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return never_ordered.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal")
+    )
+
+
 _RELATIONAL_ORACLES = {
+    "x_waiting_suppliers": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey AND n_nationkey < 10
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name""",
+    "x_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+    "x_sales_opportunity": """
+        WITH coded AS (
+            SELECT c_custkey, c_acctbal, right(c_name, 1) AS cntrycode
+            FROM customer
+            WHERE right(c_name, 1) IN ('1','3','5','7','9')),
+        avg_bal AS (
+            SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                         / COUNT(c_acctbal), 6) AS a
+            FROM coded WHERE c_acctbal > 0.0)
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        FROM coded CROSS JOIN avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY cntrycode""",
     "x_large_orders": """
         SELECT c_name, o_orderkey, o_totalprice, sum_qty
         FROM orders
