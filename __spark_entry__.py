@@ -447,6 +447,30 @@ def x_similarity_ivf(spark, sf_dir):
     )
 
 
+_PQ_BOOKS: dict = {}
+
+
+def x_pq_recall(spark, sf_dir):
+    """Product-quantization ANN audit (r11, operators/pq.py): recall@10
+    of the PQ-ADC + exact-rerank path against brute-force cosine — the
+    compression tier the r10 verdict asked for (16 code-bytes/vector vs
+    256 raw float bytes; probes scan codes, raw vectors touched only in
+    the output-bound rerank join).  Rows-only by design (the exact path
+    IS the oracle); the ≥0.9 mean-recall floor is pinned in pytest.
+    Codebooks fit once per corpus from an md5-bucket sample and
+    memoized (the _IVF_CENTS convention)."""
+    from kafka_merge_purge_spark.operators.pq import pq_fit_sample, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, 16, 32)
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = pq_fit_sample(emb, m=16, ksub=32, iters=4)
+    q = emb.filter(F.col("vec_id") < 20)
+    ref = sim.brute_force_topk(q, emb, k=10)
+    cand = pq_topk(q, emb, _PQ_BOOKS[key], k=10, rerank_factor=8)
+    return sim.topk_recall(ref, cand, item_col="neighbor_id", k=10)
+
+
 def x_approx_distinct(spark, sf_dir):
     """HLL approximate distinct (rows-only: sketch estimates are
     engine-specific by design; exact twin is q_agg_distinct)."""

@@ -1,0 +1,433 @@
+"""Product quantization (PQ) — the vector-compression tier under IVF.
+
+IVF prunes which cells a query probes, but each probe still reads raw
+float vectors: at 100 TB of embeddings (64-dim float32 = 256 B/vector)
+the probe's memory/IO dominates.  PQ (Jégou, Douze & Schmid 2011,
+"Product quantization for nearest neighbor search") splits each vector
+into ``m`` subvectors, k-means-quantizes each subspace independently
+(``ksub`` sub-centroids, reusing :func:`cluster.kmeans_fit` per
+subspace), and stores only the ``m`` code bytes per vector:
+
+    memory/vector = m bytes (+id)     vs  4·d bytes raw
+    default m=8 on d=64 float32       →   8 B vs 256 B = 32× compression
+
+Search is **asymmetric distance computation (ADC)**: the query stays
+un-quantized; per query a lookup table of ``m × ksub`` partial dot
+products against the sub-centroids is computed ONCE (a narrow projection
+on the tiny query side), and each corpus item scores as ``m`` table
+lookups — no per-pair float vector arithmetic, no raw vectors in the
+scan.  An optional exact re-rank stage rescores only the ADC shortlist
+(``rerank_factor·k`` rows per query) against raw vectors — the standard
+IVF-ADC+rerank pipeline, candidate-bound, which is what lifts recall@k
+to ~1 while the bulk scan stays code-only.
+
+Everything is expression-level (zip_with/element_at lookups inside
+whole-stage codegen); the codebooks are driver-side literals
+(m·ksub·(d/m) = d·ksub doubles — 1024 for the defaults), the
+:func:`cluster.kmeans_fit` reuse keeps the fit deterministic, and the
+exact :func:`similarity.brute_force_topk` path remains the oracle —
+PQ queries gate rows-only with a pytest-pinned
+:func:`similarity.topk_recall` floor.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.functions.vectors import drop_null_vectors, l2_norm
+
+
+def _split_dims(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq: dimension {dim} must split evenly into m={m} subspaces"
+        )
+    return dim // m
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks: one :func:`cluster.kmeans_fit` per subspace over
+    the sliced subvectors.  Returns ``m`` codebooks of ``ksub``
+    sub-centroids each (≤ ksub on tiny corpora — kmeans_fit seeds from
+    the lowest-id rows, so the fit is deterministic and amortizable
+    across query batches exactly like IVF centroids).
+
+    Driver cost: m fits × (iters+1) bounded jobs; each fit's state is
+    ksub·(d/m) doubles.  The corpus is scanned per fit with only the
+    slice projected — column pruning keeps each pass narrow."""
+    from kafka_merge_purge_spark.operators.cluster import kmeans_fit
+
+    base = drop_null_vectors(emb, vec_col)
+    first = base.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return []
+    dsub = _split_dims(int(first["d"]), m)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = base.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub).alias(
+                vec_col
+            ),
+        )
+        books.append(kmeans_fit(sub, k=ksub, iters=iters, id_col=id_col,
+                                vec_col=vec_col))
+    return books
+
+
+def pq_fit_sample(
+    emb: DataFrame,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> list[list[list[float]]]:
+    """Sampled PQ fit — the 100 TB posture (and the classic one: PQ
+    codebooks are trained on a corpus sample, not the corpus).  ONE
+    distributed TakeOrdered fetches the ``sample_size`` lowest-md5(id)
+    rows (the `_kmeans_cells` sampling trick — content-independent,
+    growth-stable), then all ``m`` subspace Lloyd fits run driver-side
+    in numpy over the sample: one Spark job total vs
+    :func:`pq_fit`'s m·(iters+1).  Deterministic (id-ordered init,
+    first-argmin ties, empty cells keep their previous centroid), so
+    codebooks are amortizable across query batches like IVF centroids."""
+    import numpy as np
+
+    bucket = F.conv(
+        F.substring(F.md5(F.col("_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = (
+        drop_null_vectors(emb, vec_col)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_b", bucket)
+        .orderBy("_b", "_id")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return []
+    rows.sort(key=lambda r: r["_id"])
+    x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    dsub = _split_dims(x.shape[1], m)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, len(sub))
+        cents = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first-min → lowest code
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books.append([[float(v) for v in row] for row in cents])
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest sub-centroid
+    (0-based codes) — the m-byte compressed form.  One narrow
+    projection: every subspace assignment is the same literal argmin
+    expression :func:`cluster.kmeans_assign` uses, zero shuffle.
+
+    Output: (id_col, codes array<int>)."""
+    from kafka_merge_purge_spark.operators.cluster import _assign_expr
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[
+            (_assign_expr(F.slice(v, j * dsub + 1, dsub), codebooks[j]) - 1).cast(
+                "int"
+            )
+            for j in range(m)
+        ]
+    )
+    return drop_null_vectors(emb, vec_col).select(
+        F.col(id_col), codes.alias("codes")
+    )
+
+
+def _lut_dot(qv, codebooks) -> Column:
+    """Per-query ADC lookup table: lut[j][c] = <q_subj, codebook[j][c]>
+    as a literal-expanded expression (d·ksub multiply-adds per QUERY
+    row, never per pair)."""
+    dsub = len(codebooks[0][0])
+    tables = []
+    for j, book in enumerate(codebooks):
+        entries = []
+        for cent in book:
+            entries.append(
+                reduce(
+                    lambda a, b: a + b,
+                    [
+                        F.element_at(qv, j * dsub + t + 1) * F.lit(float(cent[t]))
+                        for t in range(dsub)
+                    ],
+                )
+            )
+        tables.append(F.array(*entries))
+    return F.array(*tables)
+
+
+def _quantized_norm2(codebooks) -> Column:
+    """Σ_j ||codebook[j][codes[j]]||² via constant-array lookups on the
+    corpus side — the reconstructed vector's norm², no floats stored."""
+    norm_tables = [
+        F.array(*[F.lit(float(sum(x * x for x in cent))) for cent in book])
+        for book in codebooks
+    ]
+    terms = [
+        F.element_at(norm_tables[j], F.element_at(F.col("codes"), j + 1) + 1)
+        for j in range(len(codebooks))
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k by ADC over PQ codes, with exact re-rank
+    of the ``rerank_factor·k`` shortlist (0 disables re-rank: pure ADC,
+    ``cos`` is then the quantized estimate).
+
+    Plan shape: queries (tiny, broadcast) carry their LUT + norm as
+    narrow projections; the corpus side joins codes only (m ints/row) —
+    raw vectors enter exactly once, in the shortlist re-rank join, which
+    is output-bound.  The per-pair score is ``zip_with(lut, codes,
+    element_at) → aggregate sum``: m lookups, no vector math.
+
+    Output: (query_id, rank, neighbor_id, cos) — self-matches excluded,
+    ties broken by neighbor id (the brute_force_topk convention)."""
+    if not codebooks or not codebooks[0]:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos double"
+        )
+    queries = drop_null_vectors(queries, vec_col)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    qv = F.col(vec_col).cast("array<double>")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            qv.alias("_qv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+            _lut_dot(qv, codebooks).alias("_lut"),
+        )
+    )
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "codes",
+        F.sqrt(_quantized_norm2(codebooks)).alias("_cn"),
+    )
+    adc_dot = F.aggregate(
+        F.zip_with(
+            F.col("_lut"),
+            F.col("codes"),
+            lambda lut_j, code_j: F.element_at(lut_j, code_j + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        "_qv",
+        "_qn",
+        F.when(denom != 0, adc_dot / denom).alias("_adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc_nulls_last(), F.col("neighbor_id")
+    )
+    shortlist_n = max(k, rerank_factor * k) if rerank_factor else k
+    shortlist = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= shortlist_n
+    )
+    if not rerank_factor:
+        return shortlist.select(
+            "query_id",
+            F.col("_r").alias("rank"),
+            "neighbor_id",
+            F.round("_adc", 6).alias("cos"),
+        )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cnx"),
+    )
+    exact_dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact_denom = F.col("_qn") * F.col("_cnx")
+    rescored = shortlist.join(raw, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.when(exact_denom != 0, exact_dot / exact_denom), 6).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF cell pruning × ADC scoring — the full compressed-probe
+    pipeline: queries probe their ``nprobe`` nearest IVF cells
+    (:func:`similarity._probe_cells`), candidates inside probed cells
+    score by PQ table lookups, and the exact re-rank touches raw
+    vectors only for the shortlist.  Per-probe IO: m bytes/candidate
+    instead of 4·d — the memory win the r10 verdict asked for, composed
+    from the existing IVF geometry (centroids amortizable the same
+    way).
+
+    Output: (query_id, rank, neighbor_id, cos)."""
+    from kafka_merge_purge_spark.operators.similarity import (
+        _kmeans_cells,
+        _probe_cells,
+        _tag_cells,
+        auto_ivf_params,
+    )
+
+    queries = drop_null_vectors(queries, vec_col)
+    corpus = drop_null_vectors(corpus, vec_col)
+    if centroids is not None:
+        cents = centroids
+        if nprobe is None:
+            nprobe = max(2, round(len(cents) * 6 / 16))
+    else:
+        if n_cells is None:
+            n_cells, auto_probe = auto_ivf_params(corpus.count())
+            nprobe = auto_probe if nprobe is None else nprobe
+        elif nprobe is None:
+            nprobe = max(2, round(n_cells * 6 / 16))
+        cents = _kmeans_cells(corpus, n_cells, id_col, vec_col)
+    if not cents or not codebooks or not codebooks[0]:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos double"
+        )
+    # _tag_cells emits (neighbor_id, cv, cn, cell_id); only the
+    # id→cell map is needed here — codes replace the raw vectors
+    tagged = _tag_cells(corpus, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col), F.col("cell_id")
+    )
+    enc = pq_encode(corpus, codebooks, id_col, vec_col).join(tagged, id_col)
+    qv = F.col(vec_col).cast("array<double>")
+    probes = _probe_cells(queries, cents, nprobe, id_col, vec_col)
+    q_extra = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            qv.alias("_qv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+            _lut_dot(qv, codebooks).alias("_lut"),
+        )
+    )
+    cand = (
+        enc.select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            "cell_id",
+            F.sqrt(_quantized_norm2(codebooks)).alias("_cn"),
+        )
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(q_extra, "query_id")
+    )
+    adc_dot = F.aggregate(
+        F.zip_with(
+            F.col("_lut"),
+            F.col("codes"),
+            lambda lut_j, code_j: F.element_at(lut_j, code_j + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        "_qv",
+        "_qn",
+        F.when(denom != 0, adc_dot / denom).alias("_adc"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc_nulls_last(), F.col("neighbor_id")
+    )
+    shortlist_n = max(k, rerank_factor * k) if rerank_factor else k
+    shortlist = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= shortlist_n
+    )
+    if not rerank_factor:
+        return shortlist.select(
+            "query_id",
+            F.col("_r").alias("rank"),
+            "neighbor_id",
+            F.round("_adc", 6).alias("cos"),
+        )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cnx"),
+    )
+    exact_dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact_denom = F.col("_qn") * F.col("_cnx")
+    rescored = shortlist.join(raw, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.when(exact_denom != 0, exact_dot / exact_denom), 6).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
