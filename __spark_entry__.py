@@ -5698,6 +5698,77 @@ def x_apply_changes(spark, sf_dir):
     return apply_changes(snap, changes, "doc_id", ["text", "source"])
 
 
+def x_apply_changes_partial(spark, sf_dir):
+    """Partial-column CDC apply (r10 verdict item 5): the change batch
+    carries SPARSE attr tuples — text-only updates (source NULL) for
+    every 10≡5 doc, source-only updates (text NULL) for every 10≡8 doc,
+    deletes and full inserts as in x_apply_changes — and
+    ``partial=True`` keeps the snapshot value wherever the winning
+    change is NULL.  FULL hash oracle: the NULL-means-keep rule is a
+    per-column COALESCE replay; idempotent replay pinned in pytest."""
+    from kafka_merge_purge_spark.operators.snapshot import apply_changes
+
+    d = _t(spark, sf_dir, "documents")
+    snap = d.select("doc_id", "text", "source")
+    k = F.col("doc_id")
+    deletes = d.filter(k % 10 == 0).select(
+        "doc_id", F.lit(1).alias("ts"), F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    text_only = d.filter(k % 10 == 5).select(
+        "doc_id", F.lit(2).alias("ts"), F.lit("upsert").alias("op"),
+        F.concat(F.lit("patched "), F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    source_only = d.filter(k % 10 == 8).select(
+        "doc_id", F.lit(2).alias("ts"), F.lit("upsert").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("requeued").alias("source"),
+    )
+    inserts = d.filter(k % 50 == 0).select(
+        (k + 1000000).alias("doc_id"), F.lit(1).alias("ts"),
+        F.lit("upsert").alias("op"), F.lit("new doc").alias("text"),
+        F.lit("ingest").alias("source"),
+    )
+    changes = (
+        deletes.unionByName(text_only)
+        .unionByName(source_only)
+        .unionByName(inserts)
+    )
+    return apply_changes(
+        snap, changes, "doc_id", ["text", "source"], partial=True
+    )
+
+
+_LLM_ORACLES["x_apply_changes_partial"] = """
+    WITH ch AS (
+        SELECT doc_id AS k, 1 AS ts, 'delete' AS op,
+               CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS source
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, 2, 'upsert', 'patched ' || text, CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id, 2, 'upsert', CAST(NULL AS VARCHAR), 'requeued'
+        FROM documents WHERE doc_id % 10 = 8
+        UNION ALL
+        SELECT doc_id + 1000000, 1, 'upsert', 'new doc', 'ingest'
+        FROM documents WHERE doc_id % 50 = 0
+    ), last AS (
+        SELECT k, op, text, source FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+            FROM ch) WHERE rn = 1
+    )
+    SELECT COALESCE(d.doc_id, last.k) AS doc_id,
+           CASE WHEN last.op IS NOT NULL
+                THEN COALESCE(last.text, d.text) ELSE d.text END AS text,
+           CASE WHEN last.op IS NOT NULL
+                THEN COALESCE(last.source, d.source) ELSE d.source END AS source
+    FROM documents d FULL OUTER JOIN last ON d.doc_id = last.k
+    WHERE last.op IS NULL OR last.op = 'upsert'"""
+
+
 _LLM_ORACLES["x_apply_changes"] = """
     WITH ch AS (
         SELECT doc_id AS k, 1 AS ts, 'delete' AS op,

@@ -152,6 +152,8 @@ def apply_changes(
     op_col: str = "op",
     ts_col: str = "ts",
     tiebreak_col: str | None = None,
+    partial: bool = False,
+    mask_col: str | None = None,
 ) -> DataFrame:
     """Batch CDC apply — MERGE INTO semantics as one declarative plan:
     fold a change batch into a snapshot and return the NEW snapshot.
@@ -171,6 +173,22 @@ def apply_changes(
     - any OTHER op value fails the job eagerly (``raise_error`` inside
       the plan — a typo'd op must never silently drop a change);
     - snapshot keys untouched by the batch pass through unchanged.
+
+    Sparse-column updates (r10 verdict item 5 — real CDC feeds rarely
+    carry the whole attr tuple):
+
+    - ``partial=True``: NULL-means-keep — the winning upsert's NULL
+      attr keeps the snapshot value (``COALESCE(change, snapshot)``
+      per column).  The tradeoff is inherent to the encoding: an
+      explicit set-to-NULL cannot be expressed — use the mask form;
+    - ``mask_col``: the change rows carry an ``array<string>`` of the
+      attr names they actually update; the winning upsert applies
+      exactly those columns (explicit NULLs included) and keeps the
+      rest.  ``mask_col`` wins over ``partial``.
+    - either way, row-level last-write-wins is unchanged: intra-batch
+      partial updates to DIFFERENT columns of one key do not compose —
+      apply batches in order for that (each apply is idempotent, so
+      replaying a batch is always safe).
 
     Scale shape: one per-key window over the CHANGES only (batches are
     small relative to snapshots), then ONE full-outer equi join onto
@@ -194,6 +212,7 @@ def apply_changes(
         changes.select(
             key_col, ts_col, checked.alias("_op"), *attr_cols,
             *([tiebreak_col] if tiebreak_col else []),
+            *([mask_col] if mask_col else []),
         )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -201,6 +220,7 @@ def apply_changes(
             F.col(key_col).alias("_k"),
             "_op",
             *[F.col(c).alias(f"_c_{c}") for c in attr_cols],
+            *([F.col(mask_col).alias("_mask")] if mask_col else []),
         )
     )
     joined = snapshot.join(
@@ -208,15 +228,21 @@ def apply_changes(
     )
     has_change = F.col("_op").isNotNull()
     keep = ~has_change | (F.col("_op") == "upsert")
+
+    def new_value(c: str):
+        if mask_col is not None:
+            applies = has_change & F.array_contains(F.col("_mask"), F.lit(c))
+            return F.when(applies, F.col(f"_c_{c}")).otherwise(snapshot[c])
+        if partial:
+            return F.when(
+                has_change, F.coalesce(F.col(f"_c_{c}"), snapshot[c])
+            ).otherwise(snapshot[c])
+        return F.when(has_change, F.col(f"_c_{c}")).otherwise(snapshot[c])
+
     return (
         joined.filter(keep)
         .select(
             F.coalesce(snapshot[key_col], F.col("_k")).alias(key_col),
-            *[
-                F.when(has_change, F.col(f"_c_{c}"))
-                .otherwise(snapshot[c])
-                .alias(c)
-                for c in attr_cols
-            ],
+            *[new_value(c).alias(c) for c in attr_cols],
         )
     )

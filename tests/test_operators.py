@@ -3586,6 +3586,59 @@ def test_apply_changes_merge_semantics(spark):
     assert got3[1] == "y"
 
 
+def test_apply_changes_partial_and_mask_semantics(spark):
+    """Sparse-column CDC (r11): partial=True keeps snapshot values where
+    the winning change is NULL; mask_col applies exactly the named
+    columns (explicit NULL-set expressible); both replay idempotently;
+    the full form still overwrites with NULLs (the three modes differ
+    observably on one fixture)."""
+    from kafka_merge_purge_spark.operators.snapshot import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s2"), (3, "c", "s3")],
+        "k long, v string, src string",
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, 10, "upsert", "a2", None),     # text-only patch
+            (2, 10, "upsert", None, "s2x"),    # source-only patch
+            (4, 10, "upsert", "d", None),      # sparse insert
+        ],
+        "k long, ts long, op string, v string, src string",
+    )
+    part = {r["k"]: (r["v"], r["src"]) for r in
+            apply_changes(snap, ch, "k", ["v", "src"], partial=True).collect()}
+    assert part == {1: ("a2", "s1"), 2: ("b", "s2x"), 3: ("c", "s3"),
+                    4: ("d", None)}
+    # full form overwrites with the NULLs
+    full = {r["k"]: (r["v"], r["src"]) for r in
+            apply_changes(snap, ch, "k", ["v", "src"]).collect()}
+    assert full[1] == ("a2", None) and full[2] == (None, "s2x")
+    # idempotent replay of the partial batch
+    out1 = apply_changes(snap, ch, "k", ["v", "src"], partial=True)
+    part2 = {r["k"]: (r["v"], r["src"]) for r in
+             apply_changes(out1, ch, "k", ["v", "src"], partial=True).collect()}
+    assert part2 == part
+
+    # mask form: explicit NULL-set IS expressible
+    chm = spark.createDataFrame(
+        [
+            (1, 10, "upsert", None, "zz", ["v"]),    # set v to NULL, keep src
+            (2, 10, "upsert", "bx", "ignored", ["v"]),
+        ],
+        "k long, ts long, op string, v string, src string, cols array<string>",
+    )
+    masked = {r["k"]: (r["v"], r["src"]) for r in
+              apply_changes(snap, chm, "k", ["v", "src"],
+                            mask_col="cols").collect()}
+    assert masked == {1: (None, "s1"), 2: ("bx", "s2"), 3: ("c", "s3")}
+    out_m = apply_changes(snap, chm, "k", ["v", "src"], mask_col="cols")
+    masked2 = {r["k"]: (r["v"], r["src"]) for r in
+               apply_changes(out_m, chm, "k", ["v", "src"],
+                             mask_col="cols").collect()}
+    assert masked2 == masked
+
+
 def test_record_linkage_multipass_rescues_corrupted_blocks(spark):
     """A match whose pass-1 block key is corrupted survives via pass 2;
     pairs found by both passes dedup to one row; empty passes raise."""
