@@ -1,10 +1,17 @@
 """Compare two bench.py JSON outputs (e.g. BENCH_r1.json vs BENCH_r2.json):
 per-query deltas sorted by regression, plus totals.
 
+Uniform host-noise separation (r10 verdict item 7): the per-query ratios
+new/old are first normalized by their MEDIAN across all shared queries —
+a co-tenancy blip inflates (nearly) every query by one common factor,
+which the median captures, while a real plan regression moves a few
+queries far beyond it.  Both the raw and the noise-adjusted delta print;
+regression flags fire on the ADJUSTED delta.
+
 Usage:  python tools/bench_compare.py OLD.json NEW.json [threshold_pct]
 Exit code 1 if any query regressed more than threshold_pct (default 50)
-AND more than 0.5 s absolute — the guard future rounds run before
-shipping a planner-relevant change.
+AND more than 0.5 s absolute AFTER normalization — the guard future
+rounds run before shipping a planner-relevant change.
 """
 
 from __future__ import annotations
@@ -39,21 +46,37 @@ def main() -> int:
     # pre-drain files carry no bench_basis marker (added in r8)
     old_pre_drain = old.get("bench_basis", 0) < BENCH_BASIS_ROUND
 
+    # the uniform host factor: median new/old ratio over shared queries
+    shared_ratios = sorted(
+        nq[n] / oq[n] for n in set(oq) & set(nq) if oq[n] and nq[n]
+    )
+    host_factor = shared_ratios[len(shared_ratios) // 2] if shared_ratios else 1.0
+
     rows = []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
         if a is None or b is None:
-            rows.append((0.0, name, a, b, "added" if a is None else "removed"))
+            rows.append((0.0, name, a, b, None, "added" if a is None else "removed"))
             continue
+        b_adj = b / host_factor
         pct = (b - a) / a * 100 if a else 0.0
-        rows.append((pct, name, a, b, f"{pct:+.0f}%"))
+        adj_pct = (b_adj - a) / a * 100 if a else 0.0
+        rows.append((adj_pct, name, a, b, b_adj, f"{pct:+.0f}% (adj {adj_pct:+.0f}%)"))
 
     regressions = 0
     print(f"total: {old['value']}s -> {new['value']}s "
-          f"({len(oq)} -> {len(nq)} queries)")
-    for pct, name, a, b, label in sorted(rows, reverse=True):
+          f"({len(oq)} -> {len(nq)} queries); "
+          f"uniform host factor {host_factor:.3f}"
+          + (" — co-tenancy noise dominates, adjusted deltas are the signal"
+             if abs(host_factor - 1.0) > 0.15 else ""))
+    for adj_pct, name, a, b, b_adj, label in sorted(rows, reverse=True):
         flag = ""
-        if a is not None and b is not None and pct > threshold_pct and (b - a) > 0.5:
+        if (
+            a is not None
+            and b_adj is not None
+            and adj_pct > threshold_pct
+            and (b_adj - a) > 0.5
+        ):
             if old_pre_drain and name in CACHE_BEARING:
                 flag = "  (basis change r7: pre-drain old number — see BASELINE.md)"
             else:
