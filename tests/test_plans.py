@@ -178,6 +178,25 @@ def test_projection_barrier_pins_single_evaluation(spark):
     assert out.count() == 5
 
 
+def test_pmi_intersect_evaluates_once(tables):
+    """pmi_cooccurrence leans on projection_barrier to hold the per-doc
+    intersect+sort subtree to ONE evaluation — the nested pair transform
+    references the vocab array O(m) times, and without the barrier
+    CollapseProject inlines the subtree per reference (measured 1.7 →
+    6.8 s at sf0.1).  That dependence is fragile across Spark versions
+    (r10 verdict item 8): pin the single-evaluation property by counting
+    the subtree in the optimized plan, so an optimizer change cannot
+    silently multiply it."""
+    from kafka_merge_purge_spark.operators.text import pmi_cooccurrence
+
+    out = pmi_cooccurrence(tables["documents"], top_m=10, min_count=2)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("array_intersect") == 1
+    assert opt.count("array_sort") == 1
+    # and the barrier's Generate is still standing between the stages
+    assert "Generate" in opt
+
+
 def test_embedding_ann_pair_exchanges_carry_no_vectors(tables):
     """Pin the r6 bucketed-dedup shuffle width: the LSH candidate
     self-join moves (id, table, sig) ONLY — embedding arrays re-enter
