@@ -142,51 +142,118 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Encode each vector as its per-subspace nearest sub-centroid
-    (0-based codes) — the m-byte compressed form.  One narrow
-    projection: every subspace assignment is the same literal argmin
-    expression :func:`cluster.kmeans_assign` uses, zero shuffle.
+    (0-based codes, first-argmin ties) — the m-byte compressed form.
+    Zero shuffle either way; two physical forms (the _tag_cells
+    precedent, pinned equivalent in pytest):
+
+    - ``pandas`` (default): one Arrow-batched numpy pass — per batch
+      and subspace a (batch × ksub) distance matrix + argmin.  At the
+      default m·ksub = 16·32 geometry the expression twin's literal
+      tree is ~16k nodes: it breaks whole-stage codegen's 64 KB method
+      limit and its per-execution compile cost alone dominated the
+      first cut (encode measured 5.9 s for 5 k rows, ~all planning);
+    - ``expr``: the literal :func:`cluster._assign_expr` argmin per
+      subspace — Catalyst-only environments, small books.
 
     Output: (id_col, codes array<int>)."""
-    from kafka_merge_purge_spark.operators.cluster import _assign_expr
+    base = drop_null_vectors(emb, vec_col)
+    if impl == "expr":
+        from kafka_merge_purge_spark.operators.cluster import _assign_expr
 
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    codes = F.array(
-        *[
-            (_assign_expr(F.slice(v, j * dsub + 1, dsub), codebooks[j]) - 1).cast(
-                "int"
+        m = len(codebooks)
+        dsub = len(codebooks[0][0])
+        v = F.col(vec_col).cast("array<double>")
+        codes = F.array(
+            *[
+                (
+                    _assign_expr(F.slice(v, j * dsub + 1, dsub), codebooks[j]) - 1
+                ).cast("int")
+                for j in range(m)
+            ]
+        )
+        return base.select(F.col(id_col), codes.alias("codes"))
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    id_type = dict(emb.dtypes)[id_col]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cols = []
+            for j, cb in enumerate(books):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-free
+                d2 = -2.0 * (sub @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+                cols.append(d2.argmin(axis=1).astype(np.int32))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(np.stack(cols, axis=1))}
             )
-            for j in range(m)
-        ]
-    )
-    return drop_null_vectors(emb, vec_col).select(
-        F.col(id_col), codes.alias("codes")
+
+    return base.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, codes array<int>"
     )
 
 
-def _lut_dot(qv, codebooks) -> Column:
-    """Per-query ADC lookup table: lut[j][c] = <q_subj, codebook[j][c]>
-    as a literal-expanded expression (d·ksub multiply-adds per QUERY
-    row, never per pair)."""
-    dsub = len(codebooks[0][0])
-    tables = []
-    for j, book in enumerate(codebooks):
-        entries = []
-        for cent in book:
-            entries.append(
-                reduce(
-                    lambda a, b: a + b,
-                    [
-                        F.element_at(qv, j * dsub + t + 1) * F.lit(float(cent[t]))
-                        for t in range(dsub)
-                    ],
-                )
+def _query_lut_frame(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC state as ONE Arrow kernel pass over the (tiny)
+    query side: (query_id, _qv raw vector, _qn norm, _lut) with
+    lut[j][c] = <q_subj, codebook[j][c]>.  A literal-expression twin of
+    the LUT is d·ksub multiply-add nodes (~16k at the default
+    geometry): it breaks the 64 KB codegen method limit and its
+    compile cost alone measured 11.7 s for 20 query rows — the kernel
+    computes the same numbers in microseconds of numpy."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    id_type = dict(queries.dtypes)[id_col]
+
+    def lut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            qn = np.sqrt((mat * mat).sum(axis=1))
+            luts = [
+                [
+                    (books[j] @ mat[i, j * dsub : (j + 1) * dsub]).tolist()
+                    for j in range(len(books))
+                ]
+                for i in range(len(mat))
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col],
+                    "_qv": [list(map(float, r)) for r in mat],
+                    "_qn": qn,
+                    "_lut": luts,
+                }
             )
-        tables.append(F.array(*entries))
-    return F.array(*tables)
+
+    return drop_null_vectors(queries, vec_col).select(id_col, vec_col).mapInPandas(
+        lut,
+        schema=(
+            f"query_id {id_type}, _qv array<double>, _qn double, "
+            "_lut array<array<double>>"
+        ),
+    )
 
 
 def _quantized_norm2(codebooks) -> Column:
@@ -229,18 +296,9 @@ def pq_topk(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cos double"
         )
-    queries = drop_null_vectors(queries, vec_col)
     if codes is None:
         codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    qv = F.col(vec_col).cast("array<double>")
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            qv.alias("_qv"),
-            l2_norm(F.col(vec_col)).alias("_qn"),
-            _lut_dot(qv, codebooks).alias("_lut"),
-        )
-    )
+    q = F.broadcast(_query_lut_frame(queries, codebooks, id_col, vec_col))
     c = codes.select(
         F.col(id_col).alias("neighbor_id"),
         "codes",
@@ -355,16 +413,8 @@ def ivf_pq_topk(
         F.col("neighbor_id").alias(id_col), F.col("cell_id")
     )
     enc = pq_encode(corpus, codebooks, id_col, vec_col).join(tagged, id_col)
-    qv = F.col(vec_col).cast("array<double>")
     probes = _probe_cells(queries, cents, nprobe, id_col, vec_col)
-    q_extra = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            qv.alias("_qv"),
-            l2_norm(F.col(vec_col)).alias("_qn"),
-            _lut_dot(qv, codebooks).alias("_lut"),
-        )
-    )
+    q_extra = F.broadcast(_query_lut_frame(queries, codebooks, id_col, vec_col))
     cand = (
         enc.select(
             F.col(id_col).alias("neighbor_id"),

@@ -3056,6 +3056,14 @@ def test_pq_fit_encode_and_recall_floor(spark):
     books2 = pq_fit(small, m=8, ksub=4, iters=1)
     assert len(books2) == 8 and pq_encode(small, books2).count() == 40
 
+    # Arrow kernel == expression twin (the _tag_cells pin): identical
+    # codes row-for-row on the real corpus
+    kern = sorted((r["vec_id"], tuple(r["codes"]))
+                  for r in pq_encode(emb, books2).collect())
+    expr = sorted((r["vec_id"], tuple(r["codes"]))
+                  for r in pq_encode(emb, books2, impl="expr").collect())
+    assert kern == expr
+
     with _pytest.raises(ValueError):
         pq_fit_sample(emb, m=7)  # 64 dims don't split into 7
     assert pq_fit_sample(emb.limit(0), m=8) == []

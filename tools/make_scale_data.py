@@ -212,6 +212,19 @@ def scale_customer(src: str, out: str, r_factor: int) -> None:
     print(f"customer: {n} -> {n * r_factor} rows")
 
 
+def copy_dims(src: str, out: str) -> None:
+    """supplier/nation/region pass through UNSCALED: the orders scaler's
+    rationale (a bigger deployment has more customers/orders while
+    suppliers stay shared) means the Q21/Q15 shapes grow on the fact
+    side against fixed dimensions — the realistic 10× shape, and the
+    one that stresses their semi/anti joins hardest (more lines per
+    supplier)."""
+    for name in ("supplier", "nation", "region"):
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t, f"{out}/{name}.parquet")
+        print(f"{name}: {t.num_rows} rows (dims unscaled)")
+
+
 def main() -> None:
     r_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -225,6 +238,7 @@ def main() -> None:
     scale_events(src, out, r_factor)
     scale_orders(src, out, r_factor)
     scale_customer(src, out, r_factor)
+    copy_dims(src, out)
 
 
 if __name__ == "__main__":
