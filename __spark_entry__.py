@@ -4602,6 +4602,75 @@ def _sssp_oracle_sql(rounds: int = 6) -> str:
 
 _RELATIONAL_ORACLES["x_sssp"] = _sssp_oracle_sql(6)
 
+
+def x_hits(spark, sf_dir):
+    """HITS hubs & authorities (components.hits, r11, Kleinberg 1999)
+    over the DIRECTED supplier→customer co-trade graph — suppliers act
+    as hubs, customers as authorities (the two roles PageRank
+    conflates).  2 fixed iterations of exact int64 L1-normalized
+    power steps on the iterate() primitive; FULL hash oracle (rounds
+    unrolled as chained CTEs, the pagerank precedent)."""
+    from kafka_merge_purge_spark.operators.components import hits
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(pairs, iterations=2)
+
+
+def _hits_oracle_sql(iterations: int = 2, scale: int = 10**9) -> str:
+    """Unrolled HITS twin: per round a ← L1-normalized Eᵀh, then
+    h ← L1-normalized E·a using the NEW a; zero-sum rounds keep the
+    prior score (replayed with the same CASE guard)."""
+    ctes = [
+        f"""s0 AS (SELECT node, CAST({scale} AS BIGINT) // c AS hub,
+                        CAST({scale} AS BIGINT) // c AS authority
+             FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""aR{i} AS (SELECT e.dst AS node, SUM(s.hub) AS ar
+                 FROM e JOIN s{p} s ON e.src = s.node GROUP BY e.dst),
+    aS{i} AS (SELECT COALESCE(SUM(ar), 0) AS asum FROM aR{i}),
+    sA{i} AS (SELECT s.node, s.hub,
+                    CASE WHEN asum > 0
+                         THEN (COALESCE(ar, 0) * CAST({scale} AS BIGINT)) // asum
+                         ELSE s.authority END AS authority
+              FROM s{p} s LEFT JOIN aR{i} USING (node) CROSS JOIN aS{i}),
+    hR{i} AS (SELECT e.src AS node, SUM(s.authority) AS hr
+              FROM e JOIN sA{i} s ON e.dst = s.node GROUP BY e.src),
+    hS{i} AS (SELECT COALESCE(SUM(hr), 0) AS hsum FROM hR{i}),
+    s{i} AS (SELECT s.node,
+                   CASE WHEN hsum > 0
+                        THEN (COALESCE(hr, 0) * CAST({scale} AS BIGINT)) // hsum
+                        ELSE s.hub END AS hub,
+                   s.authority
+             FROM sA{i} s LEFT JOIN hR{i} USING (node) CROSS JOIN hS{i})"""
+        )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM pairs),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS c FROM nodes),
+    {', '.join(ctes)}
+    SELECT node, CAST(hub AS BIGINT) AS hub,
+           CAST(authority AS BIGINT) AS authority
+    FROM s{iterations}"""
+
+
+_RELATIONAL_ORACLES["x_hits"] = _hits_oracle_sql(2)
+
 _RELATIONAL_ORACLES["x_auto_skew_join"] = """
     SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
     FROM (SELECT *, CASE WHEN o_custkey % 10 < 7 THEN 1

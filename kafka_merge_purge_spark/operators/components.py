@@ -392,6 +392,123 @@ def label_propagation(
     return labels
 
 
+#: HITS fixed-point scale — see the overflow note in hits()
+HITS_SCALE = 10**9
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in EXACT integer
+    arithmetic on :func:`iterate` — the link-analysis complement to
+    PageRank: authorities are pointed AT by good hubs, hubs point AT
+    good authorities (a directory page is a hub, the pages it curates
+    are authorities; PageRank conflates the two roles).
+
+    Quantization (the pagerank convention, so a fixed ``iterations``
+    unrolls into plain SQL CTEs with a FULL hash oracle): scores live
+    in int64 units of HITS_SCALE total mass (10^9, NOT PR_SCALE: the
+    normalization multiplies a raw sum ≤ SCALE by SCALE before the
+    integer divide, so SCALE² must stay under int64 — 10^18 < 2^63); per iteration::
+
+        a_raw(v) = Σ h(u) over edge rows (u, v)      (Eᵀ·h)
+        a(v)     = a_raw(v)·PR_SCALE // Σ a_raw       (L1 normalize)
+        h_raw(u) = Σ a(v)  over edge rows (u, v)      (E·a, NEW a)
+        h(u)     = h_raw(u)·PR_SCALE // Σ h_raw
+
+    (The classic normalizes in L2 — a sqrt, which no integer replay
+    survives; L1 yields the same RANKING fixpoint direction and keeps
+    every step exact.  Zero-sum rounds (no edges) keep prior scores.)
+
+    Scale shape: edges hash-partitioned by ``src`` once and cached;
+    per iteration only (node, score) frames move (broadcast by
+    default), the two shuffles are the in-/out-aggregates, and the
+    normalization sums ride 1-row broadcast cross-joins.
+
+    Output: (node, hub, authority) in HITS_SCALE units."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    hint = F.broadcast if broadcast_scores else (lambda df: df)
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .repartition(F.col("_src"))
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    state0 = nodes.crossJoin(n_row).select(
+        "node",
+        F.expr(f"CAST({HITS_SCALE} AS BIGINT) DIV _n").alias("hub"),
+        F.expr(f"CAST({HITS_SCALE} AS BIGINT) DIV _n").alias("authority"),
+    )
+
+    def hits_round(state: DataFrame, _i: int) -> DataFrame:
+        a_raw = (
+            e.join(
+                hint(state.select(F.col("node").alias("_src"), "hub")), "_src"
+            )
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("hub").alias("_ar"))
+        )
+        a_sum = F.broadcast(
+            a_raw.agg(F.coalesce(F.sum("_ar"), F.lit(0)).cast("long").alias("_as"))
+        )
+        with_a = (
+            state.join(hint(a_raw), "node", "left")
+            .crossJoin(a_sum)
+            .select(
+                "node",
+                "hub",
+                F.when(
+                    F.col("_as") > 0,
+                    F.expr(f"(COALESCE(_ar, 0) * CAST({HITS_SCALE} AS BIGINT)) DIV _as"),
+                )
+                .otherwise(F.col("authority"))
+                .alias("authority"),
+            )
+        )
+        h_raw = (
+            e.join(
+                hint(
+                    with_a.select(F.col("node").alias("_dst"), "authority")
+                ),
+                "_dst",
+            )
+            .groupBy(F.col("_src").alias("node"))
+            .agg(F.sum("authority").alias("_hr"))
+        )
+        h_sum = F.broadcast(
+            h_raw.agg(F.coalesce(F.sum("_hr"), F.lit(0)).cast("long").alias("_hs"))
+        )
+        return (
+            with_a.join(hint(h_raw), "node", "left")
+            .crossJoin(h_sum)
+            .select(
+                "node",
+                F.when(
+                    F.col("_hs") > 0,
+                    F.expr(f"(COALESCE(_hr, 0) * CAST({HITS_SCALE} AS BIGINT)) DIV _hs"),
+                )
+                .otherwise(F.col("hub"))
+                .alias("hub"),
+                "authority",
+            )
+        )
+
+    out = iterate(state0, hits_round, max_rounds=iterations)
+    e.unpersist()
+    return out.select("node", "hub", "authority")
+
+
 def sssp(
     edges: DataFrame,
     source,

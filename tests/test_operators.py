@@ -3071,6 +3071,57 @@ def test_pq_fit_encode_and_recall_floor(spark):
     assert empty.count() == 0
 
 
+def test_hits_matches_integer_reference(spark):
+    """Quantized HITS equals a driver-side exact-integer replay on
+    seeded random digraphs; a star hub out-scores its spokes on hub
+    and the center of an in-star wins authority; pure-sink/source
+    nodes keep renormalized zero-side scores."""
+    import random
+
+    from kafka_merge_purge_spark.operators.components import HITS_SCALE, hits
+
+    def reference(edges, iters):
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        n = len(nodes)
+        h = {v: HITS_SCALE // n for v in nodes}
+        a = {v: HITS_SCALE // n for v in nodes}
+        for _ in range(iters):
+            ar = {}
+            for u, v in edges:
+                ar[v] = ar.get(v, 0) + h[u]
+            asum = sum(ar.values())
+            if asum > 0:
+                a = {v: (ar.get(v, 0) * HITS_SCALE) // asum for v in nodes}
+            hr = {}
+            for u, v in edges:
+                hr[u] = hr.get(u, 0) + a[v]
+            hsum = sum(hr.values())
+            if hsum > 0:
+                h = {v: (hr.get(v, 0) * HITS_SCALE) // hsum for v in nodes}
+        return h, a
+
+    rng = random.Random(17)
+    for trial in range(3):
+        nodes = [f"n{i}" for i in range(18)]
+        edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)})
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(df, iterations=2).collect()}
+        h, a = reference(edges, 2)
+        assert got == {v: (h[v], a[v]) for v in h}, f"trial {trial}"
+
+    # out-star: the center is the only hub, spokes split authority
+    star = spark.createDataFrame(
+        [("hub", f"s{i}") for i in range(4)], "src string, dst string"
+    )
+    got = {r["node"]: r for r in hits(star, iterations=2).collect()}
+    assert got["hub"]["hub"] == HITS_SCALE  # all hub mass
+    assert got["hub"]["authority"] == 0
+    assert all(got[f"s{i}"]["hub"] == 0 for i in range(4))
+    assert all(got[f"s{i}"]["authority"] == HITS_SCALE // 4 for i in range(4))
+
+
 def test_sssp_matches_reference_and_stable_twin(spark):
     """Bellman-Ford on iterate(): hop + weighted distances equal a
     driver-side Dijkstra on seeded random graphs; unreached nodes NULL;
