@@ -4603,6 +4603,73 @@ def _sssp_oracle_sql(rounds: int = 6) -> str:
 _RELATIONAL_ORACLES["x_sssp"] = _sssp_oracle_sql(6)
 
 
+def x_walks(spark, sf_dir):
+    """Deterministic uniform random walks (components.random_walks,
+    r11, DeepWalk corpus generation): one 4-step walk per node over
+    the bidirectional co-trade graph, neighbor choice = md5-coin mod
+    outdeg over the (src, dst)-ordered adjacency — every engine
+    replays the identical walks, so this 'random' sampler carries a
+    FULL hash oracle (steps unrolled as chained CTEs)."""
+    from kafka_merge_purge_spark.operators.components import random_walks
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(edges, walk_length=4, walks_per_node=1)
+
+
+def _walks_oracle_sql(walk_length: int = 4, seed: str = "walk") -> str:
+    coin = (
+        "CAST(('0x' || substr(md5('{seed}:' || w.walk_id || ':{i}:' || w.cur), "
+        "1, 15)) AS BIGINT)"
+    )
+    ctes = [
+        """w0 AS (SELECT node || '#0' AS walk_id, node AS start, node AS cur,
+                       [node] AS path, FALSE AS done FROM nodes)"""
+    ]
+    for i in range(walk_length):
+        c = coin.format(seed=seed, i=i)
+        ctes.append(
+            f"""w{i + 1} AS (
+        SELECT walk_id, start, cur, path, done FROM w{i} WHERE done
+        UNION ALL
+        SELECT w.walk_id, w.start, a.v AS cur,
+               list_append(w.path, a.v) AS path, FALSE AS done
+        FROM w{i} w JOIN adj a ON w.cur = a.u
+        WHERE NOT w.done AND {c} % a.od = a.idx
+        UNION ALL
+        SELECT walk_id, start, cur, path, TRUE AS done FROM w{i}
+        WHERE NOT done AND cur NOT IN (SELECT u FROM adj))"""
+        )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    adj AS (SELECT src AS u, dst AS v,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                   COUNT(*) OVER (PARTITION BY src) AS od
+            FROM (SELECT DISTINCT src, dst FROM e)),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    {', '.join(ctes)}
+    SELECT walk_id, start, path FROM w{walk_length}"""
+
+
+_RELATIONAL_ORACLES["x_walks"] = _walks_oracle_sql(4)
+
+
 def x_hits(spark, sf_dir):
     """HITS hubs & authorities (components.hits, r11, Kleinberg 1999)
     over the DIRECTED supplier→customer co-trade graph — suppliers act

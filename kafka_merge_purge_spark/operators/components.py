@@ -592,6 +592,125 @@ def sssp(
     return dists
 
 
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    seed: str = "walk",
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Deterministic uniform random walks over a directed edge list —
+    the corpus generator for DeepWalk/node2vec-style graph embeddings
+    (Perozzi et al. 2014): each node starts ``walks_per_node`` walks,
+    each walk takes ``walk_length`` uniform-neighbor steps (stopping
+    early at sinks).
+
+    Randomness is md5-coin derandomized (the repo-wide convention —
+    kmeans|| coins, A-ES ranks): step ``i`` of walk ``w`` at node ``u``
+    picks neighbor index ``md5(seed:w:i:u) mod outdeg(u)`` over the
+    adjacency indexed by a (src, dst)-ordered row_number.  Every engine
+    replays the identical walks, so the output carries a FULL hash
+    oracle — no engine-bound RNG, no run-to-run drift (reproducible
+    training corpora are a feature, not a compromise).
+
+    Built on :func:`iterate`: the state is the (walk_id, cur, path)
+    frame — O(walks), never the graph; per step ONE equi join onto the
+    indexed adjacency (broadcast state by default;
+    ``broadcast_state=False`` shuffles it onto the adjacency
+    partitioning for walk counts beyond broadcast size) plus the
+    md5 coin, and iterate()'s per-round materialization keeps lineage
+    flat.  The adjacency (with per-src neighbor index + outdeg) is
+    computed once and cached.
+
+    Output: (walk_id string, start node, path array — path[0] = start,
+    len(path) ≤ walk_length + 1)."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    hint = F.broadcast if broadcast_state else (lambda df: df)
+    from pyspark.sql import Window
+
+    e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    )
+    w_adj = Window.partitionBy("_u").orderBy("_v")
+    adj = (
+        e.distinct()
+        .withColumn("_idx", F.row_number().over(w_adj) - 1)
+        .withColumn("_od", F.count(F.lit(1)).over(Window.partitionBy("_u")))
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("_u").alias("node"))
+        .unionByName(e.select(F.col("_v").alias("node")))
+        .distinct()
+    )
+    starts = nodes.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
+                lambda r: F.concat(
+                    F.col("node").cast("string"), F.lit("#"), r.cast("string")
+                ),
+            )
+        ).alias("walk_id"),
+        F.col("node").alias("start"),
+        F.col("node").alias("_cur"),
+        F.array(F.col("node").cast("string")).alias("path"),
+        F.lit(False).alias("_done"),
+    )
+
+    def coin(step: int):
+        # md5-affine uniform coin, the md5_int convention: 60 hex-bit
+        # prefix of md5("<seed>:<walk>:<step>:<node>") as int64
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col("walk_id"),
+                        F.lit(f":{step}:"),
+                        F.col("_cur").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    srcs = adj.select("_u").distinct()
+
+    def step_fn(state: DataFrame, i: int) -> DataFrame:
+        live = state.filter(~F.col("_done"))
+        # inner join (build-left broadcastable) picks the coined neighbor;
+        # walks standing on a sink (no out-edges) retire via the anti join
+        stepped = (
+            hint(live.withColumn("_pick", coin(i)))
+            .join(adj, F.col("_cur") == adj["_u"])
+            .filter(F.pmod(F.col("_pick"), F.col("_od")) == F.col("_idx"))
+            .select(
+                "walk_id",
+                "start",
+                F.col("_v").alias("_cur"),
+                F.concat(F.col("path"), F.array(F.col("_v").cast("string"))).alias(
+                    "path"
+                ),
+                F.lit(False).alias("_done"),
+            )
+        )
+        retired = live.join(srcs, live["_cur"] == srcs["_u"], "left_anti").select(
+            "walk_id", "start", "_cur", "path", F.lit(True).alias("_done")
+        )
+        return state.filter(F.col("_done")).unionByName(stepped).unionByName(retired)
+
+    out = iterate(starts, step_fn, max_rounds=walk_length)
+    adj.unpersist()
+    return out.select("walk_id", "start", "path")
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

@@ -3071,6 +3071,53 @@ def test_pq_fit_encode_and_recall_floor(spark):
     assert empty.count() == 0
 
 
+def test_random_walks_deterministic_and_sink_safe(spark):
+    """md5-coin walks: identical across runs, path[0] = start, every
+    consecutive pair is a real edge, sinks retire early, walks_per_node
+    fans out with distinct coins, and the coin is near-uniform over
+    neighbors (loose frequency sanity on a 2-regular hub)."""
+    from kafka_merge_purge_spark.operators.components import random_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d")]  # d is a sink
+    eset = set(edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out1 = {r["walk_id"]: tuple(r["path"])
+            for r in random_walks(df, walk_length=5).collect()}
+    out2 = {r["walk_id"]: tuple(r["path"])
+            for r in random_walks(df, walk_length=5).collect()}
+    assert out1 == out2 and len(out1) == 4
+    for wid, path in out1.items():
+        start = wid.split("#")[0]
+        assert path[0] == start
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in eset
+        # a walk ends either at full length or stranded on the sink
+        assert len(path) == 6 or path[-1] == "d"
+    # d's own walk retires immediately
+    assert out1["d#0"] == ("d",)
+
+    # fan-out: 3 walks per node, ids distinct, seeds differ per walk
+    multi = random_walks(df, walk_length=3, walks_per_node=3).collect()
+    assert len(multi) == 12
+    assert len({r["walk_id"] for r in multi}) == 12
+
+    # uniformity sanity: from a node with 10 neighbors, 200 walks split
+    # roughly evenly (no neighbor starved or hoarding)
+    hub = spark.createDataFrame(
+        [("h", f"n{i}") for i in range(10)], "src string, dst string"
+    )
+    first_steps = [
+        r["path"][1]
+        for r in random_walks(hub, walk_length=1, walks_per_node=200).collect()
+        if r["start"] == "h" and len(r["path"]) > 1
+    ]
+    assert len(first_steps) == 200
+    from collections import Counter
+
+    counts = Counter(first_steps)
+    assert len(counts) == 10 and all(5 <= c <= 45 for c in counts.values())
+
+
 def test_hits_matches_integer_reference(spark):
     """Quantized HITS equals a driver-side exact-integer replay on
     seeded random digraphs; a star hub out-scores its spokes on hub
