@@ -4745,6 +4745,44 @@ _RELATIONAL_ORACLES["x_auto_skew_join"] = """
     JOIN customer ON hot_key = c_custkey"""
 
 
+def x_auto_skew_agg(spark, sf_dir):
+    """Aggregation twin of x_auto_skew_join (skew.auto_salted_
+    aggregation): planted ~70%-hot grouping key → the measured-share
+    probe engages the two-phase salted groupBy; the oracle is the
+    plain one-phase SQL (decimal route keeps the two-phase sum
+    bit-identical)."""
+    from kafka_merge_purge_spark.operators.skew import auto_salted_aggregation
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "hot_key",
+        F.when(F.col("o_custkey") % 10 < 7, F.lit(1)).otherwise(F.col("o_custkey")),
+    )
+    out = auto_salted_aggregation(
+        o,
+        ["hot_key"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_price": F.sum(F.col("o_totalprice").cast("decimal(18,4)")),
+            "max_price": F.max("o_totalprice"),
+        },
+        salt_factor=8,
+        share_threshold=0.05,
+    )
+    return out.select(
+        "hot_key", "n", F.col("sum_price").cast("double").alias("sum_price"),
+        "max_price",
+    )
+
+
+_RELATIONAL_ORACLES["x_auto_skew_agg"] = """
+    SELECT hot_key, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           MAX(o_totalprice) AS max_price
+    FROM (SELECT *, CASE WHEN o_custkey % 10 < 7 THEN 1
+                         ELSE o_custkey END AS hot_key FROM orders)
+    GROUP BY hot_key"""
+
+
 def x_trustrank(spark, sf_dir):
     """TrustRank (r9, Gyöngyi et al. 2004): personalized PageRank whose
     teleport set is the SUPPLIER side of the co-trade graph — trust
