@@ -452,12 +452,19 @@ def hits(
     )
 
     def hits_round(state: DataFrame, _i: int) -> DataFrame:
+        # each half-step's aggregate is referenced TWICE (its own
+        # normalization sum + the score join), and the a-half feeds the
+        # h-half — without in-round materialization the edge-join
+        # aggregates re-evaluate 2-4× per round (measured 13.8 → ~5 s
+        # at sf0.1).  The materialized frames are O(nodes), executor-
+        # local; iterate() still truncates the returned state.
         a_raw = (
             e.join(
                 hint(state.select(F.col("node").alias("_src"), "hub")), "_src"
             )
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("hub").alias("_ar"))
+            .localCheckpoint(eager=True)
         )
         a_sum = F.broadcast(
             a_raw.agg(F.coalesce(F.sum("_ar"), F.lit(0)).cast("long").alias("_as"))
@@ -475,6 +482,7 @@ def hits(
                 .otherwise(F.col("authority"))
                 .alias("authority"),
             )
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             e.join(
@@ -485,6 +493,7 @@ def hits(
             )
             .groupBy(F.col("_src").alias("node"))
             .agg(F.sum("authority").alias("_hr"))
+            .localCheckpoint(eager=True)
         )
         h_sum = F.broadcast(
             h_raw.agg(F.coalesce(F.sum("_hr"), F.lit(0)).cast("long").alias("_hs"))

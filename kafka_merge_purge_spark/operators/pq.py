@@ -270,6 +270,66 @@ def _quantized_norm2(codebooks) -> Column:
     return reduce(lambda a, b: a + b, terms)
 
 
+def _adc_shortlist_and_rerank(
+    scored: DataFrame,
+    q: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    rerank_factor: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of pq_topk / ivf_pq_topk: per-query ADC shortlist
+    (window over (query_id, neighbor_id, _adc) ONLY — no vectors in the
+    exchange), then the exact re-rank of the shortlist against raw
+    vectors, with the query vector re-joined from the broadcast ``q``
+    frame (shortlist-sized, never per-pair)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc_nulls_last(), F.col("neighbor_id")
+    )
+    shortlist_n = max(k, rerank_factor * k) if rerank_factor else k
+    shortlist = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= shortlist_n
+    )
+    if not rerank_factor:
+        return shortlist.select(
+            "query_id",
+            F.col("_r").alias("rank"),
+            "neighbor_id",
+            F.round("_adc", 6).alias("cos"),
+        )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cnx"),
+    )
+    exact_dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact_denom = F.col("_qn") * F.col("_cnx")
+    rescored = (
+        shortlist.join(q.select("query_id", "_qv", "_qn"), "query_id")
+        .join(raw, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(exact_denom != 0, exact_dot / exact_denom), 6
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -314,50 +374,17 @@ def pq_topk(
         lambda acc, x: acc + x,
     )
     denom = F.col("_qn") * F.col("_cn")
+    # vectors dropped BEFORE the top-k exchange (the brute_force_topk
+    # rule): the window moves (query_id, neighbor_id, _adc) only — the
+    # query vector re-joins from the broadcast q frame for the
+    # shortlist-sized re-rank, never riding a per-pair shuffle
     scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        "_qv",
-        "_qn",
         F.when(denom != 0, adc_dot / denom).alias("_adc"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").desc_nulls_last(), F.col("neighbor_id")
-    )
-    shortlist_n = max(k, rerank_factor * k) if rerank_factor else k
-    shortlist = scored.withColumn("_r", F.row_number().over(w)).filter(
-        F.col("_r") <= shortlist_n
-    )
-    if not rerank_factor:
-        return shortlist.select(
-            "query_id",
-            F.col("_r").alias("rank"),
-            "neighbor_id",
-            F.round("_adc", 6).alias("cos"),
-        )
-    raw = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cnx"),
-    )
-    exact_dot = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    exact_denom = F.col("_qn") * F.col("_cnx")
-    rescored = shortlist.join(raw, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(F.when(exact_denom != 0, exact_dot / exact_denom), 6).alias("cos"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos")
+    return _adc_shortlist_and_rerank(
+        scored, q, corpus, k, rerank_factor, id_col, vec_col
     )
 
 
@@ -413,7 +440,10 @@ def ivf_pq_topk(
         F.col("neighbor_id").alias(id_col), F.col("cell_id")
     )
     enc = pq_encode(corpus, codebooks, id_col, vec_col).join(tagged, id_col)
-    probes = _probe_cells(queries, cents, nprobe, id_col, vec_col)
+    # payload=False: the probe frame carries (query_id, cell_id) ONLY —
+    # the LUT frame below brings the per-query state, so probe rows must
+    # not re-serialize nprobe copies of each query vector
+    probes = _probe_cells(queries, cents, nprobe, id_col, vec_col, payload=False)
     q_extra = F.broadcast(_query_lut_frame(queries, codebooks, id_col, vec_col))
     cand = (
         enc.select(
@@ -436,48 +466,15 @@ def ivf_pq_topk(
         lambda acc, x: acc + x,
     )
     denom = F.col("_qn") * F.col("_cn")
+    # no pair dedup needed: each corpus item lives in exactly ONE cell
+    # and _probe_cells emits each (query, cell) once — a dropDuplicates
+    # here would add a full candidate-set exchange for nothing.
+    # Vectors dropped before the top-k window, as in pq_topk.
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        "_qv",
-        "_qn",
         F.when(denom != 0, adc_dot / denom).alias("_adc"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").desc_nulls_last(), F.col("neighbor_id")
     )
-    shortlist_n = max(k, rerank_factor * k) if rerank_factor else k
-    shortlist = scored.withColumn("_r", F.row_number().over(w)).filter(
-        F.col("_r") <= shortlist_n
-    )
-    if not rerank_factor:
-        return shortlist.select(
-            "query_id",
-            F.col("_r").alias("rank"),
-            "neighbor_id",
-            F.round("_adc", 6).alias("cos"),
-        )
-    raw = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cnx"),
-    )
-    exact_dot = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    exact_denom = F.col("_qn") * F.col("_cnx")
-    rescored = shortlist.join(raw, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(F.when(exact_denom != 0, exact_dot / exact_denom), 6).alias("cos"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos")
+    return _adc_shortlist_and_rerank(
+        scored, q_extra, corpus, k, rerank_factor, id_col, vec_col
     )

@@ -184,7 +184,9 @@ def apply_changes(
     - ``mask_col``: the change rows carry an ``array<string>`` of the
       attr names they actually update; the winning upsert applies
       exactly those columns (explicit NULLs included) and keeps the
-      rest.  ``mask_col`` wins over ``partial``.
+      rest.  A NULL mask updates nothing (a no-op upsert — the row
+      still inserts its key if absent, with all-NULL attrs).
+      ``mask_col`` wins over ``partial``.
     - either way, row-level last-write-wins is unchanged: intra-batch
       partial updates to DIFFERENT columns of one key do not compose —
       apply batches in order for that (each apply is idempotent, so
