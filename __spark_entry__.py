@@ -4774,6 +4774,137 @@ def x_auto_skew_agg(spark, sf_dir):
     )
 
 
+def x_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (r11): conditional-aggregate ratio — share of a
+    shipdate window's revenue coming from PROMO parts.  The CASE rides
+    inside the decimal-stable sum; ONE join + ONE ungrouped aggregate;
+    the final ratio is the single float division, rounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+    ).join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = j.agg(
+        dsum(promo, "promo_rev"),
+        dsum(rev, "total_rev"),
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_pct"
+        ),
+    )
+
+
+_RELATIONAL_ORACLES["x_promo_revenue"] = """
+    WITH j AS (
+        SELECT CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS pr,
+               l_extendedprice * (1 - l_discount) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-03-01')
+    SELECT CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE) AS promo_rev,
+           CAST(SUM(CAST(r AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+           round(100.0 * CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(r AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_pct
+    FROM j"""
+
+
+def x_supplier_parts(spark, sf_dir):
+    """TPC-H Q16 shape (r11): distinct-supplier counts per part group
+    with a NOT-IN-subquery supplier exclusion — the anti-join +
+    count-distinct composition (lineitem plays the part-supplier
+    bridge; excluded suppliers = those who ever shipped a returned
+    line, the 'complaints' analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    # the excluded-supplier list: above-average returned-line count —
+    # a per-line blacklist predicate excludes every supplier on this
+    # dense fixture (each supplier ships ~600 lines), so the exclusion
+    # must be an aggregate-level one (scale-proportional by design)
+    rc = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_rc"))
+    )
+    avg_rc = F.broadcast(rc.agg(davg("_rc", "_avg_rc")))
+    excluded = (
+        rc.crossJoin(avg_rc)
+        .filter(F.col("_rc") > F.col("_avg_rc"))
+        .select(F.col("l_suppkey").alias("_bad"))
+    )
+    bridge = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(excluded, li["l_suppkey"] == F.col("_bad"), "left_anti")
+    )
+    j = bridge.join(F.broadcast(p), bridge["l_partkey"] == p["p_partkey"]).filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_RELATIONAL_ORACLES["x_supplier_parts"] = """
+    WITH rc AS (
+        SELECT l_suppkey, COUNT(*) AS c FROM lineitem
+        WHERE l_returnflag = 'R' GROUP BY l_suppkey),
+    avg_rc AS (
+        SELECT round(CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(c), 6) AS a FROM rc),
+    excluded AS (SELECT l_suppkey FROM rc CROSS JOIN avg_rc WHERE c > a)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size <= 25
+      AND l_suppkey NOT IN (SELECT l_suppkey FROM excluded)
+    GROUP BY p_brand, p_type, p_size"""
+
+
+def x_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 shape (r11): revenue under a DISJUNCTION of conjunct
+    bands spanning both join sides (brand × size × quantity) — the OR
+    must evaluate post-join while the shared conjuncts (the equi key)
+    still drive a hash join, the optimizer shape Q19 exists to test."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(band).groupBy("p_brand").agg(
+        dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+_RELATIONAL_ORACLES["x_disjunctive_join"] = """
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size <= 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size <= 30
+           AND l_quantity BETWEEN 20 AND 40)
+    GROUP BY p_brand"""
+
+
 _RELATIONAL_ORACLES["x_auto_skew_agg"] = """
     SELECT hot_key, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
