@@ -219,7 +219,7 @@ def copy_dims(src: str, out: str) -> None:
     side against fixed dimensions — the realistic 10× shape, and the
     one that stresses their semi/anti joins hardest (more lines per
     supplier)."""
-    for name in ("supplier", "nation", "region"):
+    for name in ("supplier", "nation", "region", "part"):
         t = pq.read_table(f"{src}/{name}.parquet")
         pq.write_table(t, f"{out}/{name}.parquet")
         print(f"{name}: {t.num_rows} rows (dims unscaled)")
