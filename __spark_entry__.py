@@ -6101,6 +6101,44 @@ _LLM_ORACLES["x_apply_changes"] = """
     WHERE last.op IS NULL OR last.op = 'upsert'"""
 
 
+def x_edit_join(spark, sf_dir):
+    """Blocking-free fuzzy string join (linkage.edit_distance_join,
+    r11, Gravano et al. 2001 q-gram count filtering): customer names
+    vs the perturbed twin at levenshtein ≤ 2 — candidates from the
+    shared-(gram, rank) equi join + bag-count bound (recall 1 by the
+    q·d-grams-destroyed theorem), short strings via the length-bucket
+    tier, exact levenshtein verify.  FULL hash oracle = the naive
+    cross levenshtein join (which is exactly what the operator must
+    equal)."""
+    from kafka_merge_purge_spark.operators.linkage import edit_distance_join
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name2 = F.concat(
+        F.substring("c_name", 1, 9), F.lit("X"), F.substring("c_name", 11, 2),
+        F.when(k % 5 == 0, F.lit("Y")).otherwise(F.substring("c_name", 13, 1)),
+        F.expr("substring(c_name, 14)"),
+    )
+    twin = c.select((k + 1000000).alias("c_custkey"), name2.alias("c_name"))
+    return edit_distance_join(
+        c.select("c_custkey", "c_name"), twin, "c_custkey", "c_name", max_dist=2
+    )
+
+
+_RELATIONAL_ORACLES["x_edit_join"] = """
+    WITH twin AS (
+        SELECT c_custkey + 1000000 AS c_custkey,
+               substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 2) ||
+               CASE WHEN c_custkey % 5 = 0 THEN 'Y'
+                    ELSE substr(c_name, 13, 1) END ||
+               substr(c_name, 14) AS c_name
+        FROM customer)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a CROSS JOIN twin b
+    WHERE levenshtein(a.c_name, b.c_name) <= 2"""
+
+
 def x_record_linkage_mp(spark, sf_dir):
     """Multi-pass blocking (linkage.record_linkage_multipass): the twin
     table now also CORRUPTS the nation key for every 11th customer —

@@ -112,6 +112,137 @@ def record_linkage(
     )
 
 
+def edit_distance_join(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """EXACT string-similarity join: every cross pair with
+    ``levenshtein(a, b) ≤ max_dist`` — blocking-free fuzzy matching
+    (the record_linkage family's complement for when no reliable block
+    key exists), via the classic q-gram count filter (Gravano et al.
+    2001, "Approximate string joins in a database (almost) for free").
+
+    EXACT, not approximate: an edit operation destroys at most ``q``
+    of a string's positional q-grams, so two strings within
+    ``max_dist`` edits MUST share at least
+    ``max(|s|,|t|) − q + 1 − q·max_dist`` q-grams — candidates are
+    generated by a shared-q-gram equi join + a count filter at that
+    bound (plus the trivial length filter ``||s|−|t|| ≤ max_dist``),
+    then verified with the real ``levenshtein``.  Recall 1 by the
+    theorem; the oracle is the NAIVE cross levenshtein join.
+
+    The count bound is only POSITIVE when ``max(|s|,|t|) > q−1+q·d``;
+    below that (short strings — including the no-q-gram ``|s| < q``
+    case) two strings can be within ``max_dist`` while sharing ZERO
+    q-grams, so those route through a length-bucketed candidate tier
+    (equi join on length ± max_dist keys, still no cross product),
+    kept exact by the same levenshtein verify.  NULL texts never
+    match.
+
+    Scale shape: the q-gram join shuffles (id, gram-hash) pairs —
+    ~|s| rows per string, never the cross product; the count
+    aggregate keys on the candidate pair; verification joins the two
+    string payloads back by id (candidate-bound).  Worst case remains
+    a corpus of near-identical strings — where the OUTPUT is the
+    quadratic object.
+
+    Output: (id_a, id_b, dist ≤ max_dist)."""
+    from pyspark.sql import Window
+
+    if max_dist < 0 or q < 1:
+        raise ValueError("edit_distance_join: max_dist >= 0 and q >= 1 required")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(text_col).alias(f"t_{tag}"),
+            F.length(text_col).cast("int").alias(f"len_{tag}"),
+        ).filter(F.col(f"t_{tag}").isNotNull())
+
+    sa, sb = side(a, "a"), side(b, "b")
+
+    def grams(df: DataFrame, tag: str) -> DataFrame:
+        t = F.col(f"t_{tag}")
+        idxs = F.sequence(F.lit(1), F.col(f"len_{tag}") - (q - 1))
+        return (
+            df.filter(F.col(f"len_{tag}") >= q)
+            .select(
+                f"id_{tag}",
+                f"len_{tag}",
+                F.explode(
+                    F.transform(idxs, lambda i: F.substring(t, i, q))
+                ).alias("_g"),
+            )
+            # BAG semantics: the count bound speaks of gram occurrences
+            # (Σ min(count_s, count_t)), so duplicate grams inside one
+            # string pair up by rank — join on (gram, rank) computes
+            # exactly the bag intersection
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy(f"id_{tag}", "_g").orderBy(
+                        F.monotonically_increasing_id()
+                    )
+                ),
+            )
+        )
+
+    ga, gb = grams(sa, "a"), grams(sb, "b")
+    shared = (
+        ga.join(gb, (ga["_g"] == gb["_g"]) & (ga["_r"] == gb["_r"]))
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b")) <= max_dist
+        )
+        .groupBy("id_a", "id_b", "len_a", "len_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(
+            F.col("_shared")
+            >= F.greatest(F.col("len_a"), F.col("len_b"))
+            - F.lit(q - 1)
+            - F.lit(q * max_dist)
+        )
+        .select("id_a", "id_b")
+    )
+    # short tier: when max(|s|,|t|) <= q-1+q*d the count bound is <= 0
+    # and the gram filter proves nothing (a within-distance pair can
+    # share zero grams).  Those pairs — both sides necessarily short —
+    # come from a length-bucketed equi join: each b row emits its
+    # acceptable a-lengths (len ± max_dist keys), so same-length-ish
+    # shorts pair without any cross product.
+    short_cap = q - 1 + q * max_dist
+    short_a = sa.filter(F.col("len_a") <= short_cap).select("id_a", "len_a")
+    short_b = (
+        sb.filter(F.col("len_b") <= short_cap)
+        .select(
+            "id_b",
+            "len_b",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("len_b") - max_dist, F.lit(0)),
+                    F.col("len_b") + max_dist,
+                )
+            ).alias("len_a"),
+        )
+    )
+    short_pairs = short_a.join(short_b, "len_a").select("id_a", "id_b")
+    cand = shared.unionByName(short_pairs).distinct()
+    verified = (
+        cand.join(sa.select("id_a", "t_a"), "id_a")
+        .join(sb.select("id_b", "t_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("t_a"), F.col("t_b")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    return verified
+
+
 def record_linkage_multipass(
     a: DataFrame,
     b: DataFrame,

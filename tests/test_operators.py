@@ -3745,6 +3745,63 @@ def test_apply_changes_partial_and_mask_semantics(spark):
     assert masked2 == masked
 
 
+def test_edit_distance_join_matches_brute_force(spark):
+    """q-gram count-filtered edit-distance join == the naive cross
+    levenshtein join on seeded random corpora (duplicate grams, short
+    strings, NULLs); the zero-shared-gram short pair ('abc' vs 'abd'
+    at q=3 — the count bound is vacuous there) is caught by the
+    length-bucketed short tier, not missed."""
+    import random
+
+    from kafka_merge_purge_spark.operators.linkage import edit_distance_join
+
+    def brute(rows_a, rows_b, d):
+        def lev(s, t):
+            m, n = len(s), len(t)
+            dp = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, n + 1):
+                    cur = dp[j]
+                    dp[j] = min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (s[i - 1] != t[j - 1])
+                    )
+                    prev = cur
+            return dp[n]
+
+        return {
+            (ia, ib, lev(sa, sb))
+            for ia, sa in rows_a
+            for ib, sb in rows_b
+            if sa is not None and sb is not None and lev(sa, sb) <= d
+        }
+
+    rng = random.Random(23)
+    alphabet = "abcx"  # tiny alphabet → many duplicate grams
+    for trial, d in [(0, 1), (1, 2), (2, 2)]:
+        rows_a = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10))))
+                  for i in range(25)]
+        rows_b = [(100 + i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10))))
+                  for i in range(25)]
+        rows_a.append((98, None))
+        da = spark.createDataFrame(rows_a, "id long, s string")
+        db = spark.createDataFrame(rows_b, "id long, s string")
+        got = {(r["id_a"], r["id_b"], r["dist"])
+               for r in edit_distance_join(da, db, "id", "s", max_dist=d).collect()}
+        assert got == brute(rows_a, rows_b, d), f"trial {trial}"
+
+    # the regression case: ed=1, zero shared 3-grams
+    da = spark.createDataFrame([(1, "abc")], "id long, s string")
+    db = spark.createDataFrame([(2, "abd")], "id long, s string")
+    out = edit_distance_join(da, db, "id", "s", max_dist=1).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 1)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        edit_distance_join(da, db, "id", "s", max_dist=-1)
+
+
 def test_record_linkage_multipass_rescues_corrupted_blocks(spark):
     """A match whose pass-1 block key is corrupted survives via pass 2;
     pairs found by both passes dedup to one row; empty passes raise."""
