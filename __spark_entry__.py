@@ -6114,29 +6114,42 @@ def x_edit_join(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
+    # high-entropy 32-char keys (md5): the operator's habitat is
+    # titles/URLs/free-text where non-matches are FAR apart.  Two
+    # fixture pitfalls live in this family and are documented on the
+    # operator: (a) the sequential Customer#000… name space puts every
+    # name within 2 edits of hundreds of neighbors — the TRUE OUTPUT
+    # grows quadratically at 10× (the x_containment artifact); (b) a
+    # small gram key space (q=3 over hex = 4096 values) saturates as
+    # the corpus grows, postings go linear and candidates quadratic —
+    # q must keep the gram space far above the corpus size (q=6 over
+    # hex = 16.7M keys).
+    name = F.md5(k.cast("string"))
+    base = c.select("c_custkey", name.alias("name"))
     name2 = F.concat(
-        F.substring("c_name", 1, 9), F.lit("X"), F.substring("c_name", 11, 2),
-        F.when(k % 5 == 0, F.lit("Y")).otherwise(F.substring("c_name", 13, 1)),
-        F.expr("substring(c_name, 14)"),
+        F.substring(name, 1, 8), F.lit("x"), F.substring(name, 10, 10),
+        F.when(k % 5 == 0, F.lit("y")).otherwise(F.substring(name, 20, 1)),
+        F.substring(name, 21, 12),
     )
-    twin = c.select((k + 1000000).alias("c_custkey"), name2.alias("c_name"))
-    return edit_distance_join(
-        c.select("c_custkey", "c_name"), twin, "c_custkey", "c_name", max_dist=2
-    )
+    twin = c.select((k + 1000000).alias("c_custkey"), name2.alias("name"))
+    return edit_distance_join(base, twin, "c_custkey", "name", max_dist=2, q=6)
 
 
 _RELATIONAL_ORACLES["x_edit_join"] = """
-    WITH twin AS (
+    WITH base AS (
+        SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS name
+        FROM customer),
+    twin AS (
         SELECT c_custkey + 1000000 AS c_custkey,
-               substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 2) ||
-               CASE WHEN c_custkey % 5 = 0 THEN 'Y'
-                    ELSE substr(c_name, 13, 1) END ||
-               substr(c_name, 14) AS c_name
-        FROM customer)
+               substr(name, 1, 8) || 'x' || substr(name, 10, 10) ||
+               CASE WHEN c_custkey % 5 = 0 THEN 'y'
+                    ELSE substr(name, 20, 1) END ||
+               substr(name, 21, 12) AS name
+        FROM base)
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           levenshtein(a.c_name, b.c_name) AS dist
-    FROM customer a CROSS JOIN twin b
-    WHERE levenshtein(a.c_name, b.c_name) <= 2"""
+           levenshtein(a.name, b.name) AS dist
+    FROM base a CROSS JOIN twin b
+    WHERE levenshtein(a.name, b.name) <= 2"""
 
 
 def x_record_linkage_mp(spark, sf_dir):

@@ -127,13 +127,23 @@ def edit_distance_join(
     2001, "Approximate string joins in a database (almost) for free").
 
     EXACT, not approximate: an edit operation destroys at most ``q``
-    of a string's positional q-grams, so two strings within
-    ``max_dist`` edits MUST share at least
-    ``max(|s|,|t|) − q + 1 − q·max_dist`` q-grams — candidates are
-    generated by a shared-q-gram equi join + a count filter at that
-    bound (plus the trivial length filter ``||s|−|t|| ≤ max_dist``),
-    then verified with the real ``levenshtein``.  Recall 1 by the
-    theorem; the oracle is the NAIVE cross levenshtein join.
+    of a string's positional q-grams, so within ``max_dist`` edits at
+    least one of ANY ``q·max_dist + 1`` grams survives — candidates
+    come from the rarity-PREFIX join (Ed-Join, Xiao/Wang/Lin VLDB'08):
+    each string contributes only its ``q·max_dist + 1`` globally-RAREST
+    gram occurrences (frequency asc, gram asc, occurrence-rank — the
+    containment_pairs total order, bag semantics via (gram, rank)
+    pairing), prefixes join on (gram, rank), the ``||s|−|t]| ≤
+    max_dist`` length screen applies, and the real ``levenshtein``
+    verifies.  Recall 1 by the prefix-filter theorem (the bag overlap
+    of a within-distance pair is ≥ max(g_s, g_t) − q·d, so prefixes of
+    length q·d+1 must intersect).  Rarity ordering is what makes this
+    robust on low-entropy corpora: a shared literal prefix
+    ("Customer#000…") puts its grams at the FREQUENT end, so they
+    never enter anyone's prefix — a plain shared-gram count join
+    degenerated to Σ posting² there (timed out at the 10× scale data;
+    the prefix join runs it in seconds).  The oracle is the NAIVE
+    cross levenshtein join.
 
     The count bound is only POSITIVE when ``max(|s|,|t|) > q−1+q·d``;
     below that (short strings — including the no-q-gram ``|s| < q``
@@ -143,12 +153,17 @@ def edit_distance_join(
     kept exact by the same levenshtein verify.  NULL texts never
     match.
 
-    Scale shape: the q-gram join shuffles (id, gram-hash) pairs —
-    ~|s| rows per string, never the cross product; the count
-    aggregate keys on the candidate pair; verification joins the two
-    string payloads back by id (candidate-bound).  Worst case remains
-    a corpus of near-identical strings — where the OUTPUT is the
-    quadratic object.
+    Scale shape: the prefix join shuffles ≤ q·d+1 (id, gram, rank)
+    rows per string, never the cross product; verification joins the
+    two string payloads back by id (candidate-bound).  SIZE ``q`` TO
+    THE CORPUS: the gram key space (alphabet^q) must stay far above
+    the corpus size, or posting lists grow linearly and candidates
+    quadratically no matter how rare the prefix grams are (measured:
+    q=3 over hex = 4096 keys ran a 14.5× slope at the 10× corpus;
+    q=6 = 16.7M keys, 2.2×) — while strings must keep
+    ``|s| − q + 1 ≥ q·d + 1`` grams or they fall to the short tier.
+    Worst case remains a corpus of near-identical strings — where the
+    OUTPUT is the quadratic object.
 
     Output: (id_a, id_b, dist ≤ max_dist)."""
     from pyspark.sql import Window
@@ -192,20 +207,33 @@ def edit_distance_join(
         )
 
     ga, gb = grams(sa, "a"), grams(sb, "b")
+    # global gram frequencies over BOTH sides — the shared total order
+    # (freq asc, gram, occurrence-rank) both prefixes sort by
+    freq = (
+        ga.select(F.col("_g"))
+        .unionByName(gb.select(F.col("_g")))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    plen = q * max_dist + 1
+
+    def prefix(g: DataFrame, tag: str) -> DataFrame:
+        ranked = g.join(freq, "_g").withColumn(
+            "_p",
+            F.row_number().over(
+                Window.partitionBy(f"id_{tag}").orderBy("_f", "_g", "_r")
+            ),
+        )
+        return ranked.filter(F.col("_p") <= plen).select(
+            f"id_{tag}", f"len_{tag}", "_g", "_r"
+        )
+
+    pa, pb = prefix(ga, "a"), prefix(gb, "b")
     shared = (
-        ga.join(gb, (ga["_g"] == gb["_g"]) & (ga["_r"] == gb["_r"]))
-        .filter(
-            F.abs(F.col("len_a") - F.col("len_b")) <= max_dist
-        )
-        .groupBy("id_a", "id_b", "len_a", "len_b")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .filter(
-            F.col("_shared")
-            >= F.greatest(F.col("len_a"), F.col("len_b"))
-            - F.lit(q - 1)
-            - F.lit(q * max_dist)
-        )
+        pa.join(pb, (pa["_g"] == pb["_g"]) & (pa["_r"] == pb["_r"]))
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
         .select("id_a", "id_b")
+        .distinct()
     )
     # short tier: when max(|s|,|t|) <= q-1+q*d the count bound is <= 0
     # and the gram filter proves nothing (a within-distance pair can
