@@ -4628,6 +4628,72 @@ def x_walks(spark, sf_dir):
     return random_walks(edges, walk_length=4, walks_per_node=1)
 
 
+def x_kcore(spark, sf_dir):
+    """k-core membership (components.k_core, r11, Seidman 1983): parts
+    of the quarter co-purchase graph (the x_triangles fixture —
+    NON-bipartite, so peeling actually cascades; the bipartite co-trade
+    graph converges in one trivial round) surviving 8 synchronous
+    degree-≥-18 peels, with their in-core degrees — the cohesion
+    signal that strips spam stars and tendrils while dense communities
+    survive.  Peeling is monotone, so the fixed-round form IS the
+    exact core whenever the graph stabilizes in budget; FULL hash
+    oracle (peels unrolled as chained MATERIALIZED CTEs — without
+    materialization the chained IN-subqueries re-evaluate the
+    upstream tree exponentially)."""
+    from kafka_merge_purge_spark.operators.components import k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return k_core(edges, k=18, rounds=8)
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    ctes = [
+        """n0 AS (SELECT a AS node FROM und UNION SELECT b FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""e{i} AS (SELECT a, b FROM und
+                 WHERE a IN (SELECT node FROM n{p})
+                   AND b IN (SELECT node FROM n{p})),
+    n{i} AS MATERIALIZED (SELECT node FROM (
+                SELECT node, COUNT(*) AS d FROM (
+                    SELECT a AS node FROM e{i}
+                    UNION ALL SELECT b FROM e{i}) GROUP BY node)
+             WHERE d >= {k})"""
+        )
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 4 = 0),
+    und AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    {', '.join(ctes)},
+    ef AS (SELECT a, b FROM und
+           WHERE a IN (SELECT node FROM n{rounds})
+             AND b IN (SELECT node FROM n{rounds}))
+    SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM ef UNION ALL SELECT b FROM ef)
+    GROUP BY node"""
+
+
+_RELATIONAL_ORACLES["x_kcore"] = _kcore_oracle_sql(18, 8)
+
+
 def _walks_oracle_sql(walk_length: int = 4, seed: str = "walk") -> str:
     coin = (
         "CAST(('0x' || substr(md5('{seed}:' || w.walk_id || ':{i}:' || w.cur), "

@@ -601,6 +601,92 @@ def sssp(
     return dists
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983) by synchronous
+    peeling on :func:`iterate` — the cohesion signal next to triangle
+    counts for link-graph curation: the k-core is the maximal subgraph
+    where every node keeps degree ≥ k, so spam stars and dangling
+    tendrils peel away while organically dense communities survive.
+
+    Semantics (UNDIRECTED — edges normalize to distinct (min, max)
+    pairs, self-loops drop): per round, recompute each surviving
+    node's degree within the surviving subgraph and drop nodes with
+    degree < k; ``rounds`` caps the peel count.  Peeling is MONOTONE
+    (each round only removes) and idempotent once a round drops
+    nobody, so the loop always carries the in-pass convergence flag —
+    early stop provably cannot change the capped-round result, and the
+    result IS the exact k-core whenever the graph stabilizes inside
+    the budget (the flag is a 1-row "did anyone drop" broadcast joined
+    onto the survivors; state stays nodes-only).  The SQL oracle
+    unrolls ``rounds`` peels as chained MATERIALIZED CTEs (without
+    materialization the chained IN-subqueries re-evaluate the upstream
+    tree exponentially).
+
+    Scale shape: the survivor frame is O(nodes) and shrinks
+    monotonically; per round two left_semi joins screen the cached
+    edge set and one map-side-combined degree aggregate decides the
+    peel.  Output: (node, degree) — degree INSIDE the final core."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    und = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+        .cache()
+    )
+    nodes0 = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+    def peel(nodes: DataFrame, _i: int) -> DataFrame:
+        live = und.join(
+            nodes.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .unionByName(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        surv = deg.filter(F.col("_d") >= k).select("node")
+        n_dropped = F.broadcast(
+            nodes.join(surv, "node", "left_anti").agg(
+                F.count(F.lit(1)).alias("_nd")
+            )
+        )
+        return surv.crossJoin(n_dropped).select(
+            "node", (F.col("_nd") > 0).alias("_changed")
+        )
+
+    out = iterate(nodes0, peel, max_rounds=rounds)
+    # final degree within the core (the peel state is nodes-only)
+    final = und.join(
+        out.withColumnRenamed("node", "a"), "a", "left_semi"
+    ).join(out.withColumnRenamed("node", "b"), "b", "left_semi")
+    deg = (
+        final.select(F.col("a").alias("node"))
+        .unionByName(final.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    und.unpersist()
+    return deg
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 4,

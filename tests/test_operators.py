@@ -3071,6 +3071,64 @@ def test_pq_fit_encode_and_recall_floor(spark):
     assert empty.count() == 0
 
 
+def test_k_core_matches_reference_peeling(spark):
+    """k_core == driver-side synchronous peeling on seeded random
+    graphs; a planted star peels away
+    while the clique core survives with its in-core degrees; k < 1
+    raises; the empty core is an empty frame."""
+    import random
+
+    from kafka_merge_purge_spark.operators.components import k_core
+
+    def reference(edges, k, rounds):
+        adj: dict = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        live = set(adj)
+        for _ in range(rounds):
+            nxt = {n for n in live
+                   if sum(1 for m in adj[n] if m in live) >= k}
+            if nxt == live:
+                break
+            live = nxt
+        return {n: sum(1 for m in adj[n] if m in live) for n in live
+                if sum(1 for m in adj[n] if m in live) > 0}
+
+    rng = random.Random(31)
+    for trial in range(3):
+        nodes = list(range(24))
+        edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for k in (2, 3):
+            want = reference(edges, k, 50)
+            got = {r["node"]: r["degree"]
+                   for r in k_core(df, k=k, rounds=50).collect()}
+            assert got == want, f"trial {trial} k={k}"
+            # a tighter cap past the fixpoint is result-identical
+            # (monotone peeling + always-on early stop)
+            capped = {r["node"]: r["degree"]
+                      for r in k_core(df, k=k, rounds=60).collect()}
+            assert capped == want, f"trial {trial} k={k} (capped)"
+
+    # K4 clique + a star hanging off one corner: star peels, clique stays
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    star = [(1, 10), (1, 11), (1, 12)]
+    df = spark.createDataFrame(clique + star, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=3, rounds=10).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # over-aggressive k empties the core
+    assert k_core(df, k=7, rounds=10).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_core(df, k=0)
+
+
 def test_random_walks_deterministic_and_sink_safe(spark):
     """md5-coin walks: identical across runs, path[0] = start, every
     consecutive pair is a real edge, sinks retire early, walks_per_node
