@@ -723,6 +723,12 @@ def random_walks(
     len(path) ≤ walk_length + 1)."""
     from kafka_merge_purge_spark.operators.iterate import iterate
 
+    if walks_per_node < 1 or walk_length < 0:
+        # sequence(0, walks_per_node-1) would DESCEND for 0 and
+        # fabricate walks "#0","#-1" — reject instead
+        raise ValueError(
+            "random_walks: walks_per_node >= 1 and walk_length >= 0 required"
+        )
     hint = F.broadcast if broadcast_state else (lambda df: df)
     from pyspark.sql import Window
 

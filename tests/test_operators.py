@@ -3159,6 +3159,15 @@ def test_random_walks_deterministic_and_sink_safe(spark):
     assert len(multi) == 12
     assert len({r["walk_id"] for r in multi}) == 12
 
+    # degenerate params rejected (sequence(0, -1) would DESCEND and
+    # fabricate ghost walks)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        random_walks(df, walks_per_node=0)
+    with _pytest.raises(ValueError):
+        random_walks(df, walk_length=-1)
+
     # uniformity sanity: from a node with 10 neighbors, 200 walks split
     # roughly evenly (no neighbor starved or hoarding)
     hub = spark.createDataFrame(
