@@ -4603,6 +4603,36 @@ def _sssp_oracle_sql(rounds: int = 6) -> str:
 _RELATIONAL_ORACLES["x_sssp"] = _sssp_oracle_sql(6)
 
 
+def x_sssp_shuffle(spark, sf_dir):
+    """x_sssp in the FORCED shuffle state-exchange regime
+    (``broadcast_dists=False`` — the plan a billion-node graph now gets
+    out of the box from the r12 auto-sizing probe,
+    components._state_hint): per round the (node, dist) frame shuffles
+    onto the edges' src partitioning instead of broadcasting.  Hashes
+    against the SAME unrolled Bellman-Ford oracle as x_sssp — the gate
+    itself proves regime invariance (broadcast is a hint, not
+    semantics)."""
+    from kafka_merge_purge_spark.operators.components import sssp
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sssp(edges, "s1", rounds=6, broadcast_dists=False)
+
+
+_RELATIONAL_ORACLES["x_sssp_shuffle"] = _sssp_oracle_sql(6)
+
+
 def x_walks(spark, sf_dir):
     """Deterministic uniform random walks (components.random_walks,
     r11, DeepWalk corpus generation): one 4-step walk per node over
@@ -4734,6 +4764,143 @@ def _walks_oracle_sql(walk_length: int = 4, seed: str = "walk") -> str:
 
 
 _RELATIONAL_ORACLES["x_walks"] = _walks_oracle_sql(4)
+
+
+def x_node2vec(spark, sf_dir):
+    """node2vec second-order biased walks (components.node2vec_walks,
+    r12, Grover & Leskovec 2016): 3-step walks over the bidirectional
+    co-trade graph with integer bias weights (w_return=1, w_near=3,
+    w_far=2 — i.e. p=3, q=1.5: avoid backtracking, prefer locality).
+    The md5-coin weighted-cumsum pick is deterministic, so this
+    'random' second-order sampler carries a FULL hash oracle: each
+    step unrolls to a candidate CTE (adjacency join + directed
+    prev→x membership LEFT JOIN + CASE weights) and a window-cumsum
+    pick CTE replaying the identical integers."""
+    from kafka_merge_purge_spark.operators.components import node2vec_walks
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return node2vec_walks(
+        edges, walk_length=3, walks_per_node=1, w_return=1, w_near=3, w_far=2
+    )
+
+
+def _node2vec_oracle_sql(
+    walk_length: int = 3, wr: int = 1, wn: int = 3, wf: int = 2,
+    seed: str = "n2v",
+) -> str:
+    """Unrolled node2vec twin: per step a candidate CTE (adjacency join
+    + LEFT JOIN membership probe for the directed prev->x edge + CASE
+    weights) and a pick CTE (cumulative-weight window scan, coin mod
+    total) — the same integers the Spark step computes."""
+    coin = (
+        "CAST(('0x' || substr(md5('{seed}:' || s.walk_id || ':{i}:' || s.cur), "
+        "1, 15)) AS BIGINT)"
+    )
+    ctes = [
+        """s0 AS (SELECT node || '#0' AS walk_id, node AS start,
+                      CAST(NULL AS VARCHAR) AS prev, node AS cur,
+                      [node] AS path, FALSE AS done FROM nodes)"""
+    ]
+    for i in range(walk_length):
+        c = coin.format(seed=seed, i=i)
+        ctes.append(
+            f"""c{i} AS (
+        SELECT s.walk_id, s.cur, a.v, a.idx,
+               CAST(CASE WHEN s.prev IS NULL THEN 1
+                    WHEN a.v = s.prev THEN {wr}
+                    WHEN m.u IS NOT NULL THEN {wn}
+                    ELSE {wf} END AS BIGINT) AS w,
+               {c} AS coin
+        FROM s{i} s JOIN adj a ON s.cur = a.u
+        LEFT JOIN adj m ON m.u = s.prev AND m.v = a.v
+        WHERE NOT s.done),
+    p{i} AS (SELECT walk_id, v FROM (
+            SELECT walk_id, v, w, coin,
+                   SUM(w) OVER (PARTITION BY walk_id ORDER BY idx) AS cum,
+                   SUM(w) OVER (PARTITION BY walk_id) AS tot
+            FROM c{i})
+        WHERE coin % tot >= cum - w AND coin % tot < cum),
+    s{i + 1} AS (
+        SELECT walk_id, start, prev, cur, path, done FROM s{i} WHERE done
+        UNION ALL
+        SELECT s.walk_id, s.start, s.cur AS prev, p.v AS cur,
+               list_append(s.path, p.v) AS path, FALSE AS done
+        FROM s{i} s JOIN p{i} p ON s.walk_id = p.walk_id
+        UNION ALL
+        SELECT walk_id, start, prev, cur, path, TRUE AS done FROM s{i}
+        WHERE NOT done AND cur NOT IN (SELECT u FROM adj))"""
+        )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    adj AS MATERIALIZED (
+        SELECT src AS u, dst AS v,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        FROM (SELECT DISTINCT src, dst FROM e)),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    {', '.join(ctes)}
+    SELECT walk_id, start, path FROM s{walk_length}"""
+
+
+_RELATIONAL_ORACLES["x_node2vec"] = _node2vec_oracle_sql(3, 1, 3, 2)
+
+
+def x_skipgram_pairs(spark, sf_dir):
+    """Skip-gram training pairs (components.skipgram_pairs, r12) over
+    the x_walks corpus: window-2 (center, context) rows — the output a
+    DeepWalk/node2vec embedding actually trains on, closing the
+    walks→pairs chain with a FULL hash oracle (walk CTEs + a
+    positions×offsets cross join over the path arrays)."""
+    from kafka_merge_purge_spark.operators.components import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    walks = random_walks(edges, walk_length=4, walks_per_node=1)
+    return skipgram_pairs(walks, window=2)
+
+
+_RELATIONAL_ORACLES["x_skipgram_pairs"] = f"""
+    WITH walks AS ({_walks_oracle_sql(4)})
+    SELECT w.walk_id,
+           CAST(p.pos AS INTEGER) AS pos,
+           CAST(o.off AS INTEGER) AS "offset",
+           w.path[p.pos + 1] AS center,
+           w.path[p.pos + o.off + 1] AS context
+    FROM walks w
+    CROSS JOIN (SELECT unnest(range(0, 5)) AS pos) p
+    CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o
+    WHERE p.pos < len(w.path)
+      AND p.pos + o.off >= 0 AND p.pos + o.off < len(w.path)"""
 
 
 def x_hits(spark, sf_dir):

@@ -159,6 +159,11 @@ def pq_encode(
       subspace — Catalyst-only environments, small books.
 
     Output: (id_col, codes array<int>)."""
+    if impl not in ("pandas", "expr"):
+        # a typo ('exprs') must not silently pick the pandas path
+        raise ValueError(
+            f"pq_encode: impl must be 'pandas' or 'expr', got {impl!r}"
+        )
     base = drop_null_vectors(emb, vec_col)
     if impl == "expr":
         from kafka_merge_purge_spark.operators.cluster import _assign_expr

@@ -163,7 +163,14 @@ def auto_salted_join(
     (or of a ``sample_fraction`` of it); at 100 TB that probe is ~1% of
     the join's own fact scan and removes the failure mode where a
     blind always-salt replicates every dimension row ``salt_factor``×
-    against a perfectly uniform key."""
+    against a perfectly uniform key.
+
+    Probe cost caveat (r11 advice): the "~1%" claim holds for plain
+    table scans, where column pruning reduces the probe to one
+    key-column pass.  If ``fact`` is an expensive DERIVED frame (joins,
+    windows, Python kernels upstream), the probe executes that full
+    plan a second time — ``.cache()`` the fact frame before calling, or
+    pass ``sample_fraction`` so the probe at least scans less of it."""
     share = measured_key_share(fact, fact_key, sample_fraction)
     if share >= share_threshold:
         return salted_join(
@@ -183,7 +190,10 @@ def auto_salted_aggregation(
     """:func:`salted_aggregation` iff the first grouping key is hot,
     else the plain one-phase groupBy.  Same naming contract as
     salted_aggregation (sum/count/min/max-prefixed aliases) in BOTH
-    branches, so switching plans can never change the schema."""
+    branches, so switching plans can never change the schema.  The
+    probe re-executes ``df``'s plan once — see the derived-frame
+    caveat on :func:`auto_salted_join` (cache or sample expensive
+    inputs)."""
     agg_names = list(aggs)
     allowed = ("sum", "n", "count", "min", "max")
     bad = [n for n in agg_names if not n.startswith(allowed)]

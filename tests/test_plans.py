@@ -220,3 +220,79 @@ def test_embedding_ann_pair_exchanges_carry_no_vectors(tables):
             "vector array rides the candidate self-join data movement:\n" + b
         )
     assert "CartesianProduct" not in plan
+
+
+def test_iterative_state_exchange_engages_and_stays_off(spark, monkeypatch):
+    """r11 verdict item 1 — auto-sized state exchange for the iterative
+    family.  With auto-broadcast OFF (the 100 TB posture), the only
+    broadcasts left are the ones :func:`components._state_hint` forces:
+
+    * ENGAGE — on a small graph the "auto" probe picks broadcast, and
+      the per-round relax/step plan holds a BroadcastHashJoin and no
+      SortMergeJoin on the state side;
+    * STAY OFF — with the row cap monkeypatched to 0 the same call
+      degrades to the shuffle regime (no forced broadcast anywhere —
+      the billion-node graph no longer dies on the broadcast limit);
+    * both regimes return identical rows (broadcast is a hint, not
+      semantics), so which plan fires is invisible to the parity gate.
+
+    The pin captures the ROUND plan (the thing that must stay
+    exchange-minimal at 100×) by spying on iterate(): the step's
+    returned frame is inspected before materialization hides it behind
+    a localCheckpoint scan."""
+    import kafka_merge_purge_spark.operators.components as C
+    import kafka_merge_purge_spark.operators.iterate as I
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (4, 5)], "src long, dst long"
+    )
+    captured: list = []
+    real_iterate = I.iterate
+
+    def spy(state, step, max_rounds, **kw):
+        captured.append(step(state, 0))
+        return real_iterate(state, step, max_rounds, **kw)
+
+    monkeypatch.setattr(I, "iterate", spy)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        results: dict[str, list] = {}
+        for regime in ("broadcast", "shuffle"):
+            if regime == "shuffle":
+                monkeypatch.setattr(C, "STATE_BROADCAST_MAX_ROWS", 0)
+            plans = {}
+            for name, run in (
+                ("sssp", lambda: C.sssp(edges, source=1, rounds=2)),
+                ("hits", lambda: C.hits(edges, iterations=1)),
+                ("walks", lambda: C.random_walks(edges, walk_length=2)),
+            ):
+                captured.clear()
+                results.setdefault(name, []).append(
+                    sorted(map(tuple, run().collect()))
+                )
+                plans[name] = formatted_plan(captured[0])
+            if regime == "broadcast":
+                for name, plan in plans.items():
+                    assert "BroadcastHashJoin" in plan, f"{name} did not engage"
+                    assert "SortMergeJoin" not in plan, (
+                        f"{name}: state join fell to SortMergeJoin while "
+                        "broadcast mode is active"
+                    )
+            else:
+                for name, plan in plans.items():
+                    assert "BroadcastHashJoin" not in plan, (
+                        f"{name} still forces a broadcast above the cap"
+                    )
+                    assert ("SortMergeJoin" in plan) or (
+                        "ShuffledHashJoin" in plan
+                    ), f"{name}: no shuffle join in the stay-off regime"
+        for name, (a, b) in results.items():
+            assert a == b, f"{name}: regimes disagree on results"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="state-exchange mode"):
+        C._state_hint(edges, "brodcast")

@@ -12,6 +12,16 @@ Usage:  python tools/bench_compare.py OLD.json NEW.json [threshold_pct]
 Exit code 1 if any query regressed more than threshold_pct (default 50)
 AND more than 0.5 s absolute AFTER normalization — the guard future
 rounds run before shipping a planner-relevant change.
+
+Blind spot guard (r11 advice): median normalization absorbs a UNIFORM
+real slowdown (e.g. a regression in a shared primitive like iterate()
+that every graph query routes through) into host_factor.  Two
+backstops: (a) a host_factor outside [1/HOST_FACTOR_BOUND,
+HOST_FACTOR_BOUND] prints a loud warning telling the operator to
+decide co-tenancy vs shared-primitive regression by rerunning on a
+quiet host; (b) a RAW-delta gate at 3× the adjusted threshold (and
+2 s absolute) fires regardless of normalization — a genuine uniform
+3×-threshold slowdown cannot hide behind the median.
 """
 
 from __future__ import annotations
@@ -26,6 +36,15 @@ import sys
 #: Comparing a pre-drain OLD file against a post-drain NEW one must not
 #: flag these as plan regressions; see BASELINE.md "Bench-basis update".
 BENCH_BASIS_ROUND = 7
+
+#: host_factor outside [1/bound, bound] is suspicious even on a busy
+#: host — warn that a uniform shared-primitive regression would look
+#: exactly like this (the median cannot tell them apart; a quiet-host
+#: rerun can)
+HOST_FACTOR_BOUND = 1.6
+#: raw (unadjusted) gate multipliers — see module docstring
+RAW_GATE_FACTOR = 3.0
+RAW_GATE_ABS_S = 2.0
 CACHE_BEARING = {
     "q_fuzzy_dedup",
     "q_ngram_jaccard",
@@ -69,19 +88,30 @@ def main() -> int:
           f"uniform host factor {host_factor:.3f}"
           + (" — co-tenancy noise dominates, adjusted deltas are the signal"
              if abs(host_factor - 1.0) > 0.15 else ""))
+    if host_factor > HOST_FACTOR_BOUND or host_factor < 1.0 / HOST_FACTOR_BOUND:
+        print(
+            f"  !! host_factor {host_factor:.3f} outside "
+            f"[{1/HOST_FACTOR_BOUND:.2f}, {HOST_FACTOR_BOUND}] — EITHER heavy "
+            "co-tenancy OR a uniform regression in a shared primitive "
+            "(iterate(), bench harness, Spark conf); the median cannot tell "
+            "them apart — rerun on a quiet host before trusting exit 0"
+        )
     for adj_pct, name, a, b, b_adj, label in sorted(rows, reverse=True):
         flag = ""
-        if (
-            a is not None
-            and b_adj is not None
-            and adj_pct > threshold_pct
-            and (b_adj - a) > 0.5
-        ):
-            if old_pre_drain and name in CACHE_BEARING:
-                flag = "  (basis change r7: pre-drain old number — see BASELINE.md)"
-            else:
-                flag = "  <-- REGRESSION"
-                regressions += 1
+        if a is not None and b_adj is not None:
+            adjusted_hit = adj_pct > threshold_pct and (b_adj - a) > 0.5
+            # raw backstop: fires on the UN-normalized delta so a uniform
+            # slowdown absorbed into host_factor still gates
+            pct = (b - a) / a * 100 if a else 0.0
+            raw_hit = (
+                pct > threshold_pct * RAW_GATE_FACTOR and (b - a) > RAW_GATE_ABS_S
+            )
+            if adjusted_hit or raw_hit:
+                if old_pre_drain and name in CACHE_BEARING:
+                    flag = "  (basis change r7: pre-drain old number — see BASELINE.md)"
+                else:
+                    flag = "  <-- REGRESSION" + ("" if adjusted_hit else " (raw gate)")
+                    regressions += 1
         print(f"  {name}: {a} -> {b}  {label}{flag}")
     return 1 if regressions else 0
 
