@@ -5138,6 +5138,304 @@ _RELATIONAL_ORACLES["x_disjunctive_join"] = """
     GROUP BY p_brand"""
 
 
+def x_order_count_dist(spark, sf_dir):
+    """TPC-H Q13 shape (r12): customer distribution by order count
+    INCLUDING zero-order customers — the left-outer-join +
+    aggregate-on-aggregate composition nothing else exercised.  The
+    Spark-first plan aggregates orders BEFORE the outer join (the
+    count frame is |customers|-sized, not |orders|-sized, so the join
+    side that scales fastest never re-shuffles full rows), with the
+    Q13 comment-exclusion analog as a pre-aggregation filter
+    (o_orderpriority ≠ '1-URGENT' — semantically the classic
+    filter-inside-the-outer-join, decorrelated)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cnt = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_cust = c.join(cnt, c["c_custkey"] == cnt["o_custkey"], "left").select(
+        F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_RELATIONAL_ORACLES["x_order_count_dist"] = """
+    WITH cnt AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey),
+    per_cust AS (
+        SELECT CAST(COALESCE(cnt.n, 0) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN cnt ON c_custkey = o_custkey)
+    SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count"""
+
+
+def x_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (r12): the correlated per-group scalar-avg
+    subquery — yearly revenue lost to below-one-fifth-of-average-
+    quantity orders for one part group — decorrelated the Spark-first
+    way: the per-part (Σ quantity, count) aggregate joins back to the
+    same part-filtered lineitem slice, and the threshold compare
+    ``l_quantity < 0.2·avg`` is multiplied through to EXACT int64
+    (``5·qty·cnt < Σqty`` — quantities are integral; no float boundary
+    can disagree between engines).  The brand slice is broadcast-
+    pruned before any aggregate, so the per-part stats never compute
+    for parts outside the filter."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    lp = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    st = lp.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_sq"),
+        F.count(F.lit(1)).alias("_nq"),
+    )
+    small = lp.join(st, "l_partkey").filter(
+        F.col("l_quantity").cast("long") * 5 * F.col("_nq") < F.col("_sq")
+    )
+    return small.agg(
+        F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
+    )
+
+
+_RELATIONAL_ORACLES["x_small_qty_revenue"] = """
+    WITH p AS (SELECT p_partkey FROM part
+               WHERE p_brand = 'Brand#13' AND p_type = 'SMALL'),
+    lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN p ON l_partkey = p_partkey),
+    st AS (SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+                  COUNT(*) AS nq
+           FROM lp GROUP BY l_partkey)
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lp JOIN st USING (l_partkey)
+    WHERE CAST(l_quantity AS BIGINT) * 5 * nq < sq"""
+
+
+def x_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (r12): the nested semi-join chain — suppliers in
+    one nation whose shipped stock of name-prefixed parts concentrates
+    in the target year (the availqty-vs-half-demand screen, re-expressed
+    on lineitem since the synthetic schema has no partsupp: a
+    (part, supplier) qualifies when 2·Σqty_in_window > Σqty_total,
+    exact int64).  Plan: part prefix filter broadcast-semi into
+    lineitem → ONE conditional per-(part,supp) aggregate computes both
+    sums in one pass → supplier left_semi → 1-row-ish nation broadcast.
+    No correlated re-scan: the classic per-ps subquery is the same
+    aggregate, decorrelated."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    in_window = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qual = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("_total"),
+            F.sum(
+                F.when(in_window, F.col("l_quantity").cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("_win"),
+        )
+        .filter(F.lit(2) * F.col("_win") > F.col("_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(qual, sup["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("s_name", "s_acctbal")
+    )
+
+
+_RELATIONAL_ORACLES["x_part_promotion"] = """
+    WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    qual AS (
+        SELECT DISTINCT l_suppkey FROM (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS total,
+                   SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate < TIMESTAMP '1997-01-01'
+                            THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS win
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM p)
+            GROUP BY l_partkey, l_suppkey)
+        WHERE 2 * win > total)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (SELECT l_suppkey FROM qual)"""
+
+
+def x_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (r12): bidirectional trade volume between two
+    nations by year — the multi-dimension volume query over the full
+    6-table join (lineitem→orders→customer + supplier, both sides
+    nation-resolved) with the symmetric nation-pair disjunction.  Both
+    nation joins broadcast (25 rows); the pair filter lands right after
+    them so the fact stream thins before the year aggregate; revenue
+    rides the decimal-stable sum."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
+    ) | (
+        (F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("_snk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("_cnk"))
+        .filter(pair)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+_RELATIONAL_ORACLES["x_nation_volume"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)"""
+
+
+def x_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (r12): one nation's market share, per year, of
+    ECONOMY-part volume sold to customers in one region — the
+    CASE-inside-ratio over a 6-table join (lineitem + part + orders +
+    customer + nation + region chain on the customer side; supplier
+    nation attributes the share).  Share = Σ(volume where supplier ∈
+    NATION_1) / Σ(volume), both decimal-stable sums; fixed dims
+    (part-filter, nation, region) broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == nc["n_nationkey"])
+        .join(F.broadcast(r), nc["n_regionkey"] == r["r_regionkey"], "left_semi")
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(ns), sup["s_nationkey"] == F.col("_snk"))
+    )
+    tagged = j.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        vol.alias("_vol"),
+        F.when(F.col("supp_nation") == "NATION_1", vol)
+        .otherwise(F.lit(0.0))
+        .alias("_nvol"),
+    )
+    return (
+        tagged.groupBy("o_year")
+        .agg(dsum("_nvol", "nation_rev"), dsum("_vol", "total_rev"))
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+_RELATIONAL_ORACLES["x_market_share"] = """
+    WITH j AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS vol,
+               CASE WHEN n1.n_name = 'NATION_1'
+                    THEN l_extendedprice * (1 - l_discount)
+                    ELSE 0.0 END AS nvol
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'ECONOMY')
+          AND nc.n_regionkey IN (SELECT r_regionkey FROM region
+                                 WHERE r_name = 'ASIA'))
+    SELECT o_year,
+           CAST(SUM(CAST(nvol AS DECIMAL(18,4))) AS DOUBLE) AS nation_rev,
+           CAST(SUM(CAST(vol AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+           round(CAST(SUM(CAST(nvol AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(vol AS DECIMAL(18,4))) AS DOUBLE), 6)
+               AS mkt_share
+    FROM j GROUP BY o_year"""
+
+
 _RELATIONAL_ORACLES["x_auto_skew_agg"] = """
     SELECT hot_key, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
@@ -6330,6 +6628,74 @@ _LLM_ORACLES["x_apply_changes"] = """
            CASE WHEN last.op IS NOT NULL THEN last.text ELSE d.text END AS text,
            CASE WHEN last.op IS NOT NULL THEN last.source ELSE d.source END
                AS source
+    FROM documents d FULL OUTER JOIN last ON d.doc_id = last.k
+    WHERE last.op IS NULL OR last.op = 'upsert'"""
+
+
+def x_apply_changes_evolve(spark, sf_dir):
+    """CDC apply with SCHEMA EVOLUTION (snapshot.apply_changes_evolve,
+    r12 — r11 verdict item 4): the change batch carries a column the
+    snapshot has never seen (``quality`` — the mid-stream attr
+    addition every real feed eventually does) and LACKS one the
+    snapshot has (``source``).  New column: applied on upserted keys,
+    NULL-backfilled everywhere else; missing column: kept on upserts
+    (inserted keys get NULL); deletes/last-write-wins as ever.  FULL
+    hash oracle — the evolution rules replay as per-column CASEs over
+    the same full-outer join."""
+    from kafka_merge_purge_spark.operators.snapshot import apply_changes_evolve
+
+    d = _t(spark, sf_dir, "documents")
+    snap = d.select("doc_id", "text", "source")
+    k = F.col("doc_id")
+    deletes = d.filter(k % 10 == 0).select(
+        "doc_id", F.lit(1).alias("ts"), F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("long").alias("quality"),
+    )
+    updates = d.filter(k % 10 == 5).select(
+        "doc_id", F.lit(2).alias("ts"), F.lit("upsert").alias("op"),
+        F.concat(F.lit("scored "), F.col("text")).alias("text"),
+        F.length("text").cast("long").alias("quality"),
+    )
+    stale = d.filter(k % 20 == 5).select(
+        "doc_id", F.lit(1).alias("ts"), F.lit("upsert").alias("op"),
+        F.concat(F.lit("stale "), F.col("text")).alias("text"),
+        F.lit(-1).cast("long").alias("quality"),
+    )
+    inserts = d.filter(k % 50 == 0).select(
+        (k + 1000000).alias("doc_id"), F.lit(1).alias("ts"),
+        F.lit("upsert").alias("op"), F.lit("new doc").alias("text"),
+        F.lit(0).cast("long").alias("quality"),
+    )
+    changes = deletes.unionByName(updates).unionByName(stale).unionByName(inserts)
+    return apply_changes_evolve(snap, changes, "doc_id")
+
+
+_LLM_ORACLES["x_apply_changes_evolve"] = """
+    WITH ch AS (
+        SELECT doc_id AS k, 1 AS ts, 'delete' AS op,
+               CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS quality
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, 2, 'upsert', 'scored ' || text,
+               CAST(length(text) AS BIGINT)
+        FROM documents WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id, 1, 'upsert', 'stale ' || text, CAST(-1 AS BIGINT)
+        FROM documents WHERE doc_id % 20 = 5
+        UNION ALL
+        SELECT doc_id + 1000000, 1, 'upsert', 'new doc', CAST(0 AS BIGINT)
+        FROM documents WHERE doc_id % 50 = 0
+    ), last AS (
+        SELECT k, op, text, quality FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+            FROM ch) WHERE rn = 1
+    )
+    SELECT COALESCE(d.doc_id, last.k) AS doc_id,
+           CASE WHEN last.op IS NOT NULL THEN last.text ELSE d.text END AS text,
+           d.source AS source,
+           CASE WHEN last.op IS NOT NULL THEN last.quality
+                ELSE CAST(NULL AS BIGINT) END AS quality
     FROM documents d FULL OUTER JOIN last ON d.doc_id = last.k
     WHERE last.op IS NULL OR last.op = 'upsert'"""
 

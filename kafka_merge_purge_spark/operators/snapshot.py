@@ -248,3 +248,108 @@ def apply_changes(
             *[new_value(c).alias(c) for c in attr_cols],
         )
     )
+
+
+_INT_RANK = ("tinyint", "smallint", "int", "bigint")
+
+
+def apply_changes_evolve(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """CDC apply with SCHEMA EVOLUTION (r11 verdict item 4): real change
+    feeds add columns mid-stream, so the change batch's attr set need
+    not equal the snapshot's.  Attr sets are derived from the frames
+    themselves (every non-reserved column), and the three mismatch
+    classes resolve as a real lakehouse MERGE would:
+
+    - **change-only columns** join the output schema; snapshot rows the
+      batch doesn't touch NULL-backfill them (and deletes/untouched
+      keys never see the new column);
+    - **snapshot-only columns** are KEPT for upserted keys (a batch
+      that doesn't carry a column cannot mean "null it out") — newly
+      inserted keys get NULL there;
+    - **shared columns** apply fully, explicit NULLs included (the
+      batch carries the column, so NULL is a statement — the
+      ``partial`` NULL-means-keep form is for sparse batches WITHIN one
+      schema, not for evolution);
+    - **incompatible types** on a shared column (or the key) fail
+      EAGERLY at plan time with ValueError — integral widths coerce to
+      the wider type, anything else (string vs bigint, double vs date)
+      is a feed bug that must never silently cast.
+
+    Implementation: the r11 partial/mask machinery IS the substrate —
+    the batch's carried-attr set becomes a constant column mask and the
+    whole apply delegates to :func:`apply_changes` with ``mask_col``,
+    so last-write-wins ordering, idempotent replay, the eager
+    unknown-op error and the single full-outer-join scale shape are
+    inherited, not re-implemented.
+
+    Output: (key_col, *snapshot_attrs, *new_change_attrs)."""
+    reserved = {key_col, op_col, ts_col}
+    if tiebreak_col is not None:
+        reserved.add(tiebreak_col)
+    snap_attrs = [c for c in snapshot.columns if c != key_col]
+    change_attrs = [c for c in changes.columns if c not in reserved]
+    snap_t, chg_t = dict(snapshot.dtypes), dict(changes.dtypes)
+
+    def unify(col: str, a: str, b: str) -> str | None:
+        if a == b:
+            return None
+        if a in _INT_RANK and b in _INT_RANK:
+            return max(a, b, key=_INT_RANK.index)
+        raise ValueError(
+            f"apply_changes_evolve: column {col!r} has incompatible types "
+            f"(snapshot {a}, changes {b}) — an evolving feed may ADD "
+            "columns, not retype them"
+        )
+
+    if key_col not in changes.columns:
+        raise ValueError(
+            f"apply_changes_evolve: changes frame lacks key column {key_col!r}"
+        )
+    if not change_attrs:
+        # an attr-less batch can only delete; an empty literal mask array
+        # is untyped (array<void>) and array_contains would not resolve
+        raise ValueError(
+            "apply_changes_evolve: changes carry no attr columns — use "
+            "apply_changes with an explicit attr list for delete-only batches"
+        )
+    wide = unify(key_col, snap_t[key_col], chg_t[key_col])
+    if wide:
+        snapshot = snapshot.withColumn(key_col, F.col(key_col).cast(wide))
+        changes = changes.withColumn(key_col, F.col(key_col).cast(wide))
+    shared = [c for c in snap_attrs if c in set(change_attrs)]
+    for c in shared:
+        wide = unify(c, snap_t[c], chg_t[c])
+        if wide:
+            snapshot = snapshot.withColumn(c, F.col(c).cast(wide))
+            changes = changes.withColumn(c, F.col(c).cast(wide))
+    # NULL-backfill: new columns enter the snapshot as typed NULLs, and
+    # snapshot-only columns enter the batch as typed NULLs (the mask
+    # below stops those NULLs from ever applying)
+    new_cols = [c for c in change_attrs if c not in set(snap_attrs)]
+    for c in new_cols:
+        snapshot = snapshot.withColumn(c, F.lit(None).cast(chg_t[c]))
+    for c in (c for c in snap_attrs if c not in set(change_attrs)):
+        changes = changes.withColumn(c, F.lit(None).cast(snap_t[c]))
+    mask_col = "_evolve_mask"
+    if mask_col in changes.columns:
+        raise ValueError(f"apply_changes_evolve: {mask_col!r} column is reserved")
+    changes = changes.withColumn(
+        mask_col, F.array(*[F.lit(c) for c in change_attrs])
+    )
+    return apply_changes(
+        snapshot,
+        changes,
+        key_col,
+        snap_attrs + new_cols,
+        op_col=op_col,
+        ts_col=ts_col,
+        tiebreak_col=tiebreak_col,
+        mask_col=mask_col,
+    )

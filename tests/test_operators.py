@@ -4029,3 +4029,71 @@ def test_skipgram_pairs_exact_and_bounds(spark):
 
     with _pytest.raises(ValueError):
         skipgram_pairs(walks, window=0)
+
+
+def test_apply_changes_evolve_schema_evolution(spark):
+    """apply_changes_evolve (r12): change-only columns NULL-backfill
+    untouched snapshot rows and apply on upserts; snapshot-only columns
+    survive upserts and are NULL on inserts; replay is idempotent;
+    integral widths widen; non-integral retypes fail eagerly."""
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.snapshot import apply_changes_evolve
+
+    snap = spark.createDataFrame(
+        [(1, "one", "s1"), (2, "two", "s2"), (3, "three", "s3")],
+        "k long, text string, src string",
+    )
+    # batch carries NEW column q, LACKS src; touches k=2 (update),
+    # k=4 (insert), k=3 (delete)
+    changes = spark.createDataFrame(
+        [
+            (2, 1, "upsert", "TWO", 7),
+            (4, 1, "upsert", "four", 9),
+            (3, 1, "delete", None, None),
+        ],
+        "k long, ts long, op string, text string, q long",
+    )
+    out = apply_changes_evolve(snap, changes, "k")
+    rows = {r["k"]: (r["text"], r["src"], r["q"]) for r in out.collect()}
+    assert rows == {
+        1: ("one", "s1", None),   # untouched: q NULL-backfilled, src kept
+        2: ("TWO", "s2", 7),      # upsert: text+q applied, src KEPT
+        4: ("four", None, 9),     # insert: src NULL (never carried)
+    }
+    assert set(out.columns) == {"k", "text", "src", "q"}
+
+    # idempotent replay: applying the same batch onto the result is a no-op
+    replay = apply_changes_evolve(out.select("k", "text", "src", "q"), changes, "k")
+    assert {tuple(r) for r in replay.collect()} == {tuple(r) for r in out.collect()}
+
+    # explicit NULL in a CARRIED column is a statement (full-apply, not keep)
+    nuller = spark.createDataFrame(
+        [(2, 2, "upsert", None, None)], "k long, ts long, op string, text string, q long"
+    )
+    nulled = {r["k"]: (r["text"], r["q"]) for r in
+              apply_changes_evolve(out, nuller, "k").collect()}
+    assert nulled[2] == (None, None)
+
+    # integral widening: int batch column vs long snapshot column unifies
+    snap_i = spark.createDataFrame([(1, 5)], "k long, n long")
+    ch_i = spark.createDataFrame(
+        [(1, 1, "upsert", 9)], "k long, ts long, op string, n int"
+    )
+    wide = apply_changes_evolve(snap_i, ch_i, "k")
+    assert dict(wide.dtypes)["n"] == "bigint"
+    assert wide.collect()[0]["n"] == 9
+
+    # genuinely incompatible retype fails at plan time
+    ch_bad = spark.createDataFrame(
+        [(1, 1, "upsert", "nine")], "k long, ts long, op string, n string"
+    )
+    with _pytest.raises(ValueError, match="incompatible types"):
+        apply_changes_evolve(snap_i, ch_bad, "k")
+
+    # attr-less (delete-only) batches are rejected with guidance
+    ch_del = spark.createDataFrame(
+        [(1, 1, "delete")], "k long, ts long, op string"
+    )
+    with _pytest.raises(ValueError, match="no attr columns"):
+        apply_changes_evolve(snap_i, ch_del, "k")
