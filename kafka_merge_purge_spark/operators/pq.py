@@ -483,3 +483,203 @@ def ivf_pq_topk(
     return _adc_shortlist_and_rerank(
         scored, q_extra, corpus, k, rerank_factor, id_col, vec_col
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF-PQ index — the storage tier (r11 verdict item 5)
+# --------------------------------------------------------------------------
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    n_cells: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-PQ index as a partitioned parquet layout — the
+    compressed sibling of :func:`similarity.build_ivf_index` (which
+    stores raw vectors per cell).  Codes and raw vectors live in
+    SEPARATE cell-partitioned trees, so the ADC probe scan reads m
+    ints/row and the exact re-rank reads raw vectors ONLY from probed
+    cell directories (the shortlist is a subset of the probed cells by
+    construction — both scans prune at the file-listing level):
+
+    - ``{path}/codes``: (id, codes, cell_id) ``partitionBy("cell_id")``;
+    - ``{path}/vectors``: (id, vector, cell_id) ``partitionBy``-ed the
+      same way — the re-rank side;
+    - ``{path}/codebooks``: (subspace, code, centroid) sidecar;
+    - ``{path}/centroids``: the IVF centroid sidecar.
+
+    Quantizers default to the sampled fits (:func:`pq_fit_sample`,
+    ``_kmeans_cells`` — bounded driver state, the 100 TB posture); pass
+    ``codebooks``/``centroids`` to reuse existing ones.  Incremental
+    corpora: :func:`append_to_ivf_pq_index` encodes/tags new rows
+    against the STORED quantizers, so cell ids and codes stay stable
+    under append."""
+    from kafka_merge_purge_spark.operators.similarity import (
+        _kmeans_cells,
+        _tag_cells,
+        auto_ivf_params,
+    )
+
+    corpus = drop_null_vectors(corpus, vec_col)
+    if centroids is None:
+        if n_cells is None:
+            n_cells, _ = auto_ivf_params(corpus.count())
+        centroids = _kmeans_cells(corpus, n_cells, id_col, vec_col)
+    if not centroids:
+        raise ValueError("build_ivf_pq_index: empty corpus")
+    if codebooks is None:
+        codebooks = pq_fit_sample(corpus, m=m, ksub=ksub,
+                                  id_col=id_col, vec_col=vec_col)
+    tagged = _tag_cells(corpus, centroids, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("cv").alias(vec_col),
+        "cell_id",
+    )
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    enc.join(tagged.select(id_col, "cell_id"), id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(f"{path}/codes")
+    tagged.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/vectors"
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [
+            (j, c, list(map(float, cent)))
+            for j, book in enumerate(codebooks)
+            for c, cent in enumerate(book)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(j + 1, list(map(float, c))) for j, c in enumerate(centroids)],
+        "cell_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _read_pq_sidecars(spark, path: str):
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    book_rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    books: list[list[list[float]]] = []
+    for r in book_rows:
+        while len(books) <= r["subspace"]:
+            books.append([])
+        books[r["subspace"]].append(list(r["centroid"]))
+    if not cents or not books:
+        raise ValueError(f"ivf_pq index at {path} has empty sidecars")
+    return cents, books
+
+
+def append_to_ivf_pq_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a :func:`build_ivf_pq_index` layout: new
+    rows are PQ-encoded and cell-tagged against the STORED codebooks
+    and centroids (codes and cell ids stay stable — append never
+    re-quantizes existing data), then appended to both partitioned
+    trees.  Queries through :func:`ivf_pq_topk_indexed` see the union
+    immediately; equality with the direct path over the unioned corpus
+    is pinned in pytest.  Rebuild when drift makes the stored
+    quantizers poor (cell-size skew / rising ADC-vs-exact gap)."""
+    from kafka_merge_purge_spark.operators.similarity import _tag_cells
+
+    cents, books = _read_pq_sidecars(spark, path)
+    new_corpus = drop_null_vectors(new_corpus, vec_col)
+    tagged = _tag_cells(new_corpus, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("cv").alias(vec_col),
+        "cell_id",
+    )
+    enc = pq_encode(new_corpus, books, id_col, vec_col)
+    enc.join(tagged.select(id_col, "cell_id"), id_col).write.mode(
+        "append"
+    ).partitionBy("cell_id").parquet(f"{path}/codes")
+    tagged.write.mode("append").partitionBy("cell_id").parquet(
+        f"{path}/vectors"
+    )
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k against a :func:`build_ivf_pq_index`
+    layout: probed cells become a static ``cell_id IN (...)`` predicate
+    on BOTH partitioned trees (codes for the ADC scan, vectors for the
+    exact re-rank), so unprobed directories are never listed — the
+    storage-level pruning of ``ivf_topk_indexed`` composed with PQ's
+    m-bytes-per-candidate probe IO.  With identical sidecars the
+    results equal :func:`ivf_pq_topk` exactly (pinned in pytest);
+    ``nprobe=None`` = the stored-cell-count auto rule."""
+    from kafka_merge_purge_spark.operators.similarity import _probe_cells
+
+    cents, books = _read_pq_sidecars(spark, path)
+    if nprobe is None:
+        nprobe = max(2, round(len(cents) * 6 / 16))
+    queries = drop_null_vectors(queries, vec_col)
+    probes = _probe_cells(queries, cents, nprobe, id_col, vec_col, payload=False)
+    cells = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    )
+    enc = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell_id").isin(cells)
+    )
+    q_extra = F.broadcast(_query_lut_frame(queries, books, id_col, vec_col))
+    cand = (
+        enc.select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            "cell_id",
+            F.sqrt(_quantized_norm2(books)).alias("_cn"),
+        )
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(q_extra, "query_id")
+    )
+    adc_dot = F.aggregate(
+        F.zip_with(
+            F.col("_lut"),
+            F.col("codes"),
+            lambda lut_j, code_j: F.element_at(lut_j, code_j + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.when(denom != 0, adc_dot / denom).alias("_adc"),
+    )
+    vectors = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell_id").isin(cells))
+        .select(id_col, vec_col)
+    )
+    return _adc_shortlist_and_rerank(
+        scored, q_extra, vectors, k, rerank_factor, id_col, vec_col
+    )

@@ -4097,3 +4097,45 @@ def test_apply_changes_evolve_schema_evolution(spark):
     )
     with _pytest.raises(ValueError, match="no attr columns"):
         apply_changes_evolve(snap_i, ch_del, "k")
+
+
+def test_ivf_pq_index_roundtrip_pruning_and_append(spark, tables, tmp_path):
+    """Persisted IVF-PQ layout (r12): indexed results equal the direct
+    ivf_pq_topk with the same stored quantizers; the probed-cell filter
+    reaches BOTH partitioned trees (codes + vectors) as a
+    PartitionFilter; appending new rows against the stored sidecars
+    equals the direct path over the unioned corpus."""
+    from kafka_merge_purge_spark.operators import pq
+    from kafka_merge_purge_spark.plans.introspect import formatted_plan
+
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(emb, path, m=8, ksub=16, n_cells=8)
+    cents, books = pq._read_pq_sidecars(spark, path)
+    direct = pq.ivf_pq_topk(
+        probes, emb, books, k=3, nprobe=3, centroids=cents
+    )
+    indexed = pq.ivf_pq_topk_indexed(spark, path, probes, k=3, nprobe=3)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    plan = formatted_plan(indexed).replace("\n", " ")
+    assert plan.count("PartitionFilters: [cell_id") >= 2 or (
+        plan.count("PartitionFilters") >= 2 and "cell_id" in plan
+    ), "probed-cell filter must prune both the codes and vectors scans:\n" + plan
+
+    # append: build on half, append the rest — equals direct over union
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path2 = str(tmp_path / "ivfpq2")
+    pq.build_ivf_pq_index(half_a, path2, m=8, ksub=16, n_cells=8)
+    pq.append_to_ivf_pq_index(spark, path2, half_b)
+    cents2, books2 = pq._read_pq_sidecars(spark, path2)
+    direct2 = pq.ivf_pq_topk(
+        probes, emb, books2, k=3, nprobe=3, centroids=cents2
+    )
+    indexed2 = pq.ivf_pq_topk_indexed(spark, path2, probes, k=3, nprobe=3)
+    assert sorted(map(tuple, indexed2.collect())) == sorted(
+        map(tuple, direct2.collect())
+    )
