@@ -4766,6 +4766,78 @@ def _walks_oracle_sql(walk_length: int = 4, seed: str = "walk") -> str:
 _RELATIONAL_ORACLES["x_walks"] = _walks_oracle_sql(4)
 
 
+def x_skipgram_negatives(spark, sf_dir):
+    """SGNS negative sampling (components.skipgram_negatives, r12):
+    2 deterministic md5-coin vocabulary draws per window-2 skip-gram
+    pair from the x_walks corpus, accidental center/context hits
+    filtered (the word2vec-C rule) — the third leg of the
+    walks→pairs→negatives training-corpus chain, FULL hash oracle
+    (vocab indexed by row_number, coin mod |V| replayed verbatim)."""
+    from kafka_merge_purge_spark.operators.components import (
+        random_walks,
+        skipgram_negatives,
+        skipgram_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    vocab = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    walks = random_walks(edges, walk_length=4, walks_per_node=1)
+    sg = skipgram_pairs(walks, window=2)
+    return skipgram_negatives(sg, vocab, n_neg=2)
+
+
+_RELATIONAL_ORACLES["x_skipgram_negatives"] = f"""
+    WITH walks AS ({_walks_oracle_sql(4)}),
+    sg AS (
+        SELECT w.walk_id,
+               CAST(p.pos AS INTEGER) AS pos,
+               CAST(o.off AS INTEGER) AS "offset",
+               w.path[p.pos + 1] AS center,
+               w.path[p.pos + o.off + 1] AS context
+        FROM walks w
+        CROSS JOIN (SELECT unnest(range(0, 5)) AS pos) p
+        CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o
+        WHERE p.pos < len(w.path)
+          AND p.pos + o.off >= 0 AND p.pos + o.off < len(w.path)),
+    cpairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    vnodes AS (SELECT src AS node FROM cpairs UNION SELECT dst FROM cpairs),
+    vocab AS (SELECT node AS w,
+                     row_number() OVER (ORDER BY node) - 1 AS idx
+              FROM vnodes),
+    vc AS (SELECT COUNT(*) AS v FROM vocab),
+    neg AS (
+        SELECT sg.*, j.neg_j,
+               CAST(('0x' || substr(md5('neg:' || sg.walk_id || ':'
+                     || sg.pos || ':' || sg."offset" || ':' || j.neg_j),
+                     1, 15)) AS BIGINT) % v AS pick
+        FROM sg
+        CROSS JOIN (SELECT unnest([0, 1]) AS neg_j) j
+        CROSS JOIN vc)
+    SELECT n.walk_id, n.pos, n."offset", n.center, n.context,
+           CAST(n.neg_j AS INTEGER) AS neg_j, vb.w AS negative
+    FROM neg n JOIN vocab vb ON n.pick = vb.idx
+    WHERE vb.w <> n.center AND vb.w <> n.context"""
+
+
 def x_node2vec(spark, sf_dir):
     """node2vec second-order biased walks (components.node2vec_walks,
     r12, Grover & Leskovec 2016): 3-step walks over the bidirectional
@@ -5443,6 +5515,191 @@ _RELATIONAL_ORACLES["x_auto_skew_agg"] = """
     FROM (SELECT *, CASE WHEN o_custkey % 10 < 7 THEN 1
                          ELSE o_custkey END AS hot_key FROM orders)
     GROUP BY hot_key"""
+
+
+def x_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape (r12): top-20 customers by revenue lost to
+    returned items in a quarter — the classic 4-table reporting join
+    with a bounded top-N.  The top-20 order is (revenue DESC, custkey
+    ASC) — the explicit tiebreak that makes a LIMIT deterministic
+    cross-engine (revenue is a decimal-stable sum, so equal doubles are
+    equal in both engines); TakeOrderedAndProject, never a full sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+_RELATIONAL_ORACLES["x_returned_revenue"] = """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+
+def x_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (r12): parts whose traded value exceeds a
+    threshold derived from a global aggregate — the HAVING-against-
+    scalar-subquery composition (group sums screened by an aggregate of
+    the SAME expression).  The threshold is SCALE-FREE (the classic
+    Q11 fraction is data-size-bound — a fixed 0.001 of a total that
+    grows with SF gates everything at one scale and nothing at the
+    next): a part is important when its value exceeds 1.5× the AVERAGE
+    part value, i.e. ``2·value·n > 3·total`` with value/total
+    decimal-stable doubles and n the part count — both sides single
+    IEEE products, bit-identical cross-engine.  Total and n ride 1-row
+    broadcast cross-joins (no driver collect)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(dsum("l_extendedprice", "value"))
+    total = F.broadcast(li.agg(dsum("l_extendedprice", "_tot")))
+    n_parts = F.broadcast(per_part.agg(F.count(F.lit(1)).alias("_n")))
+    return (
+        per_part.crossJoin(total)
+        .crossJoin(n_parts)
+        .filter(F.lit(2.0) * F.col("value") * F.col("_n") > F.lit(3.0) * F.col("_tot"))
+        .select("l_partkey", "value")
+    )
+
+
+_RELATIONAL_ORACLES["x_important_parts"] = """
+    WITH pp AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS value
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS t
+        FROM lineitem),
+    np AS (SELECT COUNT(*) AS n FROM pp)
+    SELECT l_partkey, value FROM pp CROSS JOIN tot CROSS JOIN np
+    WHERE 2.0 * value * n > 3.0 * t"""
+
+
+def x_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (r12): profit by supplier nation and year for a
+    part-name slice — the 5-table join with an EXPRESSION measure
+    (revenue minus cost; the synthetic schema has no partsupp, so cost
+    = 0.8·p_retailprice·quantity — the same profit-decomposition shape
+    on available columns).  The measure is built in one projection and
+    decimal-summed; nation broadcast; two-dimension aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n), sup["s_nationkey"] == n["n_nationkey"])
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(dsum(amount, "sum_profit"))
+
+
+_RELATIONAL_ORACLES["x_product_profit"] = """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.8 * p_retailprice * l_quantity
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)"""
+
+
+def x_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (r12): per part (in a type/size slice), the
+    supplier(s) whose traded volume for that part equals the per-part
+    MINIMUM — the correlated-MIN-subquery join (the subquery re-
+    references the outer part key), decorrelated to one per-(part,
+    supplier) aggregate + a per-part min + an equality join.  Both
+    sides of the equality are THE SAME decimal-stable double, so the
+    tie semantics (keep ALL minimal suppliers, like the classic) are
+    exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cost = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_extendedprice", "cost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("cost").alias("_mc")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost["l_partkey"] == F.col("_mk")) & (cost["cost"] == F.col("_mc")),
+        )
+        .join(F.broadcast(sup), cost["l_suppkey"] == sup["s_suppkey"])
+        .select("l_partkey", "s_name", "cost")
+    )
+
+
+_RELATIONAL_ORACLES["x_min_cost_supplier"] = """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS cost
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'STANDARD' AND p_size < 15)
+        GROUP BY l_partkey, l_suppkey),
+    mc AS (SELECT l_partkey, MIN(cost) AS m FROM cost GROUP BY l_partkey)
+    SELECT c.l_partkey, s_name, c.cost
+    FROM cost c
+    JOIN mc ON c.l_partkey = mc.l_partkey AND c.cost = mc.m
+    JOIN supplier ON c.l_suppkey = s_suppkey"""
 
 
 def x_trustrank(spark, sf_dir):

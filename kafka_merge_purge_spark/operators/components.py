@@ -48,6 +48,13 @@ _INTEGRAL = set(_INTEGRAL_RANK)
 #: monkeypatch this module constant to pin both regimes.
 STATE_BROADCAST_MAX_ROWS = 5_000_000
 
+#: row bound for broadcasting GRAPH-side frames (adjacency, membership
+#: probes) inside a round.  Tighter than the state cap: an adjacency row
+#: is two node ids + index, and a broadcast hash relation of ~10M such
+#: rows is a ~1 GB build that OOMed the 8 GB local heap (measured at
+#: the 10x scale bench) — while the sort-merge twin spills and finishes.
+GRAPH_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def _state_hint(state_probe: DataFrame, mode, rows_per_unit: int = 1):
     """Resolve an iterative operator's per-round state-exchange strategy
@@ -89,6 +96,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     max_driver_edges: int = UNION_FIND_MAX_EDGES,
+    broadcast_labels: bool | str = "auto",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = min node id in the node's connected component.
@@ -132,15 +140,19 @@ def connected_components(
     labels0 = (
         bi.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)
+    # the Pregel path only fires past the union-find bound, so the label
+    # frame CAN be huge — the same auto-sized exchange as the rest of
+    # the iterative family (probe on the already-materialized frame)
+    hint = _state_hint(labels0, broadcast_labels)
 
     def pregel_round(labels: DataFrame, _i: int) -> DataFrame:
         # 1. neighbor min: the classic propagation step (one shuffle)
         nbr_min = (
-            bi.join(labels, bi["v"] == labels["node"])
+            bi.join(hint(labels), bi["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        l1 = labels.join(nbr_min, labels["node"] == nbr_min["u"], "left").select(
+        l1 = labels.join(hint(nbr_min), labels["node"] == nbr_min["u"], "left").select(
             labels["node"],
             F.least(labels["lbl"], F.coalesce(nbr_min["nbr_lbl"], labels["lbl"])).alias("lbl"),
             labels["lbl"].alias("_orig"),
@@ -151,7 +163,7 @@ def connected_components(
         # only ids transitively connected to u — correctness is
         # unchanged, rounds drop from O(diameter) to O(log diameter).
         parent = l1.select(F.col("node").alias("_p"), F.col("lbl").alias("_plbl"))
-        return l1.join(parent, l1["lbl"] == parent["_p"], "left").select(
+        return l1.join(hint(parent), l1["lbl"] == parent["_p"], "left").select(
             l1["node"],
             F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"])).alias("lbl"),
             (
@@ -1024,29 +1036,45 @@ def node2vec_walks(
         ).cast("long")
 
     srcs = adj.select("_u").distinct()
-    # membership probe side: the directed edge (prev → x) exists?
+    # membership probe side: the directed edge (prev → x) exists?  The
+    # join strategy is auto-sized like the state exchange, but against
+    # the ADJACENCY row count and a tighter cap: left unhinted, Spark
+    # broadcast-built the ~10M-row membership relation at the 10x scale
+    # bench and OOMed — above the cap the merge hint FORBIDS broadcast
+    # (sort-merge spills instead of building a giant hash relation)
     mem = adj.select(F.col("_u").alias("_pu"), F.col("_v").alias("_px"))
+    adj_small = (
+        adj.limit(GRAPH_BROADCAST_MAX_ROWS + 1).count()
+        <= GRAPH_BROADCAST_MAX_ROWS
+    )
+    mem = F.broadcast(mem) if adj_small else mem.hint("merge")
     w_cum = Window.partitionBy("walk_id").orderBy("_idx")
     w_tot = Window.partitionBy("walk_id")
 
     def step_fn(state: DataFrame, i: int) -> DataFrame:
         live = state.filter(~F.col("_done"))
         slim = live.select("walk_id", "_prev", "_cur")
-        cand = (
-            hint(slim)
-            .join(adj, F.col("_cur") == adj["_u"])
-            .join(
+        cand = hint(slim).join(adj, F.col("_cur") == adj["_u"])
+        if i == 0:
+            # first step is uniform (no previous node) — skipping the
+            # membership join entirely is not just cheaper: with _prev
+            # NULL on EVERY candidate, the left join would shuffle the
+            # whole candidate set into the single NULL-key partition
+            # (the skew_report null-key failure mode — one task OOMs
+            # while 31 idle; measured at the 10x scale bench)
+            w = F.lit(1).cast("long")
+        else:
+            cand = cand.join(
                 mem,
                 (F.col("_prev") == F.col("_pu")) & (F.col("_v") == F.col("_px")),
                 "left",
             )
-        )
-        w = (
-            F.when(F.col("_prev").isNull(), F.lit(1))
-            .when(F.col("_v") == F.col("_prev"), F.lit(w_return))
-            .when(F.col("_pu").isNotNull(), F.lit(w_near))
-            .otherwise(F.lit(w_far))
-        ).cast("long")
+            w = (
+                F.when(F.col("_prev").isNull(), F.lit(1))
+                .when(F.col("_v") == F.col("_prev"), F.lit(w_return))
+                .when(F.col("_pu").isNotNull(), F.lit(w_near))
+                .otherwise(F.lit(w_far))
+            ).cast("long")
         weighted = cand.select("walk_id", "_cur", "_v", "_idx", w.alias("_w"))
         picked = (
             weighted.withColumn("_cum", F.sum("_w").over(w_cum))
@@ -1129,6 +1157,98 @@ def skipgram_pairs(
             "center",
             ctx.alias("context"),
         )
+    )
+
+
+def skipgram_negatives(
+    pairs: DataFrame,
+    vocab: DataFrame,
+    n_neg: int = 2,
+    seed: str = "neg",
+    id_col: str = "walk_id",
+    broadcast_vocab: bool | str = "auto",
+) -> DataFrame:
+    """Deterministic negative sampling for skip-gram training (SGNS —
+    Mikolov et al. 2013 §2.2, the uniform-draw variant): for every
+    (center, context) pair from :func:`skipgram_pairs`, draw ``n_neg``
+    vocabulary words by md5 coin — the rows a word2vec-over-walks
+    trainer consumes alongside the positive pairs.
+
+    Draw ``j`` for pair ``(walk, pos, offset)`` picks vocab index
+    ``md5(seed:walk:pos:offset:j) mod |V|`` — fully derandomized (the
+    repo convention), so the sampler carries a FULL hash oracle.
+    Accidental hits (a draw equal to the pair's center or context) are
+    FILTERED, the word2vec-C behavior — a pair can emit fewer than
+    ``n_neg`` negatives at rate ≈ 2·n_neg/|V|.  Uniform draws (not the
+    classic unigram^0.75 tilt): the tilt needs corpus frequencies —
+    compose with a frequency-weighted vocab upstream if needed.
+
+    Scale shape: the vocab index is a GLOBAL dense rank computed
+    WITHOUT a single-task window (the sorted-neighborhood two-level
+    prefix sum: bucket by the 2-char word prefix — prefix order ≡ word
+    order — bucket-local row_numbers + collected bucket offsets; driver
+    state = one row per distinct prefix).  Draws join the indexed vocab
+    on the coined index — one equi join; ``broadcast_vocab="auto"``
+    resolves broadcast vs shuffle with the :func:`_state_hint` probe
+    (vocabularies are node-sized, usually broadcastable; a billion-word
+    vocab degrades to the shuffle join).
+
+    Output: pairs' columns + (neg_j int, negative string)."""
+    from pyspark.sql import Window
+
+    if n_neg < 1:
+        raise ValueError(f"skipgram_negatives: n_neg must be >= 1, got {n_neg}")
+    w = vocab.select(
+        F.col(vocab.columns[0]).cast("string").alias("_w")
+    ).distinct()
+    wb = Window.partitionBy("_b").orderBy("_w")
+    local = w.withColumn("_b", F.substring("_w", 1, 2)).withColumn(
+        "_lr", F.row_number().over(wb)
+    )
+    counts = local.groupBy("_b").count().orderBy("_b").collect()
+    acc, offsets = 0, []
+    for r in counts:
+        offsets.append((r["_b"], acc))
+        acc += r["count"]
+    if acc == 0:
+        raise ValueError("skipgram_negatives: empty vocabulary")
+    hint = _state_hint(w, broadcast_vocab)
+    spark = pairs.sparkSession
+    off = spark.createDataFrame(offsets, "_b string, _off long")
+    indexed = local.join(F.broadcast(off), "_b").select(
+        (F.col("_off") + F.col("_lr") - 1).alias("_idx"), F.col("_w")
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(id_col),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                    F.lit(":"),
+                    F.col("offset").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    drawn = pairs.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1)).cast("array<int>")).alias(
+            "neg_j"
+        ),
+    ).withColumn("_pick", F.pmod(coin, F.lit(acc)))
+    return (
+        drawn.join(hint(indexed), drawn["_pick"] == indexed["_idx"])
+        .filter((F.col("_w") != F.col("center")) & (F.col("_w") != F.col("context")))
+        .drop("_pick", "_idx")
+        .withColumnRenamed("_w", "negative")
     )
 
 

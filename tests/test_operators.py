@@ -4139,3 +4139,64 @@ def test_ivf_pq_index_roundtrip_pruning_and_append(spark, tables, tmp_path):
     assert sorted(map(tuple, indexed2.collect())) == sorted(
         map(tuple, direct2.collect())
     )
+
+
+def test_skipgram_negatives_deterministic_replay(spark):
+    """skipgram_negatives: equals a driver-side replay of the coin/index
+    spec (uniform draws over the row_number-ordered vocab, accidental
+    center/context hits filtered), deterministic across runs, ≤ n_neg
+    rows per pair, empty-vocab and bad-n rejected."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.components import skipgram_negatives
+
+    pairs = spark.createDataFrame(
+        [
+            ("w1", 0, 1, "a", "b"),
+            ("w1", 1, -1, "b", "a"),
+            ("w2", 0, 1, "c", "d"),
+        ],
+        "walk_id string, pos int, offset int, center string, context string",
+    )
+    vocab = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "word string"
+    )
+    out = skipgram_negatives(pairs, vocab, n_neg=3).collect()
+    words = sorted(["a", "b", "c", "d", "e"])
+
+    def coin(wid, pos, off, j):
+        h = hashlib.md5(f"neg:{wid}:{pos}:{off}:{j}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    expect = set()
+    for wid, pos, off, ctr, ctx in [
+        ("w1", 0, 1, "a", "b"),
+        ("w1", 1, -1, "b", "a"),
+        ("w2", 0, 1, "c", "d"),
+    ]:
+        for j in range(3):
+            w = words[coin(wid, pos, off, j) % len(words)]
+            if w not in (ctr, ctx):
+                expect.add((wid, pos, off, ctr, ctx, j, w))
+    got = {
+        (r["walk_id"], r["pos"], r["offset"], r["center"], r["context"],
+         r["neg_j"], r["negative"])
+        for r in out
+    }
+    assert got == expect and len(out) == len(expect)
+    from collections import Counter
+
+    per_pair = Counter((r["walk_id"], r["pos"], r["offset"]) for r in out)
+    assert all(c <= 3 for c in per_pair.values())
+
+    again = skipgram_negatives(pairs, vocab, n_neg=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    with _pytest.raises(ValueError, match="n_neg"):
+        skipgram_negatives(pairs, vocab, n_neg=0)
+    with _pytest.raises(ValueError, match="empty vocab"):
+        skipgram_negatives(
+            pairs, spark.createDataFrame([], "word string"), n_neg=1
+        )
