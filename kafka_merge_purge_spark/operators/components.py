@@ -55,6 +55,18 @@ STATE_BROADCAST_MAX_ROWS = 5_000_000
 #: the 10x scale bench) — while the sort-merge twin spills and finishes.
 GRAPH_BROADCAST_MAX_ROWS = 2_000_000
 
+#: entry bound for broadcasting a per-node neighbor-ARRAY frame
+#: (node2vec's adjacency).  Unlike a row-per-edge hash relation (whose
+#: per-key overhead OOMed at 10M keys), an array frame of E total
+#:
+#: entries hashes only its ~N node keys — 10M string entries ≈ 500 MB,
+#: comfortable, and broadcasting keeps the O(deg) per-walk fold work in
+#: the walks' own BALANCED partitioning: a shuffle join on the current
+#: node sends every walk standing on a hot node (plus its deg-sized
+#: fold) into ONE partition — measured 235 s straggler round vs 12 s
+#: for the balanced twin at the 10× bench.
+ADJ_BROADCAST_MAX_ENTRIES = 10_000_000
+
 
 def _state_hint(state_probe: DataFrame, mode, rows_per_unit: int = 1):
     """Resolve an iterative operator's per-round state-exchange strategy
@@ -926,49 +938,66 @@ def node2vec_walks(
     w_near: int = 1,
     w_far: int = 1,
     broadcast_state: bool | str = "auto",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Second-order biased random walks (node2vec — Grover & Leskovec
-    2016, §3.2) — the p/q generalization of :func:`random_walks` that a
-    user training graph embeddings asks for next: the walk remembers the
-    PREVIOUS node ``t`` and weights each neighbor ``x`` of the current
-    node by the return/in-out bias before the coin flip.
+    2016, §3.2) — the p/q generalization of :func:`random_walks`: the
+    walk remembers the PREVIOUS node ``t`` and weights each neighbor
+    ``x`` of the current node by the return/in-out bias before the coin
+    flip.
 
-    Weights are EXACT POSITIVE INTEGERS (the repo-wide
-    hash-oracle convention — the paper's 1/p, 1, 1/q rationals scaled by
-    any common multiple give identical distributions)::
+    Weights are EXACT POSITIVE INTEGERS (the repo-wide hash-oracle
+    convention — the paper's 1/p, 1, 1/q rationals scaled by any common
+    multiple give identical distributions)::
 
         w(x) = w_return  if x == t                    (α = 1/p)
                w_near    if directed edge t→x exists  (α = 1,  d(t,x)=1)
                w_far     otherwise                    (α = 1/q, d(t,x)=2)
 
-    so ``w_return < w_near`` ⇔ p > 1 (avoid immediate backtracking),
-    ``w_far < w_near`` ⇔ q > 1 (BFS-like, stay local), and the all-1
-    default degenerates to uniform (DeepWalk — though NOT bit-identical
-    to :func:`random_walks`, whose coin picks ``md5 mod outdeg``
-    directly; here the pick is a weighted-cumsum scan).  The FIRST step
-    has no previous node: every neighbor weighs 1 (the paper samples the
-    first step uniformly).  Membership is tested on the DIRECTED edge
-    set — pass a symmetrized list for undirected semantics.
+    The FIRST step has no previous node: every neighbor weighs 1 (the
+    paper samples the first step uniformly).  Membership is tested on
+    the DIRECTED edge set — pass a symmetrized list for undirected
+    semantics.  Determinism: the md5-affine coin of
+    :func:`random_walks` (``md5(seed:walk:step:cur)`` → 60-bit int)
+    reduced mod the walk's total candidate weight, located in the
+    cumulative-weight scan over the dst-sorted neighbor order — every
+    engine replays identical walks, so the output carries a FULL hash
+    oracle (steps unrolled as chained CTEs expressing the same window
+    cumsum).
 
-    Determinism: the md5-affine coin of :func:`random_walks`
-    (``md5(seed:walk:step:cur)`` → 60-bit int) reduced mod the walk's
-    total candidate weight, then located in the cumulative-weight scan
-    ordered by the adjacency index — every engine replays identical
-    walks, so the output carries a FULL hash oracle (steps unrolled as
-    chained CTEs with the same window cumsum).
+    Scale shape (on :func:`iterate`) — the design the 10× bench forced,
+    with three measured dead ends recorded so they stay dead:
 
-    Scale shape (on :func:`iterate`): per step the candidate frame is
-    O(walks · avg_degree) — the inherent node2vec cost (each step must
-    LOOK at every neighbor to weigh it, where the uniform walk only
-    indexes one).  The path array is dropped BEFORE the candidate
-    exchange (only (walk_id, prev, cur) rides the adjacency join and
-    the two-key membership probe against the same cached adjacency) and
-    re-joined per pick, so the widest shuffle carries ids + one weight
-    column, never growing paths.  ``broadcast_state="auto"`` as in
-    :func:`random_walks`.
+    * the adjacency collapses ONCE into per-node neighbor-ID ARRAYS
+      (int64, dst-order) plus a dense node index; per step the O(walks)
+      state joins that frame for the current node and (steps ≥ 1) the
+      previous node, and an Arrow kernel computes weights / total /
+      coin / cumulative pick VECTORIZED per row — ``np.isin`` and
+      ``cumsum`` over int64, never object strings, with one id→node
+      join materializing the picked neighbor.  Per-step work is
+      inherently ``Σ_walks deg(cur)`` (every neighbor must be weighed;
+      degree-biased picks concentrate that on hot nodes) — the kernel
+      makes each unit a C-speed integer op.
+    * dead end 1: a per-candidate JOIN (state × adjacency rows +
+      two-key membership join + two windows) — OOMed on the step-0
+      all-NULL prev key, then on a 10M-row broadcast hash relation,
+      then ran 334 s at 10×.
+    * dead end 2: per-row Catalyst array folds over STRING arrays —
+      HOF aggregate never enters codegen, and CollapseProject inlines
+      each producer into every fold iteration unless every stage is
+      pinned behind a projection barrier; even barriered, interpreted
+      string compares ran 235 s at 10×.  The barriered expression form
+      survives as ``impl="expr"`` — a pinned-equal twin (the pq_encode
+      convention), not the default.
+
+    ``broadcast_state="auto"`` probes TOTAL adjacency entries once and
+    broadcasts the array frame under
+    :data:`ADJ_BROADCAST_MAX_ENTRIES`, else the state joins shuffle.
 
     Output: (walk_id string, start node, path array — path[0] = start,
     len(path) ≤ walk_length + 1; walks retire early at sinks)."""
+    from pyspark.sql import Window
+
     from kafka_merge_purge_spark.operators.iterate import iterate
 
     if walks_per_node < 1 or walk_length < 0:
@@ -983,39 +1012,19 @@ def node2vec_walks(
             "node2vec_walks: weights must be positive integers "
             f"(got {w_return}, {w_near}, {w_far})"
         )
-    from pyspark.sql import Window
-
+    if impl not in ("pandas", "expr"):
+        raise ValueError(
+            f"node2vec_walks: impl must be 'pandas' or 'expr', got {impl!r}"
+        )
     e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
-    )
-    w_adj = Window.partitionBy("_u").orderBy("_v")
-    adj = (
-        e.distinct()
-        .withColumn("_idx", F.row_number().over(w_adj) - 1)
-        .cache()
     )
     nodes = (
         e.select(F.col("_u").alias("node"))
         .unionByName(e.select(F.col("_v").alias("node")))
         .distinct()
     )
-    hint = _state_hint(nodes, broadcast_state, rows_per_unit=walks_per_node)
     node_type = dict(nodes.dtypes)["node"]
-    starts = nodes.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
-                lambda r: F.concat(
-                    F.col("node").cast("string"), F.lit("#"), r.cast("string")
-                ),
-            )
-        ).alias("walk_id"),
-        F.col("node").alias("start"),
-        F.lit(None).cast(node_type).alias("_prev"),
-        F.col("node").alias("_cur"),
-        F.array(F.col("node").cast("string")).alias("path"),
-        F.lit(False).alias("_done"),
-    )
 
     def coin(step: int):
         return F.conv(
@@ -1035,68 +1044,120 @@ def node2vec_walks(
             10,
         ).cast("long")
 
-    srcs = adj.select("_u").distinct()
-    # membership probe side: the directed edge (prev → x) exists?  The
-    # join strategy is auto-sized like the state exchange, but against
-    # the ADJACENCY row count and a tighter cap: left unhinted, Spark
-    # broadcast-built the ~10M-row membership relation at the 10x scale
-    # bench and OOMed — above the cap the merge hint FORBIDS broadcast
-    # (sort-merge spills instead of building a giant hash relation)
-    mem = adj.select(F.col("_u").alias("_pu"), F.col("_v").alias("_px"))
-    adj_small = (
-        adj.limit(GRAPH_BROADCAST_MAX_ROWS + 1).count()
-        <= GRAPH_BROADCAST_MAX_ROWS
+    if impl == "pandas":
+        return _node2vec_pandas(
+            e, nodes, node_type, coin, iterate,
+            walk_length, walks_per_node, seed,
+            w_return, w_near, w_far, broadcast_state,
+        )
+
+    # ---- impl="expr": the barriered Catalyst twin (pinned equal) ----
+    adj = (
+        e.distinct()
+        .groupBy("_u")
+        .agg(F.sort_array(F.collect_list("_v")).alias("_nbrs"))
+        .cache()
     )
-    mem = F.broadcast(mem) if adj_small else mem.hint("merge")
-    w_cum = Window.partitionBy("walk_id").orderBy("_idx")
-    w_tot = Window.partitionBy("walk_id")
+    if broadcast_state == "auto":
+        entries = adj.agg(
+            F.coalesce(F.sum(F.size("_nbrs")), F.lit(0)).alias("_n")
+        ).first()["_n"]
+        broadcast_state = entries <= ADJ_BROADCAST_MAX_ENTRIES
+    elif not isinstance(broadcast_state, bool):
+        raise ValueError(
+            f"state-exchange mode must be True, False or 'auto', got {broadcast_state!r}"
+        )
+    hint = F.broadcast if broadcast_state else (lambda df: df)
+    starts = nodes.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
+                lambda r: F.concat(
+                    F.col("node").cast("string"), F.lit("#"), r.cast("string")
+                ),
+            )
+        ).alias("walk_id"),
+        F.col("node").alias("start"),
+        F.lit(None).cast(node_type).alias("_prev"),
+        F.col("node").alias("_cur"),
+        F.array(F.col("node").cast("string")).alias("path"),
+        F.lit(False).alias("_done"),
+    )
+    cur_side = adj.select(F.col("_u").alias("_cu"), F.col("_nbrs"))
+    prev_side = adj.select(F.col("_u").alias("_pu"), F.col("_nbrs").alias("_pnbrs"))
+    from kafka_merge_purge_spark.plans.introspect import projection_barrier
 
     def step_fn(state: DataFrame, i: int) -> DataFrame:
         live = state.filter(~F.col("_done"))
-        slim = live.select("walk_id", "_prev", "_cur")
-        cand = hint(slim).join(adj, F.col("_cur") == adj["_u"])
+        j = live.join(hint(cur_side), live["_cur"] == F.col("_cu"), "left")
         if i == 0:
-            # first step is uniform (no previous node) — skipping the
-            # membership join entirely is not just cheaper: with _prev
-            # NULL on EVERY candidate, the left join would shuffle the
-            # whole candidate set into the single NULL-key partition
-            # (the skew_report null-key failure mode — one task OOMs
-            # while 31 idle; measured at the 10x scale bench)
-            w = F.lit(1).cast("long")
+            # first step is uniform — no previous-node join at all
+            ws = F.transform(F.col("_nbrs"), lambda x: F.lit(1).cast("long"))
+            j = j.withColumn("_ws", ws)
         else:
-            cand = cand.join(
-                mem,
-                (F.col("_prev") == F.col("_pu")) & (F.col("_v") == F.col("_px")),
-                "left",
+            j = j.join(hint(prev_side), j["_prev"] == F.col("_pu"), "left")
+            common = F.coalesce(
+                F.array_intersect(F.col("_nbrs"), F.col("_pnbrs")),
+                F.array().cast("array<" + node_type + ">"),
             )
-            w = (
-                F.when(F.col("_prev").isNull(), F.lit(1))
-                .when(F.col("_v") == F.col("_prev"), F.lit(w_return))
-                .when(F.col("_pu").isNotNull(), F.lit(w_near))
+            # barrier after _mem: without it CollapseProject inlines the
+            # map build into EVERY per-neighbor lookup of the transform
+            j = projection_barrier(
+                j.withColumn(
+                    "_mem",
+                    F.map_from_arrays(
+                        common,
+                        F.array_repeat(F.lit(1), F.size(common)),
+                    ),
+                )
+            )
+            ws = F.transform(
+                F.col("_nbrs"),
+                lambda x: F.when(x == F.col("_prev"), F.lit(w_return))
+                .when(
+                    F.element_at(F.col("_mem"), x).isNotNull(), F.lit(w_near)
+                )
                 .otherwise(F.lit(w_far))
-            ).cast("long")
-        weighted = cand.select("walk_id", "_cur", "_v", "_idx", w.alias("_w"))
-        picked = (
-            weighted.withColumn("_cum", F.sum("_w").over(w_cum))
-            .withColumn("_tot", F.sum("_w").over(w_tot))
-            .withColumn("_coin", F.pmod(coin(i), F.col("_tot")))
-            .filter(
-                (F.col("_coin") >= F.col("_cum") - F.col("_w"))
-                & (F.col("_coin") < F.col("_cum"))
+                .cast("long"),
             )
-            .select("walk_id", F.col("_v"))
+            j = j.withColumn("_ws", ws)
+        # barrier after _ws: the total fold and the pick fold reference
+        # _ws once per ELEMENT — inlined, O(deg²) per row
+        j = projection_barrier(j)
+        tot = F.aggregate(
+            F.col("_ws"), F.lit(0).cast("long"), lambda acc, x: acc + x
         )
-        stepped = hint(live).join(picked, "walk_id").select(
+        j = projection_barrier(j.withColumn("_pick", F.pmod(coin(i), tot)))
+        chosen = F.aggregate(
+            F.sequence(F.lit(0), F.size("_ws") - 1),
+            F.struct(
+                F.lit(0).cast("long").alias("s"), F.lit(-1).alias("f")
+            ),
+            lambda acc, idx: F.struct(
+                (acc["s"] + F.element_at(F.col("_ws"), idx + 1)).alias("s"),
+                F.when(acc["f"] >= 0, acc["f"])
+                .when(
+                    acc["s"] + F.element_at(F.col("_ws"), idx + 1)
+                    > F.col("_pick"),
+                    idx,
+                )
+                .otherwise(F.lit(-1))
+                .alias("f"),
+            ),
+        )["f"]
+        jj = j.withColumn("_nxt", F.element_at(F.col("_nbrs"), chosen + 1))
+        has_nbrs = F.col("_nbrs").isNotNull() & (F.size("_nbrs") > 0)
+        stepped = jj.filter(has_nbrs).select(
             "walk_id",
             "start",
             F.col("_cur").alias("_prev"),
-            F.col("_v").alias("_cur"),
-            F.concat(F.col("path"), F.array(F.col("_v").cast("string"))).alias(
-                "path"
-            ),
+            F.col("_nxt").alias("_cur"),
+            F.concat(
+                F.col("path"), F.array(F.col("_nxt").cast("string"))
+            ).alias("path"),
             F.lit(False).alias("_done"),
         )
-        retired = live.join(hint(srcs), live["_cur"] == srcs["_u"], "left_anti").select(
+        retired = jj.filter(~has_nbrs).select(
             "walk_id", "start", "_prev", "_cur", "path", F.lit(True).alias("_done")
         )
         return state.filter(F.col("_done")).unionByName(stepped).unionByName(retired)
@@ -1104,6 +1165,196 @@ def node2vec_walks(
     out = iterate(starts, step_fn, max_rounds=walk_length)
     adj.unpersist()
     return out.select("walk_id", "start", "path")
+
+
+def _dense_node_index(nodes: DataFrame) -> DataFrame:
+    """Deterministic dense int64 index over a one-column node frame,
+    WITHOUT a single-task global window: 2-char string-prefix buckets,
+    bucket-local row_numbers, collected bucket offsets (the
+    sorted-neighborhood two-level prefix sum; driver state = one row
+    per distinct prefix).  Ids are internal — only uniqueness and
+    determinism matter, never their order."""
+    from pyspark.sql import Window
+
+    col = nodes.columns[0]
+    w = Window.partitionBy("_b").orderBy(col)
+    local = nodes.withColumn(
+        "_b", F.substring(F.col(col).cast("string"), 1, 2)
+    ).withColumn("_lr", F.row_number().over(w))
+    counts = local.groupBy("_b").count().orderBy("_b").collect()
+    acc, offsets = 0, []
+    for r in counts:
+        offsets.append((r["_b"], acc))
+        acc += r["count"]
+    off = nodes.sparkSession.createDataFrame(
+        offsets or [("", 0)], "_b string, _off long"
+    )
+    return local.join(F.broadcast(off), "_b").select(
+        F.col(col), (F.col("_off") + F.col("_lr") - 1).alias("_nid")
+    )
+
+
+def _node2vec_pandas(
+    e, nodes, node_type, coin, iterate,
+    walk_length, walks_per_node, seed, w_return, w_near, w_far,
+    broadcast_state,
+):
+    """The default node2vec engine: neighbor-ID arrays + Arrow kernel.
+    See :func:`node2vec_walks` for the design rationale."""
+    idx = _dense_node_index(nodes).cache()
+    de = e.distinct()
+    with_ids = (
+        de.join(idx.select(F.col(idx.columns[0]).alias("_u"), F.col("_nid").alias("_uid")), "_u")
+        .join(idx.select(F.col(idx.columns[0]).alias("_v"), F.col("_nid").alias("_vid")), "_v")
+    )
+    # arrays in dst-TYPED order (struct sort on _v first) — the oracle's
+    # row_number ORDER BY dst; ids ride along for C-speed kernel math
+    adj = (
+        with_ids.groupBy("_uid")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_v"), F.col("_vid")))
+                ),
+                lambda s: s["_vid"],
+            ).alias("_nbrs_ids")
+        )
+        .cache()
+    )
+    if broadcast_state == "auto":
+        entries = adj.agg(
+            F.coalesce(F.sum(F.size("_nbrs_ids")), F.lit(0)).alias("_n")
+        ).first()["_n"]
+        broadcast_state = entries <= ADJ_BROADCAST_MAX_ENTRIES
+    elif not isinstance(broadcast_state, bool):
+        raise ValueError(
+            f"state-exchange mode must be True, False or 'auto', got {broadcast_state!r}"
+        )
+    hint = F.broadcast if broadcast_state else (lambda df: df)
+    idx_for_starts = idx.select(
+        F.col(idx.columns[0]).alias("_inode"), F.col("_nid")
+    )
+    starts = (
+        nodes.join(idx_for_starts, nodes["node"] == F.col("_inode"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
+                    lambda r: F.concat(
+                        F.col("node").cast("string"), F.lit("#"), r.cast("string")
+                    ),
+                )
+            ).alias("walk_id"),
+            F.col("node").alias("start"),
+            F.lit(None).cast("long").alias("_prev_id"),
+            F.col("node").alias("_cur"),
+            F.col("_nid").alias("_cur_id"),
+            F.array(F.col("node").cast("string")).alias("path"),
+            F.lit(False).alias("_done"),
+        )
+    )
+    cur_side = adj.select(F.col("_uid").alias("_cuid"), F.col("_nbrs_ids"))
+    prev_side = adj.select(
+        F.col("_uid").alias("_puid"), F.col("_nbrs_ids").alias("_pnbrs_ids")
+    )
+    name_side = idx.select(
+        F.col("_nid").alias("_nxt_id"), F.col(idx.columns[0]).alias("_nxt_node")
+    )
+
+    def step_fn(state: DataFrame, i: int) -> DataFrame:
+        live = state.filter(~F.col("_done"))
+        j = live.join(hint(cur_side), live["_cur_id"] == F.col("_cuid"), "left")
+        has_prev = i > 0
+        if has_prev:
+            j = j.join(
+                hint(prev_side), j["_prev_id"] == F.col("_puid"), "left"
+            )
+        cols = ["walk_id", "start", "_cur", "_cur_id", "path", "_nbrs_ids"] + (
+            ["_pnbrs_ids"] if has_prev else []
+        )
+        out_schema = (
+            f"walk_id string, start {node_type}, _cur {node_type}, "
+            "_cur_id long, path array<string>, _nxt_id long"
+        )
+
+        import hashlib
+
+        import numpy as np
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                nxt = []
+                pn_iter = (
+                    pdf["_pnbrs_ids"] if has_prev else [None] * len(pdf)
+                )
+                for wid, cur, prev_id, nbrs, pnbrs in zip(
+                    pdf["walk_id"], pdf["_cur"],
+                    pdf["_prev_id"] if "_prev_id" in pdf else [None] * len(pdf),
+                    pdf["_nbrs_ids"], pn_iter,
+                ):
+                    if nbrs is None or len(nbrs) == 0:
+                        nxt.append(None)
+                        continue
+                    n = np.asarray(nbrs, dtype=np.int64)
+                    coin_v = int(
+                        hashlib.md5(
+                            f"{seed}:{wid}:{i}:{cur}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    if not has_prev or prev_id is None:
+                        nxt.append(int(n[coin_v % len(n)]))
+                        continue
+                    w = np.full(len(n), w_far, dtype=np.int64)
+                    if pnbrs is not None and len(pnbrs):
+                        w[np.isin(n, np.asarray(pnbrs, dtype=np.int64))] = w_near
+                    w[n == int(prev_id)] = w_return
+                    cum = np.cumsum(w)
+                    pick = coin_v % int(cum[-1])
+                    nxt.append(int(n[np.searchsorted(cum, pick, side="right")]))
+                yield pdf[
+                    ["walk_id", "start", "_cur", "_cur_id", "path"]
+                ].assign(_nxt_id=nxt)
+
+        sel = cols + (["_prev_id"] if has_prev else [])
+        k = j.select(*sel).mapInPandas(kernel, schema=out_schema)
+        stepped = (
+            k.filter(F.col("_nxt_id").isNotNull())
+            .join(hint(name_side), "_nxt_id")
+            .select(
+                "walk_id",
+                "start",
+                F.col("_cur_id").alias("_prev_id"),
+                F.col("_nxt_node").alias("_cur"),
+                F.col("_nxt_id").alias("_cur_id"),
+                F.concat(
+                    F.col("path"), F.array(F.col("_nxt_node").cast("string"))
+                ).alias("path"),
+                F.lit(False).alias("_done"),
+            )
+        )
+        retired = k.filter(F.col("_nxt_id").isNull()).select(
+            "walk_id",
+            "start",
+            F.lit(None).cast("long").alias("_prev_id"),
+            "_cur",
+            "_cur_id",
+            "path",
+            F.lit(True).alias("_done"),
+        )
+        return (
+            state.filter(F.col("_done"))
+            .unionByName(stepped)
+            .unionByName(retired)
+        )
+
+    out = iterate(starts, step_fn, max_rounds=walk_length)
+    adj.unpersist()
+    idx.unpersist()
+    return out.select("walk_id", "start", "path")
+
 
 
 def skipgram_pairs(

@@ -3985,12 +3985,26 @@ def test_node2vec_walks_bias_and_determinism(spark):
            for r in node2vec_walks(df, walk_length=4).collect()}
     assert got == expect
 
+    # the Arrow-kernel pick (default) and the Catalyst expression twin
+    # compute identical walks (the pq_encode pinned-twin convention)
+    expr_twin = {r["walk_id"]: r["path"]
+                 for r in node2vec_walks(
+                     df, walk_length=4, w_return=3, w_near=5, w_far=2,
+                     impl="expr").collect()}
+    pandas_form = {r["walk_id"]: r["path"]
+                   for r in node2vec_walks(
+                       df, walk_length=4, w_return=3, w_near=5, w_far=2,
+                       impl="pandas").collect()}
+    assert expr_twin == pandas_form
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         node2vec_walks(df, w_return=0)
     with _pytest.raises(ValueError):
         node2vec_walks(df, walks_per_node=0)
+    with _pytest.raises(ValueError):
+        node2vec_walks(df, impl="exprs")
 
 
 def test_skipgram_pairs_exact_and_bounds(spark):
