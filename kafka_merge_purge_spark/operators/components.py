@@ -1462,7 +1462,13 @@ def skipgram_negatives(
         offsets.append((r["_b"], acc))
         acc += r["count"]
     if acc == 0:
-        raise ValueError("skipgram_negatives: empty vocabulary")
+        # no vocabulary → no draws are possible; empty-out (the repo's
+        # empty-input sweep contract), same schema as the normal path
+        return (
+            pairs.withColumn("neg_j", F.lit(0).cast("int"))
+            .withColumn("negative", F.lit(None).cast("string"))
+            .filter(F.lit(False))
+        )
     hint = _state_hint(w, broadcast_vocab)
     spark = pairs.sparkSession
     off = spark.createDataFrame(offsets, "_b string, _off long")

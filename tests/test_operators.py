@@ -4210,7 +4210,12 @@ def test_skipgram_negatives_deterministic_replay(spark):
 
     with _pytest.raises(ValueError, match="n_neg"):
         skipgram_negatives(pairs, vocab, n_neg=0)
-    with _pytest.raises(ValueError, match="empty vocab"):
-        skipgram_negatives(
-            pairs, spark.createDataFrame([], "word string"), n_neg=1
-        )
+    # empty vocab → empty result with the full schema (the empty-input
+    # sweep contract: no query may crash on empty tables)
+    empty = skipgram_negatives(
+        pairs, spark.createDataFrame([], "word string"), n_neg=1
+    )
+    assert empty.count() == 0
+    assert empty.columns == [
+        "walk_id", "pos", "offset", "center", "context", "neg_j", "negative"
+    ]

@@ -51,7 +51,7 @@ ROUND_HEADLINERS = {
     "x_kcore": "per-round peel — two survivor semi-screens of the cached normalized edge set + one map-side-combined degree aggregate; convergence flag = two 1-row count aggs (r12: no left_anti job); state O(nodes), shrinking monotonically",
     "x_hits": "per-round double power step — the two edge-join score aggregates are the only real shuffles; L1 normalization sums ride 1-row broadcast cross-joins; in-round localCheckpoints stop the 2-4x re-evaluation of twice-referenced aggregates",
     "x_walks": "per-step uniform walk — ONE inner equi join of the O(walks) state onto the indexed cached adjacency + a sink anti join; the md5 coin is expression-level (no RNG, no Python)",
-    "x_node2vec": "per-step biased walk — the O(walks) state left-joins the cached per-node sorted neighbor-ARRAY frame twice (cur + prev); weights, membership (array_intersect + map lookup, O(deg) not O(deg^2)), coin, and the cumulative pick are ONE array expression per walk row — nothing per-candidate ever shuffles (the candidate-join form measured 334 s / OOM at the 10x bench)",
+    "x_node2vec": "per-step biased walk — the O(walks) state joins the cached per-node neighbor-ID array frame (cur + prev, int64); the weighted pick (np.isin membership, cumsum, md5 coin, searchsorted) runs vectorized in ONE Arrow kernel, and one id-to-node join materializes the pick — nothing per-candidate ever shuffles (the candidate-join form OOMed then ran 334 s at the 10x bench; the expression-fold twin survives as impl='expr', pinned equal)",
 }
 
 
