@@ -5702,6 +5702,75 @@ _RELATIONAL_ORACLES["x_min_cost_supplier"] = """
     JOIN supplier ON c.l_suppkey = s_suppkey"""
 
 
+def x_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (r12): the forecasting-revenue-change query — one
+    table, three pushed-down predicates (date window + discount band +
+    quantity cap), one ungrouped decimal-stable sum.  The simplest
+    classic shape, here to complete the 22/22 sweep AND to pin that all
+    three filters reach the parquet scan (PushedFilters — nothing
+    evaluates post-scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return j.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")
+    )
+
+
+_RELATIONAL_ORACLES["x_forecast_revenue"] = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24"""
+
+
+def x_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (r12): per ship-mode counts of high- vs
+    low-priority LATE lines — the CASE-inside-two-aggregates
+    composition over the orders⋈lineitem join with a non-equi lateness
+    conjunct (shipdate after orderdate, the x_late_shipment_priority
+    lateness analog; l_returnflag stands in for the synthetic schema's
+    missing shipmode).  One join, one grouped aggregate, both counts in
+    one pass."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).filter(
+        (F.col("l_shipdate") > F.col("o_orderdate"))
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(F.col("l_returnflag").alias("ship_mode")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+_RELATIONAL_ORACLES["x_shipmode_priority"] = """
+    SELECT l_returnflag AS ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag"""
+
+
 def x_trustrank(spark, sf_dir):
     """TrustRank (r9, Gyöngyi et al. 2004): personalized PageRank whose
     teleport set is the SUPPLIER side of the co-trade graph — trust

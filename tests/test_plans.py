@@ -296,3 +296,18 @@ def test_iterative_state_exchange_engages_and_stays_off(spark, monkeypatch):
 
     with _pytest.raises(ValueError, match="state-exchange mode"):
         C._state_hint(edges, "brodcast")
+
+
+def test_forecast_revenue_filters_reach_the_scan(spark):
+    """TPC-H Q6 shape: all three predicates (date window, discount
+    band, quantity cap) must reach the parquet scan as PushedFilters —
+    a Q6 that filters post-scan reads the whole fact table for a
+    one-row answer."""
+    import __spark_entry__ as entry
+
+    plan = formatted_plan(entry.x_forecast_revenue(spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters in the scan:\n" + plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, f"{col} not pushed into the scan: {line}"
