@@ -537,6 +537,11 @@ def build_ivf_pq_index(
     if codebooks is None:
         codebooks = pq_fit_sample(corpus, m=m, ksub=ksub,
                                   id_col=id_col, vec_col=vec_col)
+    # Explicit-centroids + empty/null-only corpus (or an explicitly
+    # passed empty codebooks list) would otherwise surface later as an
+    # opaque IndexError inside pq_encode's pandas kernel (books[0]).
+    if not codebooks or not codebooks[0]:
+        raise ValueError("build_ivf_pq_index: empty corpus/codebooks")
     tagged = _tag_cells(corpus, centroids, id_col, vec_col).select(
         F.col("neighbor_id").alias(id_col),
         F.col("cv").alias(vec_col),

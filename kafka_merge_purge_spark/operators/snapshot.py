@@ -293,6 +293,27 @@ def apply_changes_evolve(
     reserved = {key_col, op_col, ts_col}
     if tiebreak_col is not None:
         reserved.add(tiebreak_col)
+    # A snapshot attribute named like a reserved changes column (op/ts/
+    # tiebreak) would be derived as snapshot-only and NULL-backfilled
+    # INTO the batch — clobbering its ordering/op column so last-write-
+    # wins degenerates to arbitrary row_number over all-NULL ts.  Fail
+    # eagerly instead (mirrors the mask-col reservation on the changes
+    # side below).
+    clash = (reserved - {key_col}) & set(snapshot.columns)
+    if clash:
+        raise ValueError(
+            "apply_changes_evolve: snapshot carries column(s) "
+            f"{sorted(clash)!r} named like reserved changes columns "
+            f"(op_col={op_col!r}, ts_col={ts_col!r}"
+            + (f", tiebreak_col={tiebreak_col!r}" if tiebreak_col else "")
+            + ") — rename the snapshot attribute or pass different "
+            "op_col/ts_col names"
+        )
+    if "_evolve_mask" in snapshot.columns:
+        raise ValueError(
+            "apply_changes_evolve: '_evolve_mask' column is reserved "
+            "(present in snapshot)"
+        )
     snap_attrs = [c for c in snapshot.columns if c != key_col]
     change_attrs = [c for c in changes.columns if c not in reserved]
     snap_t, chg_t = dict(snapshot.dtypes), dict(changes.dtypes)

@@ -4112,6 +4112,27 @@ def test_apply_changes_evolve_schema_evolution(spark):
     with _pytest.raises(ValueError, match="no attr columns"):
         apply_changes_evolve(snap_i, ch_del, "k")
 
+    # r12 advice (medium): a snapshot attribute named like a reserved
+    # changes column (ts/op/tiebreak) would be NULL-backfilled INTO the
+    # batch, clobbering its ordering column — must fail eagerly
+    snap_ts = spark.createDataFrame([(1, 5, 1)], "k long, n long, ts long")
+    ch_ok = spark.createDataFrame(
+        [(1, 1, "upsert", 9)], "k long, ts long, op string, n long"
+    )
+    with _pytest.raises(ValueError, match="reserved changes columns"):
+        apply_changes_evolve(snap_ts, ch_ok, "k")
+    snap_op = spark.createDataFrame([(1, "x")], "k long, op string")
+    with _pytest.raises(ValueError, match="reserved changes columns"):
+        apply_changes_evolve(snap_op, ch_ok, "k")
+    snap_tb = spark.createDataFrame([(1, 7)], "k long, seq long")
+    with _pytest.raises(ValueError, match="reserved changes columns"):
+        apply_changes_evolve(snap_tb, ch_ok, "k", tiebreak_col="seq")
+    snap_mask = spark.createDataFrame(
+        [(1, 5, "m")], "k long, n long, _evolve_mask string"
+    )
+    with _pytest.raises(ValueError, match="_evolve_mask"):
+        apply_changes_evolve(snap_mask, ch_ok, "k")
+
 
 def test_ivf_pq_index_roundtrip_pruning_and_append(spark, tables, tmp_path):
     """Persisted IVF-PQ layout (r12): indexed results equal the direct
@@ -4153,6 +4174,92 @@ def test_ivf_pq_index_roundtrip_pruning_and_append(spark, tables, tmp_path):
     assert sorted(map(tuple, indexed2.collect())) == sorted(
         map(tuple, direct2.collect())
     )
+
+    # r12 advice: explicit centroids + empty/null-only corpus (or an
+    # explicitly empty codebooks list) must fail eagerly, not as an
+    # opaque IndexError inside the pq_encode kernel
+    import pytest as _pytest
+
+    empty = emb.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="empty corpus/codebooks"):
+        pq.build_ivf_pq_index(
+            empty, str(tmp_path / "ivfpq3"), centroids=cents
+        )
+    with _pytest.raises(ValueError, match="empty corpus/codebooks"):
+        pq.build_ivf_pq_index(
+            emb, str(tmp_path / "ivfpq4"), centroids=cents, codebooks=[]
+        )
+
+
+def test_prefix_bucket_rank_splits_skewed_prefixes(spark, monkeypatch):
+    """r12 verdict hardening: the two-level prefix-sum rank must not
+    degrade to one giant window partition when the vocabulary
+    concentrates under few prefixes (URLs all starting "ht").  With a
+    tiny cap, a planted skewed vocab splits onto longer prefixes —
+    every splittable bucket lands under the cap — while rank
+    assignments (and therefore skipgram_negatives draws) are IDENTICAL
+    to the unsplit plan; identical strings cannot split and go
+    best-effort."""
+    import kafka_merge_purge_spark.operators.components as C
+
+    urls = [(f"http://site{i:03d}.example/x",) for i in range(40)] + [
+        ("ftp://one.example",),
+        ("gopher://two.example",),
+    ]
+    vocab = spark.createDataFrame(urls, "word string")
+    assign, offsets, total = C._prefix_bucket_plan(
+        vocab, F.col("word"), cap=8
+    )
+    assert total == 42
+    keys = [b for b, _ in offsets]
+    assert any(len(k) > 2 for k in keys), "skewed prefix never split"
+    # every bucket's row count (offset deltas) respects the cap
+    bounds = [off for _, off in offsets] + [total]
+    assert max(b - a for a, b in zip(bounds, bounds[1:])) <= 8
+    # ranks = global string order, split or not
+    ranked = (
+        vocab.withColumn("_b", assign)
+        .join(
+            F.broadcast(
+                spark.createDataFrame(offsets, "_b string, _off long")
+            ),
+            "_b",
+        )
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("_b")
+                .orderBy("word")
+            ),
+        )
+        .select("word", (F.col("_off") + F.col("_lr") - 1).alias("rank"))
+        .collect()
+    )
+    by_rank = [r["word"] for r in sorted(ranked, key=lambda r: r["rank"])]
+    assert by_rank == sorted(w for (w,) in urls)
+    assert sorted(r["rank"] for r in ranked) == list(range(42))
+
+    # identical strings: unsplittable bucket goes best-effort, no loop
+    same = spark.createDataFrame([("aa",)] * 20, "word string")
+    _, off_same, tot_same = C._prefix_bucket_plan(
+        same.distinct(), F.col("word"), cap=1
+    )
+    assert tot_same == 1 and off_same == [("aa", 0)]
+
+    # end-to-end: skipgram_negatives draws identical under forced splits
+    pairs = spark.createDataFrame(
+        [("w1", 0, 1, "http://site001.example/x", "http://site002.example/x")],
+        "walk_id string, pos int, offset int, center string, context string",
+    )
+    base = sorted(
+        map(tuple, C.skipgram_negatives(pairs, vocab, n_neg=4).collect())
+    )
+    monkeypatch.setattr(C, "PREFIX_BUCKET_CAP", 4)
+    split = sorted(
+        map(tuple, C.skipgram_negatives(pairs, vocab, n_neg=4).collect())
+    )
+    assert base == split
 
 
 def test_skipgram_negatives_deterministic_replay(spark):

@@ -298,6 +298,58 @@ def test_iterative_state_exchange_engages_and_stays_off(spark, monkeypatch):
         C._state_hint(edges, "brodcast")
 
 
+def test_state_hint_known_rows_skips_probe(spark):
+    """r12 verdict amortization: ``known_rows=`` resolves the "auto"
+    regime WITHOUT the ``limit(cap+1).count()`` probe job (pinned with a
+    probe-poisoned frame), picks the same regime the probe would, and
+    the per-operator ``n_nodes=`` escape returns results identical to
+    the probing default."""
+    import pyspark.sql.functions as F
+
+    import kafka_merge_purge_spark.operators.components as C
+
+    class _Poisoned:
+        def limit(self, n):  # pragma: no cover - must never run
+            raise AssertionError("known_rows given, probe still ran")
+
+    assert C._state_hint(_Poisoned(), "auto", known_rows=10) is F.broadcast
+    assert (
+        C._state_hint(
+            _Poisoned(), "auto", known_rows=C.STATE_BROADCAST_MAX_ROWS + 1
+        )
+        is not F.broadcast
+    )
+    # rows_per_unit shrinks the cap for known_rows exactly as for probes
+    assert (
+        C._state_hint(
+            _Poisoned(),
+            "auto",
+            rows_per_unit=C.STATE_BROADCAST_MAX_ROWS,
+            known_rows=2,
+        )
+        is not F.broadcast
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (4, 5)], "src long, dst long"
+    )
+    base = sorted(map(tuple, C.sssp(edges, source=1, rounds=2).collect()))
+    for n in (5, 10**9):  # broadcast regime / shuffle regime
+        got = sorted(
+            map(tuple, C.sssp(edges, source=1, rounds=2, n_nodes=n).collect())
+        )
+        assert got == base, f"n_nodes={n} changed results"
+    w = sorted(
+        map(
+            tuple,
+            C.node2vec_walks(edges, walk_length=2, n_adj_entries=6).collect(),
+        )
+    )
+    assert w == sorted(
+        map(tuple, C.node2vec_walks(edges, walk_length=2).collect())
+    )
+
+
 def test_forecast_revenue_filters_reach_the_scan(spark):
     """TPC-H Q6 shape: all three predicates (date window, discount
     band, quantity cap) must reach the parquet scan as PushedFilters —

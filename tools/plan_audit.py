@@ -92,6 +92,13 @@ def main() -> None:
             getattr(entry, name)(spark, sf_dir)
         finally:
             I.iterate = real_iterate
+        # NOTE: the spy invokes step(state, 0) one extra time before the
+        # real loop — harmless only while steps stay pure plan builders.
+        if not captured:
+            raise RuntimeError(
+                f"{name}: no iterate() call captured — the operator no "
+                "longer routes through iterate(); update ROUND_HEADLINERS"
+            )
         out += [
             f"## {name} (per-round plan)",
             "",
