@@ -7165,6 +7165,243 @@ _RELATIONAL_ORACLES["x_record_linkage_mp"] = """
     SELECT id_a, id_b, score FROM scored WHERE score >= 0.85"""
 
 
+def x_skipgram_negatives_tilted(spark, sf_dir):
+    """Frequency-tilted SGNS negative sampling
+    (components.skipgram_negatives_tilted, r13): the word2vec-standard
+    unigram^0.75 noise distribution (Mikolov et al. 2013) over a
+    co-purchase pair corpus — sentences = per-order part sequences,
+    unigram counts = raw lineitem part frequencies, weights =
+    isqrt(isqrt(count³)) exact integers — so head parts surface as
+    negatives ∝ count^0.75.  FULL hash oracle: the tilt is two
+    adjusted floor-sqrts (bit-reproducible), the draw is the md5 coin
+    mod Σweights located in the cumulative-weight interval."""
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.operators.components import (
+        skipgram_negatives_tilted,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    seq = li.distinct().withColumn("_rn", F.row_number().over(w))
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b._rn") == F.col("a._rn") + 1),
+    ).select(
+        F.concat(F.lit("o"), F.col("a.l_orderkey").cast("string")).alias(
+            "walk_id"
+        ),
+        (F.col("a._rn") - 1).cast("int").alias("pos"),
+        F.lit(1).cast("int").alias("offset"),
+        F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias(
+            "center"
+        ),
+        F.concat(F.lit("p"), F.col("b.l_partkey").cast("string")).alias(
+            "context"
+        ),
+    )
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")).select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("word"),
+        "c",
+    )
+    return skipgram_negatives_tilted(pairs, counts, n_neg=2)
+
+
+_RELATIONAL_ORACLES["x_skipgram_negatives_tilted"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    seq AS (SELECT l_orderkey, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) AS rn
+            FROM li),
+    sg AS (SELECT 'o' || CAST(a.l_orderkey AS VARCHAR) AS walk_id,
+                  CAST(a.rn - 1 AS INTEGER) AS pos,
+                  CAST(1 AS INTEGER) AS "offset",
+                  'p' || CAST(a.l_partkey AS VARCHAR) AS center,
+                  'p' || CAST(b.l_partkey AS VARCHAR) AS context
+           FROM seq a JOIN seq b
+             ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1),
+    vc AS (SELECT 'p' || CAST(l_partkey AS VARCHAR) AS w,
+                  LEAST(COUNT(*), 2097151) AS cc
+           FROM lineitem GROUP BY l_partkey),
+    v2 AS (SELECT w, cc*cc*cc AS x,
+                  LEAST(CAST(floor(sqrt(CAST(cc*cc*cc AS DOUBLE))) AS BIGINT), 3037000498) AS r
+           FROM vc),
+    v3 AS (SELECT w, x, r + CASE WHEN (r+1)*(r+1) <= x THEN 1
+                                 WHEN r*r > x THEN -1 ELSE 0 END AS x1
+           FROM v2),
+    v4 AS (SELECT w, x1,
+                  LEAST(CAST(floor(sqrt(CAST(x1 AS DOUBLE))) AS BIGINT), 3037000498) AS r
+           FROM v3),
+    wt AS (SELECT w, r + CASE WHEN (r+1)*(r+1) <= x1 THEN 1
+                              WHEN r*r > x1 THEN -1 ELSE 0 END AS wt
+           FROM v4),
+    cum AS (SELECT w,
+                   SUM(wt) OVER (ORDER BY w) - wt AS lo,
+                   SUM(wt) OVER (ORDER BY w) AS hi
+            FROM wt),
+    tot AS (SELECT SUM(wt) AS tw FROM wt),
+    neg AS (SELECT sg.*, j.neg_j,
+                   CAST(('0x' || substr(md5('neg:' || sg.walk_id || ':'
+                        || sg.pos || ':' || sg."offset" || ':' || j.neg_j),
+                        1, 15)) AS BIGINT) % tw AS pick
+            FROM sg
+            CROSS JOIN (SELECT unnest([0, 1]) AS neg_j) j
+            CROSS JOIN tot)
+    SELECT n.walk_id, n.pos, n."offset", n.center, n.context,
+           CAST(n.neg_j AS INTEGER) AS neg_j, c.w AS negative
+    FROM neg n JOIN cum c ON n.pick >= c.lo AND n.pick < c.hi
+    WHERE c.w <> n.center AND c.w <> n.context"""
+
+
+def x_ppmi(spark, sf_dir):
+    """Shifted-PPMI co-occurrence matrix (components.ppmi_from_pairs,
+    r13, Levy & Goldberg 2014): the count-based embedding tier over the
+    co-purchase pair corpus — exact int64 margins, integer-exact
+    positivity (n_pair·N > k·n_c·n_x cross-multiplied in DECIMAL, k=2),
+    ppmi = round(ln(ratio) − ln 2, 6).  FULL hash oracle."""
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.operators.components import ppmi_from_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    seq = li.distinct().withColumn("_rn", F.row_number().over(w))
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b._rn") == F.col("a._rn") + 1),
+    ).select(
+        F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias(
+            "center"
+        ),
+        F.concat(F.lit("p"), F.col("b.l_partkey").cast("string")).alias(
+            "context"
+        ),
+    )
+    return ppmi_from_pairs(pairs, shift=2)
+
+
+_RELATIONAL_ORACLES["x_ppmi"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    seq AS (SELECT l_orderkey, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) AS rn
+            FROM li),
+    sg AS (SELECT 'p' || CAST(a.l_partkey AS VARCHAR) AS center,
+                  'p' || CAST(b.l_partkey AS VARCHAR) AS context
+           FROM seq a JOIN seq b
+             ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1),
+    tot AS (SELECT COUNT(*) AS n FROM sg),
+    cc AS (SELECT center, context, COUNT(*) AS n_pair
+           FROM sg GROUP BY center, context),
+    c AS (SELECT center, COUNT(*) AS n_center FROM sg GROUP BY center),
+    x AS (SELECT context, COUNT(*) AS n_context FROM sg GROUP BY context)
+    SELECT cc.center, cc.context, cc.n_pair, c.n_center, x.n_context,
+           round(ln((CAST(cc.n_pair AS DOUBLE) * CAST(t.n AS DOUBLE))
+                    / (CAST(c.n_center AS DOUBLE)
+                       * CAST(x.n_context AS DOUBLE)))
+                 - ln(CAST(2 AS DOUBLE)), 6) AS ppmi
+    FROM cc
+    JOIN c ON cc.center = c.center
+    JOIN x ON cc.context = x.context
+    CROSS JOIN tot t
+    WHERE CAST(cc.n_pair AS DECIMAL(18,0)) * CAST(t.n AS DECIMAL(18,0))
+        > CAST(c.n_center AS DECIMAL(18,0))
+          * CAST(x.n_context * 2 AS DECIMAL(18,0))"""
+
+
+def _scc_fixture(spark, sf_dir):
+    """Directed cycle-union graph: each sampled order's distinct parts
+    form one directed ring (part_i → part_{i+1}, wrap-around) — shared
+    parts merge rings into large non-trivial SCCs, while sampling keeps
+    the closure oracle bounded."""
+    from pyspark.sql import Window
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 16 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    cw = Window.partitionBy("l_orderkey")
+    seq = li.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(cw)
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b._rn") == F.pmod(F.col("a._rn"), F.col("a._n")) + 1),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+
+
+def x_scc(spark, sf_dir):
+    """Strongly connected components
+    (components.strongly_connected_components, r13): min-of-SCC labels
+    over the directed co-purchase ring graph — the directed cycle
+    structure (link-spam rings, redirect loops) that undirected CC
+    over-merges.  At gate scale the bounded Arrow probe fires the
+    driver Tarjan fast path; x_scc_pregel pins the distributed
+    coloring path to the IDENTICAL hash.  FULL hash oracle (recursive
+    forward-closure CTE: scc(v) = min({v} ∪ {w : v→*w ∧ w→*v}))."""
+    from kafka_merge_purge_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(_scc_fixture(spark, sf_dir))
+
+
+def x_scc_pregel(spark, sf_dir):
+    """x_scc with the driver fast path DISABLED
+    (``max_driver_edges=0``) — the distributed forward-min coloring
+    loop (trim → color → in-color backward min, all pointer-jumped on
+    iterate()) a graph past the collect bound gets out of the box.
+    Hashes against the SAME closure oracle as x_scc: the gate itself
+    proves path equivalence (the x_sssp_shuffle convention)."""
+    from kafka_merge_purge_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        _scc_fixture(spark, sf_dir), max_driver_edges=0
+    )
+
+
+_SCC_ORACLE = """
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey % 16 = 0),
+    seq AS (SELECT l_orderkey, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+            FROM li),
+    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM seq a JOIN seq b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.rn = (a.rn % a.n) + 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    fwd(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, fwd.lbl FROM fwd JOIN e ON fwd.node = e.dst),
+    mutual AS (
+        SELECT f.node AS v, f.lbl AS w
+        FROM fwd f JOIN fwd g ON f.node = g.lbl AND f.lbl = g.node)
+    SELECT n.node, LEAST(n.node, COALESCE(MIN(m.w), n.node)) AS scc
+    FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+    GROUP BY n.node"""
+
+_RELATIONAL_ORACLES["x_scc"] = _SCC_ORACLE
+_RELATIONAL_ORACLES["x_scc_pregel"] = _SCC_ORACLE
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

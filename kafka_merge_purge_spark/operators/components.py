@@ -234,6 +234,317 @@ def _driver_union_find(spark, edge_tbl, id_type: str = "bigint") -> DataFrame:
     return spark.createDataFrame(rows, f"node {id_type}, component {id_type}")
 
 
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 15,
+    max_inner: int = 50,
+    max_driver_edges: int = UNION_FIND_MAX_EDGES,
+    broadcast_state: bool | str = "auto",
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """(node, scc) over a DIRECTED edge list; ``scc`` = min node id in
+    the node's strongly connected component — the directed complement
+    of :func:`connected_components` (r12 verdict missing item 3):
+    link-spam rings, redirect loops and citation cycles are DIRECTED
+    cycle structure that undirected components over-merge.
+
+    Two physical plans, identical results (the CC design):
+
+    * ≤ ``max_driver_edges`` edges with both endpoint dtypes integral
+      or both string — driver Tarjan: the ``limit(max+1)`` Arrow probe
+      IS the edge collect when it fits; one linear pass emits min-of-
+      SCC labels.  Curation graphs' cyclic cores are small relative to
+      their corpora, so this is the common case.
+    * larger — distributed FORWARD-MIN COLORING on :func:`iterate`
+      (the MultiStep/coloring family — Slota, Rajamanickam &
+      Madduri 2014, simplified to deterministic min-id pivots so the
+      result is canonical and hash-oracle-able).  Per outer round:
+
+      1. **trim** to the 1-in-1-out core (repeated source/sink
+         removal) — every trimmed node is a singleton SCC, and DAG
+         tails dissolve without touching the expensive phases;
+      2. **color**: ``F(v) = min node reachable from v`` by min-label
+         propagation along out-edges with pointer jumping (labels are
+         reachable-from-v node ids, so ``F(v) ← F(F(v))`` is valid and
+         rounds drop to O(log diameter));
+      3. **decide**: colors with a pivot (``F(m) = m``) flood a flag
+         from the pivot along SAME-COLOR edges; a flagged ``v`` has
+         ``m →* v`` and ``v →* m`` (F-definition), hence ``v ~ m``,
+         and ``m`` is provably min(SCC).  Any ``m →* v`` path stays
+         inside color ``m`` when ``F(v) = m`` (a smaller-colored
+         waypoint would lower ``F(v)``), so same-color flooding loses
+         nothing.  Whole SCCs decide together; peel and repeat.
+
+      The global-min color always has a pivot, so ≥ 1 SCC decides per
+      round; adversarial id orderings (a descending chain of cycles)
+      can still need O(#SCC) rounds — past ``max_outer`` the operator
+      raises rather than silently mislabel.  Partial inner convergence
+      can only UNDER-decide, never mislabel (``F(v) = m`` mid-
+      propagation already witnesses ``v →* m``).
+
+    Scale shape: state frames are O(nodes) two/three-column rows on
+    the auto-sized exchange (:func:`_state_hint`); the edge core is
+    cached once per outer round and every propagation is one equi join
+    + one aggregate; nothing is ever collected to the driver beyond
+    the bounded probe.  Self-loops drop up front (a self-loop never
+    changes SCC membership); isolated and trimmed nodes label
+    themselves.
+
+    DuckDB twin: the recursive-CTE fixpoint ``scc(v) = min({v} ∪ {w :
+    v →* w ∧ w →* v})`` — convergence timing cannot leak into the
+    result, so the operator carries a FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    if max_outer < 1 or max_inner < 1:
+        raise ValueError(
+            "strongly_connected_components: max_outer and max_inner must be >= 1"
+        )
+    e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    nodes_all = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    out_type = dict(nodes_all.dtypes)["node"]
+    dtypes = dict(e.dtypes)
+    both_integral = dtypes["u"] in _INTEGRAL and dtypes["v"] in _INTEGRAL
+    both_string = dtypes["u"] == "string" and dtypes["v"] == "string"
+    if max_driver_edges > 0 and (both_integral or both_string):
+        probe = e.limit(max_driver_edges + 1).toArrow()
+        if probe.num_rows <= max_driver_edges:
+            return _driver_tarjan(e.sparkSession, probe, out_type)
+
+    live = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(
+        eager=True
+    )
+    hint = _state_hint(nodes_all, broadcast_state, known_rows=n_nodes)
+    decided = [
+        # isolated / self-loop-only nodes never enter the live graph
+        nodes_all.join(
+            live.select(F.col("u").alias("node"))
+            .unionByName(live.select(F.col("v").alias("node")))
+            .distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.col("node").alias("scc"))
+        .localCheckpoint(eager=True)
+    ]
+    for _outer in range(max_outer):
+        if live.isEmpty():
+            break
+        pre = (
+            live.select(F.col("u").alias("node"))
+            .unionByName(live.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        def trim_round(nodes: DataFrame, _i: int) -> DataFrame:
+            ee = live.join(
+                hint(nodes.withColumnRenamed("node", "u")), "u", "left_semi"
+            ).join(hint(nodes.withColumnRenamed("node", "v")), "v", "left_semi")
+            surv = (
+                ee.select(F.col("u").alias("node"))
+                .join(ee.select(F.col("v").alias("node")).distinct(), "node", "left_semi")
+                .distinct()
+            )
+            s_cnt = F.broadcast(surv.agg(F.count(F.lit(1)).alias("_ns")))
+            n_cnt = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_nn")))
+            return surv.crossJoin(s_cnt).crossJoin(n_cnt).select(
+                "node", (F.col("_ns") < F.col("_nn")).alias("_changed")
+            )
+
+        core = iterate(pre, trim_round, max_rounds=max_inner)
+        decided.append(
+            pre.join(core, "node", "left_anti")
+            .select("node", F.col("node").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        if core.isEmpty():
+            live = live.filter(F.lit(False)).localCheckpoint(eager=True)
+            break
+        ee = (
+            live.join(hint(core.withColumnRenamed("node", "u")), "u", "left_semi")
+            .join(hint(core.withColumnRenamed("node", "v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+        def fwd_round(st: DataFrame, _i: int) -> DataFrame:
+            succ = (
+                ee.join(hint(st), ee["v"] == st["node"])
+                .groupBy(F.col("u").alias("_sn"))
+                .agg(F.min("lbl").alias("_sl"))
+            )
+            l1 = st.join(hint(succ), st["node"] == succ["_sn"], "left").select(
+                st["node"],
+                F.least(st["lbl"], F.coalesce(F.col("_sl"), st["lbl"])).alias("lbl"),
+                st["lbl"].alias("_orig"),
+            )
+            parent = l1.select(F.col("node").alias("_p"), F.col("lbl").alias("_plbl"))
+            return l1.join(hint(parent), l1["lbl"] == parent["_p"], "left").select(
+                l1["node"],
+                F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"])).alias("lbl"),
+                (
+                    F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"]))
+                    < F.col("_orig")
+                ).alias("_changed"),
+            )
+
+        colors = iterate(
+            core.select("node", F.col("node").alias("lbl")),
+            fwd_round,
+            max_rounds=max_inner,
+        )
+
+        # decide via G(v) = min SAME-COLOR node reaching v (in-color
+        # paths suffice: any pivot->v path is in-color when F(v) = m).
+        # G admits the same pointer jump as F (G(v) is an in-color
+        # reacher, so G(G(v)) is too), keeping rounds O(log diameter)
+        # where a pivot flag-flood would pay O(diameter).
+        def incolor_back_round(st: DataFrame, _i: int) -> DataFrame:
+            inn = (
+                ee.join(hint(st), ee["u"] == st["node"])
+                .select(
+                    F.col("v").alias("_tn"),
+                    F.col("lbl").alias("_ulbl"),
+                    F.col("g").alias("_ug"),
+                )
+                .groupBy("_tn", "_ulbl")
+                .agg(F.min("_ug").alias("_pg"))
+            )
+            g1 = st.join(
+                hint(inn),
+                (st["node"] == inn["_tn"]) & (st["lbl"] == inn["_ulbl"]),
+                "left",
+            ).select(
+                st["node"],
+                st["lbl"],
+                F.least(st["g"], F.coalesce(F.col("_pg"), st["g"])).alias("g"),
+                st["g"].alias("_orig"),
+            )
+            parent = g1.select(
+                F.col("node").alias("_p"),
+                F.col("lbl").alias("_plbl"),
+                F.col("g").alias("_pgg"),
+            )
+            return g1.join(
+                hint(parent),
+                (g1["g"] == parent["_p"]) & (g1["lbl"] == parent["_plbl"]),
+                "left",
+            ).select(
+                g1["node"],
+                g1["lbl"],
+                F.least(g1["g"], F.coalesce(F.col("_pgg"), g1["g"])).alias("g"),
+                (
+                    F.least(g1["g"], F.coalesce(F.col("_pgg"), g1["g"]))
+                    < F.col("_orig")
+                ).alias("_changed"),
+            )
+
+        flags = iterate(
+            colors.select("node", "lbl", F.col("node").alias("g")),
+            incolor_back_round,
+            max_rounds=max_inner,
+        ).localCheckpoint(eager=True)
+        decided.append(
+            flags.filter(F.col("g") == F.col("lbl")).select(
+                "node", F.col("lbl").alias("scc")
+            )
+        )
+        undec = flags.filter(F.col("g") != F.col("lbl")).select("node")
+        live = (
+            ee.join(hint(undec.withColumnRenamed("node", "u")), "u", "left_semi")
+            .join(hint(undec.withColumnRenamed("node", "v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if undec.isEmpty():
+            break
+    else:
+        if not live.isEmpty():
+            raise ValueError(
+                "strongly_connected_components: not fully decided within "
+                f"max_outer={max_outer} rounds (adversarial id ordering "
+                "decides few SCCs per round) — raise max_outer"
+            )
+    out = decided[0]
+    for d in decided[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _driver_tarjan(spark, edge_tbl, id_type: str) -> DataFrame:
+    """Iterative Tarjan over an Arrow edge table — min-of-SCC labels
+    (the same canonical fixpoint as the distributed coloring path and
+    the recursive-CTE oracle).  Linear in edges; the explicit work
+    stack replaces recursion so million-edge collects cannot hit the
+    Python recursion limit."""
+    us = edge_tbl.column("u").to_pylist()
+    vs = edge_tbl.column("v").to_pylist()
+    adj: dict = {}
+    order: list = []
+    seen: set = set()
+    for a, b in zip(us, vs):
+        adj.setdefault(a, []).append(b)
+        for x in (a, b):
+            if x not in seen:
+                seen.add(x)
+                order.append(x)
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    res: dict = {}
+    counter = 0
+    for root in order:
+        if root in index:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stk.append(root)
+        onstk.add(root)
+        work = [(root, iter(adj.get(root, ())))]
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stk.append(w)
+                    onstk.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in onstk and index[w] < low[v]:
+                    low[v] = index[w]
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    res[w] = m
+            if work:
+                u = work[-1][0]
+                if low[v] < low[u]:
+                    low[u] = low[v]
+        # root finished; stack must be empty between roots
+    rows = list(res.items())
+    return spark.createDataFrame(rows, f"node {id_type}, scc {id_type}")
+
+
 # --------------------------------------------------------------------------
 # Quantized PageRank — link-graph quality scoring (Page et al. 1999)
 # --------------------------------------------------------------------------
@@ -1674,6 +1985,243 @@ def skipgram_negatives(
         .filter((F.col("_w") != F.col("center")) & (F.col("_w") != F.col("context")))
         .drop("_pick", "_idx")
         .withColumnRenamed("_w", "negative")
+    )
+
+
+#: count clamp for the unigram^0.75 tilt: counts cap at 2^21 − 1 so the
+#: cube stays inside int64 ((2^21 − 1)^3 < 2^63).  The ^0.75 curve is
+#: already sub-linear — word2vec's whole point is damping head words —
+#: so saturating the handful of >2M-count tokens changes their relative
+#: weight by < 2^0.75/actual ratio and keeps every intermediate exact.
+TILT_COUNT_CAP = (1 << 21) - 1
+
+
+def _isqrt_adj(x):
+    """Exact integer floor-sqrt of a non-negative int64 column: the
+    double-precision ``floor(sqrt(x))`` estimate is within ±1 of the
+    true value for x < 2^63 (double sqrt is correctly rounded; the
+    int64→double conversion loses at most 2^-53 relative), and the two
+    integer-exact comparisons correct it.  Both Spark and DuckDB
+    evaluate the identical IEEE expression, so the result is
+    bit-reproducible cross-engine — the repo's hash-oracle discipline
+    for a "float" function."""
+    # clamp the estimate to isqrt(2^63-1) - 1 so the (r+1)^2 probe can
+    # never overflow int64 (ANSI mode throws); the true root of any
+    # int64 input is at most 3037000499, which the +1 branch reaches
+    r = F.least(
+        F.floor(F.sqrt(x.cast("double"))).cast("long"), F.lit(3037000498)
+    )
+    return r + (
+        F.when((r + 1) * (r + 1) <= x, F.lit(1))
+        .when(r * r > x, F.lit(-1))
+        .otherwise(F.lit(0))
+    ).cast("long")
+
+
+def skipgram_negatives_tilted(
+    pairs: DataFrame,
+    vocab_counts: DataFrame,
+    n_neg: int = 2,
+    seed: str = "neg",
+    id_col: str = "walk_id",
+    broadcast_vocab: bool | str = "auto",
+) -> DataFrame:
+    """Frequency-tilted negative sampling — the word2vec-standard
+    ``unigram^(3/4)`` noise distribution (Mikolov et al. 2013 §2.2:
+    "the unigram distribution raised to the 3/4rd power … outperformed
+    significantly the unigram and uniform distributions"), closing the
+    r12 gap where :func:`skipgram_negatives` drew uniformly.
+
+    ``vocab_counts``: a (word, count) frame — corpus unigram
+    frequencies (duplicate words sum; non-positive counts drop).  Each
+    word's integer weight is EXACTLY ``floor((min(count, cap)^3)^(1/4))
+    = isqrt(isqrt(count^3))`` — the ^0.75 tilt with no float pow in
+    sight (:func:`_isqrt_adj`), so every engine computes identical
+    weights and the sampler carries a FULL hash oracle.  Draw ``j`` for
+    pair ``(walk, pos, offset)`` picks ``md5(seed:walk:pos:offset:j)
+    mod W`` (W = Σ weights) and selects the word whose cumulative-
+    weight interval ``[cum_lo, cum_hi)`` contains the pick — a
+    derandomized alias draw.  Accidental center/context hits filter
+    (the word2vec-C rule), so a pair can emit fewer than ``n_neg``
+    rows; head words now surface as negatives ∝ count^0.75.
+
+    Scale shape: cumulative weights come from the same two-level
+    bucketed prefix-sum as the uniform sampler (no single-task window;
+    driver state = one row per prefix bucket); interval lookup is NOT a
+    range join — the weight axis is cut into ``B``-sized blocks
+    (``B = max(1, W div |V|)``, so the block table carries ≤ 2·|V| + 1
+    rows), picks join the block table EQUI on ``pick div B``, and the
+    containment filter decides among that block's ≤ few candidates.
+    The vocab-side exchange resolves via :func:`_state_hint` with the
+    already-known row count (no probe job).
+
+    Output: pairs' columns + (neg_j int, negative string)."""
+    from pyspark.sql import Window
+
+    if n_neg < 1:
+        raise ValueError(
+            f"skipgram_negatives_tilted: n_neg must be >= 1, got {n_neg}"
+        )
+    wcol, ccol = vocab_counts.columns[0], vocab_counts.columns[1]
+    v = (
+        vocab_counts.select(
+            F.col(wcol).cast("string").alias("_w"),
+            F.col(ccol).cast("long").alias("_c"),
+        )
+        .filter(F.col("_c") > 0)
+        .groupBy("_w")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    cap3 = F.least(F.col("_c"), F.lit(TILT_COUNT_CAP))
+    v = v.withColumn(
+        "_wt", _isqrt_adj(_isqrt_adj(cap3 * cap3 * cap3))
+    ).drop("_c")
+    assign, _, n_vocab = _prefix_bucket_plan(v, F.col("_w"))
+    if n_vocab == 0:
+        return (
+            pairs.withColumn("neg_j", F.lit(0).cast("int"))
+            .withColumn("negative", F.lit(None).cast("string"))
+            .filter(F.lit(False))
+        )
+    wb = Window.partitionBy("_b").orderBy("_w")
+    local = v.withColumn("_b", assign).withColumn(
+        "_cum", F.sum("_wt").over(wb)
+    )
+    # bucket weight totals -> collected weight offsets (one bounded row
+    # per prefix bucket, the same driver posture as the count offsets)
+    btot = {
+        r["_b"]: r["_t"]
+        for r in local.groupBy("_b").agg(F.sum("_wt").alias("_t")).collect()
+    }
+    acc, woff = 0, []
+    for b in sorted(btot, key=lambda x: (x is not None, x)):
+        woff.append((b, acc))
+        acc += btot[b]
+    total_w = acc
+    spark = pairs.sparkSession
+    off = spark.createDataFrame(woff, "_b string, _woff long")
+    block = max(1, total_w // n_vocab)
+    indexed = (
+        local.join(F.broadcast(off), "_b")
+        .select(
+            "_w",
+            (F.col("_woff") + F.col("_cum") - F.col("_wt")).alias("_lo"),
+            (F.col("_woff") + F.col("_cum")).alias("_hi"),
+        )
+        .select(
+            "_w",
+            "_lo",
+            "_hi",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_lo DIV {block}"),
+                    F.expr(f"(_hi - 1) DIV {block}"),
+                )
+            ).alias("_blk"),
+        )
+    )
+    hint = _state_hint(
+        indexed, broadcast_vocab, known_rows=2 * n_vocab + 1
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(id_col),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                    F.lit(":"),
+                    F.col("offset").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    drawn = (
+        pairs.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_neg - 1)).cast("array<int>")
+            ).alias("neg_j"),
+        )
+        .withColumn("_pick", F.pmod(coin, F.lit(total_w)))
+        .withColumn("_dblk", F.expr(f"_pick DIV {block}"))
+    )
+    return (
+        drawn.join(hint(indexed), drawn["_dblk"] == indexed["_blk"])
+        .filter((F.col("_pick") >= F.col("_lo")) & (F.col("_pick") < F.col("_hi")))
+        .filter((F.col("_w") != F.col("center")) & (F.col("_w") != F.col("context")))
+        .drop("_pick", "_dblk", "_blk", "_lo", "_hi")
+        .withColumnRenamed("_w", "negative")
+    )
+
+
+def ppmi_from_pairs(
+    pairs: DataFrame,
+    shift: int = 1,
+    center_col: str = "center",
+    context_col: str = "context",
+) -> DataFrame:
+    """Shifted positive-PMI co-occurrence matrix from skip-gram pairs —
+    the count-based embedding tier (Levy & Goldberg 2014: SGNS with k
+    negatives implicitly factorizes the ``PMI − log k`` matrix), so the
+    walks → pairs chain yields model-free node/word similarity (feed
+    the sparse rows to the cosine top-k operators) with NO training
+    loop.
+
+    Exact-count semantics: ``n_pair = #(c,x)``, ``n_center = #(c,·)``,
+    ``n_context = #(·,x)``, ``N = |pairs|`` — all int64 aggregates —
+    and ``ppmi = round(ln((n_pair·N)/(n_center·n_context)) − ln(k),
+    6)`` (the repo's round-before-compare ln discipline).  The
+    POSITIVE filter is decided in EXACT integer arithmetic — keep iff
+    ``n_pair·N > k·n_center·n_context`` cross-multiplied in
+    DECIMAL(18,0)×DECIMAL(18,0) (exact to 10^36, so a trillion-pair
+    corpus cannot overflow the comparison the way int64 would) — a
+    float threshold at 0 could flip on last-ulp ln() drift.
+
+    Scale shape: three hash aggregates + two equi joins keyed on the
+    vocab-sized margins; N rides a 1-row broadcast cross-join (no
+    driver collect).  Nothing touches the raw corpus twice.
+
+    Output: (center, context, n_pair, n_center, n_context, ppmi)."""
+    if shift < 1:
+        raise ValueError(f"ppmi_from_pairs: shift must be >= 1, got {shift}")
+    p = pairs.select(
+        F.col(center_col).alias("center"), F.col(context_col).alias("context")
+    ).filter(F.col("center").isNotNull() & F.col("context").isNotNull())
+    tot = F.broadcast(p.agg(F.count(F.lit(1)).alias("_n")))
+    cc = p.groupBy("center", "context").agg(F.count(F.lit(1)).alias("n_pair"))
+    c = p.groupBy("center").agg(F.count(F.lit(1)).alias("n_center"))
+    x = p.groupBy("context").agg(F.count(F.lit(1)).alias("n_context"))
+    dec = "decimal(18,0)"
+    lhs = F.col("n_pair").cast(dec) * F.col("_n").cast(dec)
+    rhs = F.col("n_center").cast(dec) * (
+        F.col("n_context") * F.lit(shift)
+    ).cast(dec)
+    ratio = (F.col("n_pair").cast("double") * F.col("_n").cast("double")) / (
+        F.col("n_center").cast("double") * F.col("n_context").cast("double")
+    )
+    return (
+        cc.join(c, "center")
+        .join(x, "context")
+        .crossJoin(tot)
+        .filter(lhs > rhs)
+        .select(
+            "center",
+            "context",
+            "n_pair",
+            "n_center",
+            "n_context",
+            F.round(
+                F.log(ratio) - F.log(F.lit(shift).cast("double")), 6
+            ).alias("ppmi"),
+        )
     )
 
 

@@ -4191,6 +4191,225 @@ def test_ivf_pq_index_roundtrip_pruning_and_append(spark, tables, tmp_path):
         )
 
 
+def test_skipgram_negatives_tilted_unigram_pow75(spark):
+    """skipgram_negatives_tilted (r13): weights are EXACT
+    floor(count^0.75) integers (isqrt∘isqrt of the cube — 16→8,
+    81→27), draws replay the md5-coin interval spec driver-side,
+    frequency tilt is visible (head word drawn most), duplicate words
+    sum, non-positive counts drop, the count cap saturates, and
+    degenerate inputs behave (empty vocab → empty frame, n_neg < 1
+    raises)."""
+    import hashlib
+
+    import pytest as _pytest
+
+    import kafka_merge_purge_spark.operators.components as C
+
+    # 60 pairs over a center/context pair disjoint from the vocab so
+    # the accidental-hit filter never bites and counts are exact
+    pairs = spark.createDataFrame(
+        [(f"w{i}", i, 1, "zc", "zd") for i in range(60)],
+        "walk_id string, pos int, offset int, center string, context string",
+    )
+    vocab = spark.createDataFrame(
+        [("a", 1), ("b", 16), ("c", 81)], "word string, cnt long"
+    )
+    out = C.skipgram_negatives_tilted(pairs, vocab, n_neg=2).collect()
+    # weights 1 / 8 / 27 -> W = 36; intervals a:[0,1) b:[1,9) c:[9,36)
+    def replay(wid, pos, off, j):
+        coin = int(
+            hashlib.md5(f"neg:{wid}:{pos}:{off}:{j}".encode()).hexdigest()[:15],
+            16,
+        )
+        p = coin % 36
+        return "a" if p < 1 else ("b" if p < 9 else "c")
+
+    got = {(r["walk_id"], r["neg_j"]): r["negative"] for r in out}
+    assert len(got) == 120  # no accidental hits by construction
+    for (wid, j), neg in got.items():
+        r = [row for row in pairs.collect() if row["walk_id"] == wid][0]
+        assert neg == replay(wid, r["pos"], r["offset"], j)
+    from collections import Counter
+
+    freq = Counter(got.values())
+    assert freq["c"] > freq["b"] > freq["a"]
+
+    # duplicate words sum their counts; non-positive counts drop
+    dup = spark.createDataFrame(
+        [("a", 8), ("a", 8), ("junk", 0), ("junk2", -5)],
+        "word string, cnt long",
+    )
+    only_a = C.skipgram_negatives_tilted(pairs, dup, n_neg=1).collect()
+    assert {r["negative"] for r in only_a} == {"a"}
+
+    # cap: counts beyond TILT_COUNT_CAP weigh as the cap (identical draws)
+    big = spark.createDataFrame(
+        [("a", C.TILT_COUNT_CAP), ("b", 3)], "word string, cnt long"
+    )
+    bigger = spark.createDataFrame(
+        [("a", C.TILT_COUNT_CAP * 1000), ("b", 3)], "word string, cnt long"
+    )
+    assert sorted(
+        map(tuple, C.skipgram_negatives_tilted(pairs, big, n_neg=1).collect())
+    ) == sorted(
+        map(tuple, C.skipgram_negatives_tilted(pairs, bigger, n_neg=1).collect())
+    )
+
+    # empty vocab -> empty frame with the full schema; bad n_neg raises
+    empty = C.skipgram_negatives_tilted(
+        pairs, vocab.filter(F.lit(False)), n_neg=2
+    )
+    assert empty.count() == 0
+    assert empty.columns[-2:] == ["neg_j", "negative"]
+    with _pytest.raises(ValueError, match="n_neg"):
+        C.skipgram_negatives_tilted(pairs, vocab, n_neg=0)
+
+
+def test_isqrt_adj_exact_boundaries(spark):
+    """_isqrt_adj: exact integer floor-sqrt at the adversarial
+    boundaries (perfect squares ±1, the int64-edge cube of the count
+    cap) where a naive floor(sqrt(double)) is off by one."""
+    import math
+
+    import kafka_merge_purge_spark.operators.components as C
+
+    cap = C.TILT_COUNT_CAP
+    vals = sorted(
+        {
+            0, 1, 2, 3, 4, 8, 9, 10, 15, 16, 17,
+            10**12 - 1, 10**12, 10**12 + 1,
+            (3037000499**2) - 1, 3037000499**2,  # isqrt(2^63-ish) edge
+            cap**3, cap**3 - 1, (cap - 1) ** 3,
+        }
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["x"]: r["r"]
+        for r in df.select("x", C._isqrt_adj(F.col("x")).alias("r")).collect()
+    }
+    for v in vals:
+        assert got[v] == math.isqrt(v), f"isqrt({v}): {got[v]} != {math.isqrt(v)}"
+
+
+def test_scc_both_paths_match_bruteforce(spark):
+    """strongly_connected_components (r13): driver Tarjan and the
+    distributed coloring loop agree with a brute-force transitive-
+    closure reference on seeded random digraphs, handle self-loops /
+    isolated pairs / long cycle chains, keep string ids, and the
+    max_outer exhaustion error is eager and actionable."""
+    import itertools
+    import random
+
+    import pytest as _pytest
+
+    import kafka_merge_purge_spark.operators.components as C
+
+    def brute(edge_rows):
+        nodes = sorted({x for e in edge_rows for x in e})
+        reach = {v: {v} for v in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edge_rows:
+                new = reach[b] - reach[a]
+                if new:
+                    reach[a] |= new
+                    changed = True
+        out = {}
+        for v in nodes:
+            out[v] = min(w for w in reach[v] if v in reach[w])
+        return sorted(out.items())
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n = 14 + trial * 6
+        rows = sorted(
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(int(n * 1.7))}
+        )
+        df = spark.createDataFrame(rows, "src long, dst long")
+        exp = brute(rows)
+        got_t = sorted(
+            map(tuple, C.strongly_connected_components(df).collect())
+        )
+        got_d = sorted(
+            map(
+                tuple,
+                C.strongly_connected_components(
+                    df, max_driver_edges=0
+                ).collect(),
+            )
+        )
+        assert got_t == exp, f"tarjan trial {trial}"
+        assert got_d == exp, f"pregel trial {trial}"
+
+    # one big cycle (diameter ~ n: exercises pointer jumping), plus a
+    # DAG tail that must fall to trim
+    cyc = [(i, (i + 1) % 12) for i in range(12)] + [(11, 50), (50, 51)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    exp = sorted([(i, 0) for i in range(12)] + [(50, 50), (51, 51)])
+    for kw in ({}, {"max_driver_edges": 0}):
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    C.strongly_connected_components(df, **kw).collect(),
+                )
+            )
+            == exp
+        ), kw
+
+    # max_outer exhaustion raises (descending chain of 2-cycles decides
+    # one SCC per round under min-id pivots)
+    rows = []
+    for i in range(5):
+        a, b = 100 - 2 * i, 101 - 2 * i
+        rows += [(a, b), (b, a)]
+        if i:
+            rows.append((100 - 2 * (i - 1), a))
+    ch = spark.createDataFrame(rows, "src long, dst long")
+    with _pytest.raises(ValueError, match="max_outer"):
+        C.strongly_connected_components(ch, max_driver_edges=0, max_outer=1)
+    with _pytest.raises(ValueError, match="max_outer and max_inner"):
+        C.strongly_connected_components(ch, max_outer=0)
+
+
+def test_ppmi_from_pairs_exact_counts_and_shift(spark):
+    """ppmi_from_pairs (r13): hand-computed margins on a 6-pair corpus,
+    integer-exact positivity (a marginal pair with PMI < 0 drops; the
+    k=2 shift drops the weak-association row a float-thresholded
+    variant would keep), nulls drop, shift < 1 rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.components import ppmi_from_pairs
+
+    rows = [("a", "b")] * 4 + [("a", "c"), ("b", "c"), (None, "b"), ("a", None)]
+    pairs = spark.createDataFrame(rows, "center string, context string")
+    out = {
+        (r["center"], r["context"]): r
+        for r in ppmi_from_pairs(pairs).collect()
+    }
+    # N=6; n_center a=5,b=1; n_context b=4,c=2
+    # (a,b): 4*6=24 > 5*4=20 -> keep, ln(24/20); (a,c): 6 > 10 false;
+    # (b,c): 6 > 2 -> keep, ln(3)
+    assert set(out) == {("a", "b"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_pair"], ab["n_center"], ab["n_context"]) == (4, 5, 4)
+    assert ab["ppmi"] == round(math.log(24 / 20), 6)
+    assert out[("b", "c")]["ppmi"] == round(math.log(3.0), 6)
+
+    shifted = {
+        (r["center"], r["context"]): r["ppmi"]
+        for r in ppmi_from_pairs(pairs, shift=2).collect()
+    }
+    assert set(shifted) == {("b", "c")}  # 24 > 2*20 false; 6 > 2*2 true
+    assert shifted[("b", "c")] == round(math.log(3.0) - math.log(2.0), 6)
+
+    with _pytest.raises(ValueError, match="shift"):
+        ppmi_from_pairs(pairs, shift=0)
+
+
 def test_prefix_bucket_rank_splits_skewed_prefixes(spark, monkeypatch):
     """r12 verdict hardening: the two-level prefix-sum rank must not
     degrade to one giant window partition when the vocabulary
