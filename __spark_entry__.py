@@ -7402,6 +7402,139 @@ _RELATIONAL_ORACLES["x_scc"] = _SCC_ORACLE
 _RELATIONAL_ORACLES["x_scc_pregel"] = _SCC_ORACLE
 
 
+def x_sgns_corpus(spark, sf_dir):
+    """One-call SGNS training corpus (components.sgns_training_corpus,
+    r13): walks → window-1 skip-gram pairs → 1 uniform negative per
+    pair over the co-trade graph, with the walk substrate materialized
+    ONCE and shared (the amortization API of r12 missing item 5 —
+    ``walks=`` injection and persist/read helpers are pinned in
+    pytest).  FULL hash oracle: the same unrolled walk CTEs as x_walks
+    feeding the pairs cross-join and the indexed-vocab coin draw."""
+    from kafka_merge_purge_spark.operators.components import (
+        sgns_training_corpus,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sgns_training_corpus(
+        edges, walk_length=2, window=1, n_neg=1
+    )
+
+
+_RELATIONAL_ORACLES["x_sgns_corpus"] = f"""
+    WITH walks AS ({_walks_oracle_sql(2)}),
+    sg AS (
+        SELECT w.walk_id,
+               CAST(p.pos AS INTEGER) AS pos,
+               CAST(o.off AS INTEGER) AS "offset",
+               w.path[p.pos + 1] AS center,
+               w.path[p.pos + o.off + 1] AS context
+        FROM walks w
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS pos) p
+        CROSS JOIN (SELECT unnest([-1, 1]) AS off) o
+        WHERE p.pos < len(w.path)
+          AND p.pos + o.off >= 0 AND p.pos + o.off < len(w.path)),
+    cpairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    vnodes AS (SELECT src AS node FROM cpairs UNION SELECT dst FROM cpairs),
+    vocab AS (SELECT node AS w,
+                     row_number() OVER (ORDER BY node) - 1 AS idx
+              FROM vnodes),
+    vc AS (SELECT COUNT(*) AS v FROM vocab),
+    neg AS (
+        SELECT sg.*, j.neg_j,
+               CAST(('0x' || substr(md5('neg:' || sg.walk_id || ':'
+                     || sg.pos || ':' || sg."offset" || ':' || j.neg_j),
+                     1, 15)) AS BIGINT) % v AS pick
+        FROM sg
+        CROSS JOIN (SELECT unnest([0]) AS neg_j) j
+        CROSS JOIN vc)
+    SELECT n.walk_id, n.pos, n."offset", n.center, n.context,
+           CAST(n.neg_j AS INTEGER) AS neg_j, vb.w AS negative
+    FROM neg n JOIN vocab vb ON n.pick = vb.idx
+    WHERE vb.w <> n.center AND vb.w <> n.context"""
+
+
+_SQ8_PARAMS: dict = {}
+
+
+def _sq8_params_for(spark, sf_dir):
+    from kafka_merge_purge_spark.operators.pq import sq8_fit
+
+    if sf_dir not in _SQ8_PARAMS:
+        _SQ8_PARAMS[sf_dir] = sq8_fit(_t(spark, sf_dir, "embeddings"))
+    return _SQ8_PARAMS[sf_dir]
+
+
+def x_sq_codes(spark, sf_dir):
+    """SQ8 int8 export codes (operators/pq.py sq8_encode, r13): the
+    per-dimension affine scalar quantization (FAISS QT_8bit / Milvus
+    SQ8 layout) of the embeddings corpus — 1 byte/dim, 4× under raw
+    float32, encode = a zero-join literal-parameter projection.  FULL
+    hash oracle: fit mins/maxes are exact float aggregates and every
+    encode step is a fixed-parenthesization IEEE double op + integer
+    clamp, so both engines emit identical code bytes."""
+    from kafka_merge_purge_spark.operators.pq import sq8_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_encode(emb, _sq8_params_for(spark, sf_dir))
+
+
+_RELATIONAL_ORACLES["x_sq_codes"] = """
+    WITH dims AS (
+        SELECT unnest(range(1, (SELECT MAX(len(embedding)) + 1
+                                FROM embeddings))) AS d),
+    ex AS (SELECT vec_id, t.d, CAST(embedding[t.d] AS DOUBLE) AS x
+           FROM embeddings, dims t
+           WHERE embedding IS NOT NULL AND t.d <= len(embedding)),
+    params AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d),
+    coded AS (
+        SELECT e.vec_id, e.d,
+               CAST(CASE WHEN p.mx = p.mn THEN 0
+                    ELSE GREATEST(0, LEAST(255,
+                         CAST(floor((e.x - p.mn) * 255.0 / (p.mx - p.mn)
+                                    + 0.5) AS BIGINT)))
+                    END - 128 AS TINYINT) AS code
+        FROM ex e JOIN params p ON e.d = p.d)
+    SELECT vec_id, list(code ORDER BY d) AS codes
+    FROM coded GROUP BY vec_id"""
+
+
+def x_sq_recall(spark, sf_dir):
+    """SQ8 fidelity audit (r13): recall@10 of exact cosine over the
+    DECODED int8 reconstruction vs the raw-vector exact path — the
+    acceptance gate a downstream consumer of the export runs.
+    Rows-only by design (the raw path IS the oracle); the ≥0.9
+    mean-recall floor is pinned in pytest."""
+    from kafka_merge_purge_spark.operators.pq import (
+        sq8_decode_expr,
+        sq8_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    params = _sq8_params_for(spark, sf_dir)
+    dec = sq8_encode(emb, params).select(
+        "vec_id", sq8_decode_expr(F.col("codes"), params).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    ref = sim.brute_force_topk(q, emb, k=10)
+    cand = sim.brute_force_topk(q, dec, k=10)
+    return sim.topk_recall(ref, cand, item_col="neighbor_id", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

@@ -2998,6 +2998,73 @@ def test_label_propagation_until_stable_matches_fixed_twin(spark):
     assert out.columns == ["node", "label"]
 
 
+def test_sq8_roundtrip_index_and_recall_floor(spark, tables, tmp_path):
+    """SQ8 export tier (r13): codes stay in int8 range, reconstruction
+    error is bounded by half a quantization step per dimension, the
+    persisted codes+params layout round-trips (indexed top-k equals the
+    in-plan decode path; appends reuse stored params so codes stay
+    stable), the x_sq_recall gate clears the 0.9 floor at fixture
+    scale, and degenerate inputs fail eagerly."""
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators import pq
+    from kafka_merge_purge_spark.operators import similarity as sim
+
+    emb = tables["embeddings"]
+    params = pq.sq8_fit(emb)
+    assert len(params) == 64 and all(mn <= mx for mn, mx in params)
+    enc = pq.sq8_encode(emb, params)
+    dec = enc.select(
+        "vec_id", pq.sq8_decode_expr(F.col("codes"), params).alias("embedding")
+    )
+    joined = (
+        emb.select("vec_id", F.col("embedding").alias("orig"))
+        .join(dec.select("vec_id", F.col("embedding").alias("rec")), "vec_id")
+        .collect()
+    )
+    assert len(joined) == emb.filter(F.col("embedding").isNotNull()).count()
+    for row in joined[:50]:
+        for d, (x, xh) in enumerate(zip(row["orig"], row["rec"])):
+            mn, mx = params[d]
+            step = (mx - mn) / 255.0 if mx > mn else 0.0
+            assert abs(float(x) - xh) <= step / 2 + 1e-9, (d, x, xh)
+    codes0 = enc.select(F.explode("codes").alias("c")).agg(
+        F.min("c"), F.max("c")
+    ).first()
+    assert -128 <= codes0[0] and codes0[1] <= 127
+
+    # persisted layout: build on half, append the rest with STORED
+    # params; indexed top-k == in-plan decode top-k over the union
+    path = str(tmp_path / "sq8")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    pq.build_sq8_index(half_a, path)
+    pq.append_to_sq8_index(spark, path, half_b)
+    stored = pq._read_sq8_params(spark, path)
+    dec_all = pq.sq8_encode(emb, stored).select(
+        "vec_id", pq.sq8_decode_expr(F.col("codes"), stored).alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 8)
+    direct = sim.brute_force_topk(probes, dec_all, k=3)
+    indexed = pq.sq8_topk_indexed(spark, path, probes, k=3)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # recall floor: the x_sq_recall gate semantics at fixture scale
+    ref = sim.brute_force_topk(probes, emb, k=10)
+    cand = sim.brute_force_topk(probes, dec_all, k=10)
+    rec = sim.topk_recall(ref, cand, item_col="neighbor_id", k=10).agg(
+        F.avg("recall").alias("r")
+    ).first()["r"]
+    assert rec >= 0.9, rec
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        pq.sq8_fit(emb.filter(F.lit(False)))
+    with _pytest.raises(ValueError, match="empty params"):
+        pq.sq8_encode(emb, [])
+
+
 def test_pq_fit_encode_and_recall_floor(spark):
     """PQ tier (r11): deterministic codebooks, m-code encode, ADC+rerank
     recall@10 >= 0.9 mean vs brute force on the real corpus, IVF-PQ
@@ -4371,6 +4438,108 @@ def test_scc_both_paths_match_bruteforce(spark):
         C.strongly_connected_components(ch, max_driver_edges=0, max_outer=1)
     with _pytest.raises(ValueError, match="max_outer and max_inner"):
         C.strongly_connected_components(ch, max_outer=0)
+
+
+def test_sgns_corpus_substrate_reuse(spark, tmp_path, monkeypatch):
+    """sgns_training_corpus (r13): equals the manual walks→pairs→
+    negatives composition; walks= injection skips walk generation
+    entirely (spy: random_walks never called) and reproduces the
+    generated result; persist/read round-trips the corpus; counts=
+    switches to the tilted sampler; no-input raises."""
+    import pytest as _pytest
+
+    import kafka_merge_purge_spark.operators.components as C
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    manual_walks = C.random_walks(edges, walk_length=3, walks_per_node=1)
+    vocab = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    manual = sorted(
+        map(
+            tuple,
+            C.skipgram_negatives(
+                C.skipgram_pairs(manual_walks, window=2), vocab, n_neg=2
+            ).collect(),
+        )
+    )
+    one_call = sorted(
+        map(
+            tuple,
+            C.sgns_training_corpus(
+                edges, walk_length=3, window=2, n_neg=2
+            ).collect(),
+        )
+    )
+    assert one_call == manual
+
+    # walks= injection: random_walks must NOT run
+    cached = manual_walks.localCheckpoint(eager=True)
+    calls = []
+    real = C.random_walks
+    monkeypatch.setattr(
+        C, "random_walks", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+    injected = sorted(
+        map(
+            tuple,
+            C.sgns_training_corpus(
+                walks=cached, window=2, n_neg=2, vocab=vocab
+            ).collect(),
+        )
+    )
+    assert injected == manual
+    assert not calls, "walks= injection still generated walks"
+    # vocab defaulting from the injected corpus itself (path tokens)
+    self_contained = C.sgns_training_corpus(walks=cached, window=2, n_neg=2)
+    assert self_contained.count() > 0
+    monkeypatch.undo()
+
+    # persist/read round-trip feeds the same chain
+    path = str(tmp_path / "walks")
+    C.persist_walk_corpus(cached, path)
+    reread = C.read_walk_corpus(spark, path)
+    rt = sorted(
+        map(
+            tuple,
+            C.sgns_training_corpus(
+                walks=reread, window=2, n_neg=2, vocab=vocab
+            ).collect(),
+        )
+    )
+    assert rt == manual
+    with _pytest.raises(ValueError, match="walk-corpus layout"):
+        edges.write.mode("overwrite").parquet(str(tmp_path / "notwalks"))
+        C.read_walk_corpus(spark, str(tmp_path / "notwalks"))
+    with _pytest.raises(ValueError, match="lacks column"):
+        C.persist_walk_corpus(edges, str(tmp_path / "bad"))
+
+    # counts= routes to the tilted sampler
+    counts = spark.createDataFrame(
+        [("a", 1), ("b", 16), ("c", 81), ("d", 4)], "word string, cnt long"
+    )
+    tilted = sorted(
+        map(
+            tuple,
+            C.sgns_training_corpus(
+                walks=cached, window=2, n_neg=2, counts=counts
+            ).collect(),
+        )
+    )
+    assert tilted == sorted(
+        map(
+            tuple,
+            C.skipgram_negatives_tilted(
+                C.skipgram_pairs(cached, window=2), counts, n_neg=2
+            ).collect(),
+        )
+    )
+
+    with _pytest.raises(ValueError, match="edges= .*or"):
+        C.sgns_training_corpus()
 
 
 def test_ppmi_from_pairs_exact_counts_and_shift(spark):
