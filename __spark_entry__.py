@@ -7468,6 +7468,109 @@ _RELATIONAL_ORACLES["x_sgns_corpus"] = f"""
     WHERE vb.w <> n.center AND vb.w <> n.context"""
 
 
+def x_ppmi_topk(spark, sf_dir):
+    """Model-free similar-parts via PPMI + sparse cosine
+    (similarity.sparse_cosine_topk over components.ppmi_from_pairs,
+    r13): the Levy & Goldberg count-based embedding tier END TO END —
+    co-purchase pairs → PPMI rows → inverted-index cosine top-5 between
+    part vectors, no training loop anywhere.  Posting lists capped at
+    df ≤ 64 (the declared stopword-context guard; the oracle applies
+    the same cut); dots/norms are exact int64 sums of the ×10⁶
+    quantized weights, so the composition carries a FULL hash oracle."""
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.operators.components import ppmi_from_pairs
+    from kafka_merge_purge_spark.operators.similarity import (
+        sparse_cosine_topk,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    seq = li.distinct().withColumn("_rn", F.row_number().over(w))
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b._rn") == F.col("a._rn") + 1),
+    ).select(
+        F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias(
+            "center"
+        ),
+        F.concat(F.lit("p"), F.col("b.l_partkey").cast("string")).alias(
+            "context"
+        ),
+    )
+    ppmi = ppmi_from_pairs(pairs, shift=1).select("center", "context", "ppmi")
+    return sparse_cosine_topk(
+        ppmi,
+        k=5,
+        id_col="center",
+        feat_col="context",
+        val_col="ppmi",
+        max_df=64,
+    )
+
+
+_RELATIONAL_ORACLES["x_ppmi_topk"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    seq AS (SELECT l_orderkey, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) AS rn
+            FROM li),
+    sg AS (SELECT 'p' || CAST(a.l_partkey AS VARCHAR) AS center,
+                  'p' || CAST(b.l_partkey AS VARCHAR) AS context
+           FROM seq a JOIN seq b
+             ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1),
+    tot AS (SELECT COUNT(*) AS n FROM sg),
+    cc AS (SELECT center, context, COUNT(*) AS n_pair
+           FROM sg GROUP BY center, context),
+    c AS (SELECT center, COUNT(*) AS n_center FROM sg GROUP BY center),
+    x AS (SELECT context, COUNT(*) AS n_context FROM sg GROUP BY context),
+    ppmi AS (
+        SELECT cc.center AS id, cc.context AS f,
+               round(ln((CAST(cc.n_pair AS DOUBLE) * CAST(t.n AS DOUBLE))
+                        / (CAST(c.n_center AS DOUBLE)
+                           * CAST(x.n_context AS DOUBLE)))
+                     - ln(CAST(1 AS DOUBLE)), 6) AS v
+        FROM cc
+        JOIN c ON cc.center = c.center
+        JOIN x ON cc.context = x.context
+        CROSS JOIN tot t
+        WHERE CAST(cc.n_pair AS DECIMAL(18,0)) * CAST(t.n AS DECIMAL(18,0))
+            > CAST(c.n_center AS DECIMAL(18,0))
+              * CAST(x.n_context * 1 AS DECIMAL(18,0))),
+    q AS (SELECT id, f,
+                 CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS qv
+          FROM ppmi
+          WHERE CAST(floor(v * 1000000 + 0.5) AS BIGINT) <> 0),
+    norms AS (SELECT id, CAST(SUM(qv * qv) AS BIGINT) AS n2
+              FROM q GROUP BY id),
+    keep AS (SELECT f FROM q GROUP BY f HAVING COUNT(*) <= 64),
+    qq AS (SELECT q.id, q.f, q.qv FROM q JOIN keep ON q.f = keep.f),
+    dots AS (SELECT a.id AS ia, b.id AS ib,
+                    CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+             FROM qq a JOIN qq b ON a.f = b.f AND a.id < b.id
+             GROUP BY a.id, b.id),
+    scored AS (
+        SELECT ia, ib,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+        FROM dots
+        JOIN norms na ON dots.ia = na.id
+        JOIN norms nb ON dots.ib = nb.id),
+    allp AS (SELECT ia AS query_id, ib AS neighbor_id, cos FROM scored
+             UNION ALL
+             SELECT ib AS query_id, ia AS neighbor_id, cos FROM scored),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                    AS INTEGER) AS rank
+        FROM allp)
+    SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5"""
+
+
 _SQ8_PARAMS: dict = {}
 
 
@@ -7475,7 +7578,13 @@ def _sq8_params_for(spark, sf_dir):
     from kafka_merge_purge_spark.operators.pq import sq8_fit
 
     if sf_dir not in _SQ8_PARAMS:
-        _SQ8_PARAMS[sf_dir] = sq8_fit(_t(spark, sf_dir, "embeddings"))
+        try:
+            _SQ8_PARAMS[sf_dir] = sq8_fit(_t(spark, sf_dir, "embeddings"))
+        except ValueError:
+            # empty corpus (the empty-input sweep contract): dummy
+            # single-dim params — encode/decode over the empty frame
+            # still run the real chain and emit typed-empty results
+            _SQ8_PARAMS[sf_dir] = [(0.0, 0.0)]
     return _SQ8_PARAMS[sf_dir]
 
 

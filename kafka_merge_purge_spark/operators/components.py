@@ -2268,6 +2268,10 @@ def sgns_training_corpus(
     src: str = "src",
     dst: str = "dst",
     materialize: bool = True,
+    walk_kind: str = "uniform",
+    w_return: int = 1,
+    w_near: int = 1,
+    w_far: int = 1,
 ) -> DataFrame:
     """The full SGNS training-corpus chain — walks → skip-gram pairs →
     negatives — as ONE call with substrate reuse (r12 verdict missing
@@ -2288,7 +2292,11 @@ def sgns_training_corpus(
     * ``counts=`` (a (word, count) frame) switches negative draws to
       the word2vec unigram^0.75 tilt
       (:func:`skipgram_negatives_tilted`); default is the uniform
-      sampler (:func:`skipgram_negatives`).
+      sampler (:func:`skipgram_negatives`);
+    * ``walk_kind="node2vec"`` generates the substrate with
+      :func:`node2vec_walks` (p/q bias via ``w_return``/``w_near``/
+      ``w_far``; default seed becomes "n2v" so the chain replays the
+      x_node2vec coins).
 
     Output: (walk_id, pos, offset, center, context, neg_j, negative) —
     the positive pair columns plus each pair's negatives."""
@@ -2297,15 +2305,33 @@ def sgns_training_corpus(
             "sgns_training_corpus: pass edges= (generate walks) or "
             "walks= (reuse a corpus)"
         )
-    if walks is None:
-        walks = random_walks(
-            edges,
-            walk_length=walk_length,
-            walks_per_node=walks_per_node,
-            src=src,
-            dst=dst,
-            seed=seed,
+    if walk_kind not in ("uniform", "node2vec"):
+        raise ValueError(
+            "sgns_training_corpus: walk_kind must be 'uniform' or "
+            f"'node2vec', got {walk_kind!r}"
         )
+    if walks is None:
+        if walk_kind == "node2vec":
+            walks = node2vec_walks(
+                edges,
+                walk_length=walk_length,
+                walks_per_node=walks_per_node,
+                src=src,
+                dst=dst,
+                seed=seed if seed != "walk" else "n2v",
+                w_return=w_return,
+                w_near=w_near,
+                w_far=w_far,
+            )
+        else:
+            walks = random_walks(
+                edges,
+                walk_length=walk_length,
+                walks_per_node=walks_per_node,
+                src=src,
+                dst=dst,
+                seed=seed,
+            )
         if vocab is None and counts is None:
             vocab = (
                 edges.select(F.col(src).alias("node"))

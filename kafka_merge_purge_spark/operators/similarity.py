@@ -1087,3 +1087,126 @@ def topk_recall(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sparse cosine top-k — inverted-index similarity over (id, feature, value)
+# triples (r13): the sparse complement of brute_force_topk, and the
+# consumer the PPMI matrix (components.ppmi_from_pairs) feeds — Levy &
+# Goldberg 2014's model-free word/node similarity without a training loop.
+# --------------------------------------------------------------------------
+
+
+def sparse_cosine_topk(
+    rows: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    feat_col: str = "feature",
+    val_col: str = "value",
+    quantize: int = 10**6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k between SPARSE vectors stored as (id, feature,
+    value) triples — the inverted-index algorithm: candidate pairs are
+    generated ONLY through shared features (one equi self-join on the
+    feature key), never all-pairs, so cost is Σ_f df(f)² over posting
+    lists instead of n².
+
+    Engine-portable exactness: values quantize to int64
+    (``floor(value·quantize + 0.5)`` — the repo's cross-engine rounding
+    idiom), so every dot product and norm is an
+    ORDER-FREE integer sum — no float-accumulation drift between
+    engines — and only the final ``cos = round(dot/(√n2_a·√n2_b), 6)``
+    touches IEEE doubles (fixed parenthesization).  Zero-quantized
+    entries drop (they contribute nothing).
+
+    ``max_df``: drop features whose document frequency exceeds the cap
+    BEFORE the self-join — the standard posting-list guard (a stopword-
+    like feature contributes df² candidate pairs and near-zero
+    discrimination).  The cut is part of the declared semantics (the
+    oracle applies the same cut), so the result stays hash-exact.
+
+    Scale shape: one feature-keyed self-join (AQE-skew-splittable) +
+    one (id_a, id_b)-keyed aggregate + one per-id top-k window over
+    ≤ candidate rows; norms ride two id-keyed aggregates.  Nothing
+    collects to the driver.
+
+    Output: (query_id, rank, neighbor_id, cos) — both orientations of
+    every scored pair, the :func:`brute_force_topk` schema."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"sparse_cosine_topk: k must be >= 1, got {k}")
+    if quantize < 1:
+        raise ValueError(
+            f"sparse_cosine_topk: quantize must be >= 1, got {quantize}"
+        )
+    q = (
+        rows.select(
+            F.col(id_col).alias("_id"),
+            F.col(feat_col).alias("_f"),
+            F.floor(
+                F.col(val_col).cast("double") * F.lit(quantize) + F.lit(0.5)
+            ).alias("_qv"),
+        )
+        .filter(F.col("_id").isNotNull() & F.col("_f").isNotNull())
+        .filter(F.col("_qv") != 0)
+    )
+    # norms BEFORE the df cut: a vector's length is a property of the
+    # vector, not of which features survive the posting guard
+    norms = q.groupBy("_id").agg(F.sum(F.col("_qv") * F.col("_qv")).alias("_n2"))
+    if max_df is not None:
+        if max_df < 1:
+            raise ValueError(
+                f"sparse_cosine_topk: max_df must be >= 1, got {max_df}"
+            )
+        keep = (
+            q.groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_f")
+        )
+        q = q.join(keep, "_f", "left_semi")
+    a = q.select(
+        F.col("_id").alias("_ia"), F.col("_f"), F.col("_qv").alias("_va")
+    )
+    b = q.select(
+        F.col("_id").alias("_ib"), F.col("_f"), F.col("_qv").alias("_vb")
+    )
+    dots = (
+        a.join(b, "_f")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.sum(F.col("_va") * F.col("_vb")).alias("_dot"))
+    )
+    na = norms.select(F.col("_id").alias("_ia"), F.col("_n2").alias("_n2a"))
+    nb = norms.select(F.col("_id").alias("_ib"), F.col("_n2").alias("_n2b"))
+    scored = dots.join(na, "_ia").join(nb, "_ib").select(
+        "_ia",
+        "_ib",
+        F.round(
+            F.col("_dot").cast("double")
+            / (
+                F.sqrt(F.col("_n2a").cast("double"))
+                * F.sqrt(F.col("_n2b").cast("double"))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    both = scored.select(
+        F.col("_ia").alias("query_id"), F.col("_ib").alias("neighbor_id"), "cos"
+    ).unionByName(
+        scored.select(
+            F.col("_ib").alias("query_id"),
+            F.col("_ia").alias("neighbor_id"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

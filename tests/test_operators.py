@@ -4541,6 +4541,107 @@ def test_sgns_corpus_substrate_reuse(spark, tmp_path, monkeypatch):
     with _pytest.raises(ValueError, match="edges= .*or"):
         C.sgns_training_corpus()
 
+    # walk_kind="node2vec" routes the substrate through the biased walker
+    n2v = sorted(
+        map(
+            tuple,
+            C.sgns_training_corpus(
+                edges,
+                walk_kind="node2vec",
+                walk_length=3,
+                window=2,
+                n_neg=2,
+                w_return=1,
+                w_near=3,
+                w_far=2,
+            ).collect(),
+        )
+    )
+    assert n2v == sorted(
+        map(
+            tuple,
+            C.skipgram_negatives(
+                C.skipgram_pairs(
+                    C.node2vec_walks(
+                        edges, walk_length=3, w_return=1, w_near=3, w_far=2
+                    ),
+                    window=2,
+                ),
+                vocab,
+                n_neg=2,
+            ).collect(),
+        )
+    )
+    with _pytest.raises(ValueError, match="walk_kind"):
+        C.sgns_training_corpus(edges, walk_kind="biased")
+
+
+def test_sparse_cosine_topk_inverted_index(spark):
+    """sparse_cosine_topk (r13): hand-computed cosines on tiny sparse
+    vectors, pairs exist ONLY through shared features, both
+    orientations emitted, deterministic tiebreak, max_df drops
+    stopword-like features from candidate generation but NOT from
+    norms, zero-quantized entries drop, bad params raise."""
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.similarity import (
+        sparse_cosine_topk,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("a", "f1", 1.0),
+            ("a", "f2", 1.0),
+            ("b", "f1", 1.0),
+            ("c", "f2", 1.0),
+            ("c", "f3", 1.0),
+            ("a", "f4", 0.0000001),  # quantizes to 0 at the default 1e6
+        ],
+        "id string, feature string, value double",
+    )
+    out = sorted(
+        map(tuple, sparse_cosine_topk(rows, k=5, quantize=1).collect())
+    )
+    assert out == sorted(
+        [
+            ("a", 1, "b", 0.707107),
+            ("a", 2, "c", 0.5),
+            ("b", 1, "a", 0.707107),
+            ("c", 1, "a", 0.5),
+        ]
+    )
+    # default 1e6 quantization: same cosines (values are exact units)
+    out6 = sorted(map(tuple, sparse_cosine_topk(rows, k=5).collect()))
+    assert out6 == out
+
+    # max_df=1 kills f1/f2 (df 2) from candidate generation -> only f3
+    # survives, which no pair shares -> empty
+    assert sparse_cosine_topk(rows, k=5, max_df=1).count() == 0
+    # max_df does NOT renormalize: with f1 dropped (df cap 1 on a copy
+    # where only f1 exceeds), a-c via f2 keeps a's FULL norm sqrt(2)
+    rows2 = spark.createDataFrame(
+        [
+            ("a", "f1", 1.0),
+            ("a", "f2", 1.0),
+            ("b", "f1", 1.0),
+            ("x", "f1", 1.0),
+            ("c", "f2", 1.0),
+        ],
+        "id string, feature string, value double",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in sparse_cosine_topk(rows2, k=5, max_df=2).collect()
+    }
+    assert got == {("a", "c"): 0.707107, ("c", "a"): 0.707107}
+
+    with _pytest.raises(ValueError, match="k must"):
+        sparse_cosine_topk(rows, k=0)
+    with _pytest.raises(ValueError, match="quantize"):
+        sparse_cosine_topk(rows, quantize=0)
+    with _pytest.raises(ValueError, match="max_df"):
+        sparse_cosine_topk(rows, max_df=0)
+
 
 def test_ppmi_from_pairs_exact_counts_and_shift(spark):
     """ppmi_from_pairs (r13): hand-computed margins on a 6-pair corpus,

@@ -51,7 +51,8 @@ ROUND_HEADLINERS = {
     "x_kcore": "per-round peel — two survivor semi-screens of the cached normalized edge set + one map-side-combined degree aggregate; convergence flag = two 1-row count aggs (r12: no left_anti job); state O(nodes), shrinking monotonically",
     "x_hits": "per-round double power step — the two edge-join score aggregates are the only real shuffles; L1 normalization sums ride 1-row broadcast cross-joins; in-round localCheckpoints stop the 2-4x re-evaluation of twice-referenced aggregates",
     "x_walks": "per-step uniform walk — ONE inner equi join of the O(walks) state onto the indexed cached adjacency + a sink anti join; the md5 coin is expression-level (no RNG, no Python)",
-    "x_node2vec": "per-step biased walk — the O(walks) state joins the cached per-node neighbor-ID array frame (cur + prev, int64); the weighted pick (np.isin membership, cumsum, md5 coin, searchsorted) runs vectorized in ONE Arrow kernel, and one id-to-node join materializes the pick — nothing per-candidate ever shuffles (the candidate-join form OOMed then ran 334 s at the 10x bench; the expression-fold twin survives as impl='expr', pinned equal)",
+    "x_node2vec": "per-step biased walk — the O(walks) state joins the cached per-node neighbor-ID array frame (cur + prev, int64); the md5 coin is EXPRESSION-LEVEL (rides the plan, r13) and the weighted pick runs CROSS-ROW vectorized in ONE Arrow kernel (flat segment numpy: concatenate/repeat/reduceat + one global searchsorted — no per-row Python loop); one id-to-node join materializes the pick — nothing per-candidate ever shuffles (the candidate-join form OOMed then ran 334 s at the 10x bench; the expression-fold twin survives as impl='expr', pinned equal)",
+    "x_scc_pregel": "SCC outer round, phase 1 (trim) — the captured round is the source/sink peel: two survivor semi-screens of the checkpointed live edge set + a semi-join intersection of src/dst endpoint sets, convergence = two 1-row count aggs; the color and in-color-backward phases that follow are the same shape as the CC pregel round (state equi join + min aggregate + pointer-jump self-join), all O(nodes) state",
 }
 
 
