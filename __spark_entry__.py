@@ -6274,7 +6274,8 @@ def x_label_prop(spark, sf_dir):
     return label_propagation(edges, iterations=3)
 
 
-_RELATIONAL_ORACLES["x_label_prop"] = """
+# Shared by x_label_prop and x_modularity (which scores the same run).
+_LPA_CTES = """
     WITH pairs AS (
         SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
                         'c' || CAST(o_custkey AS VARCHAR) AS dst
@@ -6321,8 +6322,72 @@ _RELATIONAL_ORACLES["x_label_prop"] = """
     ), l3 AS (
         SELECT l2.node, COALESCE(p3.label, l2.label) AS label
         FROM l2 LEFT JOIN p3 USING (node)
-    )
+    )"""
+
+_RELATIONAL_ORACLES["x_label_prop"] = _LPA_CTES + """
     SELECT node, label FROM l3"""
+
+
+def x_modularity(spark, sf_dir):
+    """Modularity decomposition (components.modularity, Newman &
+    Girvan 2004 / directed form Leicht & Newman 2008) of the
+    x_label_prop run — the acceptance score for a community detection
+    pass: per community the EXACT integer numerator q_num = m·intra −
+    dout·din over the common m² denominator (DECIMAL(38,0): at 10¹²
+    edges the cross term hits 10²⁴), so the score itself is
+    hash-comparable with no float threshold.  FULL hash oracle: the
+    shared LPA sweep CTEs + three label-keyed counting aggregates."""
+    from kafka_merge_purge_spark.operators.components import (
+        label_propagation,
+        modularity,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 4 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=3)
+    return modularity(edges, labels)
+
+
+_RELATIONAL_ORACLES["x_modularity"] = _LPA_CTES + """
+    , le AS (
+        SELECT a.label AS c1, b.label AS c2
+        FROM edges e JOIN l3 a ON a.node = e.src
+                     JOIN l3 b ON b.node = e.dst
+    ), m AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m FROM le),
+    outc AS (
+        SELECT c1 AS lab, COUNT(*) AS dout,
+               SUM(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS intra
+        FROM le GROUP BY c1
+    ), inc AS (SELECT c2 AS lab, COUNT(*) AS din FROM le GROUP BY c2),
+    sizes AS (SELECT label AS lab, COUNT(*) AS n_nodes FROM l3 GROUP BY label)
+    SELECT s.lab AS label,
+           CAST(s.n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(o.intra, 0) AS BIGINT) AS intra_edges,
+           CAST(COALESCE(o.dout, 0) AS BIGINT) AS dout,
+           CAST(COALESCE(i.din, 0) AS BIGINT) AS din,
+           CAST(m.m * COALESCE(o.intra, 0)
+                - CAST(COALESCE(o.dout, 0) AS DECIMAL(38,0))
+                  * COALESCE(i.din, 0) AS DECIMAL(38,0)) AS q_num,
+           CAST(m.m AS BIGINT) AS m_edges
+    FROM sizes s
+    LEFT JOIN outc o ON o.lab = s.lab
+    LEFT JOIN inc i ON i.lab = s.lab
+    CROSS JOIN m"""
 
 
 def x_weighted_sample(spark, sf_dir):
@@ -7642,6 +7707,48 @@ def x_sq_recall(spark, sf_dir):
     ref = sim.brute_force_topk(q, emb, k=10)
     cand = sim.brute_force_topk(q, dec, k=10)
     return sim.topk_recall(ref, cand, item_col="neighbor_id", k=10)
+
+
+def x_bloom_semi(spark, sf_dir):
+    """Bloom-filter semi-join (bloomjoin.bloom_semi_join, r13): lines
+    of urgent high-value orders via a blocked-Bloom runtime filter —
+    the probe side (lineitem) is pruned by ONE broadcast word-join +
+    mask compare before the verification semi-join ever shuffles it,
+    the explicit form of the engine-injected runtime filters a 100 TB
+    big⋈big join depends on.  EXACT result (false positives removed
+    by the verification join), so the FULL hash oracle is the plain
+    IN-subquery — the Bloom stage is invisible to semantics, pinned
+    visible in the plan (tests/test_plans.py)."""
+    from kafka_merge_purge_spark.operators.bloomjoin import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    survivors = bloom_semi_join(
+        li, orders, "l_orderkey", small_key="o_orderkey", n_words=2048
+    )
+    return (
+        survivors.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_RELATIONAL_ORACLES["x_bloom_semi"] = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2443,3 +2443,87 @@ def triangle_counts(
         .join(credited, "node", "left")
         .select("node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-community modularity decomposition — the quality score for a
+    graph partition (Newman & Girvan 2004; directed generalization
+    Leicht & Newman 2008), the acceptance gate for any community
+    detection run (:func:`label_propagation` upstream): did the labels
+    find real structure, or is the partition no better than chance?
+
+    Semantics over the DIRECTED edge list as given (pass the family's
+    symmetrized list for the undirected classic — then these reduce to
+    Newman's 2m/e_c/d_c form):
+
+        m        = |edges| (nulls and dangling labels drop; multi-edges
+                   count — pre-distinct if that isn't wanted)
+        intra_c  = #{(u,v) : label(u) = label(v) = c}
+        dout_c   = #{(u,v) : label(u) = c},  din_c likewise for v
+        Q        = Σ_c (intra_c/m − dout_c·din_c/m²)
+
+    Everything is EXACT integer arithmetic: per community the numerator
+    ``q_num = m·intra_c − dout_c·din_c`` over the common denominator
+    ``m²``, carried in DECIMAL(38,0) (at 10¹² edges the cross term hits
+    10²⁴ — int64 would overflow silently, and a float Q could not be
+    hash-compared across engines).  ``Q = Σ q_num / m²``; one community
+    holding everything gives exactly 0 (pinned), positive q_num means
+    denser-than-chance.
+
+    Scale shape: two broadcast-eligible joins of edges against the
+    (node, label) frame (labels is node-sized — broadcast when it
+    fits, shuffle otherwise; Catalyst/AQE decides), then three
+    map-side-combined label-keyed aggregates over the labeled edge
+    list and one full-outer assembly over |communities| rows.  The
+    1-row edge count rides a broadcast cross join, never a collect.
+
+    Output: (label, n_nodes, intra_edges, dout, din, q_num, m_edges),
+    one row per label in ``labels``; label-less nodes' edges are
+    excluded from every term (and from m) so the decomposition stays
+    internally consistent.
+    """
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_lab")
+    )
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+        .join(lab.select(F.col("_n").alias("_es"), F.col("_lab").alias("_c1")), "_es")
+        .join(lab.select(F.col("_n").alias("_ed"), F.col("_lab").alias("_c2")), "_ed")
+        .select("_c1", "_c2")
+    )
+    m1 = e.groupBy().agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_m"))
+    out_c = e.groupBy(F.col("_c1").alias("_lab")).agg(
+        F.count(F.lit(1)).alias("_dout"),
+        F.sum(F.when(F.col("_c2") == F.col("_c1"), 1).otherwise(0)).alias("_intra"),
+    )
+    in_c = e.groupBy(F.col("_c2").alias("_lab")).agg(
+        F.count(F.lit(1)).alias("_din")
+    )
+    sizes = lab.groupBy("_lab").agg(F.count(F.lit(1)).alias("n_nodes"))
+    d38 = "decimal(38,0)"
+    return (
+        sizes.join(out_c, "_lab", "left")
+        .join(in_c, "_lab", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            F.col("_lab").alias("label"),
+            "n_nodes",
+            F.coalesce("_intra", F.lit(0)).alias("intra_edges"),
+            F.coalesce("_dout", F.lit(0)).alias("dout"),
+            F.coalesce("_din", F.lit(0)).alias("din"),
+            (
+                F.col("_m") * F.coalesce("_intra", F.lit(0)).cast(d38)
+                - F.coalesce("_dout", F.lit(0)).cast(d38)
+                * F.coalesce("_din", F.lit(0)).cast(d38)
+            ).cast(d38).alias("q_num"),
+            F.col("_m").cast("long").alias("m_edges"),
+        )
+    )

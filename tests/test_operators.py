@@ -4815,3 +4815,108 @@ def test_skipgram_negatives_deterministic_replay(spark):
     assert empty.columns == [
         "walk_id", "pos", "offset", "center", "context", "neg_j", "negative"
     ]
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join (r13)
+# --------------------------------------------------------------------------
+
+def test_bloom_semi_join_exact_vs_plain_semi(spark):
+    """The Bloom stage must be invisible to semantics: result ==
+    plain left-semi join, including duplicate probe rows, NULL probe
+    keys dropped, and build-side duplicates collapsing."""
+    from kafka_merge_purge_spark.operators.bloomjoin import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i % 50, f"p{i}") for i in range(400)] + [(None, "pnull")],
+        "k int, payload string",
+    )
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 50, 7) for _ in range(2)], "k int"
+    )
+    got = sorted(
+        map(tuple, bloom_semi_join(big, small, "k", n_words=64).collect())
+    )
+    want = sorted(map(tuple, big.join(small.distinct(), "k", "left_semi").collect()))
+    assert got == want and len(got) > 0
+    # schema passes through untouched
+    assert bloom_semi_join(big, small, "k").columns == big.columns
+
+
+def test_bloom_semi_join_small_key_and_empty_build(spark):
+    from kafka_merge_purge_spark.operators.bloomjoin import bloom_semi_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    small = spark.createDataFrame([(2, "x")], "kk int, w string")
+    got = bloom_semi_join(big, small, "k", small_key="kk").collect()
+    assert [tuple(r) for r in got] == [(2, "b")]
+    # empty build side → empty result, schema intact (empty-input sweep)
+    empty = bloom_semi_join(
+        big, spark.createDataFrame([], "kk int, w string"), "k", small_key="kk"
+    )
+    assert empty.count() == 0 and empty.columns == big.columns
+
+
+def test_bloom_sketch_prunes_most_non_matches(spark):
+    """FPR audit on a planted disjoint probe set: with the default
+    sizing (4 keys/word, 3 bits) the candidate stage must pass < 5 %
+    of definite non-matches (expected ~0.7 %)."""
+    from kafka_merge_purge_spark.operators.bloomjoin import (
+        _bloom_cols,
+        bloom_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    n_keys, n_words = 4000, 1024  # ~4 keys/word
+    build = spark.createDataFrame([(i,) for i in range(n_keys)], "k int")
+    sketch = bloom_sketch(build, "k", n_words)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(10**6, 10**6 + 4000)], "k int"
+    )
+    word_idx, mask = _bloom_cols(F.col("k"), n_words, 3)
+    passed = (
+        probe.withColumn("_w", word_idx)
+        .withColumn("_m", mask)
+        .join(sketch.withColumnRenamed("word_idx", "_w"), "_w")
+        .filter(F.col("word").bitwiseAND(F.col("_m")) == F.col("_m"))
+        .count()
+    )
+    assert passed < 200, f"Bloom FPR too high: {passed}/4000"
+
+
+# --------------------------------------------------------------------------
+# Modularity (r13)
+# --------------------------------------------------------------------------
+
+def test_modularity_hand_computed_and_trivial_partition(spark):
+    """Two 3-cliques joined by one bridge, true-community labels:
+    every term checked against hand arithmetic; the all-in-one
+    partition must score exactly Q = 0 (q_num sums to 0)."""
+    from kafka_merge_purge_spark.operators.components import modularity
+
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src int, dst int"
+    )  # symmetrized, m_dir = 14
+    labels = spark.createDataFrame(
+        [(n, "A") for n in (1, 2, 3)] + [(n, "B") for n in (4, 5, 6)],
+        "node int, label string",
+    )
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+    # community A: intra = 6 directed, dout = din = 7 (bridge 3→4 leaves)
+    assert rows["A"]["intra_edges"] == 6 and rows["A"]["dout"] == 7
+    assert rows["A"]["din"] == 7 and rows["A"]["n_nodes"] == 3
+    # q_num = m*intra - dout*din = 14*6 - 49 = 35, per community
+    assert int(rows["A"]["q_num"]) == 35 and int(rows["B"]["q_num"]) == 35
+    assert rows["A"]["m_edges"] == 14
+    # Q = 70/196 ≈ 0.357 — the textbook two-clique score
+    # trivial partition → Q exactly 0
+    one = spark.createDataFrame([(n, "all") for n in range(1, 7)],
+                                "node int, label string")
+    (r,) = modularity(edges, one).collect()
+    assert int(r["q_num"]) == 0 and r["intra_edges"] == 14
+    # label-less nodes: edges touching them drop from every term AND m
+    part = labels.filter(F.col("node") != 4)
+    prows = {r["label"]: r for r in modularity(edges, part).collect()}
+    assert prows["A"]["m_edges"] == 8  # 4's 6 incident directed edges gone
+    assert prows["B"]["n_nodes"] == 2 and prows["B"]["intra_edges"] == 2

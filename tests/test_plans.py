@@ -363,3 +363,14 @@ def test_forecast_revenue_filters_reach_the_scan(spark):
     line = pushed[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in line, f"{col} not pushed into the scan: {line}"
+
+
+def test_bloom_semi_join_plan(spark):
+    """The Bloom sketch must reach the probe side as a
+    BroadcastHashJoin on the word index (the runtime-filter shape);
+    the verification semi-join must still be present (exactness)."""
+    import __spark_entry__ as entry
+
+    plan = formatted_plan(entry.x_bloom_semi(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "_bloom_word_idx" in plan, plan
+    assert "LeftSemi" in plan, plan
