@@ -7438,8 +7438,9 @@ def x_scc_pregel(spark, sf_dir):
     )
 
 
-_SCC_ORACLE = """
-    WITH RECURSIVE
+# Ring CTEs (li/seq/e) shared with x_condensation, which augments e
+# with bounded cross-order chain edges before the same closure.
+_SCC_RING_CTES = """
     li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
            WHERE l_orderkey % 16 = 0),
     seq AS (SELECT l_orderkey, l_partkey,
@@ -7450,21 +7451,108 @@ _SCC_ORACLE = """
     e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
           FROM seq a JOIN seq b
             ON a.l_orderkey = b.l_orderkey
-           AND b.rn = (a.rn % a.n) + 1),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           AND b.rn = (a.rn % a.n) + 1)"""
+
+# Closure over an edge CTE named ``g``: fwd reachability, mutual pairs,
+# min-of-SCC labels as ``scc_tbl(node, scc)``.
+_SCC_CLOSURE_CTES = """
+    nodes AS (SELECT src AS node FROM g UNION SELECT dst FROM g),
     fwd(node, lbl) AS (
         SELECT node, node FROM nodes
         UNION
-        SELECT e.src, fwd.lbl FROM fwd JOIN e ON fwd.node = e.dst),
+        SELECT g.src, fwd.lbl FROM fwd JOIN g ON fwd.node = g.dst),
     mutual AS (
         SELECT f.node AS v, f.lbl AS w
-        FROM fwd f JOIN fwd g ON f.node = g.lbl AND f.lbl = g.node)
-    SELECT n.node, LEAST(n.node, COALESCE(MIN(m.w), n.node)) AS scc
-    FROM nodes n LEFT JOIN mutual m ON m.v = n.node
-    GROUP BY n.node"""
+        FROM fwd f JOIN fwd g2 ON f.node = g2.lbl AND f.lbl = g2.node),
+    scc_tbl AS (
+        SELECT n.node, LEAST(n.node, COALESCE(MIN(m.w), n.node)) AS scc
+        FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+        GROUP BY n.node)"""
+
+_SCC_ORACLE = (
+    "\n    WITH RECURSIVE"
+    + _SCC_RING_CTES
+    + ",\n    g AS (SELECT src, dst FROM e),"
+    + _SCC_CLOSURE_CTES
+    + "\n    SELECT node, scc FROM scc_tbl"
+)
 
 _RELATIONAL_ORACLES["x_scc"] = _SCC_ORACLE
 _RELATIONAL_ORACLES["x_scc_pregel"] = _SCC_ORACLE
+
+
+def x_condensation(spark, sf_dir):
+    """SCC condensation + DAG longest-path levels
+    (components.condensation / dag_longest_levels, r13): the ring
+    fixture augmented with bounded cross-order chain edges (order o →
+    o+16, broken every 8th link so depth stays gate-sized) — rings
+    collapse to SCC nodes, the residual chain structure is a DAG by
+    construction, and each component gets its dependency tier.  The
+    until-stable loop keeps a FULL oracle because the max-plus
+    fixpoint is unique (recursive-CTE replay).  Output: one row per
+    SCC with its size and level (edge-less SCCs at level 0)."""
+    from kafka_merge_purge_spark.operators.components import (
+        condensation,
+        dag_longest_levels,
+        strongly_connected_components,
+    )
+
+    rings = _scc_fixture(spark, sf_dir)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 16 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    firsts = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("p"))
+    x, y = firsts.alias("x"), firsts.alias("y")
+    cross = (
+        x.join(y, F.col("y.l_orderkey") == F.col("x.l_orderkey") + 16)
+        .filter((F.col("x.l_orderkey") / 16).cast("long") % 8 != 7)
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    edges = rings.unionByName(cross)
+    scc = strongly_connected_components(edges)
+    dag = condensation(edges, scc=scc)
+    lv = dag_longest_levels(dag, src="src_scc", dst="dst_scc", max_rounds=32)
+    return (
+        scc.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .join(lv.withColumnRenamed("node", "scc"), "scc", "left")
+        .select("scc", "n_nodes", F.coalesce("level", F.lit(0)).alias("level"))
+    )
+
+
+_RELATIONAL_ORACLES["x_condensation"] = (
+    "\n    WITH RECURSIVE"
+    + _SCC_RING_CTES
+    + """,
+    firsts AS (SELECT l_orderkey, MIN(l_partkey) AS p FROM li
+               GROUP BY l_orderkey),
+    cross_e AS (
+        SELECT x.p AS src, y.p AS dst
+        FROM firsts x JOIN firsts y ON y.l_orderkey = x.l_orderkey + 16
+        WHERE (x.l_orderkey // 16) % 8 <> 7),
+    g AS (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM cross_e),"""
+    + _SCC_CLOSURE_CTES
+    + """,
+    cedges AS (
+        SELECT DISTINCT a.scc AS src_scc, b.scc AS dst_scc
+        FROM g JOIN scc_tbl a ON a.node = g.src
+               JOIN scc_tbl b ON b.node = g.dst
+        WHERE a.scc <> b.scc),
+    cnodes AS (SELECT src_scc AS node FROM cedges
+               UNION SELECT dst_scc FROM cedges),
+    lv(node, l) AS (
+        SELECT node, 0 FROM cnodes
+        UNION
+        SELECT c.dst_scc, lv.l + 1 FROM lv JOIN cedges c ON c.src_scc = lv.node),
+    levels AS (SELECT node, MAX(l) AS level FROM lv GROUP BY node)
+    SELECT s.scc, COUNT(*) AS n_nodes,
+           CAST(COALESCE(MIN(lev.level), 0) AS INTEGER) AS level
+    FROM scc_tbl s LEFT JOIN levels lev ON lev.node = s.scc
+    GROUP BY s.scc"""
+)
 
 
 def x_sgns_corpus(spark, sf_dir):

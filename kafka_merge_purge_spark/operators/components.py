@@ -2527,3 +2527,149 @@ def modularity(
             F.col("_m").cast("long").alias("m_edges"),
         )
     )
+
+
+def condensation(
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    **scc_kwargs,
+) -> DataFrame:
+    """Contract a directed graph to its SCC condensation — the DAG
+    whose nodes are strongly connected components and whose edges are
+    the distinct inter-component links.  The condensation is where
+    cycle-free reasoning (topological levels, reachability tiers,
+    dependency ranks) becomes valid on an arbitrary directed graph:
+    link-spam rings collapse to single nodes and the residual
+    authority/dependency structure is guaranteed acyclic.
+
+    ``scc`` is a precomputed (node, scc) labeling — pass the output of
+    :func:`strongly_connected_components` to amortize it across a
+    chain (the ``walks=``/``centroids=`` convention); omitted, it is
+    computed here (``scc_kwargs`` pass through, e.g.
+    ``max_driver_edges=0`` to force the distributed path).
+
+    Scale shape: two label joins against the node-sized SCC frame
+    (AQE broadcasts when it fits) + one distinct over the contracted
+    pairs — candidate-bound by the inter-component edge count.
+
+    Output: (src_scc, dst_scc), distinct, self-loops removed."""
+    if scc is None:
+        scc = strongly_connected_components(edges, src=src, dst=dst, **scc_kwargs)
+    lab = scc.select(F.col("node"), F.col("scc"))
+    return (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(lab.select(F.col("node").alias("_s"), F.col("scc").alias("src_scc")), "_s")
+        .join(lab.select(F.col("node").alias("_d"), F.col("scc").alias("dst_scc")), "_d")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
+def dag_longest_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+    broadcast_state: bool | str = "auto",
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Longest-path layering of a DAG: ``level(v)`` = length of the
+    longest directed path ending at ``v`` (sources = 0) — topological
+    *levels*, the schedule depth of a dependency graph and the tier
+    structure of a condensed link graph (how many cycle-free hops of
+    authority feed this component).  Compose after :func:`condensation`
+    for arbitrary directed graphs.
+
+    Monotone max-propagation on :func:`iterate`: each round every node
+    takes ``max(level(pred) + 1)`` over its in-edges if that exceeds
+    its current level; the in-pass ``_changed`` flag stops the loop one
+    round after the fixpoint.  The fixpoint is UNIQUE (max-plus closure
+    of an acyclic graph), so the early stop cannot change results and
+    the operator keeps a FULL recursive-CTE oracle despite the
+    data-dependent round count (the SCC/until_stable precedent).
+    Rounds to converge = longest path length; levels deeper than
+    ``max_rounds`` raise rather than silently truncate (the max_outer
+    convention).
+
+    A CYCLE would make the fixpoint infinite: rather than trusting the
+    caller, the same raise fires (a cycle keeps ``_changed`` true
+    forever, hitting the cap) — so misuse surfaces as an error naming
+    the cap, never as wrong levels.
+
+    Scale shape: edges cached and hash-partitioned by ``dst``'s
+    source column once; per round ONE join moving only the (node,
+    level) state (broadcast vs shuffle via :func:`_state_hint`) and
+    one node-keyed max aggregate.
+
+    Output: (node, level), every node of the graph present."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .repartition(F.col("_src"))
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    hint = _state_hint(nodes, broadcast_state, known_rows=n_nodes)
+    state0 = nodes.select("node", F.lit(0).cast("int").alias("level"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        prop = (
+            e.join(
+                hint(
+                    state.select(
+                        F.col("node").alias("_src"), F.col("level").alias("_pl")
+                    )
+                ),
+                "_src",
+            )
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.max(F.col("_pl") + 1).alias("_cand"))
+        )
+        return (
+            state.join(prop, "node", "left")
+            .select(
+                "node",
+                F.greatest(F.col("level"), F.coalesce("_cand", F.lit(0))).alias(
+                    "level"
+                ),
+                (
+                    F.coalesce("_cand", F.lit(0)) > F.col("level")
+                ).alias("_changed"),
+            )
+        )
+
+    out = iterate(state0, step, max_rounds=max_rounds)
+    # a level still growing at the cap means either a deeper DAG than
+    # max_rounds or a cycle — both must surface, not truncate
+    still = (
+        out.join(
+            e.join(
+                out.select(F.col("node").alias("_src"), F.col("level").alias("_pl")),
+                "_src",
+            )
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.max(F.col("_pl") + 1).alias("_cand")),
+            "node",
+            "left",
+        )
+        .filter(F.coalesce("_cand", F.lit(0)) > F.col("level"))
+        .limit(1)
+        .count()
+    )
+    if still:
+        raise ValueError(
+            f"dag_longest_levels: not converged after max_rounds={max_rounds} "
+            "— graph has a longer path (raise max_rounds) or a cycle "
+            "(condense with strongly_connected_components first)"
+        )
+    return out

@@ -4920,3 +4920,51 @@ def test_modularity_hand_computed_and_trivial_partition(spark):
     prows = {r["label"]: r for r in modularity(edges, part).collect()}
     assert prows["A"]["m_edges"] == 8  # 4's 6 incident directed edges gone
     assert prows["B"]["n_nodes"] == 2 and prows["B"]["intra_edges"] == 2
+
+
+# --------------------------------------------------------------------------
+# Condensation + DAG longest levels (r13)
+# --------------------------------------------------------------------------
+
+def test_condensation_and_dag_levels(spark):
+    """Two 3-rings chained through a 2-path: condensation must emit
+    exactly the inter-SCC links; levels must be longest-path (the
+    diamond's lower arm does NOT shorten the level)."""
+    from kafka_merge_purge_spark.operators.components import (
+        condensation,
+        dag_longest_levels,
+        strongly_connected_components,
+    )
+
+    ring1 = [(1, 2), (2, 3), (3, 1)]
+    ring2 = [(7, 8), (8, 9), (9, 7)]
+    bridge = [(3, 5), (5, 7), (1, 7)]  # long arm via 5, short arm direct
+    edges = spark.createDataFrame(ring1 + ring2 + bridge, "src int, dst int")
+    scc = strongly_connected_components(edges)
+    c = sorted(map(tuple, condensation(edges, scc=scc).collect()))
+    assert c == [(1, 5), (1, 7), (5, 7)]
+    lv = dict(
+        (r["node"], r["level"])
+        for r in dag_longest_levels(
+            condensation(edges), src="src_scc", dst="dst_scc"
+        ).collect()
+    )
+    assert lv == {1: 0, 5: 1, 7: 2}  # longest path wins over the 1→7 arm
+
+    # cycle misuse surfaces as an error, never as wrong levels
+    import pytest as _pytest
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    with _pytest.raises(ValueError, match="max_rounds"):
+        dag_longest_levels(cyc, max_rounds=5)
+
+    # deep chain within cap converges; equality across exchange regimes
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src int, dst int"
+    )
+    got = sorted(map(tuple, dag_longest_levels(chain).collect()))
+    assert got == [(i, i) for i in range(21)]
+    forced = sorted(
+        map(tuple, dag_longest_levels(chain, n_nodes=10**9).collect())
+    )
+    assert forced == got
