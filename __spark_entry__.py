@@ -7797,6 +7797,73 @@ def x_sq_recall(spark, sf_dir):
     return sim.topk_recall(ref, cand, item_col="neighbor_id", k=10)
 
 
+def x_dsir(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling
+    (curation.dsir_select, Xie et al. NeurIPS 2023, r13): the 60
+    corpus documents whose hashed-n-gram (uni+bigram, 4096 md5
+    buckets) profile best matches the src0 domain slice, under
+    derandomized Gumbel perturbation — "pretraining data that looks
+    like my eval set" as one declarative plan.  Per-bucket log ratios
+    quantize to int64 once, so doc scores are pure integer sums
+    (order-free); selection is TakeOrderedAndProject, never a global
+    window.  FULL hash oracle replaying buckets, smoothing, ln
+    quantization and the Gumbel key."""
+    from kafka_merge_purge_spark.operators.curation import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("source") == "src0"), k=60)
+
+
+_LLM_ORACLES["x_dsir"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE text IS NOT NULL),
+    grams AS (
+        SELECT doc_id, unnest(toks) AS g FROM toks
+        UNION ALL
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       FOR i IN generate_series(1, len(toks) - 1)]) AS g
+        FROM toks WHERE len(toks) >= 2),
+    bkt AS (SELECT doc_id, {_MD5_INT.format(x="g")} % 4096 AS bucket
+            FROM grams),
+    ttoks AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE text IS NOT NULL AND source = 'src0'),
+    tgrams AS (
+        SELECT doc_id, unnest(toks) AS g FROM ttoks
+        UNION ALL
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       FOR i IN generate_series(1, len(toks) - 1)]) AS g
+        FROM ttoks WHERE len(toks) >= 2),
+    tbkt AS (SELECT {_MD5_INT.format(x="g")} % 4096 AS bucket FROM tgrams),
+    srcc AS (SELECT bucket, COUNT(*) AS cs FROM bkt GROUP BY bucket),
+    tgtc AS (SELECT bucket, COUNT(*) AS ct FROM tbkt GROUP BY bucket),
+    nsv AS (SELECT COUNT(*) AS ns FROM bkt),
+    ntv AS (SELECT COUNT(*) AS nt FROM tbkt),
+    lr AS (
+        SELECT s.bucket,
+               CAST(floor(ln(
+                    (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                     * CAST(ns + 4096 AS DOUBLE))
+                    / (CAST(s.cs + 1 AS DOUBLE)
+                       * CAST(nt + 4096 AS DOUBLE))) * 1000000.0)
+                    AS BIGINT) AS lr_q
+        FROM srcc s LEFT JOIN tgtc t USING (bucket), nsv, ntv),
+    scored AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(lr_q) AS BIGINT) AS score_q
+        FROM bkt JOIN lr USING (bucket) GROUP BY doc_id),
+    keyed AS (
+        SELECT doc_id, n_grams, score_q,
+               score_q + CAST(floor(-ln(-ln(
+                   CAST({_MD5_INT.format(x="CAST(doc_id AS VARCHAR)")} + 1
+                        AS DOUBLE) / 1152921504606846978.0))
+                   * 1000000.0) AS BIGINT) AS key_q
+        FROM scored)
+    SELECT doc_id, n_grams, score_q, key_q FROM keyed
+    ORDER BY key_q DESC, doc_id LIMIT 60"""
+
+
 def x_bloom_semi(spark, sf_dir):
     """Bloom-filter semi-join (bloomjoin.bloom_semi_join, r13): lines
     of urgent high-value orders via a blocked-Bloom runtime filter —

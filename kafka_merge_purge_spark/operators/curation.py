@@ -843,3 +843,130 @@ def weighted_reservoir(
         .filter(F.col("rank") <= k)
         .select(group_col, id_col, weight_col, "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling
+# --------------------------------------------------------------------------
+
+def _gram_buckets(
+    df: DataFrame, n_buckets: int, text_col: str, *keep: str
+) -> DataFrame:
+    """(keep..., bucket) — one row per unigram AND bigram instance of
+    the normalized text, feature-hashed into ``n_buckets`` md5 buckets
+    (the hashed n-gram features of Xie et al. 2023 §3).  Multiplicity
+    preserved (DSIR scores count occurrences, not presence)."""
+    from kafka_merge_purge_spark.operators.dedup import md5_int, normalize
+    from kafka_merge_purge_spark.operators.text import tokens
+
+    t = tokens(normalize(F.col(text_col)))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*keep, F.explode(F.concat(t, bigrams)).alias("_g"))
+        .select(
+            *keep, F.pmod(md5_int(F.col("_g")), F.lit(n_buckets)).alias("bucket")
+        )
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): pick the ``k`` corpus documents whose hashed-n-gram profile
+    looks most like a small in-domain ``target`` sample, with Gumbel
+    noise so the selection SAMPLES the importance distribution instead
+    of collapsing onto near-duplicates of the target — the principled
+    form of "give me pretraining data that looks like my eval set".
+
+    Exact cross-engine arithmetic (the sparse_cosine_topk idiom): the
+    per-bucket log importance ratio
+
+        lr_q(b) = floor(1e6 · ln( ((ct+1)·(Ns+B)) / ((cs+1)·(Nt+B)) ))
+
+    (add-one smoothing over B buckets; ct/cs = target/corpus bucket
+    counts, Nt/Ns totals) is quantized to int64 ONCE PER BUCKET, so
+    every per-document score is a pure INTEGER sum — order-free under
+    any partitioning, hash-identical in DuckDB; floats appear only in
+    the one ln() per bucket with fixed IEEE parenthesization.  The
+    Gumbel perturbation is derandomized md5: u = (h60(id)+1)/(2⁶⁰+2)
+    ∈ (0,1), g_q = floor(1e6 · −ln(−ln(u))); selection = top-k of
+    score_q + g_q with id tiebreak.
+
+    Scale shape: gram explosion is linear and feeds two map-side-
+    combined aggregates bounded by B rows each; the per-bucket ratio
+    table (B rows) broadcasts into the per-document integer sum; the
+    final top-k is ``orderBy(...).limit(k)`` = TakeOrderedAndProject —
+    each task keeps k rows, NO single-task global window (at 10⁹ docs
+    a row_number window here would be the bottleneck).
+
+    Output: (doc_id, n_grams, score_q, key_q) for the k selected docs.
+    """
+    if k < 1:
+        raise ValueError(f"dsir_select: k must be >= 1, got {k}")
+    from kafka_merge_purge_spark.operators.dedup import md5_int
+
+    B = n_buckets
+    doc_grams = _gram_buckets(corpus, B, text_col, id_col)
+    src_b = doc_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    tgt_b = (
+        _gram_buckets(target, B, text_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ns = src_b.agg(F.sum("cs").alias("_ns"))
+    nt = tgt_b.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("_nt"))
+    lr = (
+        src_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + F.lit(1)).cast("double")
+                        * (F.col("_ns") + F.lit(B)).cast("double")
+                    )
+                    / (
+                        (F.col("cs") + F.lit(1)).cast("double")
+                        * (F.col("_nt") + F.lit(B)).cast("double")
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lr_q"),
+        )
+    )
+    scored = (
+        doc_grams.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_q").alias("score_q"),
+        )
+    )
+    u = (md5_int(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        1152921504606846978.0  # 2^60 + 2: u in (0, 1) strictly
+    )
+    keyed = scored.withColumn(
+        "key_q",
+        F.col("score_q")
+        + F.floor(-F.log(-F.log(u)) * F.lit(1000000.0)).cast("long"),
+    )
+    return keyed.orderBy(F.col("key_q").desc(), F.col(id_col)).limit(k)

@@ -1098,3 +1098,48 @@ def test_weighted_reservoir_nan_weight_screened(spark):
     )
     out = weighted_reservoir(df, "g", "id", "w", k=3).collect()
     assert sorted(r["id"] for r in out) == [1, 3]
+
+
+# --------------------------------------------------------------------------
+# DSIR (r13)
+# --------------------------------------------------------------------------
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Planted two-domain corpus: selection at k=10 must be dominated
+    by documents sharing the target domain's vocabulary; deterministic
+    across invocations; k validated; NULL text tolerated."""
+    from kafka_merge_purge_spark.operators.curation import dsir_select
+    import pytest as _pytest
+
+    alpha = [
+        (i, f"alpha beta gamma delta run {i % 3} alpha beta") for i in range(20)
+    ]
+    zulu = [
+        (i + 100, f"zulu yankee xray whiskey jump {i % 3} zulu yankee")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        alpha + zulu + [(999, None)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(1000 + j, "alpha beta gamma delta alpha") for j in range(3)],
+        "doc_id long, text string",
+    )
+    sel = dsir_select(corpus, target, k=10).collect()
+    assert len(sel) == 10
+    n_alpha = sum(1 for r in sel if r["doc_id"] < 100)
+    assert n_alpha >= 8, f"only {n_alpha}/10 selections from the target domain"
+    # scores separate the domains: every alpha doc outscores every zulu doc
+    all_scored = dsir_select(corpus, target, k=41).collect()
+    amin = min(r["score_q"] / r["n_grams"] for r in all_scored if r["doc_id"] < 100)
+    zmax = max(
+        r["score_q"] / r["n_grams"] for r in all_scored if 100 <= r["doc_id"] < 999
+    )
+    assert amin > zmax
+    again = dsir_select(corpus, target, k=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, sel))
+    with _pytest.raises(ValueError, match="k must be"):
+        dsir_select(corpus, target, k=0)
+    # empty target: smoothing keeps every ratio finite, selection still k
+    empty_t = spark.createDataFrame([], "doc_id long, text string")
+    assert len(dsir_select(corpus, empty_t, k=5).collect()) == 5
