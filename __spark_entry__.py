@@ -7797,6 +7797,78 @@ def x_sq_recall(spark, sf_dir):
     return sim.topk_recall(ref, cand, item_col="neighbor_id", k=10)
 
 
+def _pagerank_unroll(iters: int) -> tuple[str, str]:
+    """(ctes, final_select) replaying components.pagerank's exact
+    int64 microrank arithmetic over an upstream CTE ``e(src, dst)`` —
+    the x_pagerank oracle's unroll, parameterized so compositions
+    (x_textrank) can rank ANY derived graph."""
+    parts = [
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "nn AS (SELECT COUNT(*) AS c FROM nodes)",
+        "od AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1000000000000 // c AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    step = (
+        "SELECT n2.node, CAST((3 * (1000000000000 // c)) // 20"
+        " + (17 * (COALESCE(f{i}.inflow, 0) + (dang // c))) // 20 AS BIGINT)"
+        " AS rank FROM nodes n2 CROSS JOIN nn CROSS JOIN d{i}"
+        " LEFT JOIN f{i} ON n2.node = f{i}.node"
+    )
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT r.node, r.rank, od.od FROM r{i-1} r"
+            f" LEFT JOIN od ON r.node = od.node)"
+        )
+        parts.append(
+            f"f{i} AS (SELECT e.dst AS node, SUM(s.rank // s.od) AS inflow"
+            f" FROM e JOIN s{i} s ON e.src = s.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang"
+            f" FROM s{i} WHERE od IS NULL)"
+        )
+        if i < iters:
+            parts.append(f"r{i} AS ({step.format(i=i)})")
+    return ",\n    ".join(parts), step.format(i=iters)
+
+
+def x_textrank(spark, sf_dir):
+    """TextRank corpus keywords (text.textrank_keywords, Mihalcea &
+    Tarau 2004, r13): stopword-filtered window-2 co-occurrence graph →
+    exact-int64 PageRank → top-30 — the text tier composed into the
+    graph tier with NO trained extractor, and the whole chain keeps a
+    FULL hash oracle (zero-join pair explode + the parameterized
+    pagerank unroll)."""
+    from kafka_merge_purge_spark.operators.text import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"), k=30)
+
+
+_PR_CTES, _PR_FINAL = _pagerank_unroll(3)
+_LLM_ORACLES["x_textrank"] = f"""
+    WITH toksr AS (SELECT {_TOKS} AS rawtoks FROM documents
+                   WHERE text IS NOT NULL),
+    tk AS (SELECT list_filter(rawtoks,
+                w -> len(w) >= 2 AND NOT list_contains({_STOPLIST}, w)) AS toks
+           FROM toksr),
+    pr AS (
+        SELECT unnest([{{'a': toks[i], 'b': toks[i+1]}}
+                       FOR i IN generate_series(1, len(toks) - 1)]) AS s
+        FROM tk WHERE len(toks) >= 2
+        UNION ALL
+        SELECT unnest([{{'a': toks[i], 'b': toks[i+2]}}
+                       FOR i IN generate_series(1, len(toks) - 2)]) AS s
+        FROM tk WHERE len(toks) >= 3),
+    und AS (SELECT DISTINCT least(s.a, s.b) AS w1, greatest(s.a, s.b) AS w2
+            FROM pr WHERE s.a <> s.b),
+    e AS (SELECT w1 AS src, w2 AS dst FROM und
+          UNION ALL SELECT w2 AS src, w1 AS dst FROM und),
+    {_PR_CTES},
+    fin AS ({_PR_FINAL})
+    SELECT node AS word, rank FROM fin
+    ORDER BY rank DESC, word LIMIT 30"""
+
+
 def x_dsir(spark, sf_dir):
     """DSIR — Data Selection via Importance Resampling
     (curation.dsir_select, Xie et al. NeurIPS 2023, r13): the 60

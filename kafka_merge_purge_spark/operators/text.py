@@ -1361,3 +1361,80 @@ def bm25_search(
             "rank",
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    k: int = 30,
+    window: int = 2,
+    iterations: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    corpus-level keywords = PageRank over the word co-occurrence graph
+    — the canonical composition of the text tier into the graph tier,
+    and the model-free keyword signal a curation pipeline uses to
+    label domains/topics without any trained extractor.
+
+    Graph construction (§3.1 of the paper): stopwords and single-char
+    tokens are removed FIRST, then an undirected edge connects two
+    distinct words co-occurring within ``window`` positions of the
+    filtered sequence.  The pair enumeration is the skipgram-pairs
+    trick — per offset 1..window one ``transform`` over positions,
+    exploded; ZERO joins, whole-stage codegen.  Edges dedupe to the
+    binary co-occurrence set, symmetrize, and feed
+    :func:`~kafka_merge_purge_spark.operators.components.pagerank`
+    (exact int64 microrank — so this whole composition keeps a FULL
+    hash oracle).  Top-k = orderBy + limit (TakeOrderedAndProject,
+    no global window).
+
+    Output: (word, rank) — the k highest-ranked words, rank in exact
+    integer microrank units, ties broken by word.
+    """
+    from kafka_merge_purge_spark.operators.components import pagerank
+    from kafka_merge_purge_spark.operators.dedup import normalize
+
+    if k < 1:
+        raise ValueError(f"textrank_keywords: k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"textrank_keywords: window must be >= 1, got {window}")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(
+        tokens(normalize(F.col(text_col))),
+        lambda w: (F.length(w) >= 2) & ~F.array_contains(stop_arr, w),
+    )
+    def _pairs_at(off: int):
+        # a SINGLE-arg lambda: a two-parameter lambda would make
+        # F.transform pass (element, index) and silently corrupt off
+        return lambda i: F.struct(
+            F.least(F.element_at(toks, i), F.element_at(toks, i + off)).alias(
+                "w1"
+            ),
+            F.greatest(
+                F.element_at(toks, i), F.element_at(toks, i + off)
+            ).alias("w2"),
+        )
+
+    per_offset = [
+        F.when(
+            F.size(toks) > off,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - off), _pairs_at(off)),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        for off in range(1, window + 1)
+    ]
+    und = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.flatten(F.array(*per_offset))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+        .distinct()
+    )
+    edges = und.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionByName(und.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    ranked = pagerank(edges, iterations=iterations)
+    return (
+        ranked.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("word"))
+        .limit(k)
+    )

@@ -4968,3 +4968,36 @@ def test_condensation_and_dag_levels(spark):
         map(tuple, dag_longest_levels(chain, n_nodes=10**9).collect())
     )
     assert forced == got
+
+
+# --------------------------------------------------------------------------
+# TextRank keywords (r13)
+# --------------------------------------------------------------------------
+
+def test_textrank_hub_word_wins(spark):
+    """A planted hub word co-occurring with every other word must take
+    rank 1; stopwords and single-char tokens never appear; output is
+    deterministic and k/window are validated."""
+    from kafka_merge_purge_spark.operators.text import textrank_keywords
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "engine alpha the engine beta"),
+            (2, "engine gamma a engine delta"),
+            (3, "engine epsilon engine zeta x"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, k=10).collect()
+    assert out[0]["word"] == "engine"
+    words = {r["word"] for r in out}
+    assert "the" not in words and "a" not in words and "x" not in words
+    assert all(out[i]["rank"] >= out[i + 1]["rank"] for i in range(len(out) - 1))
+    again = textrank_keywords(docs, k=10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+    with _pytest.raises(ValueError, match="k must be"):
+        textrank_keywords(docs, k=0)
+    with _pytest.raises(ValueError, match="window"):
+        textrank_keywords(docs, window=0)
