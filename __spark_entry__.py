@@ -1629,6 +1629,18 @@ def q_fuzzy_dedup(spark, sf_dir):
     return dd.fuzzy_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
 
 
+def x_fuzzy_dedup_best(spark, sf_dir):
+    """Quality-aware canonical selection (dedup.fuzzy_dedup_best,
+    r13): the q_fuzzy_dedup pipeline, but per cluster the survivor is
+    the member ranked best by (quality keep flag, token count, id) —
+    the curation-correct dedup pass (min-id keeps whichever duplicate
+    was crawled first, as often the truncated copy as the clean one).
+    FULL hash oracle: the q_fuzzy_dedup chain + the quality window."""
+    return dd.fuzzy_dedup_best(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (portable md5-backed bit votes)."""
     return dd.simhash(_t(spark, sf_dir, "documents"))
@@ -2961,6 +2973,44 @@ def _minhash_pairs_oracle(
 
 
 _LLM_ORACLES["x_minhash_pairs"] = _minhash_pairs_oracle()
+
+_LLM_ORACLES["x_fuzzy_dedup_best"] = f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT id, {_SHINGLES} AS sh FROM base),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE round(len(list_intersect(a.sh, b.sh)) /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+    bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION ALL
+           SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT u, u FROM bi
+        UNION
+        SELECT bi.v, reach.lbl FROM reach JOIN bi ON reach.node = bi.u),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    q AS (SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 round(len(list_filter(string_split(text, ' '),
+                           t -> list_contains({_STOPLIST}, t)))
+                       / len(string_split(text, ' ')), 6) AS stop_ratio
+          FROM documents),
+    ranked AS (
+        SELECT lab.doc_id, lab.cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY CAST(q.n_tokens BETWEEN 10 AND 1000
+                                 AND q.stop_ratio < 0.5 AS INTEGER) DESC,
+                            q.n_tokens DESC, lab.doc_id) AS rn
+        FROM lab JOIN q USING (doc_id))
+    SELECT doc_id, cluster_id, cluster_size,
+           CAST(rn = 1 AS INTEGER) AS is_canonical
+    FROM ranked"""
 
 
 def x_set_similarity(spark, sf_dir):

@@ -2033,3 +2033,50 @@ def containment_pairs(
             F.round(inter / sz_a, 6).alias("containment"),
         )
     )
+
+
+def fuzzy_dedup_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **fuzzy_kwargs,
+) -> DataFrame:
+    """:func:`fuzzy_dedup` with QUALITY-AWARE canonical selection: per
+    near-dup cluster keep the member a curation pass would actually
+    want — ranked by (quality ``keep`` flag DESC, token count DESC, id
+    ASC) from ``text.quality_score`` — instead of the arbitrary
+    minimum id.  Min-id selection silently prefers whichever duplicate
+    was crawled first; on the web that is as often the truncated or
+    boilerplate-wrapped copy as the clean one, so a dedup pass that
+    keeps min-id degrades the surviving corpus.  The cluster KEY stays
+    the min id (stable, join-friendly); only ``is_canonical`` moves.
+
+    Scale shape: everything :func:`fuzzy_dedup` does, plus one
+    node-sized quality join and one per-cluster window (duplicate
+    clusters are near-cliques of bounded size — the window partition
+    is small by construction, never corpus-wide).
+
+    Output: (doc_id, cluster_id, cluster_size, is_canonical)."""
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.operators.text import quality_score
+
+    labeled = fuzzy_dedup(df, text_col=text_col, id_col=id_col, **fuzzy_kwargs).drop(
+        "is_canonical"
+    )
+    q = quality_score(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).select(F.col("doc_id").alias(id_col), "n_tokens", "keep")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("keep").desc(), F.col("n_tokens").desc(), F.col(id_col)
+    )
+    return (
+        labeled.join(q, id_col, "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col("_rn") == 1).cast("int").alias("is_canonical"),
+        )
+    )

@@ -5001,3 +5001,42 @@ def test_textrank_hub_word_wins(spark):
         textrank_keywords(docs, k=0)
     with _pytest.raises(ValueError, match="window"):
         textrank_keywords(docs, window=0)
+
+
+def test_fuzzy_dedup_best_picks_quality_not_min_id(spark):
+    """A cluster whose LOWEST id is a truncated copy: fuzzy_dedup keeps
+    min-id, fuzzy_dedup_best must keep the long high-quality twin;
+    exactly one canonical per cluster; cluster keys unchanged."""
+    from kafka_merge_purge_spark.operators.dedup import (
+        fuzzy_dedup,
+        fuzzy_dedup_best,
+    )
+
+    body = ("quick brown fox jumps over lazy dog near river bank "
+            "and then sprints through quiet forest trails ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, body[:60]),          # truncated copy, lowest id
+            (2, body),               # clean full copy
+            (3, body + "extra tail"),
+            (50, "completely unrelated text about spark plans and shuffles "
+                 "written once with enough words to pass the keep filter "
+                 "ten eleven twelve thirteen fourteen"),
+        ],
+        "doc_id long, text string",
+    )
+    best = {r["doc_id"]: r for r in fuzzy_dedup_best(docs, k=3).collect()}
+    base = {r["doc_id"]: r for r in fuzzy_dedup(docs, k=3).collect()}
+    # 1 and 2,3 may or may not cluster via the 60-char truncation — pin
+    # the invariant that matters on the REAL cluster {2,3}
+    cl = best[2]["cluster_id"]
+    assert best[3]["cluster_id"] == cl == base[2]["cluster_id"]
+    members = [r for r in best.values() if r["cluster_id"] == cl]
+    assert sum(r["is_canonical"] for r in members) == 1
+    # the canonical is the longest member of the cluster, not min id
+    canon = next(r["doc_id"] for r in members if r["is_canonical"])
+    assert canon == 3  # body + tail has the most tokens
+    if base[1]["cluster_id"] == cl:
+        assert base[1]["is_canonical"] == 1  # min-id picked the truncation
+    # singleton stays its own canonical cluster
+    assert best[50]["cluster_id"] == 50 and best[50]["is_canonical"] == 1
