@@ -7919,6 +7919,71 @@ _LLM_ORACLES["x_textrank"] = f"""
     ORDER BY rank DESC, word LIMIT 30"""
 
 
+def x_rrf(spark, sf_dir):
+    """Reciprocal Rank Fusion (similarity.rrf_fuse, Cormack et al.
+    SIGIR 2009, r13): the top-25 parts fusing two incommensurable
+    rankings — revenue rank and quantity rank — exactly how a hybrid
+    retrieval stack merges BM25 and vector lists without score
+    calibration.  Contributions are 1e9//(60+rank) int64, so the
+    fused score is an order-free integer sum; both input lists are
+    top-200 by construction (TakeOrdered, never a corpus-wide
+    window).  FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.similarity import rrf_fuse
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "rev",
+            )
+        )
+        .orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        .limit(200)
+    )
+    qty = (
+        li.groupBy("l_partkey")
+        .agg(dsum("l_quantity", "qty"))
+        .orderBy(F.col("qty").desc(), F.col("l_partkey"))
+        .limit(200)
+    )
+    w_rev = Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    w_qty = Window.orderBy(F.col("qty").desc(), F.col("l_partkey"))
+    r1 = rev.select("l_partkey", F.row_number().over(w_rev).alias("rank"))
+    r2 = qty.select("l_partkey", F.row_number().over(w_qty).alias("rank"))
+    return rrf_fuse([r1, r2], k=25, item_col="l_partkey").withColumnRenamed(
+        "item", "l_partkey"
+    )
+
+
+_RELATIONAL_ORACLES["x_rrf"] = """
+    WITH rev AS (
+        SELECT l_partkey,
+               row_number() OVER (
+                   ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                          AS DECIMAL(18,4))) AS DOUBLE) DESC,
+                            l_partkey) AS rank
+        FROM lineitem GROUP BY l_partkey),
+    qty AS (
+        SELECT l_partkey,
+               row_number() OVER (
+                   ORDER BY CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                                 AS DOUBLE) DESC, l_partkey) AS rank
+        FROM lineitem GROUP BY l_partkey),
+    contribs AS (
+        SELECT l_partkey, 1000000000 // (60 + rank) AS c
+        FROM rev WHERE rank <= 200
+        UNION ALL
+        SELECT l_partkey, 1000000000 // (60 + rank) AS c
+        FROM qty WHERE rank <= 200)
+    SELECT l_partkey,
+           CAST(SUM(c) AS BIGINT) AS rrf_score,
+           COUNT(*) AS n_lists
+    FROM contribs GROUP BY l_partkey
+    ORDER BY rrf_score DESC, l_partkey LIMIT 25"""
+
+
 def x_dsir(spark, sf_dir):
     """DSIR — Data Selection via Importance Resampling
     (curation.dsir_select, Xie et al. NeurIPS 2023, r13): the 60

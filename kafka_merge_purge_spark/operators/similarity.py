@@ -1210,3 +1210,55 @@ def sparse_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    merge N ranked lists into one, score(item) = Σ_lists 1/(c + rank) —
+    the standard way a hybrid retrieval stack combines BM25 and vector
+    rankings without score calibration (ranks are comparable, raw
+    scores are not).  ``c = 60`` is the paper's constant.
+
+    Exact integer arithmetic: each contribution is ``1e9 // (c + rank)``
+    (int64), so the fused score is an order-free integer sum —
+    hash-comparable across engines, no float accumulation.  An item
+    missing from a list simply contributes nothing (the RRF convention).
+
+    Scale shape: inputs are TOP-N lists by construction (bounded
+    upstream — fusing unbounded corpora is a misuse of RRF), so the
+    union is N·top_n rows, one map-side-combined aggregate, and the
+    final top-k is orderBy + limit (TakeOrderedAndProject).
+
+    Output: (item, rrf_score, n_lists) — the k best fused items,
+    ties broken by item."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1 or c < 0:
+        raise ValueError(f"rrf_fuse: bad k={k} / c={c}")
+    parts = [
+        r.select(
+            F.col(item_col).alias("item"),
+            (F.lit(1000000000).cast("long") / (F.lit(c) + F.col(rank_col)))
+            .cast("long")
+            .alias("_contrib"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return (
+        allr.groupBy("item")
+        .agg(
+            F.sum("_contrib").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("item"))
+        .limit(k)
+    )

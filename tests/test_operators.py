@@ -5040,3 +5040,26 @@ def test_fuzzy_dedup_best_picks_quality_not_min_id(spark):
         assert base[1]["is_canonical"] == 1  # min-id picked the truncation
     # singleton stays its own canonical cluster
     assert best[50]["cluster_id"] == 50 and best[50]["is_canonical"] == 1
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Three-list fusion checked by hand; missing items contribute
+    nothing; validation errors on empty/bad params."""
+    from kafka_merge_purge_spark.operators.similarity import rrf_fuse
+    import pytest as _pytest
+
+    l1 = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "item string, rank int")
+    l2 = spark.createDataFrame([("b", 1), ("a", 2)], "item string, rank int")
+    l3 = spark.createDataFrame([("c", 1)], "item string, rank int")
+    out = {r["item"]: r for r in rrf_fuse([l1, l2, l3], k=3).collect()}
+    e = lambda r: 1000000000 // (60 + r)
+    assert out["a"]["rrf_score"] == e(1) + e(2) and out["a"]["n_lists"] == 2
+    assert out["b"]["rrf_score"] == e(2) + e(1)
+    assert out["c"]["rrf_score"] == e(3) + e(1)
+    # a and b tie exactly (symmetric ranks) — item tiebreak is stable
+    rows = rrf_fuse([l1, l2, l3], k=2).collect()
+    assert [r["item"] for r in rows] == ["a", "b"]
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], k=1)
+    with _pytest.raises(ValueError, match="bad k"):
+        rrf_fuse([l1], k=0)
