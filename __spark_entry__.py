@@ -7919,6 +7919,27 @@ _LLM_ORACLES["x_textrank"] = f"""
     ORDER BY rank DESC, word LIMIT 30"""
 
 
+def x_dense_rank(spark, sf_dir):
+    """Scalable dense value index (components.scalable_dense_rank,
+    r13): every distinct part name gets a stable contiguous 0-based id
+    in string order — embedding-table layout / categorical encoding /
+    dictionary compression's first step — WITHOUT the single-task
+    global window a naive row_number() would plan (adaptive prefix
+    buckets + broadcast prefix-sum offsets, the skipgram vocab-index
+    machinery made public).  FULL hash oracle = the naive window
+    (ranks provably identical)."""
+    from kafka_merge_purge_spark.operators.components import (
+        scalable_dense_rank,
+    )
+
+    return scalable_dense_rank(_t(spark, sf_dir, "part"), "p_name")
+
+
+_RELATIONAL_ORACLES["x_dense_rank"] = """
+    SELECT p_name, row_number() OVER (ORDER BY p_name) - 1 AS idx
+    FROM (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)"""
+
+
 def x_rrf(spark, sf_dir):
     """Reciprocal Rank Fusion (similarity.rrf_fuse, Cormack et al.
     SIGIR 2009, r13): the top-25 parts fusing two incommensurable

@@ -2673,3 +2673,33 @@ def dag_longest_levels(
             "(condense with strongly_connected_components first)"
         )
     return out
+
+
+def scalable_dense_rank(
+    df: DataFrame, col: str, out_col: str = "idx"
+) -> DataFrame:
+    """Public form of the engine's bucketed global rank: a 0-based
+    dense index over the DISTINCT non-null values of ``col`` in string
+    sort order, WITHOUT a single-task global window — the primitive
+    behind vocab indexing (:func:`skipgram_negatives`) and
+    :func:`_dense_node_index`, exposed because "assign every distinct
+    key a stable contiguous id" is the first step of embedding-table
+    layout, categorical encoding, and dictionary compression at scale.
+
+    A plain ``row_number() OVER (ORDER BY col)`` funnels the whole
+    corpus through ONE task; this plan buckets by adaptive string
+    prefix (:func:`_prefix_bucket_plan` — oversized buckets split onto
+    longer prefixes, so URL-style skew cannot rebuild the giant
+    window), ranks bucket-locally, and composes with broadcast
+    prefix-sum offsets (driver state = one row per bucket).  Rank
+    assignments are provably identical to the naive window's.
+
+    Output: (col, out_col) — one row per distinct value."""
+    vals = (
+        df.select(F.col(col).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    return _dense_node_index(vals).select(
+        F.col("node").alias(col), F.col("_nid").alias(out_col)
+    )

@@ -5063,3 +5063,28 @@ def test_rrf_fuse_hand_computed(spark):
         rrf_fuse([], k=1)
     with _pytest.raises(ValueError, match="bad k"):
         rrf_fuse([l1], k=0)
+
+
+def test_scalable_dense_rank_equals_window_twin(spark):
+    """Public dense rank == naive row_number twin on a skewed (shared
+    prefix) vocabulary; NULLs dropped; duplicates collapse."""
+    from pyspark.sql import Window
+    from kafka_merge_purge_spark.operators.components import scalable_dense_rank
+
+    vals = (
+        [(f"https://www.example{i}.com/page",) for i in range(50)]
+        + [("zzz",), ("zzz",), (None,)]
+    )
+    df = spark.createDataFrame(vals, "u string")
+    got = sorted(map(tuple, scalable_dense_rank(df, "u").collect()))
+    w = Window.orderBy("u")
+    want = sorted(
+        map(
+            tuple,
+            df.filter(F.col("u").isNotNull())
+            .distinct()
+            .select("u", (F.row_number().over(w) - 1).alias("idx"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 51
