@@ -422,9 +422,17 @@ def strongly_connected_components(
 
         # decide via G(v) = min SAME-COLOR node reaching v (in-color
         # paths suffice: any pivot->v path is in-color when F(v) = m).
-        # G admits the same pointer jump as F (G(v) is an in-color
-        # reacher, so G(G(v)) is too), keeping rounds O(log diameter)
-        # where a pivot flag-flood would pay O(diameter).
+        # ONE-HOP propagation only — NO pointer jump here: the jump's
+        # extra leaf⋈broadcast(projection-of-leaf) join measured a
+        # clean ~2.6×-PER-ROUND wall blowup on the co-purchase ring
+        # fixture (0.6 → 250 s by round 9, constant 2085 rows, constant
+        # 6 jobs, textbook two-leaf BroadcastHashJoin plan — a Spark
+        # driver-side pathology we bisected to exactly this join shape
+        # as labels converge; the jump-free twin is flat at 0.3 s/round
+        # and the jump wasn't advancing the distinct-g plateau anyway).
+        # Partial inner convergence only UNDER-decides (F/G witnesses
+        # stay valid), so the O(diameter) round count trades wall time
+        # per round for more, provably-safe, outer rounds.
         def incolor_back_round(st: DataFrame, _i: int) -> DataFrame:
             inn = (
                 ee.join(hint(st), ee["u"] == st["node"])
@@ -436,7 +444,7 @@ def strongly_connected_components(
                 .groupBy("_tn", "_ulbl")
                 .agg(F.min("_ug").alias("_pg"))
             )
-            g1 = st.join(
+            return st.join(
                 hint(inn),
                 (st["node"] == inn["_tn"]) & (st["lbl"] == inn["_ulbl"]),
                 "left",
@@ -444,24 +452,9 @@ def strongly_connected_components(
                 st["node"],
                 st["lbl"],
                 F.least(st["g"], F.coalesce(F.col("_pg"), st["g"])).alias("g"),
-                st["g"].alias("_orig"),
-            )
-            parent = g1.select(
-                F.col("node").alias("_p"),
-                F.col("lbl").alias("_plbl"),
-                F.col("g").alias("_pgg"),
-            )
-            return g1.join(
-                hint(parent),
-                (g1["g"] == parent["_p"]) & (g1["lbl"] == parent["_plbl"]),
-                "left",
-            ).select(
-                g1["node"],
-                g1["lbl"],
-                F.least(g1["g"], F.coalesce(F.col("_pgg"), g1["g"])).alias("g"),
                 (
-                    F.least(g1["g"], F.coalesce(F.col("_pgg"), g1["g"]))
-                    < F.col("_orig")
+                    F.least(st["g"], F.coalesce(F.col("_pg"), st["g"]))
+                    < st["g"]
                 ).alias("_changed"),
             )
 

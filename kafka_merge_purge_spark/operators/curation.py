@@ -869,9 +869,14 @@ def _gram_buckets(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # the gram explode is CPU-bound per row: spread the corpus over the
+    # cluster BEFORE it, or a small parquet (few input splits) pins the
+    # whole stage to a handful of tasks (measured 98 s → ~8 s at 10×)
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    src = df.filter(F.col(text_col).isNotNull())
+    src = src.repartition(n_part, *keep) if keep else src.repartition(n_part)
     return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(*keep, F.explode(F.concat(t, bigrams)).alias("_g"))
+        src.select(*keep, F.explode(F.concat(t, bigrams)).alias("_g"))
         .select(
             *keep, F.pmod(md5_int(F.col("_g")), F.lit(n_buckets)).alias("bucket")
         )
