@@ -7919,6 +7919,69 @@ _LLM_ORACLES["x_textrank"] = f"""
     ORDER BY rank DESC, word LIMIT 30"""
 
 
+def x_harmonic(spark, sf_dir):
+    """Sampled harmonic centrality (components.harmonic_centrality_
+    sample, Boldi & Vigna 2014 / landmark sampling Eppstein & Wang
+    2004, r13): h(v) = Σ_landmarks 1/d(s,v) over 4 seed suppliers on
+    the co-trade graph, 1e6//dist int64 contributions (order-free
+    integer sums), one SPARSE multi-source BFS loop instead of k sssp
+    passes.  FULL hash oracle: the rounds unroll as chained
+    union+min CTEs per landmark (the sssp precedent)."""
+    from kafka_merge_purge_spark.operators.components import (
+        harmonic_centrality_sample,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return harmonic_centrality_sample(
+        edges, ["s1", "s2", "s3", "s4"], rounds=4
+    )
+
+
+def _msh_unroll(rounds: int) -> str:
+    """Chained union+min CTEs replaying multi_source_hops over an
+    upstream ``e(src, dst)`` CTE and a ``seeds(lsrc)`` CTE."""
+    parts = [
+        "d0 AS (SELECT lsrc AS node, lsrc, CAST(0 AS BIGINT) AS dist"
+        " FROM seeds)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, lsrc, MIN(dist) AS dist FROM ("
+            f"SELECT node, lsrc, dist FROM d{i-1} UNION ALL "
+            f"SELECT e.dst AS node, d.lsrc, d.dist + 1 AS dist "
+            f"FROM d{i-1} d JOIN e ON e.src = d.node) GROUP BY node, lsrc)"
+        )
+    return ",\n    ".join(parts)
+
+
+_RELATIONAL_ORACLES["x_harmonic"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    seeds AS (SELECT unnest(['s1', 's2', 's3', 's4']) AS lsrc),
+    {_msh_unroll(4)}
+    SELECT node,
+           CAST(SUM(1000000 // dist) AS BIGINT) AS h_score,
+           COUNT(*) AS n_reached
+    FROM d4 WHERE dist > 0
+    GROUP BY node"""
+
+
 def x_dense_rank(spark, sf_dir):
     """Scalable dense value index (components.scalable_dense_rank,
     r13): every distinct part name gets a stable contiguous 0-based id

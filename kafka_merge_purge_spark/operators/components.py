@@ -2696,3 +2696,100 @@ def scalable_dense_rank(
     return _dense_node_index(vals).select(
         F.col("node").alias(col), F.col("_nid").alias(out_col)
     )
+
+
+def multi_source_hops(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+    broadcast_dists: bool | str = "auto",
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Hop distances from a set of LANDMARK sources at once — the
+    multi-source generalization of :func:`sssp` (hop weights), and the
+    substrate of sampled centrality/coverage metrics: k landmarks give
+    every node a k-dimensional distance sketch in ONE loop instead of
+    k loops over the same edges.
+
+    State is SPARSE: only (node, lsrc, dist) rows for pairs already
+    reached — far smaller than the dense node×k matrix while the BFS
+    frontiers are growing, and never larger.  Per round: one equi join
+    of the reached frame onto the cached src-partitioned edges + one
+    (node, lsrc) min-aggregate.  Fixed ``rounds`` keeps the full SQL
+    oracle (distances exact within ``rounds`` hops, absent beyond —
+    the sssp contract per landmark).
+
+    Output: (node, lsrc, dist) — one row per reached pair."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    if not sources:
+        raise ValueError("multi_source_hops: need at least one source")
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .repartition(F.col("_src"))
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    hint = _state_hint(nodes, broadcast_dists, known_rows=n_nodes)
+    src_lit = F.array(*[F.lit(s) for s in sources])
+    state0 = (
+        nodes.select("node", F.explode(src_lit).alias("lsrc"))
+        .filter(F.col("node") == F.col("lsrc"))
+        .select("node", "lsrc", F.lit(0).cast("long").alias("dist"))
+    )
+
+    def relax(d: DataFrame, _i: int) -> DataFrame:
+        cand = (
+            e.join(hint(d.withColumnRenamed("node", "_src")), "_src")
+            .select(F.col("_dst").alias("node"), "lsrc", (F.col("dist") + 1).alias("dist"))
+        )
+        return (
+            d.unionByName(cand)
+            .groupBy("node", "lsrc")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    return iterate(state0, relax, max_rounds=rounds)
+
+
+def harmonic_centrality_sample(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+    **kwargs,
+) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna 2014's centrality,
+    landmark-sampled as in Eppstein & Wang 2004): ``h(v) = Σ_s 1/d(s,v)``
+    over the landmark set — the standard scalable stand-in for exact
+    closeness on graphs where all-pairs BFS is impossible, and a
+    curation signal (a page many seeds reach in few hops is central;
+    link-farm satellites are not).
+
+    Contributions quantize to ``1e6 // dist`` int64 (the RRF idiom), so
+    scores are order-free integer sums with a FULL hash oracle; the
+    self-distance (0) is excluded per the definition.
+
+    Output: (node, h_score, n_reached) for nodes reached by ≥1
+    landmark in ``rounds`` hops."""
+    hops = multi_source_hops(
+        edges, sources, src=src, dst=dst, rounds=rounds, **kwargs
+    )
+    return (
+        hops.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(
+                (F.lit(1000000).cast("long") / F.col("dist")).cast("long")
+            ).alias("h_score"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+    )

@@ -5088,3 +5088,39 @@ def test_scalable_dense_rank_equals_window_twin(spark):
         )
     )
     assert got == want and len(got) == 51
+
+
+def test_multi_source_hops_and_harmonic(spark):
+    """Path graph 1-2-3-4-5 with landmarks {1,5}: hop distances per
+    landmark checked by hand; harmonic scores = Σ 1e6//dist excluding
+    self; sparse state (no unreached rows); source validation."""
+    from kafka_merge_purge_spark.operators.components import (
+        harmonic_centrality_sample,
+        multi_source_hops,
+    )
+    import pytest as _pytest
+
+    und = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src int, dst int"
+    )
+    hops = {
+        (r["node"], r["lsrc"]): r["dist"]
+        for r in multi_source_hops(edges, [1, 5], rounds=4).collect()
+    }
+    assert hops[(3, 1)] == 2 and hops[(3, 5)] == 2
+    assert hops[(5, 1)] == 4 and hops[(1, 1)] == 0
+    assert len(hops) == 10  # 5 nodes x 2 landmarks, all reached
+    h = {r["node"]: r for r in harmonic_centrality_sample(
+        edges, [1, 5], rounds=4).collect()}
+    assert h[3]["h_score"] == 2 * (1000000 // 2) and h[3]["n_reached"] == 2
+    # endpoints: self excluded, only the far landmark contributes
+    assert h[1]["h_score"] == 1000000 // 4 and h[1]["n_reached"] == 1
+    # rounds cap: distances beyond the cap are absent, not wrong
+    short = {
+        (r["node"], r["lsrc"]): r["dist"]
+        for r in multi_source_hops(edges, [1], rounds=2).collect()
+    }
+    assert (4, 1) not in short and short[(3, 1)] == 2
+    with _pytest.raises(ValueError, match="at least one source"):
+        multi_source_hops(edges, [])
