@@ -1422,8 +1422,13 @@ def textrank_keywords(
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         for off in range(1, window + 1)
     ]
+    # pair explosion is CPU-bound per row — spread the corpus over the
+    # cluster first or a small parquet pins the stage to its few input
+    # splits (the dsir_select lesson: 2 of 32 cores otherwise)
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     und = (
         df.filter(F.col(text_col).isNotNull())
+        .repartition(n_part)
         .select(F.explode(F.flatten(F.array(*per_offset))).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .filter(F.col("w1") != F.col("w2"))
