@@ -86,6 +86,18 @@ GRAPH_BROADCAST_MAX_ROWS = 2_000_000
 #: for the balanced twin at the 10× bench.
 ADJ_BROADCAST_MAX_ENTRIES = 10_000_000
 
+#: entry bound for the KERNEL path's per-node neighbor-ID arrays
+#: (node2vec's default engine).  These entries are dense int64 ids
+#: (~8 B + Arrow overhead each), not node-value strings, so the same
+#: heap carries ~4× more of them than :data:`ADJ_BROADCAST_MAX_ENTRIES`
+#: budgets: 40M id entries ≈ 320 MB of broadcast build.  The gap is
+#: MEASURED, not cosmetic — the 10× co-trade graph lands at 11.7M
+#: entries, and the shuffle regime the old shared cap pushed it into
+#: took 287 s vs 100 s broadcast (per-step state⋈adjacency shuffles of
+#: the array frame dominate); at 100×+ the auto probe still degrades
+#: to shuffle, which is the regime that KEEPS WORKING past any cap.
+ADJ_ID_BROADCAST_MAX_ENTRIES = 40_000_000
+
 
 def _state_hint(
     state_probe: DataFrame,
@@ -1660,7 +1672,7 @@ def _node2vec_pandas(
             entries = adj.agg(
                 F.coalesce(F.sum(F.size("_nbrs_ids")), F.lit(0)).alias("_n")
             ).first()["_n"]
-        broadcast_state = entries <= ADJ_BROADCAST_MAX_ENTRIES
+        broadcast_state = entries <= ADJ_ID_BROADCAST_MAX_ENTRIES
     elif not isinstance(broadcast_state, bool):
         raise ValueError(
             f"state-exchange mode must be True, False or 'auto', got {broadcast_state!r}"
@@ -1747,50 +1759,28 @@ def _node2vec_pandas(
                             np.int64, na_value=-1
                         )[live]
                         pn_col = pdf["_pnbrs_ids"].to_numpy()
-                        pn_list = [
-                            np.asarray(pn_col[r], dtype=np.int64)
-                            if pn_col[r] is not None
-                            else empty
-                            for r in live
-                        ]
-                        plens = np.fromiter(
-                            (a.shape[0] for a in pn_list), np.int64, live.size
-                        )
                         w = np.full(flat.shape[0], w_far, dtype=np.int64)
-                        # per-row membership (x in nbrs(prev)) as ONE isin
-                        # over row-compound keys; chunk rows so
-                        # row_local·base + id stays inside int64
-                        maxid = int(flat.max())
-                        if int(plens.sum()):
-                            maxid = max(
-                                maxid,
-                                int(max(a.max() for a in pn_list if a.size)),
-                            )
-                        key_base = maxid + 2
-                        chunk = max(1, (1 << 62) // key_base)
-                        for lo in range(0, live.size, chunk):
-                            hi = min(lo + chunk, live.size)
-                            s, e2 = starts_[lo], ends[hi - 1]
-                            wseg = w[s:e2]
-                            if int(plens[lo:hi].sum()):
-                                rn = np.repeat(
-                                    np.arange(hi - lo, dtype=np.int64),
-                                    ll[lo:hi],
-                                )
-                                flat_p = np.concatenate(pn_list[lo:hi])
-                                rp = np.repeat(
-                                    np.arange(hi - lo, dtype=np.int64),
-                                    plens[lo:hi],
-                                )
-                                wseg[
+                        # per-row membership (x ∈ nbrs(prev)): np.isin PER
+                        # ROW, small second array each time.  The r13
+                        # cross-row form (one isin over row-compound keys)
+                        # measured 47 s vs 4.2 s for this loop on a
+                        # 62M-element 10×-shaped batch — np.isin at that
+                        # size sorts BOTH giant arrays, so "one call"
+                        # costs ~10× the many small calls it replaced
+                        # (x_node2vec 10× wall: 426 s → re-measured after
+                        # this revert).  Only the membership is per-row;
+                        # weights/cumsum/pick stay cross-row vectorized.
+                        for k, r in enumerate(live):
+                            s, e2 = starts_[k], ends[k]
+                            pn = pn_col[r]
+                            if pn is not None and len(pn):
+                                w[s:e2][
                                     np.isin(
-                                        rn * key_base + flat[s:e2],
-                                        rp * key_base + flat_p,
+                                        flat[s:e2],
+                                        np.asarray(pn, dtype=np.int64),
                                     )
                                 ] = w_near
-                            wseg[
-                                flat[s:e2] == np.repeat(prev[lo:hi], ll[lo:hi])
-                            ] = w_return
+                        w[flat == np.repeat(prev, ll)] = w_return
                         # NULL prev → uniform (weights all 1), the paper's
                         # first-step rule; ids are >= 0 so -1 never matched
                         w[np.repeat(prev == -1, ll)] = 1
