@@ -117,8 +117,24 @@ def bloom_semi_join(
     probe job when the build cardinality is already known.
     ``small_key`` names the build side's key column when it differs
     from the probe side's (``o_orderkey`` vs ``l_orderkey``).
+
+    Key dtypes must MATCH: the sketch hashes each side's key via its
+    own string rendering, so a bigint probe against a decimal build
+    would hash ``'1'`` vs ``'1.00'`` and silently prune every true
+    match — an error the verification join could never repair (it
+    only sees bloom survivors).  Mismatches raise at plan time; cast
+    one side explicitly to state which coercion you mean.
     """
-    keys = small.select(F.col(small_key or key).alias(key)).distinct()
+    sk = small_key or key
+    big_t = dict(big.dtypes).get(key)
+    small_t = dict(small.dtypes).get(sk)
+    if big_t != small_t:
+        raise ValueError(
+            f"bloom_semi_join: key dtype mismatch — big.{key} is {big_t}, "
+            f"small.{sk} is {small_t}; md5(cast-to-string) would disagree "
+            "and silently drop true matches. Cast one side explicitly."
+        )
+    keys = small.select(F.col(sk).alias(key)).distinct()
     if n_words is None:
         n_keys = keys.limit(64 * MAX_WORDS).count()
         n_words = max(MIN_WORDS, min(MAX_WORDS, n_keys // WORDS_DIVISOR))

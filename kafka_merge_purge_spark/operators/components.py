@@ -431,6 +431,21 @@ def strongly_connected_components(
             fwd_round,
             max_rounds=max_inner,
         )
+        # The forward coloring must have CONVERGED before anything
+        # decides: a stale pivot (F(v)=v not yet lowered) would decide
+        # itself under a non-minimal label and silently SHATTER its SCC
+        # (r13 review — a directed 10-cycle with max_inner=2 returned
+        # 10 singletons).  Unlike the trim/backward phases, whose
+        # partial convergence only under-decides, fwd exhaustion
+        # must surface as an error naming the fix.
+        if not fwd_round(colors, max_inner).filter(
+            F.col("_changed")
+        ).isEmpty():
+            raise ValueError(
+                "strongly_connected_components: forward coloring not "
+                f"converged within max_inner={max_inner} rounds — raise "
+                "max_inner (deciding on stale colors would mislabel SCCs)"
+            )
 
         # decide via G(v) = min SAME-COLOR node reaching v (in-color
         # paths suffice: any pivot->v path is in-color when F(v) = m).
@@ -1626,7 +1641,12 @@ def _dense_node_index(nodes: DataFrame) -> DataFrame:
     assign, offsets, _ = _prefix_bucket_plan(
         nodes, F.col(col).cast("string")
     )
-    w = Window.partitionBy("_b").orderBy(col)
+    # order by the STRING form, matching the bucket keys' prefix order —
+    # a native-type orderBy here would rank 991 before 9909 inside the
+    # shared '99' bucket while offsets sort buckets as strings, breaking
+    # the global-string-order contract for non-string columns (r13
+    # review; scalable_dense_rank exposes that contract publicly)
+    w = Window.partitionBy("_b").orderBy(F.col(col).cast("string"))
     local = nodes.withColumn("_b", assign).withColumn(
         "_lr", F.row_number().over(w)
     )
@@ -2075,9 +2095,14 @@ def skipgram_negatives_tilted(
         .agg(F.sum("_c").alias("_c"))
     )
     cap3 = F.least(F.col("_c"), F.lit(TILT_COUNT_CAP))
-    v = v.withColumn(
-        "_wt", _isqrt_adj(_isqrt_adj(cap3 * cap3 * cap3))
-    ).drop("_c")
+    # cached: the prefix-bucket probe(s), the bucket-total collect and
+    # the final drawn-join plan all read this aggregate — uncached it
+    # re-runs the vocab shuffle 3+ times per call (r13 review)
+    v = (
+        v.withColumn("_wt", _isqrt_adj(_isqrt_adj(cap3 * cap3 * cap3)))
+        .drop("_c")
+        .cache()
+    )
     assign, _, n_vocab = _prefix_bucket_plan(v, F.col("_w"))
     if n_vocab == 0:
         return (
@@ -2734,6 +2759,17 @@ def multi_source_hops(
         .filter(F.col("node") == F.col("lsrc"))
         .select("node", "lsrc", F.lit(0).cast("long").alias("dist"))
     )
+    # a typo'd landmark (or an int landmark against string nodes) would
+    # otherwise just seed fewer fronts and silently DEFLATE every
+    # downstream centrality — landmarks are few by definition, so one
+    # bounded collect validates them all eagerly (r13 review)
+    seeded = {r["lsrc"] for r in state0.select("lsrc").distinct().collect()}
+    missing = [s for s in set(sources) if s not in seeded]
+    if missing:
+        raise ValueError(
+            f"multi_source_hops: sources not present as graph nodes "
+            f"(or type-mismatched with the node column): {sorted(map(str, missing))!r}"
+        )
 
     def relax(d: DataFrame, _i: int) -> DataFrame:
         cand = (

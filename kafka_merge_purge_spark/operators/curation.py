@@ -926,8 +926,18 @@ def dsir_select(
     from kafka_merge_purge_spark.operators.dedup import md5_int
 
     B = n_buckets
-    doc_grams = _gram_buckets(corpus, B, text_col, id_col)
-    src_b = doc_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    # collapse the gram explode ONCE into per-(doc, bucket) counts and
+    # persist that bounded frame — both consumers (corpus bucket counts
+    # and per-doc scores) read it, so the dominant explode stage runs
+    # once instead of twice (r13 review); ≤ docs × min(grams, B) rows,
+    # spilling to disk past memory
+    db = (
+        _gram_buckets(corpus, B, text_col, id_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist()
+    )
+    src_b = db.groupBy("bucket").agg(F.sum("_cnt").alias("cs"))
     tgt_b = (
         _gram_buckets(target, B, text_col)
         .groupBy("bucket")
@@ -959,11 +969,11 @@ def dsir_select(
         )
     )
     scored = (
-        doc_grams.join(F.broadcast(lr), "bucket")
+        db.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("lr_q").alias("score_q"),
+            F.sum("_cnt").alias("n_grams"),
+            F.sum(F.col("_cnt") * F.col("lr_q")).alias("score_q"),
         )
     )
     u = (md5_int(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(

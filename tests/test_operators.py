@@ -5124,3 +5124,62 @@ def test_multi_source_hops_and_harmonic(spark):
     assert (4, 1) not in short and short[(3, 1)] == 2
     with _pytest.raises(ValueError, match="at least one source"):
         multi_source_hops(edges, [])
+
+
+# --------------------------------------------------------------------------
+# r13 review fixes
+# --------------------------------------------------------------------------
+
+def test_bloom_semi_join_dtype_mismatch_raises(spark):
+    """bigint probe vs decimal build would hash '1' vs '1.00' and
+    silently prune every true match — must raise at plan time."""
+    from kafka_merge_purge_spark.operators.bloomjoin import bloom_semi_join
+    import pytest as _pytest
+
+    big = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    small = spark.sql("SELECT CAST(1.00 AS DECIMAL(10,2)) AS k")
+    with _pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_semi_join(big, small, "k")
+
+
+def test_scc_inner_exhaustion_raises_not_mislabels(spark):
+    """A directed 10-cycle with max_inner=2: the forward coloring
+    cannot converge, and deciding on stale colors would shatter the
+    SCC into singletons — it must raise naming max_inner instead."""
+    from kafka_merge_purge_spark.operators.components import (
+        strongly_connected_components,
+    )
+    import pytest as _pytest
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src int, dst int"
+    )
+    with _pytest.raises(ValueError, match="max_inner"):
+        strongly_connected_components(cyc, max_driver_edges=0, max_inner=2)
+    # with enough rounds the same graph is one SCC labeled 0
+    ok = strongly_connected_components(cyc, max_driver_edges=0)
+    assert {r["scc"] for r in ok.collect()} == {0}
+
+
+def test_scalable_dense_rank_non_string_column(spark):
+    """991 and 9909 share the '99' prefix bucket: ranks must follow
+    STRING order (9909 < 991) as documented, for any input dtype."""
+    from kafka_merge_purge_spark.operators.components import scalable_dense_rank
+
+    df = spark.createDataFrame(
+        [(2,), (99,), (100,), (991,), (9909,)], "x bigint"
+    )
+    got = dict(
+        (r["x"], r["idx"]) for r in scalable_dense_rank(df, "x").collect()
+    )
+    want = {v: i for i, v in enumerate(sorted([2, 99, 100, 991, 9909], key=str))}
+    assert got == want
+
+
+def test_multi_source_hops_missing_landmark_raises(spark):
+    from kafka_merge_purge_spark.operators.components import multi_source_hops
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    with _pytest.raises(ValueError, match="not present"):
+        multi_source_hops(edges, [1, 42])
