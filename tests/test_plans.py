@@ -374,3 +374,14 @@ def test_bloom_semi_join_plan(spark):
     plan = formatted_plan(entry.x_bloom_semi(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "_bloom_word_idx" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_dsir_and_rrf_topk_are_take_ordered(spark):
+    """Selection in x_dsir and x_rrf must plan as TakeOrderedAndProject
+    — a global row_number window here would funnel the corpus through
+    one task at 10^9 docs."""
+    import __spark_entry__ as entry
+
+    for q in ("x_dsir", "x_rrf"):
+        plan = formatted_plan(getattr(entry, q)(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, f"{q}:\n{plan}"
