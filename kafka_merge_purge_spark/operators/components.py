@@ -2762,10 +2762,13 @@ def multi_source_hops(
     # a typo'd landmark (or an int landmark against string nodes) would
     # otherwise just seed fewer fronts and silently DEFLATE every
     # downstream centrality — landmarks are few by definition, so one
-    # bounded collect validates them all eagerly (r13 review)
+    # bounded collect validates them all eagerly (r13 review).  An EMPTY
+    # graph is not misuse: the empty-input sweep contract is "empty
+    # output with the full schema", so the check only fires when there
+    # are nodes the sources could have matched.
     seeded = {r["lsrc"] for r in state0.select("lsrc").distinct().collect()}
     missing = [s for s in set(sources) if s not in seeded]
-    if missing:
+    if missing and not nodes.limit(1).isEmpty():
         raise ValueError(
             f"multi_source_hops: sources not present as graph nodes "
             f"(or type-mismatched with the node column): {sorted(map(str, missing))!r}"
