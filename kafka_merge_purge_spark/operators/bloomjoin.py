@@ -140,15 +140,35 @@ def bloom_semi_join(
         n_words = max(MIN_WORDS, min(MAX_WORDS, n_keys // WORDS_DIVISOR))
     sketch = bloom_sketch(keys, key, n_words, bits_per_key)
 
+    # temp/sketch column names must not collide with probe columns: a
+    # probe column named _bloom_word_idx/_bloom_mask would be silently
+    # overwritten-then-dropped (data loss), and a probe column 'word'
+    # would make the sketch filter ambiguous (r13 advice) — uniquify
+    # by suffixing a counter while any candidate name is taken.
+    suffix, n = "", 0
+    while any(
+        c + suffix in big.columns for c in ("_bloom_word_idx", "_bloom_mask", "_bloom_word")
+    ):
+        n += 1
+        suffix = str(n)
+    widx_c, mask_c, word_c = (
+        "_bloom_word_idx" + suffix,
+        "_bloom_mask" + suffix,
+        "_bloom_word" + suffix,
+    )
     word_idx, mask = _bloom_cols(F.col(key), n_words, bits_per_key)
     candidates = (
-        big.withColumn("_bloom_word_idx", word_idx)
-        .withColumn("_bloom_mask", mask)
+        big.withColumn(widx_c, word_idx)
+        .withColumn(mask_c, mask)
         .join(
-            F.broadcast(sketch.withColumnRenamed("word_idx", "_bloom_word_idx")),
-            "_bloom_word_idx",
+            F.broadcast(
+                sketch.select(
+                    F.col("word_idx").alias(widx_c), F.col("word").alias(word_c)
+                )
+            ),
+            widx_c,
         )
-        .filter(F.col("word").bitwiseAND(F.col("_bloom_mask")) == F.col("_bloom_mask"))
-        .drop("_bloom_word_idx", "_bloom_mask", "word")
+        .filter(F.col(word_c).bitwiseAND(F.col(mask_c)) == F.col(mask_c))
+        .drop(widx_c, mask_c, word_c)
     )
     return candidates.join(keys, key, "left_semi")

@@ -311,9 +311,17 @@ def strongly_connected_components(
       The global-min color always has a pivot, so ≥ 1 SCC decides per
       round; adversarial id orderings (a descending chain of cycles)
       can still need O(#SCC) rounds — past ``max_outer`` the operator
-      raises rather than silently mislabel.  Partial inner convergence
-      can only UNDER-decide, never mislabel (``F(v) = m`` mid-
-      propagation already witnesses ``v →* m``).
+      raises rather than silently mislabel.  BOTH inner fixpoints
+      (forward coloring AND the backward decide flood) carry an
+      explicit post-iterate convergence guard that raises naming
+      ``max_inner``: a stale forward color would decide a non-minimal
+      pivot, and a truncated backward flood would strand in-SCC nodes
+      as "undecided" while their pivot (already decided) is peeled
+      out of ``live`` — the next outer round would then shatter the
+      disconnected remnant into wrong singletons (r13 advice: a
+      20-chain with shortcuts back to 0 and ``max_inner=6`` returned
+      14 SCC labels instead of 1).  Trim exhaustion alone stays safe:
+      an under-trimmed core only skips an optimization.
 
     Scale shape: state frames are O(nodes) two/three-column rows on
     the auto-sized exchange (:func:`_state_hint`); the edge core is
@@ -457,9 +465,10 @@ def strongly_connected_components(
         # driver-side pathology we bisected to exactly this join shape
         # as labels converge; the jump-free twin is flat at 0.3 s/round
         # and the jump wasn't advancing the distinct-g plateau anyway).
-        # Partial inner convergence only UNDER-decides (F/G witnesses
-        # stay valid), so the O(diameter) round count trades wall time
-        # per round for more, provably-safe, outer rounds.
+        # The O(diameter) round count means deep SCCs need the post-
+        # iterate convergence guard below: an un-flooded node would be
+        # stranded undecided while its (decided) pivot is peeled from
+        # live, and the remnant would mislabel next round (r13 advice).
         def incolor_back_round(st: DataFrame, _i: int) -> DataFrame:
             inn = (
                 ee.join(hint(st), ee["u"] == st["node"])
@@ -490,6 +499,20 @@ def strongly_connected_components(
             incolor_back_round,
             max_rounds=max_inner,
         ).localCheckpoint(eager=True)
+        # Backward flood must also have CONVERGED (r13 advice, HIGH):
+        # an in-SCC node beyond the max_inner flood horizon stays
+        # g != lbl ("undecided") while its pivot IS decided and peeled
+        # from live — the stranded remnant then shatters into wrong
+        # singleton SCCs next outer round.  Mirror the forward guard.
+        if not incolor_back_round(flags, max_inner).filter(
+            F.col("_changed")
+        ).isEmpty():
+            raise ValueError(
+                "strongly_connected_components: backward decide flood "
+                f"not converged within max_inner={max_inner} rounds — "
+                "raise max_inner (peeling a partially-flooded SCC "
+                "would mislabel the stranded remnant)"
+            )
         decided.append(
             flags.filter(F.col("g") == F.col("lbl")).select(
                 "node", F.col("lbl").alias("scc")
@@ -2097,12 +2120,18 @@ def skipgram_negatives_tilted(
     cap3 = F.least(F.col("_c"), F.lit(TILT_COUNT_CAP))
     # cached: the prefix-bucket probe(s), the bucket-total collect and
     # the final drawn-join plan all read this aggregate — uncached it
-    # re-runs the vocab shuffle 3+ times per call (r13 review)
+    # re-runs the vocab shuffle 3+ times per call (r13 review).  The
+    # returned plan still reads it lazily, so it cannot unpersist here
+    # — register it so release_all_persisted() can drain it (r13
+    # advice: unregistered caches pin executor storage to session end).
     v = (
         v.withColumn("_wt", _isqrt_adj(_isqrt_adj(cap3 * cap3 * cap3)))
         .drop("_c")
         .cache()
     )
+    from kafka_merge_purge_spark.operators.dedup import _register_persisted
+
+    _register_persisted([v])
     assign, _, n_vocab = _prefix_bucket_plan(v, F.col("_w"))
     if n_vocab == 0:
         return (
@@ -2675,11 +2704,13 @@ def dag_longest_levels(
         .count()
     )
     if still:
+        e.unpersist()
         raise ValueError(
             f"dag_longest_levels: not converged after max_rounds={max_rounds} "
             "— graph has a longer path (raise max_rounds) or a cycle "
             "(condense with strongly_connected_components first)"
         )
+    e.unpersist()  # out is checkpoint-materialized by iterate (sssp pattern)
     return out
 
 
@@ -2785,7 +2816,9 @@ def multi_source_hops(
             .agg(F.min("dist").alias("dist"))
         )
 
-    return iterate(state0, relax, max_rounds=rounds)
+    out = iterate(state0, relax, max_rounds=rounds)
+    e.unpersist()  # out is checkpoint-materialized by iterate (sssp pattern)
+    return out
 
 
 def harmonic_centrality_sample(

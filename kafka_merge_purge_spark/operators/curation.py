@@ -937,6 +937,13 @@ def dsir_select(
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .persist()
     )
+    # the returned top-k plan reads db lazily, so it cannot unpersist
+    # here — register it so release_all_persisted() drains it (r13
+    # advice: an unregistered persist pins executor storage to session
+    # end, contrary to the repo's registry convention)
+    from kafka_merge_purge_spark.operators.dedup import _register_persisted
+
+    _register_persisted([db])
     src_b = db.groupBy("bucket").agg(F.sum("_cnt").alias("cs"))
     tgt_b = (
         _gram_buckets(target, B, text_col)

@@ -4843,6 +4843,24 @@ def test_bloom_semi_join_exact_vs_plain_semi(spark):
     assert bloom_semi_join(big, small, "k").columns == big.columns
 
 
+def test_bloom_semi_join_probe_column_name_collisions(spark):
+    """r13 advice: a probe column named 'word', '_bloom_word_idx' or
+    '_bloom_mask' must survive untouched — the old internal names
+    silently overwrote-then-dropped them (data loss) or made the
+    sketch filter ambiguous (analysis error)."""
+    from kafka_merge_purge_spark.operators.bloomjoin import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i % 10, f"w{i}", i, i * 2) for i in range(100)],
+        "k int, word string, _bloom_word_idx int, _bloom_mask int",
+    )
+    small = spark.createDataFrame([(i,) for i in range(0, 10, 3)], "k int")
+    got = sorted(map(tuple, bloom_semi_join(big, small, "k", n_words=16).collect()))
+    want = sorted(map(tuple, big.join(small, "k", "left_semi").collect()))
+    assert got == want and len(got) > 0
+    assert bloom_semi_join(big, small, "k", n_words=16).columns == big.columns
+
+
 def test_bloom_semi_join_small_key_and_empty_build(spark):
     from kafka_merge_purge_spark.operators.bloomjoin import bloom_semi_join
 
@@ -5159,6 +5177,27 @@ def test_scc_inner_exhaustion_raises_not_mislabels(spark):
     # with enough rounds the same graph is one SCC labeled 0
     ok = strongly_connected_components(cyc, max_driver_edges=0)
     assert {r["scc"] for r in ok.collect()} == {0}
+
+
+def test_scc_backward_exhaustion_raises_not_shatters(spark):
+    """r13 advice (HIGH): chain 0->19 with shortcuts i->0 is ONE SCC
+    whose forward coloring converges fast (every F(v)=0 via the
+    shortcut + pointer jump) but whose backward decide flood needs 19
+    one-hop rounds.  With max_inner=6 the old code stranded un-flooded
+    nodes as "undecided", peeled the decided pivot out of live, and
+    returned 14 wrong singleton labels — it must raise instead."""
+    from kafka_merge_purge_spark.operators.components import (
+        strongly_connected_components,
+    )
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(19)] + [(i, 0) for i in range(1, 20)]
+    ch = spark.createDataFrame(edges, "src int, dst int")
+    with _pytest.raises(ValueError, match="backward decide flood"):
+        strongly_connected_components(ch, max_driver_edges=0, max_inner=6)
+    ok = strongly_connected_components(ch, max_driver_edges=0)
+    assert {r["scc"] for r in ok.collect()} == {0}
+    assert ok.count() == 20
 
 
 def test_scalable_dense_rank_non_string_column(spark):
