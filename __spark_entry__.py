@@ -7884,11 +7884,13 @@ def _pagerank_unroll(iters: int) -> tuple[str, str]:
 
 def x_textrank(spark, sf_dir):
     """TextRank corpus keywords (text.textrank_keywords, Mihalcea &
-    Tarau 2004, r13): stopword-filtered window-2 co-occurrence graph →
-    exact-int64 PageRank → top-30 — the text tier composed into the
-    graph tier with NO trained extractor, and the whole chain keeps a
-    FULL hash oracle (zero-join pair explode + the parameterized
-    pagerank unroll)."""
+    Tarau 2004, r13): stopword-filtered window-2 co-occurrence graph,
+    pruned to pairs co-occurring ≥2 times (r14 — the paper's frequency
+    filter; the unpruned hapax edge set measured 10× slope 5.46, the
+    r13 round's worst) → exact-int64 PageRank → top-30 — the text tier
+    composed into the graph tier with NO trained extractor, and the
+    whole chain keeps a FULL hash oracle (zero-join pair explode + the
+    parameterized pagerank unroll)."""
     from kafka_merge_purge_spark.operators.text import textrank_keywords
 
     return textrank_keywords(_t(spark, sf_dir, "documents"), k=30)
@@ -7909,14 +7911,102 @@ _LLM_ORACLES["x_textrank"] = f"""
         SELECT unnest([{{'a': toks[i], 'b': toks[i+2]}}
                        FOR i IN generate_series(1, len(toks) - 2)]) AS s
         FROM tk WHERE len(toks) >= 3),
-    und AS (SELECT DISTINCT least(s.a, s.b) AS w1, greatest(s.a, s.b) AS w2
-            FROM pr WHERE s.a <> s.b),
+    und AS (SELECT least(s.a, s.b) AS w1, greatest(s.a, s.b) AS w2
+            FROM pr WHERE s.a <> s.b
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
     e AS (SELECT w1 AS src, w2 AS dst FROM und
           UNION ALL SELECT w2 AS src, w1 AS dst FROM und),
     {_PR_CTES},
     fin AS ({_PR_FINAL})
     SELECT node AS word, rank FROM fin
     ORDER BY rank DESC, word LIMIT 30"""
+
+
+def _pagerank_grouped_unroll(iters: int) -> tuple[str, str]:
+    """(ctes, final_select) replaying components.pagerank_grouped's
+    exact int64 arithmetic over an upstream CTE ``e(doc, src, dst)``
+    (symmetrized) — the grouped twin of :func:`_pagerank_unroll`,
+    every aggregate/join keyed by doc."""
+    parts = [
+        "nodes AS (SELECT DISTINCT doc, src AS node FROM e)",
+        "nn AS (SELECT doc, COUNT(*) AS c FROM nodes GROUP BY doc)",
+        "od AS (SELECT doc, src AS node, COUNT(*) AS od FROM e"
+        " GROUP BY doc, src)",
+        "r0 AS (SELECT n.doc, n.node, 1000000000000 // c AS rank"
+        " FROM nodes n JOIN nn ON n.doc = nn.doc)",
+    ]
+    step = (
+        "SELECT n2.doc, n2.node, CAST((3 * (1000000000000 // c)) // 20"
+        " + (17 * (COALESCE(f{i}.inflow, 0)"
+        " + (COALESCE(d{i}.dang, 0) // c))) // 20 AS BIGINT) AS rank"
+        " FROM nodes n2 JOIN nn ON n2.doc = nn.doc"
+        " LEFT JOIN d{i} ON n2.doc = d{i}.doc"
+        " LEFT JOIN f{i} ON n2.doc = f{i}.doc AND n2.node = f{i}.node"
+    )
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT r.doc, r.node, r.rank, od.od FROM r{i-1} r"
+            f" LEFT JOIN od ON r.doc = od.doc AND r.node = od.node)"
+        )
+        parts.append(
+            f"f{i} AS (SELECT e.doc, e.dst AS node,"
+            f" SUM(s.rank // s.od) AS inflow"
+            f" FROM e JOIN s{i} s ON e.doc = s.doc AND e.src = s.node"
+            f" GROUP BY e.doc, e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT doc, COALESCE(SUM(rank), 0) AS dang"
+            f" FROM s{i} WHERE od IS NULL GROUP BY doc)"
+        )
+        if i < iters:
+            parts.append(f"r{i} AS ({step.format(i=i)})")
+    return ",\n    ".join(parts), step.format(i=iters)
+
+
+def x_textrank_doc(spark, sf_dir):
+    """Per-document TextRank tagging (text.textrank_keywords_per_doc,
+    r14 — r13 verdict missing item 3): every document gets its own
+    window-2 co-occurrence graph and its own top-5 keywords in ONE job
+    via components.pagerank_grouped (exact int64 microranks keyed by
+    doc — a driver loop of pagerank() calls would launch a job per
+    document).  FULL hash oracle: the grouped pagerank unrolls into
+    doc-keyed CTEs; top-5 per doc is a doc-partitioned row_number on
+    both engines (bounded partitions, never a global window)."""
+    from kafka_merge_purge_spark.operators.text import textrank_keywords_per_doc
+
+    return textrank_keywords_per_doc(
+        _t(spark, sf_dir, "documents"), k=5
+    )
+
+
+_PRG_CTES, _PRG_FINAL = _pagerank_grouped_unroll(3)
+_LLM_ORACLES["x_textrank_doc"] = f"""
+    WITH toksr AS (SELECT doc_id, {_TOKS} AS rawtoks FROM documents
+                   WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    tk AS (SELECT doc_id, list_filter(rawtoks,
+                w -> len(w) >= 2 AND NOT list_contains({_STOPLIST}, w)) AS toks
+           FROM toksr),
+    pr AS (
+        SELECT doc_id, unnest([{{'a': toks[i], 'b': toks[i+1]}}
+                       FOR i IN generate_series(1, len(toks) - 1)]) AS s
+        FROM tk WHERE len(toks) >= 2
+        UNION ALL
+        SELECT doc_id, unnest([{{'a': toks[i], 'b': toks[i+2]}}
+                       FOR i IN generate_series(1, len(toks) - 2)]) AS s
+        FROM tk WHERE len(toks) >= 3),
+    und AS (SELECT doc_id AS doc, least(s.a, s.b) AS w1,
+                   greatest(s.a, s.b) AS w2
+            FROM pr WHERE s.a <> s.b
+            GROUP BY 1, 2, 3),
+    e AS (SELECT doc, w1 AS src, w2 AS dst FROM und
+          UNION ALL SELECT doc, w2 AS src, w1 AS dst FROM und),
+    {_PRG_CTES},
+    fin AS ({_PRG_FINAL}),
+    topk AS (SELECT doc, node, rank, ROW_NUMBER() OVER (
+                 PARTITION BY doc ORDER BY rank DESC, node) AS pos
+             FROM fin)
+    SELECT doc AS doc_id, node AS word, rank, CAST(pos AS INT) AS pos
+    FROM topk WHERE pos <= 5"""
 
 
 def x_harmonic(spark, sf_dir):

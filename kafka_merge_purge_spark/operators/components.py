@@ -761,6 +761,118 @@ def pagerank(
     return ranks
 
 
+def pagerank_grouped(
+    edges: DataFrame,
+    group_col: str = "g",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """:func:`pagerank` run independently inside every group of a
+    (group, src, dst) edge list — ONE distributed job for millions of
+    small graphs (per-document keyword graphs, per-domain link graphs),
+    where a driver loop of per-group ``pagerank()`` calls would launch
+    one Spark job per group and die at corpus scale.
+
+    The arithmetic replays :func:`pagerank`'s exact int64 microrank
+    spec verbatim with the group key added to every aggregate: per
+    group g with node count N_g, ``rank0 = PR_SCALE DIV N_g``; per
+    round ``rank' = (3·(PR_SCALE DIV N_g)) DIV 20 + (17·(inflow +
+    dang_g DIV N_g)) DIV 20`` (defaults d=17/20) — so a fixed
+    ``iterations`` unrolls into plain SQL CTEs keyed by group and the
+    composition keeps a FULL hash oracle.  No teleport variant:
+    personalized restarts are a whole-graph concern (use
+    :func:`pagerank`).
+
+    Scale shape: state is one (g, node, rank) row per graph node
+    ACROSS groups — corpus-sized, so there is no broadcast regime;
+    edges hash-partition by (g, src) once and are cached, each round
+    is two co-keyed joins + one (g, dst) aggregate + one bounded
+    (g)-keyed dangling aggregate, all shuffling state rows only.
+    Group skew = one giant graph in a sea of small ones; its rows
+    spread over the (g, node) hash space, so no single task owns a
+    group.
+
+    Output: (group_col, node, rank) — one row per (group, node)."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    e = (
+        edges.filter(
+            F.col(group_col).isNotNull()
+            & F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+        )
+        .repartition(F.col("_g"), F.col("_src"))
+        .cache()
+    )
+    nodes = (
+        e.select("_g", F.col("_src").alias("node"))
+        .unionByName(e.select("_g", F.col("_dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_g = nodes.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    outdeg = (
+        e.groupBy("_g", F.col("_src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("od"))
+        .cache()
+    )
+    ranks0 = nodes.join(n_g, "_g").select(
+        "_g", "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV _n").alias("rank")
+    )
+
+    def power_round(ranks: DataFrame, _i: int) -> DataFrame:
+        shared = ranks.join(outdeg, ["_g", "node"], "left")
+        # rename the state-side keys before joining back into e: both
+        # frames descend from e, and unrenamed keys trip Spark's
+        # ambiguous-self-join analysis
+        live = shared.filter(F.col("od").isNotNull()).select(
+            F.col("_g").alias("_lg"),
+            F.col("node").alias("_ln"),
+            F.expr("rank DIV od").alias("share"),
+        )
+        inflow = (
+            e.join(
+                live,
+                (e["_g"] == F.col("_lg")) & (e["_src"] == F.col("_ln")),
+            )
+            .select("_g", F.col("_dst").alias("node"), "share")
+            .groupBy("_g", "node")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        dang = shared.filter(F.col("od").isNull()).groupBy("_g").agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("_dang")
+        )
+        return (
+            nodes.join(n_g, "_g")
+            .join(dang, "_g", "left")
+            .join(inflow, ["_g", "node"], "left")
+            .select(
+                "_g",
+                "node",
+                F.expr(
+                    f"(({damping_den - damping_num} *"
+                    f" (CAST({PR_SCALE} AS BIGINT) DIV _n)) DIV {damping_den})"
+                    f" + (({damping_num} * (COALESCE(inflow, 0) +"
+                    f" (COALESCE(_dang, 0) DIV _n))) DIV {damping_den})"
+                ).alias("rank"),
+            )
+        )
+
+    ranks = iterate(ranks0, power_round, max_rounds=iterations)
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
+    return ranks.select(F.col("_g").alias(group_col), "node", "rank")
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -5019,6 +5019,92 @@ def test_textrank_hub_word_wins(spark):
         textrank_keywords(docs, k=0)
     with _pytest.raises(ValueError, match="window"):
         textrank_keywords(docs, window=0)
+    with _pytest.raises(ValueError, match="min_cooccur"):
+        textrank_keywords(docs, min_cooccur=0)
+
+
+def test_textrank_min_cooccur_prunes_hapax_pairs(spark):
+    """r14 (r13 verdict wrong item 1): pairs co-occurring fewer than
+    min_cooccur times must not become edges — 'noise' pairs with the
+    hub only once each vanish at the default min_cooccur=2, and
+    min_cooccur=1 restores the old unpruned graph."""
+    from kafka_merge_purge_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta"),
+            (2, "alpha noise1"),
+            (3, "beta noise2"),
+        ],
+        "doc_id long, text string",
+    )
+    pruned = {r["word"] for r in textrank_keywords(docs, k=10).collect()}
+    assert pruned == {"alpha", "beta"}
+    unpruned = {
+        r["word"]
+        for r in textrank_keywords(docs, k=10, min_cooccur=1).collect()
+    }
+    assert unpruned == {"alpha", "beta", "noise1", "noise2"}
+
+
+def test_pagerank_grouped_matches_per_group_pagerank(spark):
+    """pagerank_grouped must replay pagerank's exact int64 microranks
+    independently per group: two disjoint graphs run grouped in one
+    call give bit-identical ranks to two separate pagerank() calls."""
+    from kafka_merge_purge_spark.operators.components import (
+        pagerank,
+        pagerank_grouped,
+    )
+
+    g1 = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    g2 = [("x", "y"), ("y", "x"), ("y", "z")]
+    both = spark.createDataFrame(
+        [("g1", s, d) for s, d in g1] + [("g2", s, d) for s, d in g2],
+        "g string, src string, dst string",
+    )
+    got = {
+        (r["g"], r["node"]): r["rank"]
+        for r in pagerank_grouped(both, group_col="g").collect()
+    }
+    for gname, edges in (("g1", g1), ("g2", g2)):
+        solo = pagerank(spark.createDataFrame(edges, "src string, dst string"))
+        for r in solo.collect():
+            assert got[(gname, r["node"])] == r["rank"], (gname, r["node"])
+    assert len(got) == 6
+
+
+def test_textrank_per_doc_tags_each_doc(spark):
+    """Each document's planted hub word must be its own pos-1 keyword;
+    docs with too few tokens for any pair simply emit no rows; output
+    is deterministic."""
+    from kafka_merge_purge_spark.operators.text import textrank_keywords_per_doc
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            # hub appears between every pair of satellites: degree 4
+            # vs ≤3 for everything else, so rank-1 is structural, not
+            # an alphabetical tie-break (hub < sats in doc 1, hub >
+            # sats in doc 2 — both must win)
+            (1, "apple mm apple nn apple oo apple pp"),
+            (2, "zebra aa zebra bb zebra cc zebra dd"),
+            (3, "lonely"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords_per_doc(docs, k=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {r["pos"] for r in by_doc[1]} == {1, 2, 3}
+    assert [r for r in by_doc[1] if r["pos"] == 1][0]["word"] == "apple"
+    assert [r for r in by_doc[2] if r["pos"] == 1][0]["word"] == "zebra"
+    assert 3 not in by_doc and 4 not in by_doc
+    again = textrank_keywords_per_doc(docs, k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with _pytest.raises(ValueError, match="k must be"):
+        textrank_keywords_per_doc(docs, k=0)
 
 
 def test_fuzzy_dedup_best_picks_quality_not_min_id(spark):
