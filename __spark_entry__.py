@@ -7714,6 +7714,43 @@ def x_ppmi_topk(spark, sf_dir):
     )
 
 
+def x_ppmi_factorize(spark, sf_dir):
+    """Dense part embeddings from the co-purchase PPMI matrix
+    (factorize.ppmi_factorize, r14 — the r13 verdict's top missing
+    item): the same pairs → shifted-PPMI rows as x_ppmi_topk, then
+    randomized subspace iteration (Halko et al. 2011) factorizes the
+    sparse matrix into k=16 dense vectors per part — the Levy &
+    Goldberg 2014 SGNS-equivalent embedding with NO training loop,
+    feeding the existing SQ8/IVF/brute-force consumers.  Rows-only at
+    the gate (◇, the ANN convention: cross-partition float sums are
+    ~1-ulp nondeterministic); reconstruction + neighbor-recall floors
+    are pytest-pinned on planted-block fixtures and the walks→PPMI→
+    factorize→SQ8→topk chain."""
+    from pyspark.sql import Window
+
+    from kafka_merge_purge_spark.operators.components import ppmi_from_pairs
+    from kafka_merge_purge_spark.operators.factorize import ppmi_factorize
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    seq = li.distinct().withColumn("_rn", F.row_number().over(w))
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b._rn") == F.col("a._rn") + 1),
+    ).select(
+        F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias(
+            "center"
+        ),
+        F.concat(F.lit("p"), F.col("b.l_partkey").cast("string")).alias(
+            "context"
+        ),
+    )
+    ppmi = ppmi_from_pairs(pairs, shift=1).select("center", "context", "ppmi")
+    return ppmi_factorize(ppmi, k=16, oversample=8, power_iters=1)
+
+
 _RELATIONAL_ORACLES["x_ppmi_topk"] = """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     seq AS (SELECT l_orderkey, l_partkey,

