@@ -147,7 +147,31 @@ def _state_hint(
         raise ValueError(
             f"state-exchange mode must be True, False or 'auto', got {mode!r}"
         )
-    return F.broadcast if mode else (lambda df: df)
+
+    # expose the resolved regime: iterative callers read it to decide
+    # whether per-round state may coalesce to a few partitions before
+    # localCheckpoint (broadcast regime = state known small) — see
+    # iterate(coalesce_to=) and _iter_coalesce()
+    if mode:
+        def hint(df: DataFrame) -> DataFrame:
+            return F.broadcast(df)
+    else:
+        def hint(df: DataFrame) -> DataFrame:
+            return df
+    hint.is_broadcast = bool(mode)
+    return hint
+
+
+def _iter_coalesce(hint) -> int | None:
+    """iterate(coalesce_to=) value for a loop whose state rides
+    ``hint``: narrow small (broadcast-regime) state to
+    ITER_STATE_PARTITIONS so per-round jobs stop paying 32 task
+    launches per node-sized frame (the r13 verdict's fixed-cost
+    finding on x_kcore/x_hits/x_sssp); leave shuffle-regime state at
+    full width."""
+    from kafka_merge_purge_spark.operators.iterate import ITER_STATE_PARTITIONS
+
+    return ITER_STATE_PARTITIONS if getattr(hint, "is_broadcast", False) else None
 
 
 def connected_components(
@@ -235,7 +259,8 @@ def connected_components(
 
     # iterate() materializes each round (localCheckpoint) and stops on the
     # first round where no label moved — the in-pass `_changed` contract
-    labels = iterate(labels0, pregel_round, max_rounds=max_iter)
+    labels = iterate(labels0, pregel_round, max_rounds=max_iter,
+                     coalesce_to=_iter_coalesce(hint))
     bi.unpersist()
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
@@ -398,7 +423,8 @@ def strongly_connected_components(
                 "node", (F.col("_ns") < F.col("_nn")).alias("_changed")
             )
 
-        core = iterate(pre, trim_round, max_rounds=max_inner)
+        core = iterate(pre, trim_round, max_rounds=max_inner,
+                       coalesce_to=_iter_coalesce(hint))
         decided.append(
             pre.join(core, "node", "left_anti")
             .select("node", F.col("node").alias("scc"))
@@ -438,6 +464,7 @@ def strongly_connected_components(
             core.select("node", F.col("node").alias("lbl")),
             fwd_round,
             max_rounds=max_inner,
+            coalesce_to=_iter_coalesce(hint),
         )
         # The forward coloring must have CONVERGED before anything
         # decides: a stale pivot (F(v)=v not yet lowered) would decide
@@ -498,6 +525,7 @@ def strongly_connected_components(
             colors.select("node", "lbl", F.col("node").alias("g")),
             incolor_back_round,
             max_rounds=max_inner,
+            coalesce_to=_iter_coalesce(hint),
         ).localCheckpoint(eager=True)
         # Backward flood must also have CONVERGED (r13 advice, HIGH):
         # an in-SCC node beyond the max_inner flood horizon stays
@@ -754,7 +782,8 @@ def pagerank(
     # the hash-gated spec.
     from kafka_merge_purge_spark.operators.iterate import iterate
 
-    ranks = iterate(ranks0, power_round, max_rounds=iterations)
+    ranks = iterate(ranks0, power_round, max_rounds=iterations,
+                    coalesce_to=_iter_coalesce(hint))
     e.unpersist()
     nodes.unpersist()
     outdeg.unpersist()
@@ -964,7 +993,8 @@ def label_propagation(
     # + the keep-old left join): iterate()'s per-sweep materialization
     # stops the 2^sweeps lineage re-execution (measured 18.0 -> 14.4 ->
     # 8.7 s at sf0.1 with the checkpoint, then the broadcast keep-old join)
-    labels = iterate(labels0, sweep, max_rounds=iterations)
+    labels = iterate(labels0, sweep, max_rounds=iterations,
+                     coalesce_to=_iter_coalesce(hint))
     # the final labels are checkpointed (no lineage into e) — release
     # the edge cache before returning, the pagerank convention
     e.unpersist()
@@ -1095,7 +1125,8 @@ def hits(
             )
         )
 
-    out = iterate(state0, hits_round, max_rounds=iterations)
+    out = iterate(state0, hits_round, max_rounds=iterations,
+                  coalesce_to=_iter_coalesce(hint))
     e.unpersist()
     return out.select("node", "hub", "authority")
 
@@ -1204,7 +1235,8 @@ def sssp(
             )
         return out.select("node", new_dist.alias("dist"))
 
-    dists = iterate(dist0, relax, max_rounds=rounds)
+    dists = iterate(dist0, relax, max_rounds=rounds,
+                    coalesce_to=_iter_coalesce(hint))
     e.unpersist()
     return dists
 
@@ -1292,7 +1324,8 @@ def k_core(
             "node", (F.col("_ns") < F.col("_nn")).alias("_changed")
         )
 
-    out = iterate(nodes0, peel, max_rounds=rounds)
+    out = iterate(nodes0, peel, max_rounds=rounds,
+                  coalesce_to=_iter_coalesce(hint))
     # final degree within the core (the peel state is nodes-only)
     final = und.join(
         hint(out.withColumnRenamed("node", "a")), "a", "left_semi"
@@ -1433,7 +1466,8 @@ def random_walks(
         )
         return state.filter(F.col("_done")).unionByName(stepped).unionByName(retired)
 
-    out = iterate(starts, step_fn, max_rounds=walk_length)
+    out = iterate(starts, step_fn, max_rounds=walk_length,
+                  coalesce_to=_iter_coalesce(hint))
     adj.unpersist()
     return out.select("walk_id", "start", "path")
 
@@ -1677,7 +1711,8 @@ def node2vec_walks(
         )
         return state.filter(F.col("_done")).unionByName(stepped).unionByName(retired)
 
-    out = iterate(starts, step_fn, max_rounds=walk_length)
+    out = iterate(starts, step_fn, max_rounds=walk_length,
+                  coalesce_to=_iter_coalesce(hint))
     adj.unpersist()
     return out.select("walk_id", "start", "path")
 
@@ -1987,7 +2022,8 @@ def _node2vec_pandas(
             .unionByName(retired)
         )
 
-    out = iterate(starts, step_fn, max_rounds=walk_length)
+    out = iterate(starts, step_fn, max_rounds=walk_length,
+                  coalesce_to=_iter_coalesce(hint))
     adj.unpersist()
     idx.unpersist()
     return out.select("walk_id", "start", "path")
@@ -2849,7 +2885,8 @@ def louvain(
             (F.coalesce("_new", "label") != F.col("label")).alias("_changed"),
         )
 
-    out = iterate(lab0, merge_round, max_rounds=rounds)
+    out = iterate(lab0, merge_round, max_rounds=rounds,
+                  coalesce_to=_iter_coalesce(hint))
     e.unpersist()
     return out
 
@@ -2973,7 +3010,8 @@ def dag_longest_levels(
             )
         )
 
-    out = iterate(state0, step, max_rounds=max_rounds)
+    out = iterate(state0, step, max_rounds=max_rounds,
+                  coalesce_to=_iter_coalesce(hint))
     # a level still growing at the cap means either a deeper DAG than
     # max_rounds or a cycle — both must surface, not truncate
     still = (
@@ -3104,7 +3142,8 @@ def multi_source_hops(
             .agg(F.min("dist").alias("dist"))
         )
 
-    out = iterate(state0, relax, max_rounds=rounds)
+    out = iterate(state0, relax, max_rounds=rounds,
+                  coalesce_to=_iter_coalesce(hint))
     e.unpersist()  # out is checkpoint-materialized by iterate (sssp pattern)
     return out
 

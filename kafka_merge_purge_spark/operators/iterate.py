@@ -45,6 +45,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: partition count iterative state coalesces to when the caller knows
+#: the state is small (its _state_hint resolved to the broadcast
+#: regime) — see iterate(coalesce_to=)
+ITER_STATE_PARTITIONS = 4
+
+
 def iterate(
     state: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
@@ -52,6 +58,7 @@ def iterate(
     changed_col: str = "_changed",
     checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
+    coalesce_to: int | None = None,
 ) -> DataFrame:
     """Run ``state ← step(state, round)`` up to ``max_rounds`` times.
 
@@ -66,6 +73,20 @@ def iterate(
     to be idempotent at the fixpoint (step(fix) == fix), which every
     monotone propagation step is.
 
+    ``coalesce_to``: narrow the state to this many partitions before
+    each materialization (plan-only ``coalesce`` — it collapses into
+    the producing shuffle's reduce side, so the final aggregate of the
+    round RUNS at this width rather than adding a stage).  The r13
+    verdict's iterative-family finding: at sf0.1 every round's state is
+    a few thousand rows spread over 32 shuffle partitions, and the
+    fixed task-launch tax (≈2 s/round × 8 rounds on x_kcore) dwarfs
+    the data; callers whose :func:`_state_hint` resolved to the
+    broadcast regime (state known small) pass
+    :data:`ITER_STATE_PARTITIONS`, callers in the shuffle regime pass
+    ``None`` — a billion-row state must keep its width.  Results are
+    identical either way (partitioning is never semantics here; every
+    gated hash was re-verified unchanged).
+
     Returns the final state (without ``changed_col``).
     """
     if max_rounds < 0:
@@ -73,6 +94,10 @@ def iterate(
     if checkpoint_every < 1:
         raise ValueError(
             f"iterate: checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    if coalesce_to is not None and coalesce_to < 1:
+        raise ValueError(
+            f"iterate: coalesce_to must be >= 1 or None, got {coalesce_to}"
         )
     if checkpoint_dir is not None:
         state.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -87,6 +112,8 @@ def iterate(
         has_flag = changed_col in nxt.columns
         materializing = ((i + 1) % checkpoint_every == 0) or i == max_rounds - 1
         if materializing:
+            if coalesce_to is not None:
+                nxt = nxt.coalesce(coalesce_to)
             nxt = _materialize(nxt)
         state = nxt.drop(changed_col) if has_flag else nxt
         # probe only materialized rounds: the limit-1 isEmpty scan then
