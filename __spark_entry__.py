@@ -2849,6 +2849,122 @@ def _bpe_oracle_sql() -> str:
 _LLM_ORACLES["x_bpe_tokens"] = _bpe_oracle_sql()
 
 
+def x_unigram_tokens(spark, sf_dir):
+    """Per-document unigram-LM (SentencePiece, Kudo 2018) subword
+    counts (text.unigram_token_count, r14 — r13 verdict missing item
+    4): Viterbi segmentation of each word under the committed
+    integer-quantized piece log-probs, ties to fewer pieces.  FULL
+    hash oracle: the scores are int64 (floor(1e6·ln p) at train time),
+    so the per-word DP value (max Σscore, then min piece count) is
+    exact integer arithmetic both engines replay — DuckDB runs it as
+    an unrolled Bellman-Ford over word positions with struct-max
+    (score, −pieces) aggregation, the Spark kernel as the Python
+    Viterbi inside one mapInPandas pass."""
+    return tx.unigram_token_count(_t(spark, sf_dir, "documents"))
+
+
+def _unigram_oracle_sql(rounds: int = 16) -> str:
+    """DP oracle generated from the SAME committed vocab file the
+    Spark kernel loads (the _bpe_oracle_sql convention).  ``rounds``
+    bounds the piece count per word (words longer than ``rounds``
+    chars would not reach their final DP state — the fixture corpus
+    tops out at 8-char words; a mismatch would surface as a parity
+    failure, never silently)."""
+    vocab = tx.load_unigram_vocab()
+    vals = ", ".join(
+        f"('{p}', CAST({s} AS BIGINT))" for p, s in sorted(vocab.items())
+    )
+    parts = [
+        f"vocab(piece, sq) AS (SELECT * FROM (VALUES {vals}))",
+        "d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)",
+        "w AS (SELECT doc_id, unnest(words) AS word FROM d)",
+        "wtypes AS MATERIALIZED (SELECT DISTINCT word FROM w WHERE word <> '')",
+        "pos AS MATERIALIZED (SELECT word,"
+        " unnest(generate_series(0, len(word) - 1)) AS s FROM wtypes)",
+        "mv AS (SELECT p.word, p.s AS start, p.s + len(v.piece) AS stop, v.sq"
+        " FROM pos p JOIN vocab v"
+        " ON substr(p.word, p.s + 1, len(v.piece)) = v.piece"
+        " WHERE p.s + len(v.piece) <= len(p.word))",
+        f"mu AS (SELECT word, s AS start, s + 1 AS stop,"
+        f" CAST({tx.UNIGRAM_UNK_SCORE_Q} AS BIGINT) AS sq FROM pos"
+        " WHERE substr(word, s + 1, 1) NOT IN"
+        " (SELECT piece FROM vocab WHERE len(piece) = 1))",
+        "m AS MATERIALIZED (SELECT * FROM mv UNION ALL SELECT * FROM mu)",
+        "dp0 AS (SELECT word, 0 AS p, CAST(0 AS BIGINT) AS score, 0 AS np"
+        " FROM wtypes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""dp{r} AS MATERIALIZED (
+        SELECT word, p,
+               MAX(struct_pack(sc := score, nn := -np))['sc'] AS score,
+               -MAX(struct_pack(sc := score, nn := -np))['nn'] AS np
+        FROM (
+            SELECT word, p, score, np FROM dp{r-1}
+            UNION ALL
+            SELECT d.word, m.stop AS p, d.score + m.sq AS score, d.np + 1
+            FROM dp{r-1} d JOIN m ON m.word = d.word AND m.start = d.p
+        ) GROUP BY word, p)"""
+        )
+    parts.append(
+        f"res AS (SELECT word, np FROM dp{rounds} WHERE p = len(word))"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    , enc AS (SELECT w.doc_id,
+                     CASE WHEN w.word = '' THEN 0 ELSE res.np END AS n_sub
+              FROM w LEFT JOIN res ON w.word = res.word),
+    agg AS (SELECT doc_id, SUM(n_sub) AS n_tokens FROM enc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.words) AS INT) AS n_words,
+           CAST(agg.n_tokens AS INT) AS n_tokens
+    FROM d JOIN agg USING (doc_id)"""
+    )
+
+
+_LLM_ORACLES["x_unigram_tokens"] = _unigram_oracle_sql()
+
+
+def x_pack_shards_unigram(spark, sf_dir):
+    """Token-budget shard packing driven by unigram-LM subword counts
+    (pack_sequences(tokenizer="unigram"), r14) — same two-level
+    prefix-sum packing arithmetic as the whitespace/BPE forms, Kudo
+    2018 count source; the DP CTEs above feed the identical packing
+    SQL, so the composition keeps the FULL hash oracle."""
+    return tx.pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=2048, tokenizer="unigram"
+    )
+
+
+def _pack_unigram_oracle_sql() -> str:
+    dp = _unigram_oracle_sql()
+    # strip the final assembly off the DP oracle and re-terminate with
+    # the packing arithmetic (running totals in doc_id order)
+    head = dp[: dp.index(", enc AS (SELECT w.doc_id,")]
+    return (
+        head
+        + """, enc AS (SELECT w.doc_id,
+                     CASE WHEN w.word = '' THEN 0 ELSE res.np END AS n_sub
+              FROM w LEFT JOIN res ON w.word = res.word),
+    agg AS (SELECT doc_id, CAST(SUM(n_sub) AS INT) AS n_tokens
+            FROM enc GROUP BY doc_id),
+    packed AS (SELECT doc_id, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS tokens_before
+               FROM agg)
+    SELECT doc_id, n_tokens,
+           CAST(tokens_before AS BIGINT) AS tokens_before,
+           CAST(FLOOR(tokens_before / 2048.0) AS BIGINT) AS shard_id
+    FROM packed"""
+    )
+
+
+_LLM_ORACLES["x_pack_shards_unigram"] = _pack_unigram_oracle_sql()
+
+
 def x_pack_shards_bpe(spark, sf_dir):
     """Token-budget shard packing driven by BPE subword counts instead
     of whitespace words (pack_sequences(tokenizer="bpe")) — same

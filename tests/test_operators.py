@@ -5549,3 +5549,176 @@ def test_louvain_weighted_and_validation(spark):
     assert got[1] == got[2] and got[3] == got[4] and got[1] != got[3]
     with _pytest.raises(ValueError, match="rounds"):
         louvain(e, rounds=0)
+
+
+def test_unigram_encode_word_viterbi_and_unk():
+    """Viterbi picks the max-score segmentation, ties go to fewer
+    pieces then lexicographically; out-of-vocab chars fall back to
+    single UNK pieces; '' encodes to []."""
+    from kafka_merge_purge_spark.operators.text import (
+        UNIGRAM_UNK_SCORE_Q,
+        unigram_encode_word,
+    )
+
+    # 'abc': a|bc scores -3-1=-4, ab|c scores -1-3=-4 (tie, both 2
+    # pieces) -> lexicographically smallest sequence ('a','bc') wins;
+    # abc in one piece scores -10 and loses despite fewer pieces.
+    scores = {"a": -3, "bc": -1, "ab": -1, "c": -3, "b": -5, "abc": -10}
+    assert unigram_encode_word("abc", scores, {}) == ["a", "bc"]
+    # higher total beats fewer pieces
+    assert unigram_encode_word("abc", {"abc": -9, "a": -3, "bc": -1, "ab": -1, "c": -3}, {}) == ["a", "bc"]
+    # fewer pieces wins the exact tie
+    assert unigram_encode_word("abc", {"abc": -4, "a": -3, "bc": -1}, {}) == ["abc"]
+    # UNK fallback: 'x' not in vocab
+    out = unigram_encode_word("axa", {"a": -1}, {})
+    assert out == ["a", "x", "a"]
+    total = -1 + UNIGRAM_UNK_SCORE_Q + -1
+    assert total < 0  # sanity: UNK penalty applied
+    assert unigram_encode_word("", {"a": -1}, {}) == []
+
+
+def _unigram_reference_trainer(word_freqs, vocab_size, max_piece_len=8,
+                               em_iters=2, prune_frac=0.75):
+    """Independent naive replay of learn_unigram_vocab's spec: same
+    seeding, hard-EM with a brute-force exhaustive segmenter (enumerate
+    ALL segmentations instead of Viterbi DP), same pruning/tie rules."""
+    import math
+
+    UNK = -20_000_000
+
+    def all_segs(word):
+        if not word:
+            yield ()
+            return
+        for ln in range(1, min(max_piece_len, len(word)) + 1):
+            for rest in all_segs(word[ln:]):
+                yield (word[:ln],) + rest
+
+    def best_seg(word, scores):
+        best = None
+        for seg in all_segs(word):
+            sc = 0
+            ok = True
+            for p in seg:
+                v = scores.get(p)
+                if v is None:
+                    if len(p) != 1:
+                        ok = False
+                        break
+                    v = UNK
+                sc += v
+            if not ok:
+                continue
+            key = (-sc, len(seg), seg)
+            if best is None or key < best[0]:
+                best = (key, seg)
+        return best[1]
+
+    wf = {w: int(f) for w, f in word_freqs.items() if w and f > 0}
+    chars = sorted({c for w in wf for c in w})
+    seed_counts = {}
+    for w, f in sorted(wf.items()):
+        for i in range(len(w)):
+            for ln in range(2, min(max_piece_len, len(w) - i) + 1):
+                p = w[i:i + ln]
+                seed_counts[p] = seed_counts.get(p, 0) + f * ln
+    seed_room = max(0, max(vocab_size, len(chars)) * 4 - len(chars))
+    seeds = sorted(seed_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_room]
+    vocab = set(chars) | {p for p, _ in seeds}
+    init = {p: seed_counts.get(p, 1) for p in vocab}
+    for c in chars:
+        init[c] = max(init.get(c, 1), 1)
+    tot = sum(init.values())
+    scores = {p: math.floor(math.log(c / tot) * 1_000_000) for p, c in init.items()}
+    target = max(vocab_size, len(chars))
+    remaining = em_iters
+    while True:
+        counts = {}
+        for w, f in sorted(wf.items()):
+            for p in best_seg(w, scores):
+                counts[p] = counts.get(p, 0) + f
+        def rescore():
+            full = {p: counts.get(p, 0) for p in vocab}
+            for c in chars:
+                full[c] = max(1, full.get(c, 0))
+            live = {p: c for p, c in full.items() if c > 0}
+            t = sum(live.values())
+            return {p: math.floor(math.log(c / t) * 1_000_000)
+                    for p, c in live.items()}
+        if len(vocab) > target:
+            keep = max(target, int(len(vocab) * prune_frac))
+            multi = [p for p in vocab if len(p) > 1]
+            ranked = sorted(multi, key=lambda p: (-counts.get(p, 0), p))[
+                :max(0, keep - len(chars))]
+            vocab = set(chars) | set(ranked)
+            scores = rescore()
+            continue
+        scores = rescore()
+        remaining -= 1
+        if remaining <= 0:
+            return dict(sorted(scores.items()))
+
+
+def test_learn_unigram_vocab_matches_reference_and_is_deterministic():
+    """The driver trainer must equal an independent naive replay
+    (brute-force exhaustive segmenter instead of Viterbi DP) on a small
+    corpus, and produce identical output across calls."""
+    from kafka_merge_purge_spark.operators.text import learn_unigram_vocab
+    import pytest as _pytest
+
+    wf = {
+        "filter": 30, "filters": 12, "filtered": 8,
+        "scan": 25, "scans": 9, "merge": 20, "merges": 7,
+        "hash": 18, "join": 26, "joins": 5,
+    }
+    got = learn_unigram_vocab(wf, vocab_size=24)
+    want = _unigram_reference_trainer(wf, vocab_size=24)
+    assert got == want
+    assert got == learn_unigram_vocab(wf, vocab_size=24)
+    # every single character survives (coverage)
+    chars = {c for w in wf for c in w}
+    assert chars <= set(got)
+    with _pytest.raises(ValueError, match="vocab_size"):
+        learn_unigram_vocab(wf, vocab_size=0)
+    with _pytest.raises(ValueError, match="prune_frac"):
+        learn_unigram_vocab(wf, vocab_size=8, prune_frac=1.5)
+
+
+def test_unigram_token_count_matches_driver_and_packs(spark):
+    """The distributed mapInPandas count must equal a driver-side
+    encode of every doc, and pack_sequences(tokenizer='unigram') packs
+    on those counts."""
+    from kafka_merge_purge_spark.operators.text import (
+        load_unigram_vocab,
+        pack_sequences,
+        unigram_encode_word,
+        unigram_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "filter scan filter"),
+            (2, "merge join hash hash"),
+            (3, ""),
+            (4, "zzz unknownword"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = load_unigram_vocab()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in unigram_token_count(docs, vocab).collect()
+    }
+    cache: dict = {}
+    for did, txt in [(1, "filter scan filter"), (2, "merge join hash hash"),
+                     (3, ""), (4, "zzz unknownword")]:
+        words = txt.split(" ")
+        want = (len(words),
+                sum(len(unigram_encode_word(w, vocab, cache)) for w in words))
+        assert got[did] == want, (did, got[did], want)
+    packed = pack_sequences(docs, capacity=8, tokenizer="unigram").collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    assert by_id[1]["tokens_before"] == 0
+    n1 = by_id[1]["n_tokens"]
+    assert by_id[2]["tokens_before"] == n1
+    assert all(r["shard_id"] == r["tokens_before"] // 8 for r in packed)
