@@ -8322,6 +8322,103 @@ _RELATIONAL_ORACLES["x_harmonic"] = f"""
     GROUP BY node"""
 
 
+def _btw_unroll(rounds: int) -> str:
+    """CTEs replaying components.betweenness_sample over upstream
+    ``e(src, dst)`` and ``seeds(lsrc)`` CTEs: level-synchronous BFS
+    with shortest-path counts (f0..fR), then Brandes' backward
+    dependency sweep with per-term int64 quantization (b0..bR) — the
+    _msh_unroll precedent extended with σ/δ.  MATERIALIZED throughout
+    (each round references the previous several times — the x_louvain
+    inlining lesson)."""
+    parts = [
+        "f0 AS MATERIALIZED (SELECT lsrc AS node, lsrc, 0 AS dist,"
+        " CAST(1 AS BIGINT) AS sigma FROM seeds)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""f{r} AS MATERIALIZED (
+        SELECT * FROM f{r-1}
+        UNION ALL
+        SELECT c.node, c.lsrc, {r} AS dist, c.sigma FROM (
+            SELECT e.dst AS node, f.lsrc, SUM(f.sigma) AS sigma
+            FROM f{r-1} f JOIN e ON e.src = f.node
+            WHERE f.dist = {r-1}
+            GROUP BY e.dst, f.lsrc) c
+        LEFT JOIN f{r-1} p ON p.node = c.node AND p.lsrc = c.lsrc
+        WHERE p.node IS NULL)"""
+        )
+    parts.append(
+        f"b0 AS MATERIALIZED (SELECT node, lsrc, dist, sigma,"
+        f" CAST(0 AS BIGINT) AS delta FROM f{rounds})"
+    )
+    for j in range(rounds):
+        lvl = rounds - 1 - j
+        parts.append(
+            f"""b{j+1} AS MATERIALIZED (
+        SELECT b.node, b.lsrc, b.dist, b.sigma,
+               CASE WHEN b.dist = {lvl} THEN COALESCE(c.nd, 0)
+                    ELSE b.delta END AS delta
+        FROM b{j} b LEFT JOIN (
+            SELECT v.node, v.lsrc,
+                   SUM((v.sigma * (1000000 + w.delta)) // w.sigma) AS nd
+            FROM b{j} v
+            JOIN e ON e.src = v.node
+            JOIN b{j} w ON w.node = e.dst AND w.lsrc = v.lsrc
+                       AND w.dist = {lvl + 1}
+            WHERE v.dist = {lvl}
+            GROUP BY v.node, v.lsrc) c
+          ON c.node = b.node AND c.lsrc = b.lsrc)"""
+        )
+    return ",\n    ".join(parts)
+
+
+def x_betweenness(spark, sf_dir):
+    """Sampled betweenness centrality (components.betweenness_sample,
+    Brandes 2001 / landmark sampling Brandes & Pich 2007, r14 — r13
+    verdict missing item 5): shortest-path FLOW through each node from
+    4 seed suppliers on the co-trade graph — the broker/bridge
+    curation signal harmonic (closeness-class) cannot see.  δ terms
+    quantize to int64 at every accumulation step ((σv·(10⁶+δw)) DIV
+    σw, truncating DIV on non-negatives — identical in both engines),
+    so the fixed-horizon sweep carries a FULL hash oracle: BFS with σ
+    counts + backward dependency rounds unroll as CTEs (the
+    _msh_unroll precedent)."""
+    from kafka_merge_purge_spark.operators.components import (
+        betweenness_sample,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return betweenness_sample(edges, ["s1", "s2", "s3", "s4"], rounds=4)
+
+
+_RELATIONAL_ORACLES["x_betweenness"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    seeds AS (SELECT unnest(['s1', 's2', 's3', 's4']) AS lsrc),
+    {_btw_unroll(4)}
+    SELECT node,
+           CAST(SUM(delta) AS BIGINT) AS btw_q,
+           COUNT(*) AS n_sources
+    FROM b4 WHERE dist > 0
+    GROUP BY node"""
+
+
 def x_dense_rank(spark, sf_dir):
     """Scalable dense value index (components.scalable_dense_rank,
     r13): every distinct part name gets a stable contiguous 0-based id

@@ -3182,3 +3182,164 @@ def harmonic_centrality_sample(
             F.count(F.lit(1)).alias("n_reached"),
         )
     )
+
+
+def betweenness_sample(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    broadcast_state: bool | str = "auto",
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001 dependency
+    accumulation, landmark-sampled as in Brandes & Pich 2007) — the
+    remaining standard graph-curation signal after harmonic (r13
+    verdict missing item 5): a page that shortest paths FLOW THROUGH
+    is a broker/bridge; link-farm satellites and leaf pages score 0.
+
+    Per landmark ``s`` (hop horizon ``rounds``): a level-synchronous
+    BFS computes ``dist`` and the shortest-path COUNT ``σ_s(v)``
+    (integer sum over predecessors — exact), then Brandes' backward
+    sweep accumulates the dependency, quantized to int64 at every
+    step (the harmonic/RRF idiom — quantize FIRST, then both engines
+    replay identical integers)::
+
+        δ_q(v) = Σ_{w : (v,w) ∈ E, dist(w) = dist(v)+1}
+                 (σ(v) · (10⁶ + δ_q(w))) DIV σ(w)
+
+    processed strictly by decreasing level, so each node's δ_q is
+    final before anything reads it and a fixed ``rounds`` unrolls
+    into plain SQL CTEs (FULL hash oracle; truncating integer DIV on
+    non-negatives is identical in Spark and DuckDB).  Paths are
+    TRUNCATED at the horizon — nodes beyond ``rounds`` hops neither
+    receive nor forward dependency, the standard bounded-Brandes
+    sampling spec (the multi_source_hops contract).  σ stays within
+    int64 for max-outdeg^rounds < 9·10¹⁸ (outdeg 10⁴ at the default
+    4 rounds ≈ 10¹⁶); past that Spark's ANSI mode raises, never
+    corrupts.
+
+    Scale shape: ONE sparse multi-source BFS loop carrying (node,
+    lsrc, dist, σ) rows for the reached set only, then ``rounds``
+    backward joins moving (node, lsrc, δ) — all exchanges are
+    landmark-sharded state rows via :func:`_state_hint`; nothing
+    collects to the driver except the landmark validation probe.
+
+    Output: (node, btw_q, n_sources) — btw_q = Σ_landmarks δ_q(v) in
+    1e-6 units over nodes reached at dist ≥ 1 (sources score only via
+    OTHER landmarks, per the definition's v ≠ s)."""
+    from kafka_merge_purge_spark.operators.iterate import iterate
+
+    if not sources:
+        raise ValueError("betweenness_sample: need at least one source")
+    if rounds < 1:
+        raise ValueError(
+            f"betweenness_sample: rounds must be >= 1, got {rounds}"
+        )
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .repartition(F.col("_src"))
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    hint = _state_hint(nodes, broadcast_state, known_rows=n_nodes)
+    src_lit = F.array(*[F.lit(s) for s in sources])
+    f0 = (
+        nodes.select("node", F.explode(src_lit).alias("lsrc"))
+        .filter(F.col("node") == F.col("lsrc"))
+        .select(
+            "node",
+            "lsrc",
+            F.lit(0).cast("int").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    # landmark validation (the multi_source_hops contract)
+    seeded = {r["lsrc"] for r in f0.select("lsrc").distinct().collect()}
+    missing = [s for s in set(sources) if s not in seeded]
+    if missing and not nodes.limit(1).isEmpty():
+        raise ValueError(
+            f"betweenness_sample: sources not present as graph nodes "
+            f"(or type-mismatched with the node column): "
+            f"{sorted(map(str, missing))!r}"
+        )
+
+    def bfs_round(st: DataFrame, _i: int) -> DataFrame:
+        front = st.filter(F.col("dist") == _i).select(
+            F.col("node").alias("_src"), "lsrc", "sigma"
+        )
+        cand = (
+            e.join(hint(front), "_src")
+            .groupBy(F.col("_dst").alias("node"), "lsrc")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(_i + 1).cast("int"))
+        )
+        fresh = cand.join(
+            hint(st.select("node", "lsrc")), ["node", "lsrc"], "left_anti"
+        ).select("node", "lsrc", "dist", "sigma")
+        return st.unionByName(fresh)
+
+    fwd = iterate(
+        f0, bfs_round, max_rounds=rounds, coalesce_to=_iter_coalesce(hint)
+    ).localCheckpoint(eager=True)
+
+    b0 = fwd.withColumn("delta", F.lit(0).cast("long"))
+
+    def back_round(st: DataFrame, _i: int) -> DataFrame:
+        lvl = rounds - 1 - _i
+        succ = st.filter(F.col("dist") == lvl + 1).select(
+            F.col("node").alias("_dst"),
+            "lsrc",
+            F.col("sigma").alias("_sw"),
+            F.col("delta").alias("_dw"),
+        )
+        cur = st.filter(F.col("dist") == lvl).select(
+            F.col("node").alias("_src"),
+            "lsrc",
+            F.col("sigma").alias("_sv"),
+        )
+        contrib = (
+            e.join(hint(cur), "_src")
+            .join(hint(succ), ["_dst", "lsrc"])
+            .select(
+                F.col("_src").alias("node"),
+                "lsrc",
+                F.expr("(_sv * (1000000 + _dw)) DIV _sw").alias("_t"),
+            )
+            .groupBy("node", "lsrc")
+            .agg(F.sum("_t").alias("_nd"))
+        )
+        return (
+            st.join(hint(contrib), ["node", "lsrc"], "left")
+            .select(
+                "node",
+                "lsrc",
+                "dist",
+                "sigma",
+                F.when(
+                    F.col("dist") == lvl, F.coalesce("_nd", F.lit(0))
+                )
+                .otherwise(F.col("delta"))
+                .alias("delta"),
+            )
+        )
+
+    back = iterate(
+        b0, back_round, max_rounds=rounds, coalesce_to=_iter_coalesce(hint)
+    )
+    out = (
+        back.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum("delta").alias("btw_q"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+    )
+    e.unpersist()
+    return out

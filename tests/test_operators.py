@@ -5722,3 +5722,54 @@ def test_unigram_token_count_matches_driver_and_packs(spark):
     n1 = by_id[1]["n_tokens"]
     assert by_id[2]["tokens_before"] == n1
     assert all(r["shard_id"] == r["tokens_before"] // 8 for r in packed)
+
+
+def test_betweenness_sample_hand_computed(spark):
+    """Brandes spot checks: directed path (dependency 2e6/1e6), star
+    through a hub (3e6), and a diamond whose two shortest paths split
+    the dependency exactly in half under the int64 quantization."""
+    from kafka_merge_purge_spark.operators.components import (
+        betweenness_sample,
+    )
+    import pytest as _pytest
+
+    # path 1->2->3->4 from source 1: delta(2)=2, delta(3)=1, delta(4)=0
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["btw_q"]
+        for r in betweenness_sample(path, [1], rounds=4).collect()
+    }
+    assert got == {2: 2_000_000, 3: 1_000_000, 4: 0}
+
+    # star: leaves 1-4 around hub 0 (symmetrized); from leaf 1 the hub
+    # carries all 3 cross-leaf shortest paths
+    star_pairs = [(0, i) for i in range(1, 5)]
+    star = spark.createDataFrame(
+        star_pairs + [(b, a) for a, b in star_pairs], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["btw_q"]
+        for r in betweenness_sample(star, [1], rounds=2).collect()
+    }
+    assert got[0] == 3_000_000
+    assert all(got[leaf] == 0 for leaf in (2, 3, 4))
+
+    # diamond 1->{2,3}->4: sigma(4)=2, each middle node gets
+    # (1*(1e6+0)) DIV 2 = 500000
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["btw_q"]
+        for r in betweenness_sample(diamond, [1], rounds=3).collect()
+    }
+    assert got == {2: 500_000, 3: 500_000, 4: 0}
+
+    with _pytest.raises(ValueError, match="at least one source"):
+        betweenness_sample(path, [])
+    with _pytest.raises(ValueError, match="rounds"):
+        betweenness_sample(path, [1], rounds=0)
+    with _pytest.raises(ValueError, match="not present"):
+        betweenness_sample(path, [99])
