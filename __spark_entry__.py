@@ -102,7 +102,7 @@ def q_decode_props(spark, sf_dir):
     )
 
 
-def q_print_format(spark, sf_dir):
+def x_print_format(spark, sf_dir):
     """R10 console-sink rendering (ConsumerRecord.kt:5-11 format)."""
     return routing.print_format(load_records(spark, sf_dir))
 
@@ -152,7 +152,7 @@ _REF_ORACLES = {
         SELECT "offset", "value",
                CAST(json_extract_string("value", '$.k') AS INTEGER) AS k_val
         FROM records WHERE "value" IS NOT NULL""",
-    "q_print_format": f"""{_RECORDS_CTE}
+    "x_print_format": f"""{_RECORDS_CTE}
         SELECT topic, "partition", "offset",
                concat('Key:', chr(10), coalesce("key", '<null>'), chr(10),
                       'Value:', chr(10), coalesce("value", '<tombstone>')) AS rendered
@@ -533,7 +533,7 @@ def q_string_funcs(spark, sf_dir):
     )
 
 
-def q_date_parts(spark, sf_dir):
+def x_date_parts(spark, sf_dir):
     """Scalar date/time library: extract parts, truncate, day arithmetic."""
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -617,7 +617,7 @@ def q_scalar_subquery(spark, sf_dir):
     )
 
 
-def q_null_funcs(spark, sf_dir):
+def x_null_funcs(spark, sf_dir):
     """Null-handling scalar surface: coalesce / nullif / nvl2-style CASE
     over the nullable record columns."""
     records = load_records(spark, sf_dir)
@@ -1404,7 +1404,7 @@ _RELATIONAL_ORACLES = {
                reverse(substr(text, 1, 10)) AS rev_head,
                length(trim(text)) AS n_trim
         FROM documents""",
-    "q_date_parts": """
+    "x_date_parts": """
         SELECT event_id,
                year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
                CAST(date_trunc('month', ts) AS DATE) AS month_start,
@@ -1490,7 +1490,7 @@ _RELATIONAL_ORACLES = {
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
-    "q_null_funcs": f"""{_RECORDS_CTE}
+    "x_null_funcs": f"""{_RECORDS_CTE}
         SELECT "offset",
                coalesce("key", '<anon>') AS key_or_anon,
                nullif("value", '{{"k": 0}}') AS value_nz,
@@ -7675,7 +7675,7 @@ def x_scc(spark, sf_dir):
     over the directed co-purchase ring graph — the directed cycle
     structure (link-spam rings, redirect loops) that undirected CC
     over-merges.  At gate scale the bounded Arrow probe fires the
-    driver Tarjan fast path; x_scc_pregel pins the distributed
+    driver Tarjan fast path; q_scc_pregel pins the distributed
     coloring path to the IDENTICAL hash.  FULL hash oracle (recursive
     forward-closure CTE: scc(v) = min({v} ∪ {w : v→*w ∧ w→*v}))."""
     from kafka_merge_purge_spark.operators.components import (
@@ -7685,7 +7685,7 @@ def x_scc(spark, sf_dir):
     return strongly_connected_components(_scc_fixture(spark, sf_dir))
 
 
-def x_scc_pregel(spark, sf_dir):
+def q_scc_pregel(spark, sf_dir):
     """x_scc with the driver fast path DISABLED
     (``max_driver_edges=0``) — the distributed forward-min coloring
     loop (trim → color → in-color backward min, all pointer-jumped on
@@ -7741,7 +7741,7 @@ _SCC_ORACLE = (
 )
 
 _RELATIONAL_ORACLES["x_scc"] = _SCC_ORACLE
-_RELATIONAL_ORACLES["x_scc_pregel"] = _SCC_ORACLE
+_RELATIONAL_ORACLES["q_scc_pregel"] = _SCC_ORACLE
 
 
 def x_condensation(spark, sf_dir):
@@ -7818,7 +7818,7 @@ _RELATIONAL_ORACLES["x_condensation"] = (
 )
 
 
-def x_sgns_corpus(spark, sf_dir):
+def q_sgns_corpus(spark, sf_dir):
     """One-call SGNS training corpus (components.sgns_training_corpus,
     r13): walks → window-1 skip-gram pairs → 1 uniform negative per
     pair over the co-trade graph, with the walk substrate materialized
@@ -7848,7 +7848,7 @@ def x_sgns_corpus(spark, sf_dir):
     )
 
 
-_RELATIONAL_ORACLES["x_sgns_corpus"] = f"""
+_RELATIONAL_ORACLES["q_sgns_corpus"] = f"""
     WITH walks AS ({_walks_oracle_sql(2)}),
     sg AS (
         SELECT w.walk_id,
@@ -8505,7 +8505,7 @@ _RELATIONAL_ORACLES["x_rrf"] = """
     ORDER BY rrf_score DESC, l_partkey LIMIT 25"""
 
 
-def x_dsir(spark, sf_dir):
+def q_dsir(spark, sf_dir):
     """DSIR — Data Selection via Importance Resampling
     (curation.dsir_select, Xie et al. NeurIPS 2023, r13): the 60
     corpus documents whose hashed-n-gram (uni+bigram, 4096 md5
@@ -8522,7 +8522,7 @@ def x_dsir(spark, sf_dir):
     return dsir_select(docs, docs.filter(F.col("source") == "src0"), k=60)
 
 
-_LLM_ORACLES["x_dsir"] = f"""
+_LLM_ORACLES["q_dsir"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents
                   WHERE text IS NOT NULL),
     grams AS (

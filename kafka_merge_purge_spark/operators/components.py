@@ -3165,7 +3165,11 @@ def harmonic_centrality_sample(
 
     Contributions quantize to ``1e6 // dist`` int64 (the RRF idiom), so
     scores are order-free integer sums with a FULL hash oracle; the
-    self-distance (0) is excluded per the definition.
+    self-distance (0) is excluded per the definition.  int64 envelope
+    (r13 advice 3): a contribution is ≤ 10⁶, so ``h_score`` only
+    approaches 2⁶³ past ~9·10¹² landmarks — landmarks are few by
+    definition (a driver-side list), so no runtime guard is needed;
+    Spark 4 ANSI raises rather than corrupts regardless.
 
     Output: (node, h_score, n_reached) for nodes reached by ≥1
     landmark in ``rounds`` hops."""

@@ -1126,6 +1126,18 @@ def sparse_cosine_topk(
     discrimination).  The cut is part of the declared semantics (the
     oracle applies the same cut), so the result stays hash-exact.
 
+    **int64 envelope (r13 advice 3)**: with ``M = max|qv| =
+    max|value|·quantize`` and ``NNZ = max nonzeros per vector``, the
+    largest integer formed is ``M²·NNZ`` (a norm, and an upper bound
+    on any pair dot).  At ``quantize=1e6`` a vector of ~10⁶ entries of
+    magnitude ~1 reaches ~10¹⁸ — the int64 edge.  The operator PROBES
+    ``max(M²·nnz_id)`` eagerly (one bounded aggregate, the
+    _state_hint posture) and raises naming ``quantize`` when the
+    envelope would be exceeded: lowering ``quantize`` trades ~1 ulp of
+    cosine resolution per decade for 100× headroom.  (Spark 4 ANSI
+    would raise mid-job anyway — this guard converts that into an
+    upfront, actionable error.)
+
     Scale shape: one feature-keyed self-join (AQE-skew-splittable) +
     one (id_a, id_b)-keyed aggregate + one per-id top-k window over
     ≤ candidate rows; norms ride two id-keyed aggregates.  Nothing
@@ -1152,6 +1164,25 @@ def sparse_cosine_topk(
         .filter(F.col("_id").isNotNull() & F.col("_f").isNotNull())
         .filter(F.col("_qv") != 0)
     )
+    # eager int64-envelope probe (r13 advice 3): the largest integer
+    # this plan forms is max(qv² · nnz) per id — check it BEFORE any
+    # norm/dot sum can overflow mid-job.  Decimal arithmetic in the
+    # probe itself cannot overflow (38 digits).
+    env = q.groupBy("_id").agg(
+        (
+            F.max(F.abs(F.col("_qv"))).cast("decimal(38,0)")
+            * F.max(F.abs(F.col("_qv"))).cast("decimal(38,0)")
+            * F.count(F.lit(1)).cast("decimal(38,0)")
+        ).alias("_env")
+    ).agg(F.max("_env").alias("_worst")).collect()
+    if env and env[0]["_worst"] is not None and int(env[0]["_worst"]) > 2**63 - 1:
+        raise ValueError(
+            "sparse_cosine_topk: int64 overflow envelope exceeded — "
+            f"max(value²·quantize²·nnz) ≈ {float(env[0]['_worst']):.3e} > 2^63-1. "
+            f"Lower quantize (currently {quantize}; each /10 buys 100× "
+            "headroom at ~1 ulp cosine resolution per decade) or scale "
+            "the input values down."
+        )
     # norms BEFORE the df cut: a vector's length is a property of the
     # vector, not of which features survive the posting guard
     norms = q.groupBy("_id").agg(F.sum(F.col("_qv") * F.col("_qv")).alias("_n2"))
@@ -1229,6 +1260,11 @@ def rrf_fuse(
     (int64), so the fused score is an order-free integer sum —
     hash-comparable across engines, no float accumulation.  An item
     missing from a list simply contributes nothing (the RRF convention).
+    int64 envelope (r13 advice 3): a contribution is ≤ 1e9/(c+1)
+    ≈ 1.6e7 at the default c, so the fused sum only approaches 2⁶³
+    past ~5·10¹¹ lists containing the same item — unreachable for any
+    real fusion (lists are top-N by construction); no runtime guard
+    needed, and Spark 4 ANSI would raise rather than corrupt anyway.
 
     Scale shape: inputs are TOP-N lists by construction (bounded
     upstream — fusing unbounded corpora is a misuse of RRF), so the

@@ -27,17 +27,15 @@ def test_gate_window_is_exactly_the_primaries():
 #: any change to this set must edit this list consciously.
 GATED_PRIMARIES = [
     "q_action_counts", "q_agg_distinct", "q_agg_revenue", "q_array_hof",
-    "q_ask_rules", "q_asof_join", "q_compaction", "q_date_parts",
-    "q_decode_props", "q_dedup_docs_exact", "q_dedup_events",
+    "q_ask_rules", "q_asof_join", "q_compaction", "q_decode_props", "q_dedup_docs_exact", "q_dedup_events", "q_dsir",
     "q_edit_distance", "q_embedding_neardup", "q_filter_tombstones",
     "q_fingerprint", "q_fuzzy_dedup", "q_global_topn", "q_grouping_sets",
     "q_join_orders_customer", "q_lang_id", "q_media_features",
-    "q_merge_all", "q_ngram_jaccard", "q_null_funcs", "q_outer_join",
-    "q_percentiles", "q_pipeline_e2e", "q_pivot", "q_print_format",
-    "q_proj_arith", "q_purge_all", "q_range_frame", "q_range_join",
+    "q_merge_all", "q_ngram_jaccard", "q_outer_join",
+    "q_percentiles", "q_pipeline_e2e", "q_pivot", "q_proj_arith", "q_purge_all", "q_range_frame", "q_range_join",
     "q_range_join_binned", "q_rolling_hash", "q_rollup",
-    "q_scalar_subquery", "q_scan_events", "q_semi_join", "q_sessionize",
-    "q_setops", "q_simhash", "q_similarity_topk", "q_skew_agg_salted",
+    "q_scalar_subquery", "q_scan_events", "q_scc_pregel", "q_semi_join", "q_sessionize",
+    "q_setops", "q_sgns_corpus", "q_simhash", "q_similarity_topk", "q_skew_agg_salted",
     "q_skew_join_salted", "q_stats_agg", "q_string_funcs", "q_text_stats",
     "q_topk_per_group", "q_udtf_tokens",
 ]

@@ -5773,3 +5773,21 @@ def test_betweenness_sample_hand_computed(spark):
         betweenness_sample(path, [1], rounds=0)
     with _pytest.raises(ValueError, match="not present"):
         betweenness_sample(path, [99])
+
+
+def test_sparse_cosine_topk_overflow_guard(spark):
+    """r13 advice 3: a value whose quantized square times nnz exceeds
+    int64 must raise an upfront, actionable error naming quantize —
+    not overflow mid-job."""
+    from kafka_merge_purge_spark.operators.similarity import sparse_cosine_topk
+    import pytest as _pytest
+
+    rows = spark.createDataFrame(
+        [("a", "f1", 4e6), ("a", "f2", 4e6), ("b", "f1", 1.0)],
+        "id string, feature string, value double",
+    )
+    with _pytest.raises(ValueError, match="quantize"):
+        sparse_cosine_topk(rows, k=2)  # (4e6*1e6)^2 * 2 >> 2^63
+    # lowering quantize per the error message clears it
+    ok = sparse_cosine_topk(rows, k=2, quantize=1)
+    assert ok.count() >= 0

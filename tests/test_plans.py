@@ -312,23 +312,20 @@ def test_state_hint_known_rows_skips_probe(spark):
         def limit(self, n):  # pragma: no cover - must never run
             raise AssertionError("known_rows given, probe still ran")
 
-    assert C._state_hint(_Poisoned(), "auto", known_rows=10) is F.broadcast
-    assert (
-        C._state_hint(
-            _Poisoned(), "auto", known_rows=C.STATE_BROADCAST_MAX_ROWS + 1
-        )
-        is not F.broadcast
-    )
+    # r14: _state_hint returns a wrapper exposing .is_broadcast (the
+    # iterate-coalesce regime signal); identity with F.broadcast is no
+    # longer the contract — the resolved regime is
+    assert C._state_hint(_Poisoned(), "auto", known_rows=10).is_broadcast
+    assert not C._state_hint(
+        _Poisoned(), "auto", known_rows=C.STATE_BROADCAST_MAX_ROWS + 1
+    ).is_broadcast
     # rows_per_unit shrinks the cap for known_rows exactly as for probes
-    assert (
-        C._state_hint(
-            _Poisoned(),
-            "auto",
-            rows_per_unit=C.STATE_BROADCAST_MAX_ROWS,
-            known_rows=2,
-        )
-        is not F.broadcast
-    )
+    assert not C._state_hint(
+        _Poisoned(),
+        "auto",
+        rows_per_unit=C.STATE_BROADCAST_MAX_ROWS,
+        known_rows=2,
+    ).is_broadcast
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (4, 5)], "src long, dst long"
@@ -377,11 +374,11 @@ def test_bloom_semi_join_plan(spark):
 
 
 def test_dsir_and_rrf_topk_are_take_ordered(spark):
-    """Selection in x_dsir and x_rrf must plan as TakeOrderedAndProject
+    """Selection in q_dsir and x_rrf must plan as TakeOrderedAndProject
     — a global row_number window here would funnel the corpus through
     one task at 10^9 docs."""
     import __spark_entry__ as entry
 
-    for q in ("x_dsir", "x_rrf"):
+    for q in ("q_dsir", "x_rrf"):
         plan = formatted_plan(getattr(entry, q)(spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan, f"{q}:\n{plan}"

@@ -22,7 +22,7 @@ HEADLINERS = {
     "q_embedding_neardup": "broadcast-corpus GEMM — zero exchanges (mapInPandas over the scan)",
     "x_minhash_pairs": "LSH banding — band self-join moves (id, band, band_key) only; shingles re-join per deduped candidate pair",
     "x_bloom_semi": "Bloom runtime filter (r13) — the sketch reaches the probe side as ONE BroadcastHashJoin on word_idx + a bitwise mask filter BEFORE the verification LeftSemi; exactness lives in the semi-join, scale in the pre-exchange prune",
-    "x_dsir": "DSIR selection (r13) — linear gram explode (repartitioned to cluster parallelism first: a small parquet otherwise pins the stage to 2 tasks), two B-bounded hash aggregates, B-row broadcast ratio join, TakeOrderedAndProject top-k — never a global window",
+    "q_dsir": "DSIR selection (r13) — linear gram explode (repartitioned to cluster parallelism first: a small parquet otherwise pins the stage to 2 tasks), two B-bounded hash aggregates, B-row broadcast ratio join, TakeOrderedAndProject top-k — never a global window",
     "x_rrf": "rank fusion (r13) — two TakeOrdered top-200 lists union into one map-side-combined aggregate + TakeOrderedAndProject; inputs bounded by construction",
     "x_dense_rank": "bucketed global rank (r13) — prefix-bucket window partitions + broadcast offsets; the naive single-task ORDER BY window never appears",
     "x_lsh_ann": "LSH ANN — signature frames carry (id, table, sig) only; vectors re-join per deduped candidate; top-k exchange is (query_id, neighbor_id, cos)",
@@ -56,7 +56,7 @@ ROUND_HEADLINERS = {
     "x_hits": "per-round double power step — the two edge-join score aggregates are the only real shuffles; L1 normalization sums ride 1-row broadcast cross-joins; in-round localCheckpoints stop the 2-4x re-evaluation of twice-referenced aggregates",
     "x_walks": "per-step uniform walk — ONE inner equi join of the O(walks) state onto the indexed cached adjacency + a sink anti join; the md5 coin is expression-level (no RNG, no Python)",
     "x_node2vec": "per-step biased walk — the O(walks) state joins the cached per-node neighbor-ID array frame (cur + prev, int64); the md5 coin is EXPRESSION-LEVEL (rides the plan, r13) and the weighted pick runs CROSS-ROW vectorized in ONE Arrow kernel (flat segment numpy: concatenate/repeat/reduceat + one global searchsorted — no per-row Python loop); one id-to-node join materializes the pick — nothing per-candidate ever shuffles (the candidate-join form OOMed then ran 334 s at the 10x bench; the expression-fold twin survives as impl='expr', pinned equal)",
-    "x_scc_pregel": "SCC outer round, phase 1 (trim) — the captured round is the source/sink peel: two survivor semi-screens of the checkpointed live edge set + a semi-join intersection of src/dst endpoint sets, convergence = two 1-row count aggs; the forward color phase keeps its pointer-jump, the in-color-backward phase is ONE-HOP only (r13: the jump's leaf-with-own-projection broadcast join measured a 2.6x-per-round driver-side blowup as labels converge — 293 s -> 22 s at sf0.1 after removal, hashes unchanged), all O(nodes) state",
+    "q_scc_pregel": "SCC outer round, phase 1 (trim) — the captured round is the source/sink peel: two survivor semi-screens of the checkpointed live edge set + a semi-join intersection of src/dst endpoint sets, convergence = two 1-row count aggs; the forward color phase keeps its pointer-jump, the in-color-backward phase is ONE-HOP only (r13: the jump's leaf-with-own-projection broadcast join measured a 2.6x-per-round driver-side blowup as labels converge — 293 s -> 22 s at sf0.1 after removal, hashes unchanged), all O(nodes) state",
 }
 
 
