@@ -1396,9 +1396,15 @@ def random_walks(
         .withColumn("_od", F.count(F.lit(1)).over(Window.partitionBy("_u")))
         .cache()
     )
+    # nodes derive from the CACHED adj, not from e: the probe, starts
+    # and srcs frames all scan nodes, and deriving them from e re-ran
+    # the caller's whole upstream graph build (join+distinct) once per
+    # consumer — measured ~8 s vs ~3.4 s for x_walks at sf0.1 when the
+    # build isn't pre-materialized (r14 drift hunt).  adj holds the
+    # same distinct edge set, so the node set is identical.
     nodes = (
-        e.select(F.col("_u").alias("node"))
-        .unionByName(e.select(F.col("_v").alias("node")))
+        adj.select(F.col("_u").alias("node"))
+        .unionByName(adj.select(F.col("_v").alias("node")))
         .distinct()
     )
     hint = _state_hint(
