@@ -38,6 +38,7 @@ HEADLINERS = {
     "x_char_entropy": "entropy kernel — ZERO exchanges (stateless Arrow pass; ln/round stay Spark expressions)",
     "x_countmin": "count-min — the sketch exchange is CONSTANT (≤ depth·width rows after partial agg); the probe join broadcasts the sketch",
     "x_containment": "prefix-filter containment — rarest-prefix probes into the element index, every join an equi hash join; the int64 cross-multiplied threshold decides membership",
+    "x_unigram_tokens": "unigram-LM token counts (r14) — broadcast vocab + ONE mapInPandas Arrow pass over the scan, zero joins/exchanges before the output; the Viterbi DP runs per word inside the kernel with a per-task cache",
     "x_triangles": "degree-oriented triangles — wedge self-join bounded by the (degree, node) orientation; the closing probe is a two-key equi hash join against the normalized edge set (never an OR over orientations)",
     "x_web_pipeline": "composed web curation — URL-dedup aggregate + zero-shuffle entropy kernel + ONE per-group quota window; no stage re-evaluates another's subtree",
     "x_edit_join": "Ed-Join fuzzy string join — rarity-prefix candidates from a shared-(gram, rank) equi join + bag-count bound; levenshtein verifies candidates only (never all pairs); short strings via the length-bucket tier",
@@ -56,6 +57,9 @@ ROUND_HEADLINERS = {
     "x_hits": "per-round double power step — the two edge-join score aggregates are the only real shuffles; L1 normalization sums ride 1-row broadcast cross-joins; in-round localCheckpoints stop the 2-4x re-evaluation of twice-referenced aggregates",
     "x_walks": "per-step uniform walk — ONE inner equi join of the O(walks) state onto the indexed cached adjacency + a sink anti join; the md5 coin is expression-level (no RNG, no Python)",
     "x_node2vec": "per-step biased walk — the O(walks) state joins the cached per-node neighbor-ID array frame (cur + prev, int64); the md5 coin is EXPRESSION-LEVEL (rides the plan, r13) and the weighted pick runs CROSS-ROW vectorized in ONE Arrow kernel (flat segment numpy: concatenate/repeat/reduceat + one global searchsorted — no per-row Python loop); one id-to-node join materializes the pick — nothing per-candidate ever shuffles (the candidate-join form OOMed then ran 334 s at the 10x bench; the expression-fold twin survives as impl='expr', pinned equal)",
+    "x_louvain": "per-round mutual-best merge (r14) — two label joins of the edge list rebuild the community graph, ONE (community,community) aggregate bounded by inter-community edges, a |communities|-row best/mutual self-join and a left remap join; state = (node,label) only; merges form a matching so Q climbs monotonically and the early stop is result-identical",
+    "x_betweenness": "per-round BFS-with-sigma (r14) — the captured round is the forward front expansion: ONE equi join of the dist==i front onto the cached src-partitioned edges + one (node,lsrc) sum-aggregate + a left_anti freshness screen; the backward Brandes sweep mirrors it with a (dst,lsrc) join; state = reached (node,lsrc) pairs only",
+    "x_textrank_doc": "per-round doc-grouped pagerank (r14) — the captured round is pagerank_grouped's power step with the doc key on every aggregate: one (g,src)-partitioned edge join moving (g,node,share) rows, one (g,node) inflow aggregate, one g-keyed dangling aggregate; per-doc graphs never serialize to the driver",
     "q_scc_pregel": "SCC outer round, phase 1 (trim) — the captured round is the source/sink peel: two survivor semi-screens of the checkpointed live edge set + a semi-join intersection of src/dst endpoint sets, convergence = two 1-row count aggs; the forward color phase keeps its pointer-jump, the in-color-backward phase is ONE-HOP only (r13: the jump's leaf-with-own-projection broadcast join measured a 2.6x-per-round driver-side blowup as labels converge — 293 s -> 22 s at sf0.1 after removal, hashes unchanged), all O(nodes) state",
 }
 
