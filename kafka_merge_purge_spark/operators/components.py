@@ -847,7 +847,14 @@ def pagerank_grouped(
         .distinct()
         .cache()
     )
-    n_g = nodes.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    # group sizes are loop-invariant — materialize once instead of
+    # re-aggregating the node frame in every power round (r14 bench:
+    # one grouped count × iterations saved)
+    n_g = (
+        nodes.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
     outdeg = (
         e.groupBy("_g", F.col("_src").alias("node"))
         .agg(F.count(F.lit(1)).alias("od"))

@@ -255,10 +255,13 @@ def ppmi_factorize(
     )
     y = _spmm(rows, omega, kp, transpose=False).localCheckpoint(eager=True)
     for _ in range(power_iters):
+        # one orthonormalization per power round (Halko et al. Alg 4.4
+        # re-orthogonalizes once per application of M·Mᵀ; the extra
+        # inner orth of Z costs a full Gram+matmul pass and buys
+        # nothing at 1-2 iterations — removed r14, quality pins
+        # unchanged)
         z = _spmm(rows, _orth(y, kp), kp, transpose=True)
-        y = _spmm(rows, _orth(z, kp), kp, transpose=False).localCheckpoint(
-            eager=True
-        )
+        y = _spmm(rows, z, kp, transpose=False).localCheckpoint(eager=True)
     q = _orth(y, kp)
     z = _spmm(rows, q, kp, transpose=True).localCheckpoint(eager=True)
     c_small = _gram(z, kp)  # = QᵀM MᵀQ
