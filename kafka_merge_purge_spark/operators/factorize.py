@@ -288,3 +288,88 @@ def ppmi_factorize(
     return _finish(q, proj_c, "center").unionByName(
         _finish(z, proj_x, "context")
     )
+
+
+def graph_embeddings(
+    edges: DataFrame | None = None,
+    walks: DataFrame | None = None,
+    k: int = 32,
+    window: int = 2,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    shift: int = 1,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+    walk_kind: str = "uniform",
+    oversample: int = 8,
+    power_iters: int = 1,
+    svd_seed: int = 42,
+    **walk_kwargs,
+) -> DataFrame:
+    """Dense node embeddings from a graph in ONE call — the count-based
+    chain (walks → skip-gram pairs → shifted PPMI →
+    :func:`ppmi_factorize`) packaged like
+    :func:`~kafka_merge_purge_spark.operators.components
+    .sgns_training_corpus` packages the training-data chain, and the
+    model-free equivalent of training SGNS on that corpus (Levy &
+    Goldberg 2014).
+
+    ``walks=`` injects a precomputed corpus (a cached frame or
+    ``read_walk_corpus`` output) and skips walk generation — the
+    walk-substrate amortization convention: sweep ``k``/``window``/
+    ``shift`` over one corpus, pay the walks once.  Otherwise walks
+    generate from ``edges`` via ``random_walks`` (``walk_kind=
+    "node2vec"`` routes to the biased walker; extra ``walk_kwargs``
+    pass through).
+
+    Output: (node, embedding array<float>) — :func:`ppmi_factorize`'s
+    center-side vectors, rows-only determinism (float sums ~1 ulp);
+    every stage's own contract is gated/pinned upstream."""
+    from kafka_merge_purge_spark.operators.components import (
+        node2vec_walks,
+        ppmi_from_pairs,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    if (edges is None) == (walks is None):
+        raise ValueError(
+            "graph_embeddings: pass exactly one of edges= or walks="
+        )
+    if walks is None:
+        if walk_kind == "uniform":
+            walks = random_walks(
+                edges,
+                walk_length=walk_length,
+                walks_per_node=walks_per_node,
+                src=src,
+                dst=dst,
+                seed=seed,
+                **walk_kwargs,
+            )
+        elif walk_kind == "node2vec":
+            walks = node2vec_walks(
+                edges,
+                walk_length=walk_length,
+                walks_per_node=walks_per_node,
+                src=src,
+                dst=dst,
+                seed="n2v" if seed == "walk" else seed,
+                **walk_kwargs,
+            )
+        else:
+            raise ValueError(
+                "graph_embeddings: walk_kind must be 'uniform' or "
+                f"'node2vec', got {walk_kind!r}"
+            )
+        walks = walks.localCheckpoint(eager=True)
+    pairs = skipgram_pairs(walks, window=window)
+    ppmi = ppmi_from_pairs(pairs, shift=shift)
+    return ppmi_factorize(
+        ppmi,
+        k=k,
+        oversample=oversample,
+        power_iters=power_iters,
+        seed=svd_seed,
+    )

@@ -5791,3 +5791,99 @@ def test_sparse_cosine_topk_overflow_guard(spark):
     # lowering quantize per the error message clears it
     ok = sparse_cosine_topk(rows, k=2, quantize=1)
     assert ok.count() >= 0
+
+
+def test_ppmi_factorize_real_data_recall_floor(spark):
+    """Dense rank-16 neighbors vs the exact sparse-cosine ground truth
+    (x_ppmi_topk's path) on the real sf0.001 co-purchase matrix: the
+    PPMI matrix there is near-full-rank (random-ish co-purchases), so
+    a 0.9 floor is impossible for ANY rank-16 factorization — the
+    planted rank-2 fixtures carry the >=0.9 quality contract; this pin
+    (measured 0.447) guards against regressions that would drop the
+    real-data agreement to noise (~5/198 ~= 0.03)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as m
+    from kafka_merge_purge_spark.operators.similarity import (
+        brute_force_topk,
+        topk_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sparse = m.queries()["x_ppmi_topk"](spark, sf).select(
+        "query_id", "rank", F.col("neighbor_id").alias("item")
+    )
+    dense = m.queries()["x_ppmi_factorize"](spark, sf).select(
+        F.col("node").alias("vec_id"), "embedding"
+    )
+    dnn = brute_force_topk(dense, dense, k=5, id_col="vec_id").select(
+        "query_id", "rank", F.col("neighbor_id").alias("item")
+    )
+    row = (
+        topk_recall(sparse, dnn, item_col="item", k=5)
+        .agg(F.avg("recall").alias("r"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert row["n"] > 150
+    assert row["r"] >= 0.3, row["r"]
+
+
+def test_graph_embeddings_one_call_composition(spark):
+    """graph_embeddings == the manual walks->pairs->PPMI->factorize
+    chain (same walk substrate injected into both), walks= skips
+    generation (spy-pinned), and exactly one of edges=/walks= is
+    required."""
+    import numpy as np
+    import pytest as _pytest
+
+    import kafka_merge_purge_spark.operators.factorize as FZ
+    from kafka_merge_purge_spark.operators import components as C
+
+    edges = []
+    for base in (0, 10):
+        for i in range(10):
+            for j in range(10):
+                if i != j:
+                    edges.append((base + i, base + j))
+    e = spark.createDataFrame(edges, "src int, dst int")
+    walks = C.random_walks(e, walk_length=5, walks_per_node=2).localCheckpoint(
+        eager=True
+    )
+    manual = FZ.ppmi_factorize(
+        C.ppmi_from_pairs(C.skipgram_pairs(walks, window=2), shift=1),
+        k=4,
+        oversample=4,
+        power_iters=1,
+    )
+    one_call = FZ.graph_embeddings(walks=walks, k=4, window=2, oversample=4)
+    a = {r["node"]: np.array(r["embedding"]) for r in manual.collect()}
+    b = {r["node"]: np.array(r["embedding"]) for r in one_call.collect()}
+    assert set(a) == set(b) and len(a) == 20
+    # float sums are ~1-ulp nondeterministic across runs, so compare
+    # the GEOMETRY, not the bits: same-clique neighbors dominate both
+    for emb in (a, b):
+        M = np.array([emb[n] for n in sorted(emb)])
+        sims = M @ M.T
+        same = sum(
+            1
+            for i in range(20)
+            for j in np.argsort(-sims[i])[1:4]
+            if (int(sorted(emb)[i]) < 10) == (int(sorted(emb)[j]) < 10)
+        )
+        assert same / 60 >= 0.8
+
+    calls = []
+    orig = C.random_walks
+    C.random_walks = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("walks= given, generation still ran")
+    )
+    try:
+        FZ.graph_embeddings(walks=walks, k=2, oversample=2, power_iters=0)
+    finally:
+        C.random_walks = orig
+    with _pytest.raises(ValueError, match="exactly one"):
+        FZ.graph_embeddings()
+    with _pytest.raises(ValueError, match="exactly one"):
+        FZ.graph_embeddings(edges=e, walks=walks)
+    with _pytest.raises(ValueError, match="walk_kind"):
+        FZ.graph_embeddings(edges=e, walk_kind="levy")
