@@ -1581,6 +1581,63 @@ def q_similarity_topk(spark, sf_dir):
     return sim.brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
+def x_link_auc(spark, sf_dir):
+    """Exact ROC AUC of embedding dot products predicting same-label
+    membership (similarity.exact_auc, r14): the evaluation tier for
+    embeddings — per banded vec_id pair (distance ≤ 4), label =
+    same-cluster, score = floor(1e6·dot + 0.5) int64, then the
+    rank-sum AUC computed with NO pair enumeration and NO global sort
+    (per-score counts + the two-level prefix sum; numerator in
+    DECIMAL(38,0) — 10⁹×10⁹ pairs would break int64).  FULL hash
+    oracle: integer scores make auc_num2/n_pos/n_neg exact; the one
+    double (auc) is a single rounded division."""
+    from kafka_merge_purge_spark.functions.vectors import dot
+    from kafka_merge_purge_spark.operators.similarity import exact_auc
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.vec_id") > F.col("a.vec_id"))
+        & (F.col("b.vec_id") - F.col("a.vec_id") <= 4),
+    ).select(
+        (F.col("a.label") == F.col("b.label")).cast("int").alias("label"),
+        F.floor(
+            dot(F.col("a.e"), F.col("b.e")) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long").alias("score"),
+    )
+    return exact_auc(pairs)
+
+
+_RELATIONAL_ORACLES["x_link_auc"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+               FROM embeddings),
+    p AS (SELECT CAST(a.label = b.label AS INT) AS lab,
+                 CAST(floor(list_dot_product(a.e, b.e) * 1000000 + 0.5)
+                      AS BIGINT) AS s
+          FROM v a JOIN v b
+            ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 4),
+    g AS (SELECT s, SUM(lab) AS pc, SUM(1 - lab) AS nc FROM p GROUP BY s),
+    o AS (SELECT s, pc, nc,
+                 COALESCE(SUM(nc) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS below
+          FROM g),
+    t AS (SELECT SUM(CAST(pc AS DECIMAL(38,0))
+                     * (2 * CAST(below AS DECIMAL(38,0)) + nc)) AS num2,
+                 SUM(pc) AS np, SUM(nc) AS nn
+          FROM o)
+    SELECT CAST(COALESCE(num2, 0) AS DECIMAL(38,0)) AS auc_num2,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CASE WHEN np > 0 AND nn > 0
+                THEN round(CAST(num2 AS DOUBLE) / (2.0 * np * nn), 6)
+           END AS auc
+    FROM t"""
+
+
 def x_minhash_pairs(spark, sf_dir):
     """MinHash-LSH fuzzy-dup candidates, Jaccard-verified.  Hash-checked
     since round 5: the md5-affine signature chain is portable by

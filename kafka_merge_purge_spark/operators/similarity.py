@@ -1298,3 +1298,113 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col("item"))
         .limit(k)
     )
+
+
+def exact_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """Exact ROC AUC of integer scores WITHOUT a global sort — the
+    evaluation primitive for the embedding tier (r14): does a score
+    (quantized dot product, BM25, fused rank) separate positives from
+    negatives?  AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), the
+    probabilistic (rank-sum) form.
+
+    Exact arithmetic: scores must already be int64 (the repo's
+    quantize-first idiom — floor(1e6·dot + 0.5) upstream); per distinct
+    score the positive/negative counts aggregate, the negative counts
+    prefix-sum in ascending score order, and
+
+        auc_num2 = Σ_s pos_c(s) · (2·neg_below(s) + neg_c(s))
+
+    (DECIMAL(38,0): at 10⁹ positives × 10⁹ negatives the product hits
+    10¹⁸·2 — int64 edge) gives ``AUC = auc_num2 / (2·P·N)`` with ties
+    counted half, NO pair enumeration and NO float accumulation.
+
+    Scale shape: one score-keyed aggregate (map-side combined), then
+    the two-level prefix sum over DISTINCT scores — scores bucket by
+    ``score DIV bucket_size`` (floor semantics via pmod, negatives
+    included), buckets prefix-sum locally under a partitioned window,
+    and only the per-bucket totals (tiny) take the ordered global
+    window — the pack_sequences posture: no single-task window over
+    the score axis.  Output is ONE row; nothing else collects.
+
+    Output: (auc_num2 decimal(38,0), n_pos, n_neg, auc double) — auc
+    = round(num2/(2PN), 6), NULL when either class is empty."""
+    from pyspark.sql import Window
+
+    if bucket_size < 1:
+        raise ValueError(
+            f"exact_auc: bucket_size must be >= 1, got {bucket_size}"
+        )
+    d38 = "decimal(38,0)"
+    g = (
+        scored.filter(
+            F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+        )
+        .select(
+            F.col(score_col).cast("long").alias("_s"),
+            F.when(F.col(label_col).cast("int") != 0, 1)
+            .otherwise(0)
+            .alias("_pos"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("_pos").alias("_pc"),
+            F.sum(1 - F.col("_pos")).alias("_nc"),
+        )
+    )
+    # floor-division bucket (Spark DIV truncates toward zero; pmod
+    # first makes the numerator exactly divisible, so negatives bucket
+    # correctly and DuckDB's flooring // agrees)
+    g = g.withColumn(
+        "_b",
+        F.expr(f"(_s - pmod(_s, {bucket_size})) DIV {bucket_size}"),
+    )
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = g.groupBy("_b").agg(F.sum("_nc").alias("_bt"))
+    w_pref = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_bt").over(w_pref), F.lit(0)).alias("_off")
+    )
+    terms = (
+        g.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_below", F.col("_off") + F.coalesce(F.sum("_nc").over(w_local), F.lit(0))
+        )
+        .select(
+            (
+                F.col("_pc").cast(d38)
+                * (F.lit(2).cast(d38) * F.col("_below").cast(d38) + F.col("_nc").cast(d38))
+            ).alias("_t"),
+            "_pc",
+            "_nc",
+        )
+    )
+    return terms.agg(
+        F.coalesce(F.sum("_t"), F.lit(0).cast(d38)).cast(d38).alias("auc_num2"),
+        F.coalesce(F.sum("_pc"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("_nc"), F.lit(0)).cast("long").alias("n_neg"),
+    ).select(
+        "auc_num2",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("auc_num2").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
+                6,
+            ),
+        ).alias("auc"),
+    )

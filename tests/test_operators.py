@@ -5887,3 +5887,41 @@ def test_graph_embeddings_one_call_composition(spark):
         FZ.graph_embeddings(edges=e, walks=walks)
     with _pytest.raises(ValueError, match="walk_kind"):
         FZ.graph_embeddings(edges=e, walk_kind="levy")
+
+
+def test_exact_auc_matches_pair_enumeration(spark):
+    """exact_auc's rank-sum form must equal brute-force pair counting
+    (P(s+ > s-) + half ties) on a tied, negative-scored fixture; the
+    multi-bucket prefix path (bucket_size=2) gives identical results;
+    empty classes yield NULL auc."""
+    from kafka_merge_purge_spark.operators.similarity import exact_auc
+    import pytest as _pytest
+
+    rows = [
+        (1, 5), (1, 3), (1, 3), (1, -2),
+        (0, 3), (0, 0), (0, -2), (0, -7), (0, -7),
+    ]
+    df = spark.createDataFrame(rows, "label int, score long")
+    # brute force reference
+    pos = [s for l, s in rows if l == 1]
+    neg = [s for l, s in rows if l == 0]
+    num2 = sum(2 if p > n else 1 if p == n else 0 for p in pos for n in neg)
+    want_auc = round(num2 / (2 * len(pos) * len(neg)), 6)
+    for bs in (1_000_000, 2, 1):
+        got = exact_auc(df, bucket_size=bs).collect()[0]
+        assert int(got["auc_num2"]) == num2, (bs, got)
+        assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+        assert got["auc"] == want_auc
+    # perfect separation / reversal / all ties
+    sep = spark.createDataFrame([(1, 10), (1, 9), (0, 1), (0, 0)], "label int, score long")
+    assert exact_auc(sep).collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame([(0, 10), (0, 9), (1, 1), (1, 0)], "label int, score long")
+    assert exact_auc(rev).collect()[0]["auc"] == 0.0
+    tie = spark.createDataFrame([(1, 7), (0, 7)], "label int, score long")
+    assert exact_auc(tie).collect()[0]["auc"] == 0.5
+    # one class only -> NULL auc
+    onec = spark.createDataFrame([(1, 7), (1, 3)], "label int, score long")
+    row = exact_auc(onec).collect()[0]
+    assert row["auc"] is None and row["n_neg"] == 0
+    with _pytest.raises(ValueError, match="bucket_size"):
+        exact_auc(df, bucket_size=0)
