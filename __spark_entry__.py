@@ -1590,19 +1590,22 @@ def x_link_auc(spark, sf_dir):
     (per-score counts + the two-level prefix sum; numerator in
     DECIMAL(38,0) — 10⁹×10⁹ pairs would break int64).  FULL hash
     oracle: integer scores make auc_num2/n_pos/n_neg exact; the one
-    double (auc) is a single rounded division."""
+    double (auc) is a single rounded division.
+
+    r15: the pair stage is rangejoin.offset_pairs — the bounded offset
+    ``1 <= b.vec_id - a.vec_id <= 4`` explodes to an equi key
+    (``b.vec_id == a.vec_id + d``), ONE hash join producing exactly the
+    4n real pairs with the dot computed post-join only, replacing the
+    r14 BroadcastNestedLoopJoin that evaluated ~n²/2 dot products for a
+    4n-pair output.  Same pairs, same scores, same hash."""
     from kafka_merge_purge_spark.functions.vectors import dot
+    from kafka_merge_purge_spark.operators.rangejoin import offset_pairs
     from kafka_merge_purge_spark.operators.similarity import exact_auc
 
     v = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
     )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.vec_id") > F.col("a.vec_id"))
-        & (F.col("b.vec_id") - F.col("a.vec_id") <= 4),
-    ).select(
+    pairs = offset_pairs(v, v, "vec_id", max_offset=4).select(
         (F.col("a.label") == F.col("b.label")).cast("int").alias("label"),
         F.floor(
             dot(F.col("a.e"), F.col("b.e")) * F.lit(1000000.0) + F.lit(0.5)

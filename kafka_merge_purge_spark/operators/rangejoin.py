@@ -62,6 +62,54 @@ def binned_range_join(
     return out.drop("_bin")
 
 
+def offset_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    max_offset: int,
+    left_alias: str = "a",
+    right_alias: str = "b",
+    min_offset: int = 1,
+) -> DataFrame:
+    """Bounded-offset self/pair join as an EQUI join: all (a, b) pairs
+    with ``min_offset <= b.id - a.id <= max_offset`` over an integer id
+    column — the third instance of the repo's "non-equi band → equi key"
+    rewrite (after :func:`binned_range_join`'s bins and the dedup tier's
+    LSH bands), so it's an API now.
+
+    A naive ``b.id > a.id AND b.id - a.id <= k`` condition has no equi
+    component, so Catalyst plans a BroadcastNestedLoopJoin — O(n²)
+    predicate evaluations for an O(n·k) output, and any expression that
+    references both sides (e.g. a dot product in a downstream filter
+    that Catalyst pulls into the join) is evaluated n²/2 times.  The
+    rewrite explodes the bounded offset on the LEFT side —
+    ``d ∈ [min_offset, max_offset]``, join on ``b.id == a.id + d`` —
+    ONE hash join (broadcast or shuffle, Catalyst's choice) that
+    produces exactly the k·n real pairs and evaluates downstream
+    expressions only on those.
+
+    At 100 TB: the left side widens by the constant factor k (narrow
+    generate, no shuffle by itself), the join is a plain equi hash join
+    on a near-unique key, and nothing is quadratic.  Returns the joined
+    DataFrame with both sides accessible via ``left_alias``/
+    ``right_alias``; the ``_d`` offset column is dropped.
+    """
+    if min_offset > max_offset:
+        raise ValueError(
+            f"offset_pairs: min_offset ({min_offset}) > max_offset ({max_offset})"
+        )
+    a = left.withColumn(
+        "_d", F.explode(F.sequence(F.lit(min_offset), F.lit(max_offset)))
+    ).alias(left_alias)
+    b = right.alias(right_alias)
+    out = a.join(
+        b,
+        F.col(f"{right_alias}.{id_col}")
+        == F.col(f"{left_alias}.{id_col}") + F.col("_d"),
+    )
+    return out.drop("_d")
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -612,6 +612,65 @@ def test_binned_range_join_matches_naive_and_hash_joins(spark, tables):
     assert node_count(binned, "BroadcastNestedLoopJoin") == 0
 
 
+def test_offset_pairs_matches_naive_and_hash_joins(spark, tables):
+    from kafka_merge_purge_spark.operators.rangejoin import offset_pairs
+    from kafka_merge_purge_spark.plans.introspect import node_count
+
+    v = tables["embeddings"].select("vec_id", "label")
+    naive = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("b.vec_id") > F.col("a.vec_id"))
+            & (F.col("b.vec_id") - F.col("a.vec_id") <= 4),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    fast = offset_pairs(v, v, "vec_id", max_offset=4).select(
+        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+    # the whole point: an equi hash join, not a nested-loop join
+    assert node_count(fast, "BroadcastNestedLoopJoin") == 0
+    assert node_count(fast, "CartesianProduct") == 0
+    assert (
+        node_count(fast, "BroadcastHashJoin")
+        + node_count(fast, "SortMergeJoin")
+        + node_count(fast, "ShuffledHashJoin")
+        == 1
+    )
+
+
+def test_offset_pairs_min_offset_and_validation(spark):
+    from kafka_merge_purge_spark.operators.rangejoin import offset_pairs
+
+    df = spark.range(6).withColumnRenamed("id", "k")
+    got = sorted(
+        (r["a"], r["b"])
+        for r in offset_pairs(df, df, "k", max_offset=3, min_offset=2)
+        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+        .collect()
+    )
+    want = sorted(
+        (i, i + d) for i in range(6) for d in (2, 3) if i + d < 6
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="min_offset"):
+        offset_pairs(df, df, "k", max_offset=1, min_offset=2)
+
+
+def test_link_auc_plan_has_no_nested_loop_join(spark):
+    from kafka_merge_purge_spark.plans.introspect import node_count
+    import __spark_entry__ as E
+
+    df = E.queries()["x_link_auc"](spark, "/root/testdata/sf0.001")
+    assert node_count(df, "BroadcastNestedLoopJoin") == 0
+    assert node_count(df, "CartesianProduct") == 0
+
+
 def test_train_test_split_deterministic_and_proportional(tables):
     split = tx.train_test_split(tables["documents"])
     counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}

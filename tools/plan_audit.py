@@ -43,6 +43,7 @@ HEADLINERS = {
     "x_web_pipeline": "composed web curation — URL-dedup aggregate + zero-shuffle entropy kernel + ONE per-group quota window; no stage re-evaluates another's subtree",
     "x_edit_join": "Ed-Join fuzzy string join — rarity-prefix candidates from a shared-(gram, rank) equi join + bag-count bound; levenshtein verifies candidates only (never all pairs); short strings via the length-bucket tier",
     "x_nation_volume": "TPC-H Q7 shape — fact chain shuffles on its keys once; supplier + both nation sides broadcast; the pair disjunction filters before the year aggregate",
+    "x_link_auc": "exact AUC over banded pairs (r15) — the bounded-offset pair stage is offset_pairs' EQUI hash join (b.id == a.id + exploded d), never a BroadcastNestedLoopJoin, and the dot product evaluates post-join on the 4n real pairs only; the AUC tail is map-side-combined per-score counts + the two-level prefix sum (no global sort, no pair re-enumeration)",
 }
 
 #: Iterative operators execute as a LOOP of materialized rounds — their
