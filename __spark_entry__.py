@@ -1597,29 +1597,48 @@ def x_link_auc(spark, sf_dir):
     (``b.vec_id == a.vec_id + d``), ONE hash join producing exactly the
     4n real pairs with the dot computed post-join only, replacing the
     r14 BroadcastNestedLoopJoin that evaluated ~n²/2 dot products for a
-    4n-pair output.  Same pairs, same scores, same hash."""
-    from kafka_merge_purge_spark.functions.vectors import dot
+    4n-pair output.
+
+    r15 robustness: the score is QUANTIZE-FIRST — each component maps
+    to int64 via ``floor(x·10³ + 0.5)`` (one multiply + one floor, no
+    accumulation, so bit-identical on any IEEE engine), then the score
+    is the plain integer dot (64 products ≤ 10⁶ each, sum ≤ 6.4·10⁷ —
+    far inside both int64 and double's 2⁵³ exact-integer range, so
+    DuckDB's double-typed list_dot_product over the quantized lists is
+    still exact).  The r14 form floored 1e6·(double dot) and leaned on
+    both engines' 64-term fold accumulating bit-identically — a 1-ulp
+    difference at a representation boundary would flip the floor
+    (ADVICE r14)."""
     from kafka_merge_purge_spark.operators.rangejoin import offset_pairs
     from kafka_merge_purge_spark.operators.similarity import exact_auc
 
-    v = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1000.0) + F.lit(0.5)).cast("long"),
     )
+    v = _t(spark, sf_dir, "embeddings").select("vec_id", q.alias("e"), "label")
     pairs = offset_pairs(v, v, "vec_id", max_offset=4).select(
         (F.col("a.label") == F.col("b.label")).cast("int").alias("label"),
-        F.floor(
-            dot(F.col("a.e"), F.col("b.e")) * F.lit(1000000.0) + F.lit(0.5)
-        ).cast("long").alias("score"),
+        F.aggregate(
+            F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("score"),
     )
     return exact_auc(pairs)
 
 
 _RELATIONAL_ORACLES["x_link_auc"] = """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+    WITH v AS (SELECT vec_id,
+                      -- quantize-first: per-component floor(x*1e3+0.5) is a
+                      -- single multiply+floor (no accumulation), and the
+                      -- integer-valued double dot is exact below 2^53
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> floor(x * 1000 + 0.5)) AS e,
+                      label
                FROM embeddings),
     p AS (SELECT CAST(a.label = b.label AS INT) AS lab,
-                 CAST(floor(list_dot_product(a.e, b.e) * 1000000 + 0.5)
-                      AS BIGINT) AS s
+                 CAST(list_dot_product(a.e, b.e) AS BIGINT) AS s
           FROM v a JOIN v b
             ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 4),
     g AS (SELECT s, SUM(lab) AS pc, SUM(1 - lab) AS nc FROM p GROUP BY s),
@@ -1633,8 +1652,8 @@ _RELATIONAL_ORACLES["x_link_auc"] = """
                  SUM(pc) AS np, SUM(nc) AS nn
           FROM o)
     SELECT CAST(COALESCE(num2, 0) AS DECIMAL(38,0)) AS auc_num2,
-           CAST(np AS BIGINT) AS n_pos,
-           CAST(nn AS BIGINT) AS n_neg,
+           CAST(COALESCE(np, 0) AS BIGINT) AS n_pos,
+           CAST(COALESCE(nn, 0) AS BIGINT) AS n_neg,
            CASE WHEN np > 0 AND nn > 0
                 THEN round(CAST(num2 AS DOUBLE) / (2.0 * np * nn), 6)
            END AS auc
@@ -8236,9 +8255,14 @@ def _pagerank_grouped_unroll(iters: int) -> tuple[str, str]:
     """(ctes, final_select) replaying components.pagerank_grouped's
     exact int64 arithmetic over an upstream CTE ``e(doc, src, dst)``
     (symmetrized) — the grouped twin of :func:`_pagerank_unroll`,
-    every aggregate/join keyed by doc."""
+    every aggregate/join keyed by doc.  The node set unions BOTH
+    endpoints (r15, r14 ADVICE): pagerank_grouped does src UNION dst,
+    and while the symmetrized x_textrank_doc graph makes src-only
+    equivalent, a directed reuse of this unroll would silently drop
+    dangling dst-only nodes."""
     parts = [
-        "nodes AS (SELECT DISTINCT doc, src AS node FROM e)",
+        "nodes AS (SELECT DISTINCT doc, src AS node FROM e"
+        " UNION SELECT DISTINCT doc, dst AS node FROM e)",
         "nn AS (SELECT doc, COUNT(*) AS c FROM nodes GROUP BY doc)",
         "od AS (SELECT doc, src AS node, COUNT(*) AS od FROM e"
         " GROUP BY doc, src)",

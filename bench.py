@@ -108,6 +108,17 @@ def main() -> None:
     # cross-round comparisons, primaries_sec is the stable 50-query gated
     # basis, per_query_sec the load-robust average
     primaries = round(sum(v for k, v in timings.items() if k.startswith("q_")), 3)
+    # primaries_basis fingerprints the gated q_* WINDOW (r15, r14
+    # ADVICE): the r14 q_/x_ renames swapped three trivial rows for the
+    # two heaviest queries in the suite, silently breaking cross-round
+    # primaries_sec comparisons; any window change now changes this
+    # value, so tools/bench_compare.py can refuse cross-basis reads
+    # instead of leaning on a prose note in BENCH_SCALE.md.
+    import hashlib
+
+    primaries_basis = hashlib.sha256(
+        ",".join(sorted(k for k in timings if k.startswith("q_"))).encode()
+    ).hexdigest()[:8]
     summary = {
         "metric": "declared_query_suite_wall_clock",
         "value": round(total, 3),
@@ -115,6 +126,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "primaries_sec": primaries,
+        "primaries_basis": primaries_basis,
         "per_query_sec": round(total / max(len(timings), 1), 3),
         # cache-drain basis marker (see tools/bench_compare.py /
         # BASELINE.md "Bench-basis update"): numbers are post-drain

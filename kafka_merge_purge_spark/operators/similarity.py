@@ -1105,6 +1105,7 @@ def sparse_cosine_topk(
     val_col: str = "value",
     quantize: int = 10**6,
     max_df: int | None = None,
+    check_overflow: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k between SPARSE vectors stored as (id, feature,
     value) triples — the inverted-index algorithm: candidate pairs are
@@ -1126,17 +1127,20 @@ def sparse_cosine_topk(
     discrimination).  The cut is part of the declared semantics (the
     oracle applies the same cut), so the result stays hash-exact.
 
-    **int64 envelope (r13 advice 3)**: with ``M = max|qv| =
-    max|value|·quantize`` and ``NNZ = max nonzeros per vector``, the
-    largest integer formed is ``M²·NNZ`` (a norm, and an upper bound
-    on any pair dot).  At ``quantize=1e6`` a vector of ~10⁶ entries of
-    magnitude ~1 reaches ~10¹⁸ — the int64 edge.  The operator PROBES
-    ``max(M²·nnz_id)`` eagerly (one bounded aggregate, the
-    _state_hint posture) and raises naming ``quantize`` when the
-    envelope would be exceeded: lowering ``quantize`` trades ~1 ulp of
-    cosine resolution per decade for 100× headroom.  (Spark 4 ANSI
-    would raise mid-job anyway — this guard converts that into an
-    upfront, actionable error.)
+    **int64 envelope (r13 advice 3, tightened r15)**: the largest
+    integer this plan forms is a squared norm ``Σ qv²`` per id — and by
+    Cauchy-Schwarz every pair dot satisfies ``|dot| ≤ √(n2_a·n2_b) ≤
+    max n2``, so ``max_id Σ qv² ≤ 2⁶³−1`` is EXACT, not conservative:
+    inputs whose actual norms fit int64 never raise (the r14 form
+    bounded by ``max(qv)²·nnz``, which over-rejected).  At
+    ``quantize=1e6`` a vector of ~10⁶ entries of magnitude ~1 reaches
+    ~10¹⁸ — the int64 edge.  The probe is one bounded DECIMAL(38,0)
+    aggregate (cannot itself overflow) run eagerly so the error is
+    upfront and actionable instead of Spark 4 ANSI's mid-job raise;
+    ``check_overflow=False`` skips the blocking job when the caller
+    already knows its value/nnz bounds make overflow impossible.
+    Lowering ``quantize`` trades ~1 ulp of cosine resolution per
+    decade for 100× headroom.
 
     Scale shape: one feature-keyed self-join (AQE-skew-splittable) +
     one (id_a, id_b)-keyed aggregate + one per-id top-k window over
@@ -1164,25 +1168,31 @@ def sparse_cosine_topk(
         .filter(F.col("_id").isNotNull() & F.col("_f").isNotNull())
         .filter(F.col("_qv") != 0)
     )
-    # eager int64-envelope probe (r13 advice 3): the largest integer
-    # this plan forms is max(qv² · nnz) per id — check it BEFORE any
-    # norm/dot sum can overflow mid-job.  Decimal arithmetic in the
-    # probe itself cannot overflow (38 digits).
-    env = q.groupBy("_id").agg(
-        (
-            F.max(F.abs(F.col("_qv"))).cast("decimal(38,0)")
-            * F.max(F.abs(F.col("_qv"))).cast("decimal(38,0)")
-            * F.count(F.lit(1)).cast("decimal(38,0)")
-        ).alias("_env")
-    ).agg(F.max("_env").alias("_worst")).collect()
-    if env and env[0]["_worst"] is not None and int(env[0]["_worst"]) > 2**63 - 1:
-        raise ValueError(
-            "sparse_cosine_topk: int64 overflow envelope exceeded — "
-            f"max(value²·quantize²·nnz) ≈ {float(env[0]['_worst']):.3e} > 2^63-1. "
-            f"Lower quantize (currently {quantize}; each /10 buys 100× "
-            "headroom at ~1 ulp cosine resolution per decade) or scale "
-            "the input values down."
+    # eager int64-envelope probe (r13 advice 3; exact since r15): the
+    # largest integer this plan forms is a squared norm Σqv² per id,
+    # which also bounds every pair dot (Cauchy-Schwarz) — check the
+    # EXACT value in DECIMAL(38,0) (cannot itself overflow) BEFORE any
+    # int64 norm/dot sum can overflow mid-job.
+    if check_overflow:
+        env = (
+            q.groupBy("_id")
+            .agg(
+                F.sum(
+                    F.col("_qv").cast("decimal(38,0)")
+                    * F.col("_qv").cast("decimal(38,0)")
+                ).alias("_env")
+            )
+            .agg(F.max("_env").alias("_worst"))
+            .collect()
         )
+        if env and env[0]["_worst"] is not None and int(env[0]["_worst"]) > 2**63 - 1:
+            raise ValueError(
+                "sparse_cosine_topk: int64 overflow envelope exceeded — "
+                f"max_id Σ(value·quantize)² ≈ {float(env[0]['_worst']):.3e} > 2^63-1. "
+                f"Lower quantize (currently {quantize}; each /10 buys 100× "
+                "headroom at ~1 ulp cosine resolution per decade) or scale "
+                "the input values down."
+            )
     # norms BEFORE the df cut: a vector's length is a property of the
     # vector, not of which features survive the posting guard
     norms = q.groupBy("_id").agg(F.sum(F.col("_qv") * F.col("_qv")).alias("_n2"))

@@ -4702,6 +4702,38 @@ def test_sparse_cosine_topk_inverted_index(spark):
         sparse_cosine_topk(rows, max_df=0)
 
 
+def test_sparse_cosine_topk_envelope_is_exact_not_conservative(spark):
+    """r15 (r14 ADVICE): the int64 probe checks the EXACT max Σqv², so
+    an input whose true norms fit int64 runs even where the old
+    max(qv)²·nnz bound would have rejected; a genuinely overflowing
+    norm still raises upfront; check_overflow=False skips the probe."""
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.similarity import sparse_cosine_topk
+
+    # max(qv)²·nnz = (3e9)²·2 = 1.8e19 > 2^63-1 (old bound rejects),
+    # but Σqv² = 9e18 + 1 < 2^63-1 ≈ 9.223e18 (exact bound passes)
+    ok = spark.createDataFrame(
+        [("a", 1, 3.0e9), ("a", 2, 1.0), ("b", 1, 3.0e9), ("b", 2, 1.0)],
+        "id string, feature int, value double",
+    )
+    got = sparse_cosine_topk(ok, k=1, quantize=1).count()
+    assert got == 2  # both orientations of the (a, b) pair
+
+    bad = spark.createDataFrame(
+        [("a", 1, 3.1e9)], "id string, feature int, value double"
+    )  # qv² = 9.61e18 > 2^63-1
+    with _pytest.raises(ValueError, match="overflow envelope"):
+        sparse_cosine_topk(bad, k=1, quantize=1)
+    # caller-asserted bounds skip the blocking probe (plan still builds)
+    assert sparse_cosine_topk(bad, k=1, quantize=1, check_overflow=False).columns == [
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cos",
+    ]
+
+
 def test_ppmi_from_pairs_exact_counts_and_shift(spark):
     """ppmi_from_pairs (r13): hand-computed margins on a 6-pair corpus,
     integer-exact positivity (a marginal pair with PMI < 0 drops; the

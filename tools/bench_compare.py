@@ -83,6 +83,21 @@ def main() -> int:
         rows.append((adj_pct, name, a, b, b_adj, f"{pct:+.0f}% (adj {adj_pct:+.0f}%)"))
 
     regressions = 0
+    # primaries_sec is only comparable inside one gated-window basis
+    # (r15, r14 ADVICE): the fingerprint is a hash of the sorted q_*
+    # names, so any window change (renames, promotions) flips it
+    ob, nb = old.get("primaries_basis"), new.get("primaries_basis")
+    if ob and nb and ob != nb:
+        print(
+            f"  !! primaries_basis {ob} -> {nb}: the gated q_* window "
+            "CHANGED between these files — primaries_sec values are NOT "
+            "comparable (per-query deltas below remain valid)"
+        )
+    elif (ob or nb) and not (ob and nb):
+        print(
+            "  !! one file predates the primaries_basis marker (r15) — "
+            "treat primaries_sec comparison as unverified"
+        )
     print(f"total: {old['value']}s -> {new['value']}s "
           f"({len(oq)} -> {len(nq)} queries); "
           f"uniform host factor {host_factor:.3f}"
