@@ -689,6 +689,59 @@ def x_corr(spark, sf_dir):
     return g.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
 
 
+def x_spearman(spark, sf_dir):
+    """Distributed exact Spearman rank correlation (similarity.
+    spearman_corr, r15 — r14 verdict missing item 4: the embedding-eval
+    completion next to exact_auc/topk_recall): ρ between l_quantity and
+    l_extendedprice (both quantized to int64 via floor(x·Q + 0.5)).
+    Average-tie ranks as exact ×2 integers from the two-level bucketed
+    prefix sum (no global sort), DECIMAL(38,0) moment sums, one rounded
+    division — FULL hash oracle replaying the same integer formula with
+    HUGEINT arithmetic and a window over DISTINCT values only."""
+    from kafka_merge_purge_spark.operators.similarity import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    return spearman_corr(pts, "x", "y")
+
+
+_SPEARMAN_ORACLE = """
+    WITH d AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    xr AS (SELECT x,
+                  2 * COALESCE(SUM(c) OVER (ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 AS rx
+           FROM (SELECT x, COUNT(*) AS c FROM d GROUP BY x)),
+    yr AS (SELECT y,
+                  2 * COALESCE(SUM(c) OVER (ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 AS ry
+           FROM (SELECT y, COUNT(*) AS c FROM d GROUP BY y)),
+    r AS (SELECT CAST(rx AS HUGEINT) AS rx, CAST(ry AS HUGEINT) AS ry
+          FROM d JOIN xr USING (x) JOIN yr USING (y)),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 COALESCE(SUM(rx), 0) AS sx, COALESCE(SUM(ry), 0) AS sy,
+                 COALESCE(SUM(rx * ry), 0) AS sxy,
+                 COALESCE(SUM(rx * rx), 0) AS sxx,
+                 COALESCE(SUM(ry * ry), 0) AS syy
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS spearman_rho
+    FROM m"""
+
+
 def q_skew_join_salted(spark, sf_dir):
     """Salted skew join: orders⋈customer with the fact side salted 8 ways
     and the dimension exploded to match.  Result-identical to the plain
@@ -1529,6 +1582,7 @@ _RELATIONAL_ORACLES = {
                round((n * sxy - sx * sy) /
                      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         FROM g""",
+    "x_spearman": _SPEARMAN_ORACLE,
 }
 
 
@@ -2635,6 +2689,55 @@ _LLM_ORACLES["x_bigram_logprob"] = f"""
            round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
            COUNT(*) AS n_bigrams
     FROM bg JOIN lp USING (w1, w2)
+    GROUP BY doc_id"""
+
+
+def x_trigram_logprob(spark, sf_dir):
+    """Interpolated-backoff trigram LM scoring (r15 — r14 verdict
+    missing item 3): mean log P(w3|w1,w2) per document under the
+    Jelinek-Mercer λ-mix of trigram/bigram/unigram ML tiers — the
+    CCNet-style perplexity-filter standard above x_bigram_logprob's
+    add-k.  The λ-interpolation is an EXACT integer rational
+    (DECIMAL(38,0) numerator/denominator of count products; one double
+    division + round(ln, 6) at the end), so the oracle replays it
+    bit-for-bit."""
+    return tx.trigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_LLM_ORACLES["x_trigram_logprob"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    tg AS (SELECT doc_id,
+                  unnest(toks[1:len(toks)-2]) AS w1,
+                  unnest(toks[2:len(toks)-1]) AS w2,
+                  unnest(toks[3:len(toks)]) AS w3
+           FROM base WHERE len(toks) >= 3),
+    bg AS (SELECT unnest(toks[1:len(toks)-1]) AS b1,
+                  unnest(toks[2:len(toks)]) AS b2
+           FROM base WHERE len(toks) >= 2),
+    un AS (SELECT unnest(toks) AS w FROM base),
+    tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+    h12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tg GROUP BY 1, 2),
+    bc AS (SELECT b1, b2, COUNT(*) AS c23 FROM bg GROUP BY 1, 2),
+    h2 AS (SELECT b1, COUNT(*) AS c2 FROM bg GROUP BY 1),
+    uc AS (SELECT w, COUNT(*) AS c3 FROM un GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM un),
+    lp AS (SELECT tc.w1, tc.w2, tc.w3,
+                  CAST(round(ln(
+                      CAST(5 * CAST(c123 AS HUGEINT) * c2 * t
+                           + 3 * CAST(c23 AS HUGEINT) * c12 * t
+                           + 2 * CAST(c3 AS HUGEINT) * c12 * c2 AS DOUBLE)
+                      / CAST(10 * CAST(c12 AS HUGEINT) * c2 * t AS DOUBLE)
+                  ), 6) AS DECIMAL(18,6)) AS lp
+           FROM tc
+           JOIN h12 USING (w1, w2)
+           JOIN bc ON bc.b1 = tc.w2 AND bc.b2 = tc.w3
+           JOIN h2 ON h2.b1 = tc.w2
+           JOIN uc ON uc.w = tc.w3, tot)
+    SELECT doc_id,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           COUNT(*) AS n_trigrams
+    FROM tg JOIN lp USING (w1, w2, w3)
     GROUP BY doc_id"""
 
 
@@ -8041,6 +8144,36 @@ def x_ppmi_factorize(spark, sf_dir):
     )
     ppmi = ppmi_from_pairs(pairs, shift=1).select("center", "context", "ppmi")
     return ppmi_factorize(ppmi, k=16, oversample=8, power_iters=1)
+
+
+def x_graph_embeddings(spark, sf_dir):
+    """One-call graph → dense node embeddings (factorize.
+    graph_embeddings, r14; gated r15 — r14 verdict missing item 5):
+    walks → skip-gram pairs → shifted PPMI → randomized-SVD factorize
+    packaged as a single operator over the bidirectional supplier↔
+    customer co-trade graph.  Rows-only at the gate (◇, the
+    x_ppmi_factorize convention: cross-partition float sums are ~1-ulp
+    nondeterministic); the chain's stages are each separately
+    hash-gated (x_walks, x_skipgram_pairs, x_ppmi) and the composition
+    equality + reconstruction floors are pytest-pinned."""
+    from kafka_merge_purge_spark.operators.factorize import graph_embeddings
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return graph_embeddings(
+        edges=edges, k=8, walk_length=3, oversample=4, power_iters=1
+    )
 
 
 _RELATIONAL_ORACLES["x_ppmi_topk"] = """

@@ -1418,3 +1418,106 @@ def exact_auc(
             ),
         ).alias("auc"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """Distributed exact Spearman rank correlation (r15 — the
+    embedding-eval completion next to :func:`exact_auc` and
+    :func:`topk_recall`: word-similarity benchmarks report Spearman ρ
+    between model scores and human judgments) — Pearson over
+    AVERAGE-TIE ranks, with NO global sort and NO float drift:
+
+    - both columns must be integer-valued (cast to int64 — quantize
+      floats upstream with the repo's ``floor(x·Q + 0.5)`` idiom);
+    - per distinct value the average rank is carried as an exact ×2
+      integer, ``rank2(v) = 2·|{u < v}| + count(v) + 1`` (the
+      (rank_lo + rank_hi) tie mean, doubled to stay integral), computed
+      with the :func:`exact_auc` two-level prefix sum: per-value counts
+      bucket by ``value DIV bucket_size``, prefix-sum locally under a
+      partitioned window, and only the tiny per-bucket totals take the
+      ordered global window — never a single-task window over the value
+      axis.  (The numeric twin of components.scalable_dense_rank, which
+      ranks in STRING order and would mis-rank numeric axes.)
+    - rank pairs re-join to the rows by value (equi hash joins), and
+      the moments (n, Σrx, Σry, Σrx·ry, Σrx², Σry²) aggregate in
+      DECIMAL(38,0) — exact integers, so both engines derive identical
+      numerator/denominators; the ×2 carried factor cancels in Pearson.
+      Envelope: n·Σrx·ry ≤ 4n⁴ must fit 38 digits → n ≤ ~2·10⁹ rows.
+    - only the final ``round(num / (√dx·√dy), 6)`` touches IEEE doubles
+      (three correctly-rounded ops on exact decimal casts).
+
+    Output: ONE row (n bigint, spearman_rho double) — rho NULL when
+    either column is constant (zero rank variance) or n = 0."""
+    from pyspark.sql import Window
+
+    if bucket_size < 1:
+        raise ValueError(
+            f"spearman_corr: bucket_size must be >= 1, got {bucket_size}"
+        )
+    d38 = "decimal(38,0)"
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        g = pts.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        # floor-division bucket (pmod first: negatives bucket correctly)
+        g = g.withColumn(
+            "_b",
+            F.expr(f"({col} - pmod({col}, {bucket_size})) DIV {bucket_size}"),
+        )
+        w_local = (
+            Window.partitionBy("_b")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        totals = g.groupBy("_b").agg(F.sum("_c").alias("_bt"))
+        w_pref = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = totals.select(
+            "_b", F.coalesce(F.sum("_bt").over(w_pref), F.lit(0)).alias("_off")
+        )
+        return (
+            g.join(F.broadcast(offsets), "_b")
+            .withColumn(
+                "_below",
+                F.col("_off") + F.coalesce(F.sum("_c").over(w_local), F.lit(0)),
+            )
+            .select(
+                col,
+                (2 * F.col("_below") + F.col("_c") + 1).alias(f"{col}r2"),
+            )
+        )
+
+    ranked = pts.join(rank2("_x"), "_x").join(rank2("_y"), "_y")
+    rx, ry = F.col("_xr2").cast(d38), F.col("_yr2").cast(d38)
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("_nl"),
+        F.coalesce(F.sum(rx), F.lit(0).cast(d38)).alias("_sx"),
+        F.coalesce(F.sum(ry), F.lit(0).cast(d38)).alias("_sy"),
+        F.coalesce(F.sum(rx * ry), F.lit(0).cast(d38)).alias("_sxy"),
+        F.coalesce(F.sum(rx * rx), F.lit(0).cast(d38)).alias("_sxx"),
+        F.coalesce(F.sum(ry * ry), F.lit(0).cast(d38)).alias("_syy"),
+    )
+    n = F.col("_nl").cast(d38)
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return m.select(
+        F.col("_nl").cast("long").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            ),
+        ).alias("spearman_rho"),
+    )

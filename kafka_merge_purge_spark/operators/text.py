@@ -1000,6 +1000,137 @@ def bigram_logprob(
     )
 
 
+def trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambdas: tuple[int, int, int] = (5, 3, 2),
+) -> DataFrame:
+    """Interpolated-backoff trigram language-model quality score (r15):
+    mean log-probability of a document's token trigrams under the
+    Jelinek-Mercer interpolation of corpus maximum-likelihood tiers
+
+        P(w3|w1,w2) = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(w2w3)/c(w2·) + λ1·c(w3)/T
+
+    — the CCNet-style perplexity-filter standard above
+    :func:`bigram_logprob`'s add-k smoother (interpolation IS the
+    smoother: the unigram tier keeps every observed trigram's
+    probability strictly positive, so no add-k is needed).  ``lambdas``
+    are INTEGER weights (default 5,3,2 ≈ the classic 0.5/0.3/0.2),
+    which keeps the whole interpolation in exact integer arithmetic:
+
+        p = (λ3·c123·c2·T + λ2·c23·c12·T + λ1·c3·c12·c2)
+            / (W·c12·c2·T),   W = λ3+λ2+λ1
+
+    numerator and denominator are exact DECIMAL(38,0) products of
+    counts (engine-portable: no float accumulation anywhere), and only
+    the final single division + ``round(ln p, 6)`` touch IEEE doubles —
+    the same double-round decimal pattern as the bigram form, but with
+    the λ-mix folded into the exact rational instead of three separate
+    float operations.  Envelope: W·c12·c2·T ≤ 10·T³ must fit 38 digits
+    → T ≤ ~2·10¹² corpus tokens (beyond 100 TB of text).
+
+    Count conventions: c(w1w2·) counts (w1,w2) as a trigram HISTORY,
+    c(w2·) counts w2 as a bigram left token (the :func:`bigram_logprob`
+    convention), c(w3)/T are plain unigram counts — so every observed
+    trigram has all denominators ≥ 1 and every ML ratio ≤ 1.
+
+    Documents with fewer than 3 tokens have no trigrams and drop.
+    Plan: three narrow token projections (tri/bi/uni events), five
+    map-side-combined grouped counts, a broadcast 1-row total, one
+    stats join chain per DISTINCT trigram, one per-doc aggregate —
+    nothing collects to the driver.
+
+    Output: (doc_id, avg_logprob, n_trigrams)."""
+    from kafka_merge_purge_spark.operators.dedup import normalize
+
+    l3, l2, l1 = (int(x) for x in lambdas)
+    if min(l3, l2, l1) < 0 or l3 + l2 + l1 <= 0:
+        raise ValueError(
+            f"trigram_logprob: lambdas must be non-negative with a positive "
+            f"sum, got {lambdas}"
+        )
+    w_total = l3 + l2 + l1
+    toks = tokens(normalize(F.col(text_col)))
+    n = F.size(toks)
+    base = df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+
+    m3 = F.greatest(n - 2, F.lit(0))
+    t12 = F.zip_with(
+        F.slice(toks, 1, m3),
+        F.slice(toks, 2, m3),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    t123 = F.zip_with(
+        t12,
+        F.slice(toks, 3, m3),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    tg = base.select(F.col(id_col), F.explode(t123).alias("_t")).select(
+        id_col, "_t.w1", "_t.w2", "_t.w3"
+    )
+    m2 = F.greatest(n - 1, F.lit(0))
+    bg = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, m2),
+                F.slice(toks, 2, m2),
+                lambda a, b: F.struct(a.alias("b1"), b.alias("b2")),
+            )
+        ).alias("_b")
+    ).select("_b.b1", "_b.b2")
+    uni = base.select(F.explode(toks).alias("_w"))
+
+    tri_c = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    h12 = tg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bi_c = bg.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c23"))
+    h2 = bg.groupBy("b1").agg(F.count(F.lit(1)).alias("c2"))
+    uni_c = uni.groupBy("_w").agg(F.count(F.lit(1)).alias("c3"))
+    tot = uni.select(F.count(F.lit(1)).alias("_t_total"))
+
+    d38 = "decimal(38,0)"
+
+    def c(name: str):
+        return F.col(name).cast(d38)
+
+    num = (
+        F.lit(l3).cast(d38) * c("c123") * c("c2") * c("_t_total")
+        + F.lit(l2).cast(d38) * c("c23") * c("c12") * c("_t_total")
+        + F.lit(l1).cast(d38) * c("c3") * c("c12") * c("c2")
+    )
+    den = F.lit(w_total).cast(d38) * c("c12") * c("c2") * c("_t_total")
+    lp = (
+        tri_c.join(h12, ["w1", "w2"])
+        .join(bi_c, (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")))
+        .drop("b1", "b2")
+        .join(h2, F.col("w2") == F.col("b1"))
+        .drop("b1")
+        .join(uni_c, F.col("w3") == F.col("_w"))
+        .drop("_w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(F.log(num.cast("double") / den.cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        tg.join(lp, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_trigrams"),
+        )
+    )
+
+
 def char_entropy(
     df: DataFrame,
     text_col: str = "text",

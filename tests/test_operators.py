@@ -1828,6 +1828,99 @@ def test_bigram_logprob_order_sensitivity(spark):
     assert uni[1] == uni[9]
 
 
+def test_trigram_logprob_matches_brute_force_reference(spark):
+    """trigram_logprob (r15): the distributed exact-rational λ-mix must
+    equal a pure-Python replay of the same formula (counts from dicts,
+    same single division + round(ln, 6) + decimal-sum + final rounded
+    division), and <3-token docs drop."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox sleeps"),
+        (3, "a quick brown fox"),
+        (4, "two words"),
+        (5, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.trigram_logprob(df).collect()}
+    assert set(got) == {1, 2, 3}  # <3 tokens drop
+
+    docs = {i: t.split() for i, t in rows}
+    tri = Counter(
+        tuple(t[i : i + 3]) for t in docs.values() for i in range(len(t) - 2)
+    )
+    h12 = Counter(
+        tuple(t[i : i + 2]) for t in docs.values() for i in range(len(t) - 2)
+    )
+    big = Counter(
+        tuple(t[i : i + 2]) for t in docs.values() for i in range(len(t) - 1)
+    )
+    h2 = Counter(t[i] for t in docs.values() for i in range(len(t) - 1))
+    uni = Counter(w for t in docs.values() for w in t)
+    T = sum(uni.values())
+    for doc_id, t in docs.items():
+        trigrams = [tuple(t[i : i + 3]) for i in range(len(t) - 2)]
+        if not trigrams:
+            continue
+        lps = []
+        for w1, w2, w3 in trigrams:
+            num = (
+                5 * tri[(w1, w2, w3)] * h2[w2] * T
+                + 3 * big[(w2, w3)] * h12[(w1, w2)] * T
+                + 2 * uni[w3] * h12[(w1, w2)] * h2[w2]
+            )
+            den = 10 * h12[(w1, w2)] * h2[w2] * T
+            lps.append(Decimal(str(round(math.log(num / den), 6))))
+        want = round(float(sum(lps)) / len(lps), 6)
+        assert got[doc_id]["avg_logprob"] == want, (doc_id, want)
+        assert got[doc_id]["n_trigrams"] == len(lps)
+
+
+def test_trigram_logprob_separation_beats_bigram(spark):
+    """r14 verdict item 4's done-gate, the pin BIGRAM CANNOT PASS: a
+    splice document whose bigrams are ALL corpus-frequent but whose
+    trigram is novel ("p q t" spliced from "p q r"×8 and "s q t"×8).
+    The bigram LM is blind to it (both test docs score within noise of
+    each other), while the trigram tier sees the 3-token context
+    collapse — a strictly stronger separation than the bigram form's
+    order-sensitivity test (which any n≥2 model passes).  Scrambled
+    text still separates too, and lambda validation rejects bad
+    weights."""
+    import pytest as _pytest
+
+    rows = (
+        [(i, "p q r") for i in range(1, 9)]
+        + [(i, "s q t") for i in range(9, 17)]
+        + [(17, "p q r"), (18, "p q t")]  # natural vs bigram-clean splice
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tri = {r["doc_id"]: r["avg_logprob"] for r in tx.trigram_logprob(df).collect()}
+    bi = {r["doc_id"]: r["avg_logprob"] for r in tx.bigram_logprob(df).collect()}
+    tri_margin = tri[17] - tri[18]
+    bi_margin = bi[17] - bi[18]
+    assert tri_margin > 0  # trigram catches the splice
+    assert abs(bi_margin) < 0.2  # bigram is (near-)blind to it
+    assert tri_margin > abs(bi_margin) + 0.5  # strictly sharper
+
+    # order sensitivity still holds on scrambled text
+    phrase = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the brown lazy jumps fox quick over the"
+    df2 = spark.createDataFrame(
+        [(i, phrase) for i in range(1, 9)] + [(9, scrambled)],
+        "doc_id long, text string",
+    )
+    tri2 = {r["doc_id"]: r["avg_logprob"] for r in tx.trigram_logprob(df2).collect()}
+    assert tri2[1] > tri2[9]
+
+    with _pytest.raises(ValueError, match="lambdas"):
+        tx.trigram_logprob(df, lambdas=(0, 0, 0))
+    with _pytest.raises(ValueError, match="lambdas"):
+        tx.trigram_logprob(df, lambdas=(5, -1, 2))
+
+
 def test_auto_lsh_params_scale_and_recall_contract():
     """r6 verdict item 3: the parameter solver must (a) satisfy its own
     recall inequality at the returned corner, (b) grow planes ~log2(n)
@@ -5978,6 +6071,79 @@ def test_graph_embeddings_one_call_composition(spark):
         FZ.graph_embeddings(edges=e, walks=walks)
     with _pytest.raises(ValueError, match="walk_kind"):
         FZ.graph_embeddings(edges=e, walk_kind="levy")
+
+
+def test_spearman_corr_ties_and_edges(spark):
+    """spearman_corr (r15): average-tie ranks verified against a
+    scipy-free hand computation (exact fractions), perfect monotone /
+    reversed / constant / empty edges, negative values crossing bucket
+    boundaries, and bucket_size invariance."""
+    from fractions import Fraction
+    import math
+
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.similarity import spearman_corr
+
+    def reference(xs, ys):
+        def avg_ranks(vs):
+            order = sorted(set(vs))
+            below, out = 0, {}
+            for v in order:
+                c = vs.count(v)
+                out[v] = Fraction(2 * below + c + 1, 2)
+                below += c
+            return [out[v] for v in vs]
+
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        num = n * sxy - sx * sy
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            return None
+        return round(float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))), 6)
+
+    # ties on both axes
+    xs, ys = [1, 2, 2, 2, 3], [10, 30, 20, 30, 50]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = spearman_corr(df, "x", "y").collect()[0]
+    assert got["n"] == 5
+    assert got["spearman_rho"] == reference(xs, ys)
+
+    # perfect monotone / reversed (nonlinear but monotone → rho = ±1)
+    xs2, ys2 = [1, 2, 3, 4], [1, 10, 100, 1000]
+    df2 = spark.createDataFrame(list(zip(xs2, ys2)), "x long, y long")
+    assert spearman_corr(df2, "x", "y").collect()[0]["spearman_rho"] == 1.0
+    df2r = spark.createDataFrame(list(zip(xs2, ys2[::-1])), "x long, y long")
+    assert spearman_corr(df2r, "x", "y").collect()[0]["spearman_rho"] == -1.0
+
+    # constant column → NULL rho; empty → n=0, NULL rho
+    dfc = spark.createDataFrame([(1, 7), (2, 7)], "x long, y long")
+    row = spearman_corr(dfc, "x", "y").collect()[0]
+    assert row["n"] == 2 and row["spearman_rho"] is None
+    dfe = spark.createDataFrame([], "x long, y long")
+    row = spearman_corr(dfe, "x", "y").collect()[0]
+    assert row["n"] == 0 and row["spearman_rho"] is None
+
+    # negative values across bucket boundaries + bucket_size invariance
+    xs3 = [-5, -3, -3, 0, 2, 7, 7, 11]
+    ys3 = [20, 5, 5, -9, -9, 3, 8, 1]
+    df3 = spark.createDataFrame(list(zip(xs3, ys3)), "x long, y long")
+    want = reference(xs3, ys3)
+    for bs in (1, 3, 1_000_000):
+        assert (
+            spearman_corr(df3, "x", "y", bucket_size=bs).collect()[0][
+                "spearman_rho"
+            ]
+            == want
+        ), bs
+
+    with _pytest.raises(ValueError, match="bucket_size"):
+        spearman_corr(df3, "x", "y", bucket_size=0)
 
 
 def test_exact_auc_matches_pair_enumeration(spark):
