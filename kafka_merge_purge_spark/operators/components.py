@@ -1264,28 +1264,36 @@ def k_core(
     tendrils peel away while organically dense communities survive.
 
     Semantics (UNDIRECTED — edges normalize to distinct (min, max)
-    pairs, self-loops drop): per round, recompute each surviving
-    node's degree within the surviving subgraph and drop nodes with
-    degree < k; ``rounds`` caps the peel count.  Peeling is MONOTONE
-    (each round only removes) and idempotent once a round drops
-    nobody, so the loop always carries the in-pass convergence flag —
-    early stop provably cannot change the capped-round result, and the
-    result IS the exact k-core whenever the graph stabilizes inside
-    the budget (the flag is a 1-row "did anyone drop" broadcast joined
-    onto the survivors; state stays nodes-only).  The SQL oracle
+    pairs, self-loops drop): per round, drop every node whose degree
+    within the surviving subgraph is < k; ``rounds`` caps the peel
+    count.  Peeling is MONOTONE (each round only removes) and
+    idempotent once a round drops nobody, so the loop always carries
+    the in-pass convergence flag — early stop provably cannot change
+    the capped-round result, and the result IS the exact k-core
+    whenever the graph stabilizes inside the budget.  The SQL oracle
     unrolls ``rounds`` peels as chained MATERIALIZED CTEs (without
     materialization the chained IN-subqueries re-evaluate the upstream
     tree exponentially).
 
-    Scale shape: the survivor frame is O(nodes) and shrinks
-    monotonically; per round two left_semi joins screen the cached
-    edge set and one map-side-combined degree aggregate decides the
-    peel.  ``broadcast_state="auto"`` (default) probes the node count
-    once (:func:`_state_hint`) and broadcasts the survivor frame into
-    the semi joins only when it fits — the state shrinks, so a graph
-    that starts in the shuffle regime stays there (one probe, not one
-    per round; re-probing mid-peel would make plan choice depend on
-    data values for marginal gain).
+    Scale shape (DELTA peel, r15 — the Matula-Beck decrement form):
+    state is (node, deg) with deg = degree within the surviving
+    subgraph; per round the VICTIMS (deg < k) join the cached
+    adjacency once and their neighbors' degrees decrement — the exact
+    recomputation-free identity ``deg_new(u) = deg_old(u) − |edges to
+    this round's victims|`` (an edge decrements its surviving endpoint
+    exactly once over the whole run, in the round its other endpoint
+    drops; decrements toward already-dead nodes discard in the
+    survivor join).  Per-round shuffle is O(victim edges), so TOTAL
+    shuffle across all rounds is O(|E|) — the r14 form re-screened and
+    re-aggregated the FULL live edge set every round (O(rounds·|E|)),
+    which was the iterative family's largest remaining fixed cost.
+    Round-for-round results are identical to the recompute form (same
+    victims each round, same final degrees), so every hash is
+    unchanged.  ``broadcast_state="auto"`` (default) probes the node
+    count once (:func:`_state_hint`) and broadcasts the victim frame
+    into the adjacency join only when the full node set fits — victims
+    are a subset, so the decision is conservative-correct and made
+    once.
     Output: (node, degree) — degree INSIDE the final core."""
     from kafka_merge_purge_spark.operators.iterate import iterate
 
@@ -1301,50 +1309,48 @@ def k_core(
         .distinct()
         .cache()
     )
-    nodes0 = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .distinct()
+    adj = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .cache()
     )
-    hint = _state_hint(nodes0, broadcast_state, known_rows=n_nodes)
+    state0 = (
+        adj.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hint = _state_hint(
+        state0.select("node"), broadcast_state, known_rows=n_nodes
+    )
 
-    def peel(nodes: DataFrame, _i: int) -> DataFrame:
-        live = und.join(
-            hint(nodes.withColumnRenamed("node", "a")), "a", "left_semi"
-        ).join(hint(nodes.withColumnRenamed("node", "b")), "b", "left_semi")
-        deg = (
-            live.select(F.col("a").alias("node"))
-            .unionByName(live.select(F.col("b").alias("node")))
+    def peel(state: DataFrame, _i: int) -> DataFrame:
+        victims = state.filter(F.col("deg") < k).select(
+            F.col("node").alias("_vic")
+        )
+        surv = state.filter(F.col("deg") >= k)
+        dec = (
+            adj.join(hint(victims), F.col("u") == F.col("_vic"))
+            .select(F.col("v").alias("node"))
             .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("_d"))
+            .agg(F.count(F.lit(1)).alias("_dec"))
         )
-        surv = deg.filter(F.col("_d") >= k).select("node")
-        # convergence = "did anyone drop".  Survivors are a SUBSET of the
-        # incoming state (they surface from edges screened BY that state),
-        # so |surv| < |nodes| ⟺ a drop happened — two 1-row count
-        # aggregates over frames already at hand, replacing the r11
-        # left_anti + count job per peel (r11 verdict item 8; monotone
-        # peeling means early stop is provably result-free either way)
-        s_cnt = F.broadcast(surv.agg(F.count(F.lit(1)).alias("_ns")))
-        n_cnt = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_nn")))
-        return surv.crossJoin(s_cnt).crossJoin(n_cnt).select(
-            "node", (F.col("_ns") < F.col("_nn")).alias("_changed")
+        new = surv.join(dec, "node", "left").select(
+            "node",
+            (F.col("deg") - F.coalesce(F.col("_dec"), F.lit(0))).alias("deg"),
+        )
+        # convergence = "did anyone drop": one 1-row victim count rides a
+        # broadcast cross-join (no extra job; monotone peeling means early
+        # stop is provably result-free either way)
+        v_cnt = F.broadcast(victims.agg(F.count(F.lit(1)).alias("_nv")))
+        return new.crossJoin(v_cnt).select(
+            "node", "deg", (F.col("_nv") > 0).alias("_changed")
         )
 
-    out = iterate(nodes0, peel, max_rounds=rounds,
+    out = iterate(state0, peel, max_rounds=rounds,
                   coalesce_to=_iter_coalesce(hint))
-    # final degree within the core (the peel state is nodes-only)
-    final = und.join(
-        hint(out.withColumnRenamed("node", "a")), "a", "left_semi"
-    ).join(hint(out.withColumnRenamed("node", "b")), "b", "left_semi")
-    deg = (
-        final.select(F.col("a").alias("node"))
-        .unionByName(final.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    result = out.select("node", F.col("deg").alias("degree"))
     und.unpersist()
-    return deg
+    adj.unpersist()
+    return result
 
 
 def random_walks(

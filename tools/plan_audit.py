@@ -54,7 +54,7 @@ HEADLINERS = {
 #: verdict item 6).  Exchange inventory in each annotation.
 ROUND_HEADLINERS = {
     "x_sssp": "per-round Bellman-Ford relax — state (node, dist) broadcast-joins into the cached src-partitioned edge set (auto regime; x_sssp_shuffle pins the shuffle twin), ONE min-agg shuffle keyed by node; nothing else moves",
-    "x_kcore": "per-round peel — two survivor semi-screens of the cached normalized edge set + one map-side-combined degree aggregate; convergence flag = two 1-row count aggs (r12: no left_anti job); state O(nodes), shrinking monotonically",
+    "x_kcore": "per-round DELTA peel (r15, Matula-Beck decrement form) — victims (deg<k) join the cached adjacency ONCE and their neighbors' degrees decrement (deg_new = deg_old - edges-to-victims; decrements toward dead nodes discard in the survivor left join); per-round shuffle O(victim edges), TOTAL O(|E|) across all rounds vs the r14 full re-screen's O(rounds*|E|); convergence flag = one 1-row victim count; state (node, deg), shrinking monotonically; results round-identical to the recompute form (hash unchanged)",
     "x_hits": "per-round double power step — the two edge-join score aggregates are the only real shuffles; L1 normalization sums ride 1-row broadcast cross-joins; in-round localCheckpoints stop the 2-4x re-evaluation of twice-referenced aggregates",
     "x_walks": "per-step uniform walk — ONE inner equi join of the O(walks) state onto the indexed cached adjacency + a sink anti join; the md5 coin is expression-level (no RNG, no Python)",
     "x_node2vec": "per-step biased walk — the O(walks) state joins the cached per-node neighbor-ID array frame (cur + prev, int64); the md5 coin is EXPRESSION-LEVEL (rides the plan, r13) and the weighted pick runs CROSS-ROW vectorized in ONE Arrow kernel (flat segment numpy: concatenate/repeat/reduceat + one global searchsorted — no per-row Python loop); one id-to-node join materializes the pick — nothing per-candidate ever shuffles (the candidate-join form OOMed then ran 334 s at the 10x bench; the expression-fold twin survives as impl='expr', pinned equal)",
