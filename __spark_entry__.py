@@ -1714,6 +1714,40 @@ _RELATIONAL_ORACLES["x_link_auc"] = """
     FROM t"""
 
 
+def x_retrieval_metrics(spark, sf_dir):
+    """Per-query MRR + nDCG@10 of brute-force cosine retrieval against
+    same-label relevance (similarity.retrieval_metrics, r15 — the
+    position-weighted completion of the eval tier next to exact_auc /
+    topk_recall / spearman_corr).  Predictions = the q_similarity_topk
+    ranking at k=10 (exact quantized cosine, deterministic tie-break);
+    truth = binary same-label membership.  FULL hash oracle: each DCG
+    term is one round(gain/log2(pos+1), 6) summed as DECIMAL(18,6), rr
+    and ndcg single rounded divisions — both engines replay the
+    ranking AND the metric arithmetic."""
+    from kafka_merge_purge_spark.operators.similarity import (
+        brute_force_topk,
+        retrieval_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    preds = brute_force_topk(probes, emb, k=10).select(
+        "query_id", F.col("neighbor_id").alias("item"), "rank"
+    )
+    truth = (
+        probes.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("item"), F.col("label").alias("_lb")
+            ),
+            F.col("label") == F.col("_lb"),
+        )
+        .filter(F.col("item") != F.col("query_id"))
+        .select("query_id", "item", F.lit(1).alias("rel"))
+    )
+    return retrieval_metrics(preds, truth, k=10)
+
+
 def x_minhash_pairs(spark, sf_dir):
     """MinHash-LSH fuzzy-dup candidates, Jaccard-verified.  Hash-checked
     since round 5: the md5-affine signature chain is portable by
@@ -2304,6 +2338,45 @@ _LLM_ORACLES = {
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored) WHERE rank <= 5""",
+    "x_retrieval_metrics": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+                   FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS item, {_COS} AS cos
+            FROM v a JOIN v b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        ),
+        pred AS (SELECT query_id, item, rank FROM (
+            SELECT query_id, item, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, item) AS rank
+            FROM scored) WHERE rank <= 10),
+        pos AS (SELECT a.vec_id AS query_id, b.vec_id AS item, 1 AS rel
+                FROM v a JOIN v b
+                  ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+                 AND b.label = a.label),
+        ideal AS (SELECT query_id, rel,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY rel DESC, item) AS ir
+                  FROM pos),
+        idcg AS (SELECT query_id,
+                        SUM(CAST(round((pow(2, rel) - 1) / log2(ir + 1), 6)
+                                 AS DECIMAL(18,6))) AS idcg
+                 FROM ideal WHERE ir <= 10 GROUP BY query_id),
+        hits AS (SELECT p.query_id, p.rank, pos.rel
+                 FROM pred p JOIN pos
+                   ON p.query_id = pos.query_id AND p.item = pos.item),
+        dcg AS (SELECT query_id,
+                       SUM(CAST(round((pow(2, rel) - 1) / log2(rank + 1), 6)
+                                AS DECIMAL(18,6))) AS dcg,
+                       MIN(rank) AS minr
+                FROM hits GROUP BY query_id)
+        SELECT i.query_id,
+               COALESCE(round(1.0 / minr, 6), 0.0) AS rr,
+               CAST(COALESCE(dcg, 0) AS DOUBLE) AS dcg,
+               CAST(i.idcg AS DOUBLE) AS idcg,
+               round(CAST(COALESCE(dcg, 0) AS DOUBLE)
+                     / CAST(i.idcg AS DOUBLE), 6) AS ndcg
+        FROM idcg i LEFT JOIN dcg USING (query_id)""",
     "q_ngram_jaccard": f"""
         WITH base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents
                       WHERE doc_id < 500),

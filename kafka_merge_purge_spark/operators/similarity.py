@@ -1521,3 +1521,114 @@ def spearman_corr(
             ),
         ).alias("spearman_rho"),
     )
+
+
+def retrieval_metrics(
+    predictions: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+    gain: str = "exp",
+) -> DataFrame:
+    """Exact per-query retrieval metrics — MRR and nDCG@k — completing
+    the embedding-evaluation tier (:func:`exact_auc` for classification,
+    :func:`topk_recall` for overlap, :func:`spearman_corr` for rank
+    agreement, this for POSITION-WEIGHTED ranking quality):
+
+    - ``rr`` — reciprocal rank: 1/rank of the first relevant retrieved
+      item (0 when nothing relevant was retrieved inside top-k); mean
+      over queries = MRR.
+    - ``dcg``/``idcg``/``ndcg`` — discounted cumulative gain at k with
+      ``gain="exp"`` (the Burges 2²ᵉˡ−1 standard) or ``"linear"``;
+      nDCG = DCG over the ideal ordering's DCG.
+
+    Query universe is trec_eval's: every query with ≥ 1 positive truth
+    row is evaluated — a system that silently drops such a query scores
+    0 (the :func:`topk_recall` penalty convention); predicted queries
+    with no positive truth are undefined and drop.  Inputs: ranked
+    ``predictions (query, item, rank)`` (1-based ranks) and graded
+    ``truth (query, item, rel)`` with integer rel ≥ 0; (query, item)
+    pairs must be unique on both sides (duplicates double-count).
+
+    Engine-portable arithmetic: each DCG term is ``round(gain /
+    log2(position+1), 6)`` — one pow, one log2, one division, one round
+    (no accumulation before the round) — summed as DECIMAL(18,6); rr
+    and ndcg are one rounded division each.
+
+    Scale shape: one (query, item) equi join, one bounded per-query
+    ideal-ranking window (truth positives per query, capped by the
+    join), three map-side-combined per-query aggregates.  Nothing
+    collects; output is one row per evaluated query.
+
+    Output: (query_col, rr, dcg, idcg, ndcg) — all double."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
+    if gain not in ("exp", "linear"):
+        raise ValueError(
+            f"retrieval_metrics: gain must be 'exp' or 'linear', got {gain!r}"
+        )
+
+    def g(c):
+        if gain == "exp":
+            return F.pow(F.lit(2.0), c) - F.lit(1.0)
+        return c.cast("double")
+
+    d186 = "decimal(18,6)"
+    pos = truth.filter(F.col(rel_col) > 0).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rel_col).alias("_r"),
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_r").desc(), F.col("_i"))
+    idcg = (
+        pos.withColumn("_ir", F.row_number().over(w))
+        .filter(F.col("_ir") <= k)
+        .select(
+            "_q",
+            F.round(g(F.col("_r")) / F.log2(F.col("_ir") + 1), 6)
+            .cast(d186)
+            .alias("_t"),
+        )
+        .groupBy("_q")
+        .agg(F.sum("_t").alias("_idcg"))
+    )
+    pred = predictions.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_k"),
+    )
+    dcg = (
+        pred.join(pos, ["_q", "_i"])
+        .select(
+            "_q",
+            F.round(g(F.col("_r")) / F.log2(F.col("_k") + 1), 6)
+            .cast(d186)
+            .alias("_t"),
+            "_k",
+        )
+        .groupBy("_q")
+        .agg(F.sum("_t").alias("_dcg"), F.min("_k").alias("_minr"))
+    )
+    return idcg.join(dcg, "_q", "left").select(
+        F.col("_q").alias(query_col),
+        F.when(
+            F.col("_minr").isNotNull(),
+            F.round(F.lit(1.0) / F.col("_minr"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+        F.coalesce(F.col("_dcg"), F.lit(0).cast(d186))
+        .cast("double")
+        .alias("dcg"),
+        F.col("_idcg").cast("double").alias("idcg"),
+        F.round(
+            F.coalesce(F.col("_dcg"), F.lit(0).cast(d186)).cast("double")
+            / F.col("_idcg").cast("double"),
+            6,
+        ).alias("ndcg"),
+    )

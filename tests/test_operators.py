@@ -6146,6 +6146,70 @@ def test_spearman_corr_ties_and_edges(spark):
         spearman_corr(df3, "x", "y", bucket_size=0)
 
 
+def test_retrieval_metrics_hand_fixture(spark):
+    """retrieval_metrics (r15): hand-computed DCG/IDCG/MRR on a graded
+    fixture (exp + linear gains), the trec_eval universe convention
+    (positive-truth queries only; dropped queries score 0), k
+    truncation on both sides, and validation."""
+    import math
+
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.similarity import retrieval_metrics
+
+    preds = spark.createDataFrame(
+        [
+            ("q1", "b", 1), ("q1", "x", 2), ("q1", "a", 3),
+            ("q2", "z", 1), ("q2", "y", 2),          # nothing relevant
+            ("q4", "p", 1),                           # no positive truth
+        ],
+        "query_id string, item string, rank int",
+    )
+    truth = spark.createDataFrame(
+        [
+            ("q1", "a", 3), ("q1", "b", 2), ("q1", "c", 1),
+            ("q2", "w", 1),
+            ("q3", "m", 2),                           # never predicted
+            ("q4", "p", 0),                           # rel 0 = not positive
+        ],
+        "query_id string, item string, rel int",
+    )
+
+    def term(g, pos):
+        return round(g / math.log2(pos + 1), 6)
+
+    got = {r["query_id"]: r for r in retrieval_metrics(preds, truth, k=3).collect()}
+    assert set(got) == {"q1", "q2", "q3"}  # q4 drops (no positive truth)
+    # q1 exp: dcg = (2^2-1)/log2(2) at rank1 + (2^3-1)/log2(4) at rank3
+    dcg1 = term(3, 1) + term(7, 3)
+    idcg1 = term(7, 1) + term(3, 2) + term(1, 3)
+    assert got["q1"]["rr"] == 1.0
+    assert got["q1"]["dcg"] == round(dcg1, 6)
+    assert got["q1"]["idcg"] == round(idcg1, 6)
+    assert got["q1"]["ndcg"] == round(dcg1 / idcg1, 6)
+    # q2: retrieved nothing relevant; q3: never predicted — both 0
+    for q in ("q2", "q3"):
+        assert got[q]["rr"] == 0.0 and got[q]["dcg"] == 0.0
+        assert got[q]["ndcg"] == 0.0 and got[q]["idcg"] > 0
+
+    lin = {r["query_id"]: r for r in
+           retrieval_metrics(preds, truth, k=3, gain="linear").collect()}
+    dcg1l = term(2, 1) + term(3, 3)
+    idcg1l = term(3, 1) + term(2, 2) + term(1, 3)
+    assert lin["q1"]["dcg"] == round(dcg1l, 6)
+    assert lin["q1"]["ndcg"] == round(dcg1l / idcg1l, 6)
+
+    # k truncation: k=1 sees only rank-1 b (rel 2); ideal top-1 is a
+    k1 = {r["query_id"]: r for r in retrieval_metrics(preds, truth, k=1).collect()}
+    assert k1["q1"]["dcg"] == term(3, 1) and k1["q1"]["idcg"] == term(7, 1)
+    assert k1["q1"]["rr"] == 1.0
+
+    with _pytest.raises(ValueError, match="k must"):
+        retrieval_metrics(preds, truth, k=0)
+    with _pytest.raises(ValueError, match="gain"):
+        retrieval_metrics(preds, truth, gain="log")
+
+
 def test_exact_auc_matches_pair_enumeration(spark):
     """exact_auc's rank-sum form must equal brute-force pair counting
     (P(s+ > s-) + half ties) on a tied, negative-scored fixture; the
