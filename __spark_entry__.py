@@ -1715,7 +1715,7 @@ _RELATIONAL_ORACLES["x_link_auc"] = """
 
 
 def x_retrieval_metrics(spark, sf_dir):
-    """Per-query MRR + nDCG@10 of brute-force cosine retrieval against
+    """Per-query MRR + AP@10 (MAP) + nDCG@10 of brute-force cosine retrieval against
     same-label relevance (similarity.retrieval_metrics, r15 — the
     position-weighted completion of the eval tier next to exact_auc /
     topk_recall / spearman_corr).  Predictions = the q_similarity_topk
@@ -2362,21 +2362,29 @@ _LLM_ORACLES = {
                         SUM(CAST(round((pow(2, rel) - 1) / log2(ir + 1), 6)
                                  AS DECIMAL(18,6))) AS idcg
                  FROM ideal WHERE ir <= 10 GROUP BY query_id),
-        hits AS (SELECT p.query_id, p.rank, pos.rel
+        hits AS (SELECT p.query_id, p.rank, pos.rel,
+                        row_number() OVER (PARTITION BY p.query_id
+                                           ORDER BY p.rank) AS hn
                  FROM pred p JOIN pos
                    ON p.query_id = pos.query_id AND p.item = pos.item),
         dcg AS (SELECT query_id,
                        SUM(CAST(round((pow(2, rel) - 1) / log2(rank + 1), 6)
                                 AS DECIMAL(18,6))) AS dcg,
+                       SUM(CAST(round(CAST(hn AS DOUBLE) / rank, 6)
+                                AS DECIMAL(18,6))) AS apsum,
                        MIN(rank) AS minr
-                FROM hits GROUP BY query_id)
+                FROM hits GROUP BY query_id),
+        npos AS (SELECT query_id, COUNT(*) AS np FROM pos GROUP BY query_id)
         SELECT i.query_id,
                COALESCE(round(1.0 / minr, 6), 0.0) AS rr,
+               round(CAST(COALESCE(apsum, 0) AS DOUBLE)
+                     / least(np, 10), 6) AS ap,
                CAST(COALESCE(dcg, 0) AS DOUBLE) AS dcg,
                CAST(i.idcg AS DOUBLE) AS idcg,
                round(CAST(COALESCE(dcg, 0) AS DOUBLE)
                      / CAST(i.idcg AS DOUBLE), 6) AS ndcg
-        FROM idcg i LEFT JOIN dcg USING (query_id)""",
+        FROM idcg i LEFT JOIN dcg USING (query_id)
+        JOIN npos USING (query_id)""",
     "q_ngram_jaccard": f"""
         WITH base AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents
                       WHERE doc_id < 500),

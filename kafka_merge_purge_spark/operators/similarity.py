@@ -1168,6 +1168,16 @@ def sparse_cosine_topk(
         .filter(F.col("_id").isNotNull() & F.col("_f").isNotNull())
         .filter(F.col("_qv") != 0)
     )
+    # q feeds FOUR consumers (the envelope probe, the norms aggregate,
+    # and both sides of the feature self-join) — uncached, each one
+    # re-evaluates the caller's entire upstream plan (x_ppmi_topk's
+    # walk→pair→PPMI chain ran 4× per call, r15).  Cache + registry so
+    # release_all_persisted() can drain it (the r13 cache-leak rule);
+    # the returned plan reads it lazily, so it cannot unpersist here.
+    from kafka_merge_purge_spark.operators.dedup import _register_persisted
+
+    q = q.cache()
+    _register_persisted([q])
     # eager int64-envelope probe (r13 advice 3; exact since r15): the
     # largest integer this plan forms is a squared norm Σqv² per id,
     # which also bounds every pair dot (Cauchy-Schwarz) — check the
@@ -1541,6 +1551,10 @@ def retrieval_metrics(
     - ``rr`` — reciprocal rank: 1/rank of the first relevant retrieved
       item (0 when nothing relevant was retrieved inside top-k); mean
       over queries = MRR.
+    - ``ap`` — average precision at k: ``(Σ_{hits at rank i ≤ k}
+      precision@i) / min(|relevant|, k)`` (the trec_eval truncated
+      denominator); mean over queries = MAP@k.  Binary: any rel > 0
+      counts as relevant regardless of grade.
     - ``dcg``/``idcg``/``ndcg`` — discounted cumulative gain at k with
       ``gain="exp"`` (the Burges 2²ᵉˡ−1 standard) or ``"linear"``;
       nDCG = DCG over the ideal ordering's DCG.
@@ -1563,7 +1577,7 @@ def retrieval_metrics(
     join), three map-side-combined per-query aggregates.  Nothing
     collects; output is one row per evaluated query.
 
-    Output: (query_col, rr, dcg, idcg, ndcg) — all double."""
+    Output: (query_col, rr, ap, dcg, idcg, ndcg) — all double."""
     from pyspark.sql import Window
 
     if k < 1:
@@ -1602,33 +1616,55 @@ def retrieval_metrics(
         F.col(item_col).alias("_i"),
         F.col(rank_col).alias("_k"),
     )
+    hits = pred.join(pos, ["_q", "_i"])
+    # cumulative hit count at each hit's rank = row_number over the
+    # query's hits in rank order (every row IS a hit), so
+    # precision@rank = _hn / rank — one more bounded per-query window
+    w_hit = Window.partitionBy("_q").orderBy("_k")
     dcg = (
-        pred.join(pos, ["_q", "_i"])
+        hits.withColumn("_hn", F.row_number().over(w_hit))
         .select(
             "_q",
             F.round(g(F.col("_r")) / F.log2(F.col("_k") + 1), 6)
             .cast(d186)
             .alias("_t"),
+            F.round(F.col("_hn").cast("double") / F.col("_k"), 6)
+            .cast(d186)
+            .alias("_p"),
             "_k",
         )
         .groupBy("_q")
-        .agg(F.sum("_t").alias("_dcg"), F.min("_k").alias("_minr"))
-    )
-    return idcg.join(dcg, "_q", "left").select(
-        F.col("_q").alias(query_col),
-        F.when(
-            F.col("_minr").isNotNull(),
-            F.round(F.lit(1.0) / F.col("_minr"), 6),
+        .agg(
+            F.sum("_t").alias("_dcg"),
+            F.sum("_p").alias("_apsum"),
+            F.min("_k").alias("_minr"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("rr"),
-        F.coalesce(F.col("_dcg"), F.lit(0).cast(d186))
-        .cast("double")
-        .alias("dcg"),
-        F.col("_idcg").cast("double").alias("idcg"),
-        F.round(
-            F.coalesce(F.col("_dcg"), F.lit(0).cast(d186)).cast("double")
-            / F.col("_idcg").cast("double"),
-            6,
-        ).alias("ndcg"),
+    )
+    npos = pos.groupBy("_q").agg(F.count(F.lit(1)).alias("_np"))
+    return (
+        idcg.join(dcg, "_q", "left")
+        .join(npos, "_q")
+        .select(
+            F.col("_q").alias(query_col),
+            F.when(
+                F.col("_minr").isNotNull(),
+                F.round(F.lit(1.0) / F.col("_minr"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+            F.round(
+                F.coalesce(F.col("_apsum"), F.lit(0).cast(d186)).cast("double")
+                / F.least(F.col("_np"), F.lit(k)),
+                6,
+            ).alias("ap"),
+            F.coalesce(F.col("_dcg"), F.lit(0).cast(d186))
+            .cast("double")
+            .alias("dcg"),
+            F.col("_idcg").cast("double").alias("idcg"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0).cast(d186)).cast("double")
+                / F.col("_idcg").cast("double"),
+                6,
+            ).alias("ndcg"),
+        )
     )

@@ -6187,10 +6187,14 @@ def test_retrieval_metrics_hand_fixture(spark):
     assert got["q1"]["dcg"] == round(dcg1, 6)
     assert got["q1"]["idcg"] == round(idcg1, 6)
     assert got["q1"]["ndcg"] == round(dcg1 / idcg1, 6)
+    # AP@3: hits b@1 (1st hit), a@3 (2nd hit) → (1/1 + 2/3)/min(3,3)
+    ap1 = round((round(1 / 1, 6) + round(2 / 3, 6)) / 3, 6)
+    assert got["q1"]["ap"] == ap1
     # q2: retrieved nothing relevant; q3: never predicted — both 0
     for q in ("q2", "q3"):
         assert got[q]["rr"] == 0.0 and got[q]["dcg"] == 0.0
         assert got[q]["ndcg"] == 0.0 and got[q]["idcg"] > 0
+        assert got[q]["ap"] == 0.0
 
     lin = {r["query_id"]: r for r in
            retrieval_metrics(preds, truth, k=3, gain="linear").collect()}
@@ -6199,10 +6203,15 @@ def test_retrieval_metrics_hand_fixture(spark):
     assert lin["q1"]["dcg"] == round(dcg1l, 6)
     assert lin["q1"]["ndcg"] == round(dcg1l / idcg1l, 6)
 
-    # k truncation: k=1 sees only rank-1 b (rel 2); ideal top-1 is a
+    # linear gain leaves the binary-hit AP unchanged
+    assert lin["q1"]["ap"] == ap1
+
+    # k truncation: k=1 sees only rank-1 b (rel 2); ideal top-1 is a;
+    # AP@1 denominator truncates to min(3, 1) = 1
     k1 = {r["query_id"]: r for r in retrieval_metrics(preds, truth, k=1).collect()}
     assert k1["q1"]["dcg"] == term(3, 1) and k1["q1"]["idcg"] == term(7, 1)
     assert k1["q1"]["rr"] == 1.0
+    assert k1["q1"]["ap"] == 1.0
 
     with _pytest.raises(ValueError, match="k must"):
         retrieval_metrics(preds, truth, k=0)
