@@ -2822,6 +2822,63 @@ _LLM_ORACLES["x_trigram_logprob"] = f"""
     GROUP BY doc_id"""
 
 
+def x_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram LM scoring (text.
+    kneser_ney_logprob, r15) — the production perplexity-filter
+    standard above x_trigram_logprob's Jelinek-Mercer mix: lower
+    orders use CONTINUATION counts, absolute discount D = 3/4 keeps
+    the whole three-level interpolation one exact DECIMAL(38,0)
+    rational (single double division + round(ln, 6)).  FULL hash
+    oracle: the same count CTEs with COUNT(DISTINCT) continuation
+    tiers and HUGEINT products."""
+    return tx.kneser_ney_logprob(_t(spark, sf_dir, "documents"))
+
+
+_LLM_ORACLES["x_kneser_ney"] = f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE regexp_matches(text, '[a-zA-Z0-9]')),
+    tg AS (SELECT doc_id,
+                  unnest(toks[1:len(toks)-2]) AS w1,
+                  unnest(toks[2:len(toks)-1]) AS w2,
+                  unnest(toks[3:len(toks)]) AS w3
+           FROM base WHERE len(toks) >= 3),
+    bg AS (SELECT unnest(toks[1:len(toks)-1]) AS b1,
+                  unnest(toks[2:len(toks)]) AS b2
+           FROM base WHERE len(toks) >= 2),
+    tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+    h12 AS (SELECT w1, w2, COUNT(*) AS c12,
+                   COUNT(DISTINCT w3) AS r12 FROM tg GROUP BY 1, 2),
+    sfx AS (SELECT w2, w3, COUNT(DISTINCT w1) AS nn12
+            FROM tg GROUP BY 1, 2),
+    mid AS (SELECT w2, SUM(nn12) AS n2mid, COUNT(*) AS r2
+            FROM sfx GROUP BY 1),
+    cont AS (SELECT b2 AS w3, COUNT(DISTINCT b1) AS n1c3
+             FROM bg GROUP BY 1),
+    nbt AS (SELECT COUNT(*) AS nbt
+            FROM (SELECT DISTINCT b1, b2 FROM bg)),
+    lp AS (SELECT tc.w1, tc.w2, tc.w3,
+                  CAST(round(ln(
+                      CAST((4 * CAST(c123 AS HUGEINT) - 3)
+                               * 4 * n2mid * nbt
+                           + 3 * CAST(r12 AS HUGEINT)
+                               * ((4 * CAST(nn12 AS HUGEINT) - 3) * nbt
+                                  + 3 * CAST(r2 AS HUGEINT) * n1c3)
+                           AS DOUBLE)
+                      / CAST(16 * CAST(c12 AS HUGEINT) * n2mid * nbt
+                             AS DOUBLE)
+                  ), 6) AS DECIMAL(18,6)) AS lp
+           FROM tc
+           JOIN h12 USING (w1, w2)
+           JOIN sfx USING (w2, w3)
+           JOIN mid USING (w2)
+           JOIN cont USING (w3), nbt)
+    SELECT doc_id,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           COUNT(*) AS n_trigrams
+    FROM tg JOIN lp USING (w1, w2, w3)
+    GROUP BY doc_id"""
+
+
 def x_hashed_embedding(spark, sf_dir):
     """Feature-hashing document embedding (hashing trick): ±1 per token
     into 64 md5 buckets — the model-free bridge from the text tier into

@@ -1131,6 +1131,141 @@ def trigram_logprob(
     )
 
 
+def kneser_ney_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (r15) — THE production
+    perplexity-filter LM (Chen & Goodman 1999; KenLM's default), one
+    tier above :func:`trigram_logprob`'s Jelinek-Mercer mix: lower
+    orders use CONTINUATION counts (in how many distinct contexts does
+    a word appear?) instead of raw frequencies, so a frequent-but-
+    single-context word ("francisco", always after "san") stops
+    inflating unseen-context estimates, and absolute discounting with
+    D = 3/4 replaces λ mixing.  With all counts ≥ 1 for observed
+    trigrams, the three levels are
+
+        P1(w3)       = N1+(·w3) / NBT
+        P2(w3|w2)    = (N12 − D)/N2mid + (D·R2/N2mid)·P1(w3)
+        P3(w3|w1w2)  = (c123 − D)/c12  + (D·R12/c12)·P2(w3|w2)
+
+    where N1+(·w3) = distinct bigram left-contexts of w3, NBT =
+    distinct bigram types, N12 = N1+(·w2w3) = distinct w1 preceding
+    the (w2,w3) suffix inside trigrams, N2mid = N1+(·w2·) = Σ N12 =
+    distinct (w1,w3) frames around w2, R2 = distinct w3 following w2
+    inside trigrams, R12 = N1+(w1w2·) = distinct continuations of the
+    (w1,w2) history.  D = 3/4 keeps EVERYTHING an exact rational:
+
+        P3 = [ (4·c123−3)·4·N2mid·NBT
+               + 3·R12·((4·N12−3)·NBT + 3·R2·N1c3) ]
+             / (16·c12·N2mid·NBT)
+
+    numerator/denominator are exact DECIMAL(38,0) count products (the
+    (·−D)⁺ clamps never bind: every count ≥ 1 for an observed
+    trigram), one double division + ``round(ln p, 6)`` at the end —
+    the :func:`trigram_logprob` envelope (≤ 16·T³ → T ≤ ~10¹² corpus
+    tokens).
+
+    Plan: the same three narrow token projections as trigram_logprob;
+    SIX map-side-combined grouped counts (two with count_distinct —
+    exact, keyed shuffles), a 1-row NBT broadcast, one stats join
+    chain per DISTINCT trigram, one per-doc aggregate.  Documents
+    with fewer than 3 tokens drop.
+
+    Output: (doc_id, avg_logprob, n_trigrams)."""
+    from kafka_merge_purge_spark.operators.dedup import normalize
+
+    toks = tokens(normalize(F.col(text_col)))
+    n = F.size(toks)
+    base = df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
+
+    m3 = F.greatest(n - 2, F.lit(0))
+    t12 = F.zip_with(
+        F.slice(toks, 1, m3),
+        F.slice(toks, 2, m3),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    t123 = F.zip_with(
+        t12,
+        F.slice(toks, 3, m3),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    tg = base.select(F.col(id_col), F.explode(t123).alias("_t")).select(
+        id_col, "_t.w1", "_t.w2", "_t.w3"
+    )
+    m2 = F.greatest(n - 1, F.lit(0))
+    bg = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, m2),
+                F.slice(toks, 2, m2),
+                lambda a, b: F.struct(a.alias("b1"), b.alias("b2")),
+            )
+        ).alias("_b")
+    ).select("_b.b1", "_b.b2")
+
+    tri_c = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    h12 = tg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"),
+        F.count_distinct(F.col("w3")).alias("r12"),
+    )
+    n12 = tg.groupBy("w2", "w3").agg(
+        F.count_distinct(F.col("w1")).alias("n12")
+    )
+    mid = n12.groupBy("w2").agg(
+        F.sum("n12").alias("n2mid"), F.count(F.lit(1)).alias("r2")
+    )
+    cont = bg.groupBy(F.col("b2").alias("w3")).agg(
+        F.count_distinct(F.col("b1")).alias("n1c3")
+    )
+    nbt = (
+        bg.select("b1", "b2")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("nbt"))
+    )
+
+    d38 = "decimal(38,0)"
+
+    def c(name: str):
+        return F.col(name).cast(d38)
+
+    four = F.lit(4).cast(d38)
+    three = F.lit(3).cast(d38)
+    p2_num = (four * c("n12") - three) * c("nbt") + three * c("r2") * c("n1c3")
+    num = (four * c("c123") - three) * four * c("n2mid") * c("nbt") + (
+        three * c("r12") * p2_num
+    )
+    den = F.lit(16).cast(d38) * c("c12") * c("n2mid") * c("nbt")
+    lp = (
+        tri_c.join(h12, ["w1", "w2"])
+        .join(n12, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(cont, "w3")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(F.log(num.cast("double") / den.cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        tg.join(lp, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_trigrams"),
+        )
+    )
+
+
 def char_entropy(
     df: DataFrame,
     text_col: str = "text",

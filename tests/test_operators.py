@@ -1921,6 +1921,77 @@ def test_trigram_logprob_separation_beats_bigram(spark):
         tx.trigram_logprob(df, lambdas=(5, -1, 2))
 
 
+def test_kneser_ney_matches_brute_force_reference(spark):
+    """kneser_ney_logprob (r15): the distributed exact-rational
+    three-level interpolation must equal a pure-Python replay of the
+    same continuation-count formula, and <3-token docs drop."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox sleeps"),
+        (3, "a quick brown fox"),
+        (4, "two words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.kneser_ney_logprob(df).collect()}
+    assert set(got) == {1, 2, 3}
+
+    docs = {i: t.split() for i, t in rows}
+    tris = [tuple(t[i : i + 3]) for t in docs.values() for i in range(len(t) - 2)]
+    bigs = [tuple(t[i : i + 2]) for t in docs.values() for i in range(len(t) - 1)]
+    c123 = Counter(tris)
+    c12 = Counter(t[:2] for t in tris)
+    r12 = {h: len({t[2] for t in c123 if t[:2] == h}) for h in c12}
+    n12 = {s: len({t[0] for t in c123 if t[1:] == s}) for s in {t[1:] for t in tris}}
+    n2mid = defaultdict(int)
+    r2 = defaultdict(int)
+    for (w2, _w3), v in n12.items():
+        n2mid[w2] += v
+        r2[w2] += 1
+    n1c3 = {w: len({b[0] for b in set(bigs) if b[1] == w}) for w in {b[1] for b in bigs}}
+    nbt = len(set(bigs))
+    for doc_id, t in docs.items():
+        trigrams = [tuple(t[i : i + 3]) for i in range(len(t) - 2)]
+        if not trigrams:
+            continue
+        lps = []
+        for w1, w2, w3 in trigrams:
+            p2n = (4 * n12[(w2, w3)] - 3) * nbt + 3 * r2[w2] * n1c3[w3]
+            num = (4 * c123[(w1, w2, w3)] - 3) * 4 * n2mid[w2] * nbt + 3 * r12[(w1, w2)] * p2n
+            den = 16 * c12[(w1, w2)] * n2mid[w2] * nbt
+            lps.append(Decimal(str(round(math.log(num / den), 6))))
+        want = round(float(sum(lps)) / len(lps), 6)
+        assert got[doc_id]["avg_logprob"] == want, (doc_id, want)
+        assert got[doc_id]["n_trigrams"] == len(lps)
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    """THE Kneser-Ney signature ("san francisco" effect): a frequent-
+    but-single-context word must score BELOW a rarer multi-context word
+    in the same trigram slot — and the raw-frequency JM trigram
+    provably ranks them the OTHER way on the same corpus.  Docs 1/2
+    share identical trigram- and bigram-level statistics by
+    construction; only the continuation-vs-raw unigram tier differs."""
+    rows = [
+        (1, "a b francisco"),
+        (2, "a b thing"),
+        # francisco: 7 raw occurrences, but only 2 distinct left
+        # contexts ({san, b}); thing: 4 raw, 4 contexts ({b, p, r, t})
+        (3, "san francisco goes"), (4, "san francisco goes"),
+        (5, "san francisco goes"), (6, "san francisco goes"),
+        (7, "san francisco goes"), (8, "san francisco goes"),
+        (9, "p thing q"), (10, "r thing s"), (11, "t thing u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kn = {r["doc_id"]: r["avg_logprob"] for r in tx.kneser_ney_logprob(df).collect()}
+    jm = {r["doc_id"]: r["avg_logprob"] for r in tx.trigram_logprob(df).collect()}
+    assert kn[1] < kn[2], "KN must punish the single-context frequent word"
+    assert jm[1] > jm[2], "raw-frequency JM ranks them the other way"
+
+
 def test_auto_lsh_params_scale_and_recall_contract():
     """r6 verdict item 3: the parameter solver must (a) satisfy its own
     recall inequality at the returned corner, (b) grow planes ~log2(n)
