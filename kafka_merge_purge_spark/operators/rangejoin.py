@@ -98,6 +98,11 @@ def offset_pairs(
         raise ValueError(
             f"offset_pairs: min_offset ({min_offset}) > max_offset ({max_offset})"
         )
+    if "_d" in left.columns:
+        # the final drop("_d") would silently take the caller's column too
+        raise ValueError(
+            "offset_pairs: left frame already has a '_d' column — rename it"
+        )
     a = left.withColumn(
         "_d", F.explode(F.sequence(F.lit(min_offset), F.lit(max_offset)))
     ).alias(left_alias)

@@ -660,6 +660,8 @@ def test_offset_pairs_min_offset_and_validation(spark):
     assert got == want
     with pytest.raises(ValueError, match="min_offset"):
         offset_pairs(df, df, "k", max_offset=1, min_offset=2)
+    with pytest.raises(ValueError, match="_d"):
+        offset_pairs(df.withColumn("_d", F.lit(1)), df, "k", max_offset=1)
 
 
 def test_link_auc_plan_has_no_nested_loop_join(spark):
