@@ -483,3 +483,78 @@ def test_char_entropy_bounds(spark, texts):
     for _, n, k, ent in a:
         assert 0.0 <= ent <= round(math.log2(k), 6) + 1e-9
         assert (ent == 0.0) == (k == 1)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_spearman_matches_python_model(spark, pts):
+    """spearman_corr == pure-Python average-tie Spearman (exact
+    fractions) on arbitrary integer point sets — ties, negatives,
+    constants, empties all generated."""
+    import math
+    from fractions import Fraction
+
+    from kafka_merge_purge_spark.operators.similarity import spearman_corr
+
+    df = spark.createDataFrame(pts, "x long, y long") if pts else (
+        spark.createDataFrame([], "x long, y long")
+    )
+    got = spearman_corr(df, "x", "y", bucket_size=7).collect()[0]
+    assert got["n"] == len(pts)
+
+    def avg_ranks(vs):
+        below, out = 0, {}
+        for v in sorted(set(vs)):
+            c = vs.count(v)
+            out[v] = Fraction(2 * below + c + 1, 2)
+            below += c
+        return [out[v] for v in vs]
+
+    if not pts:
+        assert got["spearman_rho"] is None
+        return
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(pts)
+    sx, sy = sum(rx), sum(ry)
+    num = n * sum(a * b for a, b in zip(rx, ry)) - sx * sy
+    dx = n * sum(a * a for a in rx) - sx * sx
+    dy = n * sum(b * b for b in ry) - sy * sy
+    if dx <= 0 or dy <= 0:
+        assert got["spearman_rho"] is None
+    else:
+        want = round(float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))), 6)
+        assert got["spearman_rho"] == want
+
+
+@given(
+    ids=st.lists(st.integers(-20, 20), max_size=15, unique=True),
+    lo=st.integers(1, 3),
+    span=st.integers(0, 3),
+)
+@SETTINGS
+def test_offset_pairs_equals_quadratic_filter(spark, ids, lo, span):
+    """offset_pairs == the quadratic cross-filter for arbitrary sparse
+    (gappy, negative) id sets and offset windows — the equi rewrite
+    must not assume dense or positive ids."""
+    from kafka_merge_purge_spark.operators.rangejoin import offset_pairs
+
+    hi = lo + span
+    df = spark.createDataFrame([(i,) for i in ids], "k long") if ids else (
+        spark.createDataFrame([], "k long")
+    )
+    got = sorted(
+        (r["a"], r["b"])
+        for r in offset_pairs(df, df, "k", max_offset=hi, min_offset=lo)
+        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+        .collect()
+    )
+    want = sorted(
+        (i, j) for i in ids for j in ids if lo <= j - i <= hi
+    )
+    assert got == want
