@@ -710,6 +710,61 @@ def x_spearman(spark, sf_dir):
     return spearman_corr(pts, "x", "y")
 
 
+def x_spearman_grouped(spark, sf_dir):
+    """Per-group Spearman ρ (similarity.spearman_corr_grouped, r15) —
+    the rank-IC shape: one exact average-tie rank correlation per
+    l_returnflag between quantity and price.  Group-partitioned
+    windows over DISTINCT values only (bounded by per-group value
+    cardinality); FULL hash oracle with the same HUGEINT integer
+    formula per group."""
+    from kafka_merge_purge_spark.operators.similarity import (
+        spearman_corr_grouped,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    return spearman_corr_grouped(pts, ["l_returnflag"], "x", "y")
+
+
+_SPEARMAN_GROUPED_ORACLE = """
+    WITH d AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    xr AS (SELECT g, x,
+                  2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 AS rx
+           FROM (SELECT g, x, COUNT(*) AS c FROM d GROUP BY g, x)),
+    yr AS (SELECT g, y,
+                  2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 AS ry
+           FROM (SELECT g, y, COUNT(*) AS c FROM d GROUP BY g, y)),
+    r AS (SELECT g, CAST(rx AS HUGEINT) AS rx, CAST(ry AS HUGEINT) AS ry
+          FROM d JOIN xr USING (g, x) JOIN yr USING (g, y)),
+    m AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                 COALESCE(SUM(rx), 0) AS sx, COALESCE(SUM(ry), 0) AS sy,
+                 COALESCE(SUM(rx * ry), 0) AS sxy,
+                 COALESCE(SUM(rx * rx), 0) AS sxx,
+                 COALESCE(SUM(ry * ry), 0) AS syy
+          FROM r GROUP BY g)
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS spearman_rho
+    FROM m"""
+
+
 _SPEARMAN_ORACLE = """
     WITH d AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
@@ -1583,6 +1638,7 @@ _RELATIONAL_ORACLES = {
                      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         FROM g""",
     "x_spearman": _SPEARMAN_ORACLE,
+    "x_spearman_grouped": _SPEARMAN_GROUPED_ORACLE,
 }
 
 

@@ -1668,3 +1668,89 @@ def retrieval_metrics(
             ).alias("ndcg"),
         )
     )
+
+
+def spearman_corr_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group exact Spearman ρ — the grouped twin of
+    :func:`spearman_corr`, and the rank-IC evaluation shape (per-day /
+    per-segment rank correlation between a model score and an outcome,
+    averaged downstream): one ρ row per group, average-tie ranks and
+    DECIMAL(38,0) moments exactly as the global form.
+
+    Rank plan: per (group, value) counts aggregate map-side, then the
+    below-count prefix-sums under a window PARTITIONED BY THE GROUP
+    over the group's DISTINCT values — bounded by per-group value
+    cardinality, not rows, so a group with millions of rows over a
+    small value domain (quantities, buckets, scores quantized to a
+    grid) stays one small window partition.  For a SINGLE group whose
+    distinct-value count itself is huge, use the global
+    :func:`spearman_corr` (bucketed two-level prefix sum) per group
+    instead — that is the documented crossover, not a silent cliff.
+
+    Output: (*group_cols, n, spearman_rho) — rho NULL when a group has
+    a constant column or n = 0 (such groups still emit their row)."""
+    from pyspark.sql import Window
+
+    if not group_cols:
+        raise ValueError(
+            "spearman_corr_grouped: need at least one group column; use "
+            "spearman_corr for the global form"
+        )
+    d38 = "decimal(38,0)"
+    gc = list(group_cols)
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *gc,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        g = pts.groupBy(*gc, col).agg(F.count(F.lit(1)).alias("_c"))
+        w = (
+            Window.partitionBy(*gc)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return g.select(
+            *gc,
+            col,
+            (
+                2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c")
+                + 1
+            ).alias(f"{col}r2"),
+        )
+
+    ranked = pts.join(rank2("_x"), [*gc, "_x"]).join(rank2("_y"), [*gc, "_y"])
+    rx, ry = F.col("_xr2").cast(d38), F.col("_yr2").cast(d38)
+    m = ranked.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("_nl"),
+        F.coalesce(F.sum(rx), F.lit(0).cast(d38)).alias("_sx"),
+        F.coalesce(F.sum(ry), F.lit(0).cast(d38)).alias("_sy"),
+        F.coalesce(F.sum(rx * ry), F.lit(0).cast(d38)).alias("_sxy"),
+        F.coalesce(F.sum(rx * rx), F.lit(0).cast(d38)).alias("_sxx"),
+        F.coalesce(F.sum(ry * ry), F.lit(0).cast(d38)).alias("_syy"),
+    )
+    n = F.col("_nl").cast(d38)
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return m.select(
+        *gc,
+        F.col("_nl").cast("long").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            ),
+        ).alias("spearman_rho"),
+    )

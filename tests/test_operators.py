@@ -6219,6 +6219,40 @@ def test_spearman_corr_ties_and_edges(spark):
         spearman_corr(df3, "x", "y", bucket_size=0)
 
 
+def test_spearman_grouped_equals_global_per_slice(spark):
+    """spearman_corr_grouped == spearman_corr applied to each group
+    slice independently (including a constant-column group -> NULL and
+    ties), and group-cols validation."""
+    import pytest as _pytest
+
+    from kafka_merge_purge_spark.operators.similarity import (
+        spearman_corr,
+        spearman_corr_grouped,
+    )
+
+    rows = (
+        [("a", x, y) for x, y in [(1, 5), (2, 4), (2, 9), (3, 1), (7, 7)]]
+        + [("b", x, y) for x, y in [(1, 1), (2, 10), (3, 100)]]
+        + [("c", x, y) for x, y in [(1, 7), (2, 7)]]  # constant y
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["spearman_rho"])
+        for r in spearman_corr_grouped(df, ["g"], "x", "y").collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for g in ("a", "b", "c"):
+        want = spearman_corr(
+            df.filter(F.col("g") == g), "x", "y"
+        ).collect()[0]
+        assert got[g] == (want["n"], want["spearman_rho"]), g
+    assert got["b"][1] == 1.0
+    assert got["c"][1] is None
+
+    with _pytest.raises(ValueError, match="group column"):
+        spearman_corr_grouped(df, [], "x", "y")
+
+
 def test_retrieval_metrics_hand_fixture(spark):
     """retrieval_metrics (r15): hand-computed DCG/IDCG/MRR on a graded
     fixture (exp + linear gains), the trec_eval universe convention
