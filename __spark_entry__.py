@@ -1265,7 +1265,12 @@ _RELATIONAL_ORACLES = {
                       CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS lp
                FROM freq, tot)
         SELECT doc_id,
-               round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+               CAST(CASE WHEN CAST(SUM(lp) * 1000000 AS HUGEINT) < 0
+                THEN -((-2 * CAST(SUM(lp) * 1000000 AS HUGEINT) + COUNT(*))
+                       // (2 * COUNT(*)))
+                ELSE (2 * CAST(SUM(lp) * 1000000 AS HUGEINT) + COUNT(*))
+                     // (2 * COUNT(*))
+           END AS DOUBLE) / 1000000.0 AS avg_logprob,
                COUNT(*) AS n_tokens
         FROM words JOIN lp USING (word)
         GROUP BY doc_id""",
@@ -2823,7 +2828,12 @@ _LLM_ORACLES["x_bigram_logprob"] = f"""
                        AS DECIMAL(18,6)) AS lp
            FROM pc JOIN hc USING (w1), v)
     SELECT doc_id,
-           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           CAST(CASE WHEN CAST(SUM(lp) * 1000000 AS HUGEINT) < 0
+                THEN -((-2 * CAST(SUM(lp) * 1000000 AS HUGEINT) + COUNT(*))
+                       // (2 * COUNT(*)))
+                ELSE (2 * CAST(SUM(lp) * 1000000 AS HUGEINT) + COUNT(*))
+                     // (2 * COUNT(*))
+           END AS DOUBLE) / 1000000.0 AS avg_logprob,
            COUNT(*) AS n_bigrams
     FROM bg JOIN lp USING (w1, w2)
     GROUP BY doc_id"""
@@ -2872,7 +2882,12 @@ _LLM_ORACLES["x_trigram_logprob"] = f"""
            JOIN h2 ON h2.b1 = tc.w2
            JOIN uc ON uc.w = tc.w3, tot)
     SELECT doc_id,
-           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           CAST(CASE WHEN CAST(SUM(lp) * 1000000 AS HUGEINT) < 0
+                THEN -((-2 * CAST(SUM(lp) * 1000000 AS HUGEINT) + COUNT(*))
+                       // (2 * COUNT(*)))
+                ELSE (2 * CAST(SUM(lp) * 1000000 AS HUGEINT) + COUNT(*))
+                     // (2 * COUNT(*))
+           END AS DOUBLE) / 1000000.0 AS avg_logprob,
            COUNT(*) AS n_trigrams
     FROM tg JOIN lp USING (w1, w2, w3)
     GROUP BY doc_id"""
@@ -2929,7 +2944,12 @@ _LLM_ORACLES["x_kneser_ney"] = f"""
            JOIN mid USING (w2)
            JOIN cont USING (w3), nbt)
     SELECT doc_id,
-           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           CAST(CASE WHEN CAST(SUM(lp) * 1000000 AS HUGEINT) < 0
+                THEN -((-2 * CAST(SUM(lp) * 1000000 AS HUGEINT) + COUNT(*))
+                       // (2 * COUNT(*)))
+                ELSE (2 * CAST(SUM(lp) * 1000000 AS HUGEINT) + COUNT(*))
+                     // (2 * COUNT(*))
+           END AS DOUBLE) / 1000000.0 AS avg_logprob,
            COUNT(*) AS n_trigrams
     FROM tg JOIN lp USING (w1, w2, w3)
     GROUP BY doc_id"""
@@ -9023,6 +9043,288 @@ _RELATIONAL_ORACLES["x_bloom_semi"] = """
         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical testing + model-eval tier (round 15): operators/stats.py —
+# the REGR_* / hypothesis-test / calibration family every SQL analytics
+# engine ships, in the exact-arithmetic idiom (quantize-first int64,
+# DECIMAL(38,0) moments, integer half-away rounding) so each carries a
+# FULL value-hash oracle.
+# ---------------------------------------------------------------------------
+
+
+def _li_two_sample(spark, sf_dir):
+    """lineitem restricted to returnflag A/R: flag = 'R', values
+    quantized (qty int, price cents)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def x_linear_fit(spark, sf_dir):
+    """Grouped OLS (stats.linear_fit — the REGR_SLOPE/INTERCEPT/R2
+    family): per l_returnflag, regress price-cents on quantity.
+    DECIMAL(38,0) moment sums over quantized int64 inputs; one
+    map-side-combined aggregate, no joins/windows — FULL hash oracle
+    replaying the identical integer formula with HUGEINT."""
+    from kafka_merge_purge_spark.operators.stats import linear_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    return linear_fit(pts, ["l_returnflag"], "x", "y")
+
+
+_RELATIONAL_ORACLES["x_linear_fit"] = """
+    WITH d AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    m AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM d GROUP BY g)
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+    FROM m"""
+
+
+def x_mann_whitney(spark, sf_dir):
+    """Two-sample Mann-Whitney U (stats.mann_whitney_u): do returned
+    lineitems ('R') price-shift vs accepted ('A')?  Average-tie rank
+    sums as exact ×2 integers via the bucketed two-level prefix sum (no
+    global sort), tie-corrected z — FULL hash oracle (HUGEINT replay;
+    the u2 witness column pins the exact integer)."""
+    from kafka_merge_purge_spark.operators.stats import mann_whitney_u
+
+    return mann_whitney_u(_li_two_sample(spark, sf_dir), "cents", "flag")
+
+
+_RELATIONAL_ORACLES["x_mann_whitney"] = """
+    WITH d AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+               FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    g AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM d GROUP BY v),
+    w AS (SELECT v, ca, cb,
+                 COALESCE(SUM(ca + cb) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+          FROM g),
+    m AS (SELECT SUM(CAST(ca AS HUGEINT)
+                     * (2 * CAST(below AS HUGEINT) + ca + cb + 1)) AS r2,
+                 SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                     - (ca + cb)) AS ties,
+                 CAST(SUM(ca) AS HUGEINT) AS na,
+                 CAST(SUM(cb) AS HUGEINT) AS nb
+          FROM w),
+    f AS (SELECT na, nb, r2 - na * (na + 1) AS u2, ties,
+                 CAST(na * nb AS DOUBLE) / 12.0
+                 * (CAST(na + nb + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / CAST((na + nb) * (na + nb - 1) AS DOUBLE)) AS var
+          FROM m)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN CAST(u2 AS DECIMAL(38,0)) END AS u2,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(u2 AS DOUBLE) / 2.0, 6) END AS u,
+           CASE WHEN na > 0 AND nb > 0 AND var > 0
+                THEN round(CAST(u2 - na * nb AS DOUBLE)
+                           / (2.0 * sqrt(var)), 6) END AS z
+    FROM f"""
+
+
+def x_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D (stats.ks_statistic): distance
+    between the quantity distributions of returned vs accepted
+    lineitems.  The numerator max|n_b·F_A − n_a·F_B| is an exact
+    integer over DISTINCT values (inclusive bucketed prefix sums);
+    ks_d rounds with integer half-away arithmetic — FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.stats import ks_statistic
+
+    return ks_statistic(_li_two_sample(spark, sf_dir), "qty", "flag")
+
+
+_RELATIONAL_ORACLES["x_ks_test"] = """
+    WITH d AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS v,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+               FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    g AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM d GROUP BY v),
+    w AS (SELECT v, ca, cb,
+                 SUM(ca) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cma,
+                 SUM(cb) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmb
+          FROM g),
+    tot AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+                   CAST(SUM(cb) AS HUGEINT) AS nb FROM g),
+    m AS (SELECT na, nb,
+                 MAX(ABS(nb * CAST(cma AS HUGEINT)
+                         - na * CAST(cmb AS HUGEINT))) AS dn
+          FROM w, tot GROUP BY na, nb)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN CAST(dn AS DECIMAL(38,0)) END AS d_num,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST((2 * dn * 1000000 + na * nb) // (2 * na * nb)
+                    AS DOUBLE) / 1000000.0 END AS ks_d
+    FROM m
+    UNION ALL
+    SELECT CAST(na AS BIGINT), CAST(nb AS BIGINT), NULL, NULL
+    FROM tot WHERE NOT EXISTS (SELECT 1 FROM m)"""
+
+
+def x_average_precision(spark, sf_dir):
+    """Exact average precision (stats.average_precision — sklearn's
+    step definition, tie-safe over distinct-score blocks): how well
+    does order value rank urgent orders?  Every per-threshold precision
+    term floors at scale 10⁹ via integral `div`, so both engines sum
+    IDENTICAL integers — FULL hash oracle with the ap_num witness."""
+    from kafka_merge_purge_spark.operators.stats import average_precision
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return average_precision(scored, "score", "label")
+
+
+_RELATIONAL_ORACLES["x_average_precision"] = """
+    WITH d AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS s,
+                      CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                      AS pos
+               FROM orders),
+    g AS (SELECT -s AS v, SUM(pos) AS pc, SUM(1 - pos) AS nc
+          FROM d GROUP BY 1),
+    w AS (SELECT v, pc, nc,
+                 COALESCE(SUM(pc) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS pb,
+                 COALESCE(SUM(nc) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS nb
+          FROM g),
+    t AS (SELECT (CAST(pc AS HUGEINT) * (pb + pc) * 1000000000)
+                 // (pb + pc + nb + nc) AS term,
+                 pc, nc
+          FROM w),
+    m AS (SELECT CAST(COALESCE(SUM(term), 0) AS HUGEINT) AS apn,
+                 CAST(COALESCE(SUM(pc), 0) AS HUGEINT) AS np,
+                 COALESCE(SUM(pc) + SUM(nc), 0) AS n
+          FROM t)
+    SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+           CAST(apn AS BIGINT) AS ap_num,
+           CASE WHEN np > 0 THEN
+               CAST((2 * apn * 1000000 + np * 1000000000)
+                    // (2 * np * 1000000000) AS DOUBLE) / 1000000.0
+           END AS ap
+    FROM m"""
+
+
+def _orders_calibration(spark, sf_dir):
+    """Pseudo-probability calibration frame: prob_q = price-derived
+    micro-probability (cents DIV 50, capped at 10⁶), label = urgent."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.least(
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 50"
+            ),
+            F.lit(1_000_000).cast("long"),
+        ).alias("prob_q"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+
+
+def x_calibration(spark, sf_dir):
+    """Reliability-diagram bins (stats.calibration_bins): per
+    probability decile, observed urgent-rate vs mean pseudo-confidence.
+    Pure map-side-combined groupBy; conf/acc round with integer
+    half-away arithmetic — FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.stats import calibration_bins
+
+    return calibration_bins(_orders_calibration(spark, sf_dir))
+
+
+_CALIBRATION_BASE_SQL = """
+    SELECT LEAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 50,
+                 1000000) AS p,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+    FROM orders"""
+
+_RELATIONAL_ORACLES["x_calibration"] = f"""
+    WITH d AS ({_CALIBRATION_BASE_SQL}),
+    g AS (SELECT LEAST((p * 10) // 1000000, 9) AS bin,
+                 COUNT(*) AS n_rows,
+                 SUM(y) AS n_pos,
+                 CAST(SUM(p) AS HUGEINT) AS sp
+          FROM d GROUP BY 1)
+    SELECT bin, n_rows, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST((2 * sp * 1000000 + CAST(n_rows AS HUGEINT) * 1000000)
+                // (2 * CAST(n_rows AS HUGEINT) * 1000000) AS DOUBLE)
+           / 1000000.0 AS conf,
+           CAST((2 * CAST(n_pos AS HUGEINT) * 1000000 + n_rows)
+                // (2 * CAST(n_rows AS HUGEINT)) AS DOUBLE)
+           / 1000000.0 AS acc
+    FROM g"""
+
+
+def x_ece(spark, sf_dir):
+    """Expected Calibration Error (stats.ece) of the price-derived
+    pseudo-probability vs the urgent label, as ONE exact rational —
+    the per-bin weights cancel into a single integer numerator.  FULL
+    hash oracle with the ece_num witness."""
+    from kafka_merge_purge_spark.operators.stats import ece
+
+    return ece(_orders_calibration(spark, sf_dir))
+
+
+_RELATIONAL_ORACLES["x_ece"] = f"""
+    WITH d AS ({_CALIBRATION_BASE_SQL}),
+    g AS (SELECT LEAST((p * 10) // 1000000, 9) AS bin,
+                 COUNT(*) AS n,
+                 CAST(SUM(y) AS HUGEINT) AS pos,
+                 CAST(SUM(p) AS HUGEINT) AS sp
+          FROM d GROUP BY 1),
+    m AS (SELECT CAST(COALESCE(SUM(ABS(pos * 1000000 - sp)), 0) AS HUGEINT)
+                 AS num,
+                 CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS n
+          FROM g)
+    SELECT CAST(n AS BIGINT) AS n, CAST(num AS BIGINT) AS ece_num,
+           CASE WHEN n > 0 THEN
+               CAST((2 * num * 1000000 + n * 1000000)
+                    // (2 * n * 1000000) AS DOUBLE) / 1000000.0
+           END AS ece
+    FROM m"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

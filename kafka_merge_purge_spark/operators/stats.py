@@ -1,0 +1,532 @@
+"""Statistical testing + model-evaluation aggregates (round 15).
+
+The tier every SQL analytics engine ships as ``REGR_*`` / hypothesis
+tests, re-expressed in the repo's exact-arithmetic idiom so each
+operator carries a FULL DuckDB value-hash oracle:
+
+- :func:`linear_fit` — grouped OLS (slope / intercept / R²), the
+  ``REGR_SLOPE`` / ``REGR_INTERCEPT`` / ``REGR_R2`` family, from
+  DECIMAL(38,0) moment sums over quantized int64 inputs.
+- :func:`mann_whitney_u` — two-sample rank-sum test with average-tie
+  ranks as exact ×2 integers and the tie-corrected normal z.
+- :func:`ks_statistic` — two-sample Kolmogorov-Smirnov D as ONE exact
+  integer numerator ``max|n2·F1 − n1·F2|·(n1·n2)`` over distinct
+  values.
+- :func:`average_precision` — exact PR ranking quality (sklearn's
+  ``average_precision_score`` step definition) with every per-threshold
+  precision term floored at a fixed integer scale, so both engines sum
+  IDENTICAL integers — no float accumulation order anywhere.
+- :func:`calibration_bins` / :func:`ece` — reliability-diagram bins
+  and Expected Calibration Error as one exact rational.
+
+Scale posture (shared with similarity.exact_auc / spearman_corr): every
+cumulative runs over DISTINCT values via the two-level bucketed prefix
+sum — per-value counts bucket by ``value DIV bucket_size``, prefix-sum
+locally under a partitioned window, and only the tiny per-bucket totals
+take an ordered global window.  No single-task window over the data
+axis, no pair enumeration, no global sort; the aggregates are map-side
+combined.  Inputs must be quantized int64 (the repo's
+``floor(x·Q + 0.5)`` idiom) — exactness is what makes the oracles
+full-hash instead of rows-only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D38 = "decimal(38,0)"
+
+
+def _exact_div6(num, den):
+    """round(num/den, 6) for NON-NEGATIVE exact decimal integers,
+    computed without touching a double until the value is already a
+    6-decimal integer: half-away integer rounding via `div` (both
+    engines truncate toward zero), then an exact /10⁶.  The naive
+    round-on-double flips between engines when num/den lands exactly on
+    .xxxxxx5 — which exact rationals hit routinely (the text._EXACT_AVG6
+    lesson).  Caller guarantees num ≥ 0, den > 0, and quotient ≤ ~9·10¹⁸
+    ·10⁻⁶ so the scaled integer fits a long."""
+    m = F.lit(1_000_000).cast(_D38)
+    two = F.lit(2).cast(_D38)
+    scaled = two * num * m + den
+    # subtract the remainder first so the decimal division is exact
+    # (integral quotient) regardless of result-scale rounding rules
+    q = (scaled - (scaled % (two * den))) / (two * den)
+    return q.cast("long").cast("double") / F.lit(1_000_000.0)
+
+
+def _two_sample_counts(
+    df: DataFrame, value_col: str, flag_col: str
+) -> DataFrame:
+    """Per distinct value: row counts of sample A (flag != 0) and
+    sample B (flag = 0), nulls dropped.  Columns (_v, _ca, _cb)."""
+    pts = df.filter(
+        F.col(value_col).isNotNull() & F.col(flag_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("long").alias("_v"),
+        F.when(F.col(flag_col).cast("int") != 0, 1).otherwise(0).alias("_a"),
+    )
+    return pts.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(1 - F.col("_a")).alias("_cb"),
+    )
+
+
+def _with_below(
+    g: DataFrame,
+    key_col: str,
+    count_cols: Sequence[str],
+    bucket_size: int,
+) -> DataFrame:
+    """Exclusive prefix sums of ``count_cols`` in ascending ``key_col``
+    order — the two-level bucketed form (exact_auc's posture): keys
+    bucket by ``key DIV bucket_size`` (pmod first so negatives floor),
+    local windows prefix-sum within buckets, and only the per-bucket
+    totals (tiny) take the ordered global window.  Adds
+    ``{c}_below`` for each count column."""
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    g = g.withColumn(
+        "_b",
+        F.expr(
+            f"({key_col} - pmod({key_col}, {bucket_size})) DIV {bucket_size}"
+        ),
+    )
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = g.groupBy("_b").agg(
+        *[F.sum(c).alias(f"_bt_{c}") for c in count_cols]
+    )
+    w_pref = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b",
+        *[
+            F.coalesce(F.sum(f"_bt_{c}").over(w_pref), F.lit(0)).alias(
+                f"_off_{c}"
+            )
+            for c in count_cols
+        ],
+    )
+    out = g.join(F.broadcast(offsets), "_b")
+    for c in count_cols:
+        out = out.withColumn(
+            f"{c}_below",
+            F.col(f"_off_{c}")
+            + F.coalesce(F.sum(c).over(w_local), F.lit(0)),
+        )
+    return out.drop("_b", *[f"_off_{c}" for c in count_cols])
+
+
+def linear_fit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Grouped ordinary-least-squares fit ``y ≈ slope·x + intercept`` —
+    the portable ``REGR_SLOPE / REGR_INTERCEPT / REGR_R2`` family.
+
+    Inputs must be integer-valued (cast to int64; quantize floats
+    upstream with ``floor(x·Q + 0.5)``).  Per group the six moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) aggregate in DECIMAL(38,0) — exact, so
+    both engines derive identical numerators/denominators:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+        R²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Only the final divisions touch IEEE doubles (correctly-rounded ops
+    on exact decimal casts; R² squares the exact numerator in double —
+    its decimal square can exceed 38 digits).  Envelope: the largest
+    intermediate is max(n·|Σxy|, |Σy·Σx²|) — with |x| ≤ X, |y| ≤ Y the
+    bound is n²·X·Y resp. n²·X²·Y < 10³⁸.
+
+    One map-side-combined aggregate; no joins, no windows — scale is
+    the groupBy key cardinality.  Output per group: (group_cols…, n,
+    slope, intercept, r2) — slope/intercept/r2 NULL when x is constant
+    (zero variance) or n = 0; r2 additionally NULL when y is constant.
+    """
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(x_col).cast("long").cast(_D38).alias("_x"),
+        F.col(y_col).cast("long").cast(_D38).alias("_y"),
+    )
+    g = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nl"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_nl").cast(_D38)
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    inum = F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    num_d, dx_d, dy_d = (
+        num.cast("double"),
+        dx.cast("double"),
+        dy.cast("double"),
+    )
+    return g.select(
+        *group_cols,
+        F.col("_nl").cast("long").alias("n"),
+        F.when(dx > 0, F.round(num_d / dx_d, 6)).alias("slope"),
+        F.when(dx > 0, F.round(inum.cast("double") / dx_d, 6)).alias(
+            "intercept"
+        ),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num_d * num_d / (dx_d * dy_d), 6),
+        ).alias("r2"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test: does sample
+    A (``flag_col`` ≠ 0) stochastically dominate sample B?  The
+    non-parametric location test a data pipeline reaches for before
+    assuming normality (A/B metric shifts, quality-score drift between
+    snapshots).
+
+    Exact arithmetic: values must be int64.  Per distinct value the two
+    sample counts aggregate; average-tie rank sums are carried as exact
+    ×2 integers via the bucketed two-level prefix sum (no global sort):
+
+        2·R_A = Σ_v ca(v) · (2·below(v) + c(v) + 1)
+        2·U_A = 2·R_A − n_A·(n_A + 1)
+
+    so ``u = U_A`` is exact to the half-integer.  The tie-corrected
+    normal approximation uses Σ(t³ − t) over tie-group sizes t (exact
+    DECIMAL) in
+
+        z = (U_A − n_A·n_B/2) / sqrt(n_A·n_B/12·((N+1) − Σ(t³−t)/(N(N−1))))
+
+    computed as three correctly-rounded double ops on exact decimal
+    casts.  Envelope: 2·R_A ≤ 2N² and Σt³ ≤ N³ must fit 38 digits →
+    N ≤ ~10¹².  Output ONE row: (n_a, n_b, u2 — the exact 2·U_A
+    integer witness, u double, z double); u/z NULL when either sample
+    is empty, z NULL when all values tie (zero variance)."""
+    g = _two_sample_counts(df, value_col, flag_col)
+    g = _with_below(g, "_v", ["_ca", "_cb"], bucket_size)
+    ct = (F.col("_ca") + F.col("_cb")).cast(_D38)
+    below = (F.col("_ca_below") + F.col("_cb_below")).cast(_D38)
+    terms = g.select(
+        (
+            F.col("_ca").cast(_D38)
+            * (F.lit(2).cast(_D38) * below + ct + F.lit(1).cast(_D38))
+        ).alias("_r2t"),
+        (ct * ct * ct - ct).alias("_t3t"),
+        "_ca",
+        "_cb",
+    )
+    m = terms.agg(
+        F.coalesce(F.sum("_r2t"), F.lit(0).cast(_D38)).alias("_r2"),
+        F.coalesce(F.sum("_t3t"), F.lit(0).cast(_D38)).alias("_ties"),
+        F.coalesce(F.sum("_ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast(_D38), F.col("n_b").cast(_D38)
+    nn = na + nb
+    u2 = F.col("_r2") - na * (na + F.lit(1).cast(_D38))
+    var_d = (
+        (na * nb).cast("double")
+        / F.lit(12.0)
+        * (
+            (nn + F.lit(1).cast(_D38)).cast("double")
+            - F.col("_ties").cast("double")
+            / (nn * (nn - F.lit(1).cast(_D38))).cast("double")
+        )
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.when(both, u2.cast(_D38)).alias("u2"),
+        F.when(both, F.round(u2.cast("double") / F.lit(2.0), 6)).alias("u"),
+        F.when(
+            both & (var_d > 0),
+            F.round(
+                (u2 - na * nb).cast("double")
+                / (F.lit(2.0) * F.sqrt(var_d)),
+                6,
+            ),
+        ).alias("z"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: the sup-norm distance
+    between the two empirical CDFs — the distribution-drift test
+    (did this snapshot's length/score distribution move?).
+
+        D = max_v |F_A(v) − F_B(v)|
+          = max_v |n_B·cumA(v) − n_A·cumB(v)| / (n_A·n_B)
+
+    Exact arithmetic: the numerator is an integer max over DISTINCT
+    values (inclusive cumulative counts from the bucketed two-level
+    prefix sum — no global sort), carried in DECIMAL(38,0); only the
+    final division is a double.  Envelope: n_A·n_B < 10³⁸.  Output ONE
+    row: (n_a, n_b, d_num — the exact integer witness, ks_d double);
+    NULL stats when either sample is empty."""
+    g = _two_sample_counts(df, value_col, flag_col)
+    g = _with_below(g, "_v", ["_ca", "_cb"], bucket_size)
+    tot = g.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    cum_a = (F.col("_ca_below") + F.col("_ca")).cast(_D38)
+    cum_b = (F.col("_cb_below") + F.col("_cb")).cast(_D38)
+    diffs = g.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("n_b").cast(_D38) * cum_a - F.col("n_a").cast(_D38) * cum_b
+        ).alias("_d"),
+    )
+    m = diffs.groupBy("n_a", "n_b").agg(F.max("_d").alias("_dn"))
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    out = m.select(
+        "n_a",
+        "n_b",
+        F.when(both, F.col("_dn")).alias("d_num"),
+        F.when(
+            both,
+            _exact_div6(
+                F.col("_dn"),
+                F.col("n_a").cast(_D38) * F.col("n_b").cast(_D38),
+            ),
+        ).alias("ks_d"),
+    )
+    # empty input: groupBy over zero rows yields zero rows — restore the
+    # one-row contract from the (always one-row) totals aggregate
+    return out.unionByName(
+        tot.join(m.select("n_a", "n_b"), ["n_a", "n_b"], "left_anti").select(
+            "n_a",
+            "n_b",
+            F.lit(None).cast(_D38).alias("d_num"),
+            F.lit(None).cast("double").alias("ks_d"),
+        )
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    scale: int = 1_000_000_000,
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """Exact average precision (PR ranking quality) of integer scores —
+    the precision-weighted companion to :func:`similarity.exact_auc`
+    (class-imbalance-sensitive, the retrieval/filter-model standard):
+
+        AP = Σ_s (TP(s) − TP(s_prev)) · TP(s)/(TP(s)+FP(s)) / P
+
+    over DISTINCT scores s descending (sklearn's
+    ``average_precision_score`` step definition — a tied block
+    contributes at the whole block's precision, so no tie-break order
+    exists to disagree on).  Scores must be int64 (quantize-first).
+
+    Exactness without float accumulation: each precision term is
+    floored at a fixed integer scale,
+
+        term(s) = (Δtp(s) · TP(s) · scale) div (TP(s) + FP(s)),
+
+    an integral division both engines compute identically (quotient ≤
+    Δtp·scale fits int64 for Δtp < 9·10⁹ at the default scale; the
+    dividend is DECIMAL(38,0)); the terms SUM exactly (ap_num ≤
+    P·scale) and only the final ``ap_num / (P·scale)`` is a double.
+    The deliberate floor bias is < #distinct-scores/(P·scale) — at the
+    default scale, < 10⁻⁹ per distinct score per positive.
+
+    Cumulative TP/FP run over distinct scores via the bucketed
+    two-level prefix sum on the NEGATED score (descending = ascending
+    on −s); one aggregate ends the plan.  Output ONE row: (n, n_pos,
+    ap_num — exact integer witness, ap double; NULL ap when no
+    positives)."""
+    if scale < 1:
+        raise ValueError(f"average_precision: scale must be >= 1, got {scale}")
+    g = (
+        df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
+        .select(
+            (-F.col(score_col).cast("long")).alias("_v"),
+            F.when(F.col(label_col).cast("int") != 0, 1)
+            .otherwise(0)
+            .alias("_pos"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.sum("_pos").alias("_pc"),
+            F.sum(1 - F.col("_pos")).alias("_nc"),
+        )
+    )
+    g = _with_below(g, "_v", ["_pc", "_nc"], bucket_size)
+    tp = (F.col("_pc_below") + F.col("_pc")).cast(_D38)
+    fp = (F.col("_nc_below") + F.col("_nc")).cast(_D38)
+    terms = g.select(
+        F.expr(
+            f"CAST(_pc AS {_D38}) * CAST(_pc_below + _pc AS {_D38})"
+            f" * CAST({scale} AS {_D38})"
+        ).alias("_dividend"),
+        (tp + fp).alias("_k"),
+        "_pc",
+        "_nc",
+    ).select(
+        F.expr(f"_dividend div _k").cast(_D38).alias("_t"),
+        "_pc",
+        "_nc",
+    )
+    m = terms.agg(
+        F.coalesce(F.sum("_t"), F.lit(0).cast(_D38)).alias("_apn"),
+        F.coalesce(F.sum("_pc"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("_pc") + F.sum("_nc"), F.lit(0))
+        .cast("long")
+        .alias("n"),
+    )
+    return m.select(
+        "n",
+        "n_pos",
+        F.col("_apn").cast("long").alias("ap_num"),
+        F.when(
+            F.col("n_pos") > 0,
+            _exact_div6(
+                F.col("_apn"),
+                F.col("n_pos").cast(_D38) * F.lit(scale).cast(_D38),
+            ),
+        ).alias("ap"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str = "prob_q",
+    label_col: str = "label",
+    bins: int = 10,
+    prob_scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability-diagram bins: group rows by predicted-probability
+    bin and compare mean confidence to observed accuracy — the
+    model-calibration diagnostic.  ``prob_col`` is the quantized
+    probability in [0, prob_scale] (micro-probabilities at the
+    default); p = prob_scale lands in the last bin.
+
+    Pure groupBy (map-side combined, no joins/windows); confidence and
+    accuracy are single rounded divisions on exact integer sums.
+    Output per non-empty bin: (bin, n_rows, n_pos, conf, acc)."""
+    if bins < 1:
+        raise ValueError(f"calibration_bins: bins must be >= 1, got {bins}")
+    pts = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        # integer DIV (not a double divide) so the bin edge floors
+        # identically in both engines
+        F.least(
+            F.expr(
+                f"CAST((CAST({prob_col} AS BIGINT) * {bins})"
+                f" DIV {prob_scale} AS INT)"
+            ),
+            F.lit(bins - 1),
+        ).alias("bin"),
+        F.col(prob_col).cast("long").alias("_p"),
+        F.when(F.col(label_col).cast("int") != 0, 1).otherwise(0).alias("_y"),
+    )
+    g = pts.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum("_p").cast(_D38).alias("_sp"),
+    )
+    return g.select(
+        "bin",
+        "n_rows",
+        "n_pos",
+        _exact_div6(
+            F.col("_sp"),
+            F.col("n_rows").cast(_D38) * F.lit(prob_scale).cast(_D38),
+        ).alias("conf"),
+        _exact_div6(
+            F.col("n_pos").cast(_D38), F.col("n_rows").cast(_D38)
+        ).alias("acc"),
+    )
+
+
+def ece(
+    df: DataFrame,
+    prob_col: str = "prob_q",
+    label_col: str = "label",
+    bins: int = 10,
+    prob_scale: int = 1_000_000,
+) -> DataFrame:
+    """Expected Calibration Error over :func:`calibration_bins`'s
+    binning, as ONE exact rational:
+
+        ECE = Σ_b (n_b/N)·|acc_b − conf_b|
+            = Σ_b |n_pos_b·prob_scale − Σp_b| / (N·prob_scale)
+
+    — the per-bin weights cancel into a single integer numerator
+    (DECIMAL(38,0); envelope N·prob_scale < 10³⁸), so both engines
+    compute the identical sum and one final double division.  Output
+    ONE row: (n, ece_num — exact integer witness, ece double; NULL
+    when n = 0)."""
+    if bins < 1:
+        raise ValueError(f"ece: bins must be >= 1, got {bins}")
+    pts = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.expr(
+                f"CAST((CAST({prob_col} AS BIGINT) * {bins})"
+                f" DIV {prob_scale} AS INT)"
+            ),
+            F.lit(bins - 1),
+        ).alias("_bin"),
+        F.col(prob_col).cast("long").alias("_p"),
+        F.when(F.col(label_col).cast("int") != 0, 1).otherwise(0).alias("_y"),
+    )
+    g = pts.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").cast(_D38).alias("_pos"),
+        F.sum("_p").cast(_D38).alias("_sp"),
+    )
+    m = g.agg(
+        F.coalesce(
+            F.sum(
+                F.abs(
+                    F.col("_pos") * F.lit(prob_scale).cast(_D38)
+                    - F.col("_sp")
+                )
+            ),
+            F.lit(0).cast(_D38),
+        ).alias("_num"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+    )
+    return m.select(
+        "n",
+        F.col("_num").cast("long").alias("ece_num"),
+        F.when(
+            F.col("n") > 0,
+            _exact_div6(
+                F.col("_num"),
+                F.col("n").cast(_D38) * F.lit(prob_scale).cast(_D38),
+            ),
+        ).alias("ece"),
+    )

@@ -310,6 +310,25 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Exact HALF-AWAY-FROM-ZERO mean of DECIMAL(18,6) per-event scores at 6
+# decimals, as one aggregate expression: the decimal sum scales to
+# integer micro-units and the mean rounds with integer `div` (both
+# engines truncate toward zero), so NO IEEE half-way boundary exists.
+# The previous double form — round(sum(lp)/count, 6) — flips between
+# engines when sum/count lands exactly on .xxxxxx5, which a 6-decimal
+# sum over a small count hits routinely (found live: sf0.001 doc 69's
+# trigram sum -29.488915 over 10 trigrams).  The DuckDB oracle twin
+# replays the identical formula with HUGEINT and `//`.
+_EXACT_AVG6_SQL = (
+    "CAST(CASE WHEN CAST(sum(lp) * 1000000 AS DECIMAL(38,0)) < 0 "
+    "THEN -((-2 * CAST(sum(lp) * 1000000 AS DECIMAL(38,0)) + count(1))"
+    " DIV (2 * count(1))) "
+    "ELSE (2 * CAST(sum(lp) * 1000000 AS DECIMAL(38,0)) + count(1))"
+    " DIV (2 * count(1)) "
+    "END AS DOUBLE) / 1000000.0"
+)
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Unigram language-model quality score: mean log-probability of a
     document's tokens under the corpus unigram distribution — the
@@ -336,7 +355,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         words.join(lp, "word")
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            F.expr(_EXACT_AVG6_SQL).alias("avg_logprob"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
@@ -994,7 +1013,7 @@ def bigram_logprob(
         bg.join(lp, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            F.expr(_EXACT_AVG6_SQL).alias("avg_logprob"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
@@ -1123,9 +1142,7 @@ def trigram_logprob(
         tg.join(lp, ["w1", "w2", "w3"])
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_logprob"
-            ),
+            F.expr(_EXACT_AVG6_SQL).alias("avg_logprob"),
             F.count(F.lit(1)).alias("n_trigrams"),
         )
     )
@@ -1258,9 +1275,7 @@ def kneser_ney_logprob(
         tg.join(lp, ["w1", "w2", "w3"])
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_logprob"
-            ),
+            F.expr(_EXACT_AVG6_SQL).alias("avg_logprob"),
             F.count(F.lit(1)).alias("n_trigrams"),
         )
     )

@@ -1,0 +1,279 @@
+"""operators/stats.py — statistical testing + model-eval tier.
+
+Hand fixtures pin textbook values (perfect fit, total separation,
+sklearn's AP example shape); hypothesis lanes replay each operator
+against a pure-Python exact-fraction model on arbitrary integer data
+(ties, negatives, constants, empties).  The DuckDB side of the same
+operators is pinned by tools/parity.py (x_linear_fit, x_mann_whitney,
+x_ks_test, x_average_precision, x_calibration, x_ece).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_merge_purge_spark.operators import stats
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+
+def _half_away6(fr: Fraction) -> float:
+    """The repo's exact 6-decimal HALF-AWAY-FROM-ZERO rounding of a
+    non-negative rational, as stats._exact_div6 computes it."""
+    assert fr >= 0
+    q = (2 * fr.numerator * 1_000_000 + fr.denominator) // (
+        2 * fr.denominator
+    )
+    return q / 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# hand fixtures
+# ---------------------------------------------------------------------------
+
+
+def test_linear_fit_perfect_line(spark):
+    df = spark.createDataFrame(
+        [("g", x, 2 * x + 1) for x in range(1, 6)], "g string, x long, y long"
+    )
+    row = stats.linear_fit(df, ["g"], "x", "y").collect()[0]
+    assert (row["n"], row["slope"], row["intercept"], row["r2"]) == (
+        5,
+        2.0,
+        1.0,
+        1.0,
+    )
+
+
+def test_linear_fit_constant_x_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", 3, y) for y in (1, 5, 9)], "g string, x long, y long"
+    )
+    row = stats.linear_fit(df, ["g"], "x", "y").collect()[0]
+    assert row["slope"] is None and row["intercept"] is None
+    assert row["r2"] is None
+
+
+def test_mann_whitney_total_separation(spark):
+    # A = {1,2,3} all below B = {4,5,6}: U_A = 0, strongly negative z
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 0), (5, 0), (6, 0)], "v long, f int"
+    )
+    row = stats.mann_whitney_u(df, "v", "f").collect()[0]
+    assert (row["n_a"], row["n_b"], row["u"]) == (3, 3, 0.0)
+    # U=0, mean=4.5, var=3·3/12·7=5.25 → z = −4.5/√5.25
+    assert row["z"] == round(-4.5 / (2.0 * math.sqrt(5.25)) * 2.0, 6)
+
+
+def test_mann_whitney_all_ties_zero_variance(spark):
+    df = spark.createDataFrame([(7, 1), (7, 1), (7, 0)], "v long, f int")
+    row = stats.mann_whitney_u(df, "v", "f").collect()[0]
+    assert row["u"] == 1.0  # 2 tied pairs × ½
+    assert row["z"] is None
+
+
+def test_ks_total_separation(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 0), (5, 0), (6, 0)], "v long, f int"
+    )
+    row = stats.ks_statistic(df, "v", "f").collect()[0]
+    assert (row["n_a"], row["n_b"], row["ks_d"]) == (3, 3, 1.0)
+
+
+def test_ks_identical_samples_zero(spark):
+    df = spark.createDataFrame(
+        [(v, f) for v in (1, 2, 3) for f in (0, 1)], "v long, f int"
+    )
+    row = stats.ks_statistic(df, "v", "f").collect()[0]
+    assert row["ks_d"] == 0.0
+
+
+def test_average_precision_interleaved(spark):
+    # ranking (pos, neg, pos, neg) → AP = (1/1 + 2/3)/2 = 5/6
+    df = spark.createDataFrame(
+        [(4, 1), (3, 0), (2, 1), (1, 0)], "score long, label int"
+    )
+    row = stats.average_precision(df).collect()[0]
+    assert (row["n"], row["n_pos"]) == (4, 2)
+    assert row["ap"] == _half_away6(Fraction(row["ap_num"], 2 * 10**9))
+
+
+def test_average_precision_perfect_ranking(spark):
+    df = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], "score long, label int"
+    )
+    assert stats.average_precision(df).collect()[0]["ap"] == 1.0
+
+
+def test_calibration_and_ece(spark):
+    # two deciles: conf 0.9 acc 0.5, conf 0.1 acc 0.0 → ECE = 0.25
+    df = spark.createDataFrame(
+        [(900000, 1), (900000, 0), (100000, 0), (100000, 0)],
+        "prob_q long, label int",
+    )
+    bins = {
+        r["bin"]: r
+        for r in stats.calibration_bins(df).collect()
+    }
+    assert bins[9]["conf"] == 0.9 and bins[9]["acc"] == 0.5
+    assert bins[1]["conf"] == 0.1 and bins[1]["acc"] == 0.0
+    row = stats.ece(df).collect()[0]
+    assert (row["n"], row["ece"]) == (4, 0.25)
+    # prob exactly at the top edge lands in the LAST bin, not bins
+    edge = spark.createDataFrame([(1000000, 1)], "prob_q long, label int")
+    assert stats.calibration_bins(edge).collect()[0]["bin"] == 9
+
+
+def test_empty_inputs_keep_one_row_contract(spark):
+    empty = spark.createDataFrame([], "v long, f int")
+    for fn, cols in (
+        (stats.ks_statistic, ("n_a", "n_b", "ks_d")),
+        (stats.mann_whitney_u, ("n_a", "n_b", "u", "z")),
+    ):
+        row = fn(empty, "v", "f").collect()[0]
+        assert row["n_a"] == 0 and row["n_b"] == 0
+    ap = stats.average_precision(
+        spark.createDataFrame([], "score long, label int")
+    ).collect()[0]
+    assert (ap["n"], ap["n_pos"], ap["ap"]) == (0, 0, None)
+    ec = stats.ece(
+        spark.createDataFrame([], "prob_q long, label int")
+    ).collect()[0]
+    assert (ec["n"], ec["ece"]) == (0, None)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: pure-Python exact-fraction models
+# ---------------------------------------------------------------------------
+
+two_sample = st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(0, 1)),
+    max_size=14,
+)
+
+
+@given(pts=two_sample)
+@SETTINGS
+def test_mann_whitney_matches_pair_count(spark, pts):
+    """u == the literal pair-count definition Σ[a>b] + ½Σ[a==b]."""
+    df = (
+        spark.createDataFrame(pts, "v long, f int")
+        if pts
+        else spark.createDataFrame([], "v long, f int")
+    )
+    row = stats.mann_whitney_u(df, "v", "f", bucket_size=3).collect()[0]
+    a = [v for v, f in pts if f]
+    b = [v for v, f in pts if not f]
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    if not a or not b:
+        assert row["u"] is None and row["z"] is None
+        return
+    u = sum(
+        1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b
+    )
+    assert row["u"] == u
+
+
+@given(pts=two_sample)
+@SETTINGS
+def test_ks_matches_fraction_model(spark, pts):
+    df = (
+        spark.createDataFrame(pts, "v long, f int")
+        if pts
+        else spark.createDataFrame([], "v long, f int")
+    )
+    row = stats.ks_statistic(df, "v", "f", bucket_size=3).collect()[0]
+    a = sorted(v for v, f in pts if f)
+    b = sorted(v for v, f in pts if not f)
+    if not a or not b:
+        assert row["ks_d"] is None
+        return
+    vals = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            Fraction(sum(1 for x in a if x <= v), len(a))
+            - Fraction(sum(1 for x in b if x <= v), len(b))
+        )
+        for v in vals
+    )
+    assert row["ks_d"] == _half_away6(d)
+    assert Fraction(int(row["d_num"]), len(a) * len(b)) == d
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-4, 4), st.integers(0, 1)), max_size=14
+    )
+)
+@SETTINGS
+def test_average_precision_matches_step_model(spark, pts):
+    """ap_num == the sklearn step definition with each term floored at
+    scale 10⁹ (exact integer replay over distinct-score blocks)."""
+    df = (
+        spark.createDataFrame(pts, "score long, label int")
+        if pts
+        else spark.createDataFrame([], "score long, label int")
+    )
+    row = stats.average_precision(df, bucket_size=3).collect()[0]
+    S = 10**9
+    want, tp, fp = 0, 0, 0
+    for s in sorted({p[0] for p in pts}, reverse=True):
+        pc = sum(1 for v, l in pts if v == s and l)
+        nc = sum(1 for v, l in pts if v == s and not l)
+        tp, fp = tp + pc, fp + nc
+        want += (pc * tp * S) // (tp + fp)
+    assert row["ap_num"] == want
+    n_pos = sum(l for _, l in pts)
+    if n_pos:
+        assert row["ap"] == _half_away6(Fraction(want, n_pos * S))
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-6, 6), st.integers(-6, 6)), max_size=12
+    )
+)
+@SETTINGS
+def test_linear_fit_matches_fraction_model(spark, pts):
+    df = (
+        spark.createDataFrame([("g", x, y) for x, y in pts], "g string, x long, y long")
+        if pts
+        else spark.createDataFrame([], "g string, x long, y long")
+    )
+    rows = stats.linear_fit(df, ["g"], "x", "y").collect()
+    if not pts:
+        assert rows == []
+        return
+    row = rows[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num, dx, dy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert row["n"] == n
+    if dx <= 0:
+        assert row["slope"] is None and row["intercept"] is None
+        return
+    assert row["slope"] == round(float(num) / float(dx), 6)
+    assert row["intercept"] == round(
+        float(sy * sxx - sx * sxy) / float(dx), 6
+    )
+    if dy > 0:
+        assert row["r2"] == round(
+            float(num) * float(num) / (float(dx) * float(dy)), 6
+        )
+    else:
+        assert row["r2"] is None
