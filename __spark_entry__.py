@@ -9327,6 +9327,50 @@ _RELATIONAL_ORACLES["x_ece"] = f"""
     FROM m"""
 
 
+def _docs_logreg_features(spark, sf_dir):
+    """Learnable concept over documents: predict n_chars > 300 from
+    token-level features (token count, digit count, whitespace count) —
+    genuinely separable but non-trivially (length ≈ tokens·(len+1) is
+    nonlinear in the features), so accuracy pins prove the GD learned."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("double")
+        .alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"[^0-9]", ""))
+        .cast("double")
+        .alias("n_digits"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"\s", ""))
+        )
+        .cast("double")
+        .alias("n_spaces"),
+        (F.col("n_chars") > 300).cast("int").alias("label"),
+    )
+
+
+def x_logreg(spark, sf_dir):
+    """Distributed logistic-regression trainer (ml.logreg_fit, r15):
+    full-batch GD, one map-side-combined (d+2)-sum aggregate per round,
+    margin as a literal codegen expression — no UDF, data never
+    collects; internal standardization de-standardized back to raw
+    feature space.  Rows-only gate entry (float gradient sums are
+    ~1-ulp run-nondeterministic, the ppmi_factorize convention):
+    4 rows (__bias__ + 3 features); accuracy ≥ 0.95 and loss-descent
+    are pytest-pinned."""
+    from kafka_merge_purge_spark.operators.ml import (
+        logreg_fit,
+        logreg_weights_frame,
+    )
+
+    feats = _docs_logreg_features(spark, sf_dir)
+    model = logreg_fit(
+        feats, ["n_tokens", "n_digits", "n_spaces"], "label", rounds=30
+    )
+    return logreg_weights_frame(spark, model)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Naming convention (round 2): the driver's correctness gate records the
     # first 50 queries alphabetically.  ``q_*`` names are the 50 primary

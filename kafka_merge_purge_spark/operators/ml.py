@@ -1,0 +1,200 @@
+"""Distributed model training (round 15): logistic regression by
+full-batch gradient descent — the trainer behind the curation tier's
+scoring models (a learned `quality_classifier`, a learned DSIR-style
+domain filter) instead of fixed hand weights.
+
+Execution shape (the kmeans_fit posture — tiny model on the driver,
+one aggregate per step, data never collects):
+
+- the model is d+1 doubles (weights + bias) held on the driver;
+- each GD round evaluates the margin as a LITERAL column expression
+  (whole-stage codegen, no UDF anywhere), and ONE map-side-combined
+  aggregate returns the d+1 gradient sums;
+- features standardize internally (one moments pass) so a single
+  learning rate conditions every column; the returned weights are
+  DE-standardized back to raw feature space — callers apply them to
+  raw columns without knowing standardization happened.
+
+At 100 TB a full-batch pass per round is the dominant cost (rounds ×
+scan); the standard scale move — train on a bounded md5-bucket sample
+(deterministic, the kmeans_centroids convention), then score the full
+corpus with :func:`logreg_predict` (one map-only pass) — is what
+``sample_buckets`` provides.  Scoring never shuffles.
+
+Determinism: float gradient sums accumulate in partition order, so
+weights are ~1-ulp run-to-run nondeterministic (the ppmi_factorize
+precedent) — the gate entry is rows-only; pytest pins recovered
+accuracy and loss descent instead of bit-exact weights.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _margin_expr(
+    feature_cols: Sequence[str],
+    w: Sequence[float],
+    b: float,
+    mu: Sequence[float],
+    sd: Sequence[float],
+):
+    """w·x_std + b as a literal column expression (codegen-friendly)."""
+    m = F.lit(float(b))
+    for j, c in enumerate(feature_cols):
+        m = m + F.lit(float(w[j])) * (
+            (F.col(c).cast("double") - F.lit(float(mu[j])))
+            / F.lit(float(sd[j]))
+        )
+    return m
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    rounds: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    sample_buckets: int | None = None,
+    bucket_mod: int = 1024,
+) -> dict:
+    """Train binary logistic regression with full-batch gradient
+    descent.  Returns ``{"weights": {col: w}, "bias": b, "n": n,
+    "loss": final_mean_logloss}`` in RAW feature space.
+
+    - ``label_col`` ≠ 0 is the positive class; NULL features/labels
+      drop.
+    - ``sample_buckets``: train on the deterministic md5 bucket sample
+      ``pmod(md5(concat(features)), bucket_mod) < sample_buckets``
+      (the kmeans_centroids convention) — the 100 TB posture: bounded
+      training scan, full-corpus scoring stays one map-only pass.
+    - Internally standardizes each feature (constant columns get
+      σ := 1 so they contribute 0 signal but never divide by zero) and
+      de-standardizes the returned weights: w_raw_j = w_j/σ_j,
+      b_raw = b − Σ_j w_j·μ_j/σ_j.
+
+    Per round: ONE aggregate of d+2 map-side-combined double sums
+    (logloss, bias gradient, d feature gradients) — nothing but the
+    (d+2)-vector reaches the driver.
+    """
+    if not feature_cols:
+        raise ValueError("logreg_fit: feature_cols must be non-empty")
+    if rounds < 1:
+        raise ValueError(f"logreg_fit: rounds must be >= 1, got {rounds}")
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    pts = df.filter(cond).select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.when(F.col(label_col).cast("int") != 0, 1.0)
+        .otherwise(0.0)
+        .alias("_y"),
+    )
+    if sample_buckets is not None:
+        if not 0 < sample_buckets <= bucket_mod:
+            raise ValueError(
+                f"logreg_fit: sample_buckets must be in (0, {bucket_mod}], "
+                f"got {sample_buckets}"
+            )
+        key = F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in feature_cols])
+        )
+        bucket = F.pmod(
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+            F.lit(bucket_mod),
+        )
+        pts = pts.filter(bucket < F.lit(sample_buckets))
+    pts = pts.localCheckpoint(eager=False)
+
+    moments = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(c).alias(f"mu_{j}") for j, c in enumerate(feature_cols)],
+        *[
+            F.stddev_pop(c).alias(f"sd_{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    ).collect()[0]
+    n = moments["n"]
+    if n == 0:
+        return {
+            "weights": {c: 0.0 for c in feature_cols},
+            "bias": 0.0,
+            "n": 0,
+            "loss": None,
+        }
+    mu = [float(moments[f"mu_{j}"]) for j in range(len(feature_cols))]
+    sd = [
+        float(s) if (s := moments[f"sd_{j}"]) and s > 0 else 1.0
+        for j in range(len(feature_cols))
+    ]
+
+    w = [0.0] * len(feature_cols)
+    b = 0.0
+    loss = None
+    for _ in range(rounds):
+        margin = _margin_expr(feature_cols, w, b, mu, sd)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        resid = p - F.col("_y")
+        # mean logloss via the numerically-stable softplus form:
+        #   -y·m + log(1+e^m)  ==  max(m,0) - y·m + log(1+e^-|m|)
+        ll = (
+            F.greatest(margin, F.lit(0.0))
+            - F.col("_y") * margin
+            + F.log1p(F.exp(-F.abs(margin)))
+        )
+        g = pts.agg(
+            F.sum(ll).alias("_ll"),
+            F.sum(resid).alias("_g0"),
+            *[
+                F.sum(
+                    resid
+                    * (
+                        (F.col(c) - F.lit(mu[j])) / F.lit(sd[j])
+                    )
+                ).alias(f"_g{j + 1}")
+                for j, c in enumerate(feature_cols)
+            ],
+        ).collect()[0]
+        loss = float(g["_ll"]) / n
+        b -= lr * float(g["_g0"]) / n
+        for j in range(len(feature_cols)):
+            w[j] -= lr * (float(g[f"_g{j + 1}"]) / n + l2 * w[j])
+
+    raw_w = {c: w[j] / sd[j] for j, c in enumerate(feature_cols)}
+    raw_b = b - sum(w[j] * mu[j] / sd[j] for j in range(len(feature_cols)))
+    return {"weights": raw_w, "bias": raw_b, "n": int(n), "loss": loss}
+
+
+def logreg_predict(
+    df: DataFrame,
+    model: Mapping,
+    prob_col: str = "prob",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Score rows with a :func:`logreg_fit` model: adds ``prob``
+    (double) and ``pred`` (int, margin > 0).  One map-only projection —
+    literal weights, whole-stage codegen, no shuffle, no UDF; at any
+    scale this is a pure scan."""
+    w: Mapping[str, float] = model["weights"]
+    m = F.lit(float(model["bias"]))
+    for c, wj in w.items():
+        m = m + F.lit(float(wj)) * F.col(c).cast("double")
+    return df.withColumn(
+        prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    ).withColumn(pred_col, (m > 0).cast("int"))
+
+
+def logreg_weights_frame(spark, model: Mapping) -> DataFrame:
+    """The model as a (feature, weight) frame — bias rides as the
+    ``__bias__`` row; rounded to 6 digits for a stable display/gate
+    shape (weights themselves are ~1-ulp nondeterministic)."""
+    rows = [("__bias__", float(model["bias"]))] + [
+        (c, float(v)) for c, v in sorted(model["weights"].items())
+    ]
+    df = spark.createDataFrame(rows, "feature string, weight double")
+    return df.select("feature", F.round("weight", 6).alias("weight"))

@@ -1,0 +1,144 @@
+"""operators/ml.py — distributed logistic regression.
+
+Weights are ~1-ulp run-nondeterministic (float gradient sums across
+partitions), so these pins are semantic — recovered accuracy, loss
+descent, de-standardization algebra — not bit-exact values.  The gate
+entry x_logreg is rows-only by the same convention.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_merge_purge_spark.operators.ml import (
+    logreg_fit,
+    logreg_predict,
+    logreg_weights_frame,
+)
+
+FEATS = ["x1", "x2"]
+
+
+def _separable(spark, n=400, gap=0.25, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    while len(rows) < n:
+        x1, x2 = rng.uniform(-3, 3), rng.uniform(-3, 3)
+        m = x1 + x2 - 0.5
+        if abs(m) < gap:
+            continue
+        rows.append((x1, x2, 1 if m > 0 else 0))
+    return spark.createDataFrame(rows, "x1 double, x2 double, y int")
+
+
+def _accuracy(scored, label="y"):
+    return scored.agg(
+        F.avg((F.col("pred") == F.col(label)).cast("double"))
+    ).collect()[0][0]
+
+
+def test_separable_concept_recovered(spark):
+    df = _separable(spark)
+    model = logreg_fit(df, FEATS, "y", rounds=30, lr=1.0)
+    assert _accuracy(logreg_predict(df, model)) == 1.0
+    # the true boundary is x1 + x2 = 0.5: weights near-equal, bias
+    # opposes the margin offset
+    w = model["weights"]
+    assert w["x1"] > 0 and w["x2"] > 0
+    assert abs(w["x1"] - w["x2"]) < 0.5 * abs(w["x1"])
+    assert model["bias"] < 0
+
+
+def test_loss_descends_below_coin_flip(spark):
+    df = _separable(spark)
+    m1 = logreg_fit(df, FEATS, "y", rounds=1, lr=1.0)
+    m30 = logreg_fit(df, FEATS, "y", rounds=30, lr=1.0)
+    # round 1 records the loss AT w=0: exactly ln 2
+    assert m1["loss"] == pytest.approx(math.log(2.0))
+    assert m30["loss"] < 0.2
+
+
+def test_destandardization_is_raw_space(spark):
+    """Scoring with the returned RAW-space weights must equal scoring
+    inside the standardized space the trainer used."""
+    df = _separable(spark)
+    model = logreg_fit(df, FEATS, "y", rounds=10, lr=1.0)
+    # recompute the margin by hand in raw space for one row
+    row = df.limit(1).collect()[0]
+    m = model["bias"] + sum(
+        model["weights"][c] * row[c] for c in FEATS
+    )
+    prob = logreg_predict(df.limit(1), model).collect()[0]["prob"]
+    assert prob == pytest.approx(1.0 / (1.0 + math.exp(-m)))
+
+
+def test_constant_feature_gets_zero_weight(spark):
+    df = _separable(spark).withColumn("x3", F.lit(5.0))
+    model = logreg_fit(df, ["x1", "x2", "x3"], "y", rounds=10, lr=1.0)
+    # σ := 1 guard: a constant column contributes zero gradient signal
+    assert model["weights"]["x3"] == 0.0
+    assert _accuracy(logreg_predict(df, model)) == 1.0
+
+
+def test_l2_shrinks_weights(spark):
+    df = _separable(spark)
+    free = logreg_fit(df, FEATS, "y", rounds=20, lr=1.0)
+    reg = logreg_fit(df, FEATS, "y", rounds=20, lr=1.0, l2=0.5)
+    assert abs(reg["weights"]["x1"]) < abs(free["weights"]["x1"])
+    assert abs(reg["weights"]["x2"]) < abs(free["weights"]["x2"])
+
+
+def test_sample_buckets_trains_on_subset(spark):
+    df = _separable(spark)
+    full = logreg_fit(df, FEATS, "y", rounds=5, lr=1.0)
+    sub = logreg_fit(
+        df, FEATS, "y", rounds=5, lr=1.0, sample_buckets=512
+    )
+    assert 0 < sub["n"] < full["n"]
+    # the subset is still separable by the same concept
+    assert _accuracy(logreg_predict(df, sub)) > 0.9
+
+
+def test_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "x1 double, x2 double, y int")
+    model = logreg_fit(empty, FEATS, "y", rounds=3)
+    assert model == {
+        "weights": {"x1": 0.0, "x2": 0.0},
+        "bias": 0.0,
+        "n": 0,
+        "loss": None,
+    }
+    with pytest.raises(ValueError, match="feature_cols"):
+        logreg_fit(empty, [], "y")
+    with pytest.raises(ValueError, match="rounds"):
+        logreg_fit(empty, FEATS, "y", rounds=0)
+    with pytest.raises(ValueError, match="sample_buckets"):
+        logreg_fit(empty, FEATS, "y", sample_buckets=0)
+
+
+def test_documents_demo_beats_baseline(spark):
+    """The x_logreg gate concept: n_chars > 300 from token features —
+    accuracy must clearly beat the majority class."""
+    import __spark_entry__ as entry
+
+    feats = entry._docs_logreg_features(spark, "/root/testdata/sf0.001")
+    model = logreg_fit(
+        feats, ["n_tokens", "n_digits", "n_spaces"], "label", rounds=30
+    )
+    scored = logreg_predict(feats, model)
+    acc = _accuracy(scored, "label")
+    majority = (
+        feats.agg(F.avg(F.col("label").cast("double"))).collect()[0][0]
+    )
+    assert acc >= 0.95 > max(majority, 1 - majority)
+    wf = logreg_weights_frame(spark, model)
+    assert [r["feature"] for r in wf.collect()] == [
+        "__bias__",
+        "n_digits",
+        "n_spaces",
+        "n_tokens",
+    ]
