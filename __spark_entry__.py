@@ -9327,6 +9327,171 @@ _RELATIONAL_ORACLES["x_ece"] = f"""
     FROM m"""
 
 
+def x_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t-test (stats.welch_t — the parametric
+    companion to x_mann_whitney): price-mean shift between returned
+    ('R') and accepted ('A') lineitems.  Per-sample moment sums in
+    DECIMAL(38,0) — exact variance numerators n·Σx²−(Σx)², one
+    conditional-sum aggregate — FULL hash oracle mirroring the double
+    op chain on identical exact decimals."""
+    from kafka_merge_purge_spark.operators.stats import welch_t
+
+    return welch_t(_li_two_sample(spark, sf_dir), "cents", "flag")
+
+
+_RELATIONAL_ORACLES["x_welch_t"] = """
+    WITH d AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                      AS v,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+               FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    m AS (SELECT CAST(COALESCE(SUM(a), 0) AS HUGEINT) AS na,
+                 CAST(COALESCE(SUM(1 - a), 0) AS HUGEINT) AS nb,
+                 COALESCE(SUM(CASE WHEN a = 1 THEN v END), 0) AS sa,
+                 COALESCE(SUM(CASE WHEN a = 0 THEN v END), 0) AS sb,
+                 COALESCE(SUM(CASE WHEN a = 1 THEN v * v END), 0) AS qa,
+                 COALESCE(SUM(CASE WHEN a = 0 THEN v * v END), 0) AS qb
+          FROM d),
+    f AS (SELECT na, nb,
+                 CAST(sa * nb - sb * na AS DOUBLE)
+                 / CAST(na * nb AS DOUBLE) AS md,
+                 CAST(na * qa - sa * sa AS DOUBLE)
+                 / CAST(na * (na - 1) * na AS DOUBLE) AS ra,
+                 CAST(nb * qb - sb * sb AS DOUBLE)
+                 / CAST(nb * (nb - 1) * nb AS DOUBLE) AS rb
+          FROM m)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN round(md, 6) END AS mean_diff,
+           CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0
+                THEN round(md / sqrt(ra + rb), 6) END AS t,
+           CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0
+                THEN round((ra + rb) * (ra + rb)
+                           / (ra * ra / CAST(na - 1 AS DOUBLE)
+                              + rb * rb / CAST(nb - 1 AS DOUBLE)), 6)
+           END AS df_welch
+    FROM f"""
+
+
+def x_cusum(spark, sf_dir):
+    """CUSUM mean-shift changepoint (stats.cusum_changepoint, Page
+    1954) over the events value series by epoch second: where did the
+    metric's mean move?  Exact integer numerator |n·S(k) − C(k)·S_n|
+    over DISTINCT seconds via the bucketed two-level prefix sum; the
+    argmax tie-breaks to the earliest second with ONE struct-max
+    aggregate — FULL hash oracle with the d_num witness."""
+    from kafka_merge_purge_spark.operators.stats import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.unix_timestamp(F.col("ts")).alias("sec"),
+        F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("val"),
+    )
+    return cusum_changepoint(pts, "sec", "val")
+
+
+_RELATIONAL_ORACLES["x_cusum"] = """
+    WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS o,
+                      CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS x
+               FROM events WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+    g AS (SELECT o, COUNT(*) AS c, CAST(SUM(x) AS HUGEINT) AS s
+          FROM d GROUP BY o),
+    w AS (SELECT o,
+                 SUM(c) OVER win AS cumc,
+                 SUM(s) OVER win AS cums
+          FROM g
+          WINDOW win AS (ORDER BY o
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS n,
+                   CAST(COALESCE(SUM(s), 0) AS HUGEINT) AS sn FROM g),
+    sc AS (SELECT o, n,
+                  ABS(n * CAST(cums AS HUGEINT)
+                      - CAST(cumc AS HUGEINT) * sn) AS dd
+           FROM w, tot),
+    mx AS (SELECT n, MAX(dd) AS d FROM sc GROUP BY n),
+    pick AS (SELECT mx.n AS n, MIN(sc.o) AS change_at, mx.d AS d
+             FROM sc JOIN mx ON sc.dd = mx.d AND sc.n = mx.n
+             GROUP BY mx.n, mx.d)
+    SELECT CAST(n AS BIGINT) AS n, change_at,
+           CAST(d AS DECIMAL(38,0)) AS d_num,
+           CAST((2 * d * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+           AS cusum
+    FROM pick
+    UNION ALL
+    SELECT CAST(n AS BIGINT), NULL, NULL, NULL
+    FROM tot WHERE NOT EXISTS (SELECT 1 FROM pick)"""
+
+
+def x_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes text classifier (ml.nb_fit/nb_predict,
+    r15): train per-lang token models over documents and score every
+    document — pure COUNT arithmetic, so training AND scoring carry a
+    FULL hash oracle (the dsir_select convention: each log-probability
+    quantizes round(ln,6) ONCE at train time; doc scores are exact
+    DECIMAL sums — order-free; argmax tie-breaks to the smallest
+    label).  Plan: token explode → three map-side-combined counts →
+    word-keyed stats join → doc×label aggregate; no windows, no driver
+    loop."""
+    from kafka_merge_purge_spark.operators.ml import nb_fit, nb_predict
+
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_fit(docs, "text", "lang")
+    return nb_predict(docs, model, "text", "doc_id")
+
+
+_LLM_ORACLES["x_naive_bayes"] = """
+    WITH base AS (SELECT doc_id, lang AS label,
+                         string_split(trim(regexp_replace(lower(text),
+                             '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+                  FROM documents
+                  WHERE text IS NOT NULL AND lang IS NOT NULL),
+    wz AS (SELECT label, unnest(toks) AS word FROM base),
+    w AS (SELECT label, word FROM wz WHERE word <> ''),
+    cw AS (SELECT label, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    tw AS (SELECT label, COUNT(*) AS t FROM w GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT word) AS v FROM w),
+    dl AS (SELECT label, COUNT(*) AS d FROM base GROUP BY 1),
+    dt AS (SELECT COUNT(*) AS dtot FROM base),
+    stats AS (SELECT label, word,
+                     CAST(round(ln(CAST(c + 1 AS DOUBLE)
+                                   / CAST(t + v AS DOUBLE)), 6)
+                          AS DECIMAL(18,6)) AS lp
+              FROM cw JOIN tw USING (label), vv),
+    priors AS (SELECT label,
+                      CAST(round(ln(CAST(d AS DOUBLE)
+                                    / CAST(dtot AS DOUBLE)), 6)
+                           AS DECIMAL(18,6)) AS prior_lp,
+                      CAST(round(ln(1.0 / CAST(t + v AS DOUBLE)), 6)
+                           AS DECIMAL(18,6)) AS unseen_lp
+               FROM dl JOIN tw USING (label), vv, dt),
+    toks AS (SELECT doc_id, word, COUNT(*) AS n
+             FROM (SELECT doc_id, unnest(toks) AS word FROM base)
+             WHERE word <> '' GROUP BY 1, 2),
+    tots AS (SELECT doc_id, SUM(n) AS tn FROM toks GROUP BY 1),
+    seen AS (SELECT doc_id, label,
+                    SUM(CAST(n AS DECIMAL(12,0)) * lp) AS slp,
+                    SUM(n) AS sn
+             FROM toks JOIN stats USING (word) GROUP BY 1, 2),
+    grid AS (SELECT b.doc_id, p.label, p.prior_lp, p.unseen_lp,
+                    COALESCE(t.tn, 0) AS tn
+             FROM (SELECT DISTINCT doc_id FROM base) b
+             LEFT JOIN tots t USING (doc_id), priors p),
+    scored AS (SELECT g.doc_id, g.label,
+                      CAST(g.prior_lp AS DECIMAL(30,6))
+                      + COALESCE(CAST(s.slp AS DECIMAL(30,6)), 0)
+                      + CAST(g.tn - COALESCE(s.sn, 0) AS DECIMAL(12,0))
+                        * g.unseen_lp AS score
+               FROM grid g
+               LEFT JOIN seen s
+                 ON s.doc_id = g.doc_id AND s.label = g.label),
+    pick AS (SELECT doc_id, label AS pred, score,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, label ASC) AS rn
+             FROM scored)
+    SELECT doc_id, pred, CAST(score AS DOUBLE) AS score
+    FROM pick WHERE rn = 1"""
+
+
 def _docs_logreg_features(spark, sf_dir):
     """Learnable concept over documents: predict n_chars > 300 from
     token-level features (token count, digit count, whitespace count) —

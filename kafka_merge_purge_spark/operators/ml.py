@@ -170,6 +170,183 @@ def logreg_fit(
     return {"weights": raw_w, "bias": raw_b, "n": int(n), "loss": loss}
 
 
+def nb_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    alpha: int = 1,
+) -> dict:
+    """Train a multinomial Naive Bayes text classifier — the classic
+    counts-based label scorer (fastText-lite without embeddings; the
+    trainable sibling of curation.quality_classifier).  Everything is
+    COUNT arithmetic, so unlike :func:`logreg_fit` the whole model —
+    training AND scoring — is engine-exact and FULL-hash-oracle-able
+    (the dsir_select convention: each log-probability is quantized
+    ``round(ln(num/den), 6)`` ONCE at train time and document scores
+    are exact DECIMAL sums of those terms — order-free, no float
+    accumulation).
+
+        lp(w|y)   = round(ln((c(w,y) + α) / (T(y) + α·V)), 6)
+        unseen(y) = round(ln(α / (T(y) + α·V)), 6)     (Laplace mass)
+        prior(y)  = round(ln(D(y) / D), 6)
+
+    with V = corpus vocabulary size.  ``alpha`` must be a positive
+    integer (keeps every ratio a ratio of exact integers; the division
+    and ln are one correctly-rounded double op each).
+
+    Returns ``{"stats": DataFrame(label, word, lp), "priors":
+    DataFrame(label, prior_lp, unseen_lp)}`` — both unresolved plans
+    (cache if scoring repeatedly).  Plan: one token explode, three
+    map-side-combined grouped counts, a 1-row (V, D) broadcast; nothing
+    collects to the driver."""
+    from kafka_merge_purge_spark.operators.dedup import normalize
+    from kafka_merge_purge_spark.operators.text import tokens
+
+    if alpha < 1:
+        raise ValueError(f"nb_fit: alpha must be a positive int, got {alpha}")
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    words = base.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(normalize(F.col(text_col)))).alias("word"),
+    ).filter(F.col("word") != "")
+    cw = words.groupBy("label", "word").agg(F.count(F.lit(1)).alias("_c"))
+    tw = words.groupBy("label").agg(F.count(F.lit(1)).alias("_t"))
+    corpus = words.agg(
+        F.count_distinct(F.col("word")).alias("_v")
+    )
+    dl = base.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    dtot = base.agg(F.count(F.lit(1)).alias("_dt"))
+
+    den = (F.col("_t") + F.lit(alpha) * F.col("_v")).cast("double")
+    stats = (
+        cw.join(tw, "label")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "label",
+            "word",
+            F.round(
+                F.log((F.col("_c") + F.lit(alpha)).cast("double") / den), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    priors = (
+        dl.join(tw, "label", "left")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "label",
+            F.round(
+                F.log(
+                    F.col("_d").cast("double") / F.col("_dt").cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("prior_lp"),
+            F.round(
+                F.log(
+                    F.lit(float(alpha))
+                    / (
+                        F.coalesce(F.col("_t"), F.lit(0))
+                        + F.lit(alpha) * F.col("_v")
+                    ).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("unseen_lp"),
+        )
+    )
+    return {"stats": stats, "priors": priors}
+
+
+def nb_predict(
+    df: DataFrame,
+    model: Mapping,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with an :func:`nb_fit` model and pick the
+    argmax label.  score(d, y) = prior(y) + Σ_w n(w,d)·lp(w,y) with
+    out-of-class words taking the Laplace ``unseen`` mass — exact
+    DECIMAL sums of the quantized train-time terms, so two engines
+    (and two runs) produce IDENTICAL scores; ties break to the
+    lexicographically smallest label via one struct-min aggregate.
+
+    Plan: token explode → (doc, word) counts → one word-keyed join
+    against the class stats (AQE picks broadcast for bounded vocab) →
+    (doc, label) aggregate over the doc×label grid — no windows, no
+    driver loop.  Output: (id, pred, score double)."""
+    from kafka_merge_purge_spark.operators.dedup import normalize
+    from kafka_merge_purge_spark.operators.text import tokens
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(normalize(F.col(text_col)))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("_id", "word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # counts cast to DECIMAL(12,0) so count×lp stays (31,6) — inside the
+    # 38-digit cap, no precision-loss rounding; the product has EXACTLY
+    # the train-time 6 decimals and sums order-free
+    d12, d30 = "decimal(12,0)", "decimal(30,6)"
+    seen = (
+        toks.join(model["stats"], "word")
+        .groupBy("_id", "label")
+        .agg(
+            F.sum(F.col("_n").cast(d12) * F.col("lp")).alias("_slp"),
+            F.sum("_n").alias("_sn"),
+        )
+    )
+    tots = toks.groupBy("_id").agg(F.sum("_n").alias("_tn"))
+    grid = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"))
+        .join(tots, "_id", "left")
+        .crossJoin(F.broadcast(model["priors"]))
+    )
+    zero = F.lit(0).cast(d30)
+    scored = grid.join(seen, ["_id", "label"], "left").select(
+        "_id",
+        "label",
+        (
+            F.col("prior_lp").cast(d30)
+            + F.coalesce(F.col("_slp").cast(d30), zero)
+            + (
+                F.coalesce(F.col("_tn"), F.lit(0))
+                - F.coalesce(F.col("_sn"), F.lit(0))
+            ).cast(d12)
+            * F.col("unseen_lp")
+        ).alias("_score"),
+    )
+    best = (
+        scored.select(
+            "_id",
+            F.struct(
+                (-F.col("_score")).alias("ns"), F.col("label").alias("l")
+            ).alias("_k"),
+        )
+        .groupBy("_id")
+        .agg(F.min("_k").alias("_k"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_k.l").alias("pred"),
+            (-F.col("_k.ns")).cast("double").alias("score"),
+        )
+    )
+    return best
+
+
 def logreg_predict(
     df: DataFrame,
     model: Mapping,

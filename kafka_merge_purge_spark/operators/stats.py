@@ -269,6 +269,81 @@ def mann_whitney_u(
     )
 
 
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test — the parametric companion to
+    :func:`mann_whitney_u` (mean shift between sample A = flag ≠ 0 and
+    sample B):
+
+        t  = (x̄_A − x̄_B) / √(s²_A/n_A + s²_B/n_B)
+        df = (s²_A/n_A + s²_B/n_B)² / ((s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1))
+
+    (Welch-Satterthwaite).  Values must be int64 (quantize-first); the
+    per-sample moment sums (n, Σx, Σx²) aggregate in DECIMAL(38,0) —
+    exact — and the sample variances derive as s² = (n·Σx² − (Σx)²)
+    / (n·(n−1)), each an exact-integer numerator/denominator pair cast
+    once to double, so both engines run the identical double op chain.
+    Envelope: n·Σx² < 10³⁸.
+
+    ONE map-side-combined aggregate (conditional sums), no joins, no
+    windows.  Output ONE row: (n_a, n_b, mean_diff, t, df_welch) —
+    t/df NULL when either n < 2 or both variances are zero."""
+    pts = df.filter(
+        F.col(value_col).isNotNull() & F.col(flag_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("long").cast(_D38).alias("_v"),
+        F.when(F.col(flag_col).cast("int") != 0, 1).otherwise(0).alias("_a"),
+    )
+    a = F.col("_a") == 1
+    zero = F.lit(0).cast(_D38)
+    m = pts.agg(
+        F.coalesce(F.sum(F.when(a, 1)), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(~a, 1)), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(a, F.col("_v"))), zero).alias("_sa"),
+        F.coalesce(F.sum(F.when(~a, F.col("_v"))), zero).alias("_sb"),
+        F.coalesce(
+            F.sum(F.when(a, F.col("_v") * F.col("_v"))), zero
+        ).alias("_qa"),
+        F.coalesce(
+            F.sum(F.when(~a, F.col("_v") * F.col("_v"))), zero
+        ).alias("_qb"),
+    )
+    na, nb = F.col("n_a").cast(_D38), F.col("n_b").cast(_D38)
+    # exact-integer variance numerators: n·Σx² − (Σx)²
+    va_num = na * F.col("_qa") - F.col("_sa") * F.col("_sa")
+    vb_num = nb * F.col("_qb") - F.col("_sb") * F.col("_sb")
+    one = F.lit(1).cast(_D38)
+    # s²/n as doubles from exact decimal parts: va_num/(na·(na−1)·na)
+    ra = va_num.cast("double") / (na * (na - one) * na).cast("double")
+    rb = vb_num.cast("double") / (nb * (nb - one) * nb).cast("double")
+    # mean diff as one exact rational: (sa·nb − sb·na)/(na·nb)
+    md_num = F.col("_sa") * nb - F.col("_sb") * na
+    md = md_num.cast("double") / (na * nb).cast("double")
+    se2 = ra + rb
+    t = md / F.sqrt(se2)
+    dfw = (
+        se2
+        * se2
+        / (
+            ra * ra / (na - one).cast("double")
+            + rb * rb / (nb - one).cast("double")
+        )
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(md, 6)
+        ).alias("mean_diff"),
+        F.when(ok & (se2 > 0), F.round(t, 6)).alias("t"),
+        F.when(ok & (se2 > 0), F.round(dfw, 6)).alias("df_welch"),
+    )
+
+
 def ks_statistic(
     df: DataFrame,
     value_col: str,
@@ -325,6 +400,77 @@ def ks_statistic(
             "n_b",
             F.lit(None).cast(_D38).alias("d_num"),
             F.lit(None).cast("double").alias("ks_d"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """CUSUM mean-shift changepoint: the position along ``order_col``
+    maximizing the centered cumulative-sum deviation
+
+        D(k) = |S(k) − C(k)·S_n/n| = |n·S(k) − C(k)·S_n| / n
+
+    (S(k)/C(k) = value-sum/row-count through order position k) — the
+    classic drift detector (Page 1954; the batch twin of the streaming
+    anomaly lane): where did the metric's mean shift?
+
+    Exact arithmetic: order and value must be int64 (quantize floats
+    upstream); per distinct order position the counts/sums aggregate,
+    the inclusive cumulatives run via the bucketed two-level prefix sum
+    (no global sort), and the numerator |n·S(k) − C(k)·S_n| is exact
+    DECIMAL(38,0).  The argmax tie-breaks to the SMALLEST order via a
+    single struct-max aggregate (max on (d, −order)) — no second pass,
+    nothing collects.  Envelope: n·Σ|v| < 10³⁸.
+
+    Output ONE row: (n, change_at — the order position, d_num — exact
+    witness, cusum = D/n rounded at 6 via integer half-away division);
+    all NULL-stat when n = 0."""
+    pts = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    g = pts.groupBy("_o").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum("_x").cast(_D38).alias("_s"),
+    )
+    g = _with_below(g, "_o", ["_c", "_s"], bucket_size)
+    tot = g.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("_s"), F.lit(0).cast(_D38)).alias("_sn"),
+    )
+    cumc = (F.col("_c_below") + F.col("_c")).cast(_D38)
+    cums = (F.col("_s_below") + F.col("_s")).cast(_D38)
+    d = F.abs(F.col("n").cast(_D38) * cums - cumc * F.col("_sn"))
+    m = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.struct(d.alias("d"), (-F.col("_o")).alias("no")).alias("_k"),
+        )
+        .groupBy("n")
+        .agg(F.max("_k").alias("_k"))
+        .select(
+            "n",
+            (-F.col("_k.no")).alias("change_at"),
+            F.col("_k.d").alias("d_num"),
+            _exact_div6(F.col("_k.d"), F.col("n").cast(_D38)).alias("cusum"),
+        )
+    )
+    # empty input: the grouped frame has no rows — restore the one-row
+    # contract from the always-one-row totals aggregate
+    return m.unionByName(
+        tot.join(m.select("n"), ["n"], "left_anti").select(
+            "n",
+            F.lit(None).cast("long").alias("change_at"),
+            F.lit(None).cast(_D38).alias("d_num"),
+            F.lit(None).cast("double").alias("cusum"),
         )
     )
 

@@ -120,6 +120,108 @@ def test_empty_and_validation(spark):
         logreg_fit(empty, FEATS, "y", sample_buckets=0)
 
 
+def _nb_train(spark):
+    return spark.createDataFrame(
+        [
+            (1, "buy cheap pills now", "spam"),
+            (2, "cheap pills buy buy", "spam"),
+            (3, "meeting notes agenda", "ham"),
+            (4, "agenda for the meeting", "ham"),
+        ],
+        "doc_id long, text string, label string",
+    )
+
+
+def test_naive_bayes_planted_corpus(spark):
+    from kafka_merge_purge_spark.operators.ml import nb_fit, nb_predict
+
+    model = nb_fit(_nb_train(spark), "text", "label")
+    test = spark.createDataFrame(
+        [(10, "cheap pills"), (11, "the meeting agenda")],
+        "doc_id long, text string",
+    )
+    preds = {r["doc_id"]: r["pred"] for r in nb_predict(test, model).collect()}
+    assert preds == {10: "spam", 11: "ham"}
+
+
+def test_naive_bayes_matches_python_replay(spark):
+    """Scores are EXACT decimal sums of round(ln, 6) train terms — a
+    pure-Python replay must match to the last microdigit."""
+    from kafka_merge_purge_spark.operators.ml import nb_fit, nb_predict
+
+    train = _nb_train(spark)
+    model = nb_fit(train, "text", "label")
+    test = spark.createDataFrame(
+        [(10, "cheap pills"), (12, "zebra unknown words"), (13, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in nb_predict(test, model).collect()
+    }
+
+    docs = [(r["text"], r["label"]) for r in train.collect()]
+    words = [(lab, w) for t, lab in docs for w in t.split() if w]
+    vocab = {w for _, w in words}
+    labels = sorted({lab for _, lab in docs})
+    from collections import Counter
+
+    cw = Counter(words)
+    tw = Counter(lab for lab, _ in words)
+    dl = Counter(lab for _, lab in docs)
+
+    def q6(x):
+        # round-half-up at 6 digits on the double's shortest repr —
+        # Spark's F.round(double) semantics; values here are far from
+        # half-way boundaries so banker's-vs-half-up cannot differ
+        return round(x, 6)
+
+    lp = {
+        (lab, w): q6(math.log((cw[(lab, w)] + 1) / (tw[lab] + len(vocab))))
+        for lab in labels
+        for w in vocab
+        if (lab, w) in cw
+    }
+    prior = {lab: q6(math.log(dl[lab] / len(docs))) for lab in labels}
+    unseen = {
+        lab: q6(math.log(1 / (tw[lab] + len(vocab)))) for lab in labels
+    }
+    from fractions import Fraction
+
+    def score(text, lab):
+        s = Fraction(round(prior[lab] * 10**6), 10**6)
+        for w in text.split():
+            if not w:
+                continue
+            term = lp.get((lab, w), unseen[lab])
+            s += Fraction(round(term * 10**6), 10**6)
+        return s
+
+    for doc_id, text in ((10, "cheap pills"), (12, "zebra unknown words"), (13, "")):
+        want = max(labels, key=lambda lab: (score(text, lab), ), default=None)
+        # tie-break: smallest label among max scores
+        best = max(score(text, lab) for lab in labels)
+        want = min(lab for lab in labels if score(text, lab) == best)
+        assert got[doc_id][0] == want
+        assert got[doc_id][1] == float(best)
+
+
+def test_naive_bayes_empty_doc_ties_to_smallest_label(spark):
+    from kafka_merge_purge_spark.operators.ml import nb_fit, nb_predict
+
+    # equal priors → empty doc scores tie exactly → 'ham' < 'spam'
+    model = nb_fit(_nb_train(spark), "text", "label")
+    empty = spark.createDataFrame([(13, "")], "doc_id long, text string")
+    assert nb_predict(empty, model).collect()[0]["pred"] == "ham"
+
+
+def test_naive_bayes_alpha_validation(spark):
+    from kafka_merge_purge_spark.operators.ml import nb_fit
+
+    with pytest.raises(ValueError, match="alpha"):
+        nb_fit(_nb_train(spark), "text", "label", alpha=0)
+
+
 def test_documents_demo_beats_baseline(spark):
     """The x_logreg gate concept: n_chars > 300 from token features —
     accuracy must clearly beat the majority class."""

@@ -153,6 +153,80 @@ def test_empty_inputs_keep_one_row_contract(spark):
     assert (ec["n"], ec["ece"]) == (0, None)
 
 
+def test_welch_t_textbook(spark):
+    # A = {1,2,3,4} (mean 2.5, var 5/3), B = {10,12,14,16} (mean 13, var 20/3)
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (10, 0), (12, 0), (14, 0), (16, 0)],
+        "v long, f int",
+    )
+    row = stats.welch_t(df, "v", "f").collect()[0]
+    se2 = 5 / 12 + 20 / 12
+    assert row["mean_diff"] == -10.5
+    assert row["t"] == round(-10.5 / math.sqrt(se2), 6)
+    assert row["df_welch"] == round(
+        se2 * se2 / ((5 / 12) ** 2 / 3 + (20 / 12) ** 2 / 3), 6
+    )
+
+
+def test_welch_t_degenerate(spark):
+    # n_a = 1: t/df undefined, mean_diff still reported
+    df = spark.createDataFrame([(5, 1), (1, 0), (3, 0)], "v long, f int")
+    row = stats.welch_t(df, "v", "f").collect()[0]
+    assert row["mean_diff"] == 3.0 and row["t"] is None
+    # both samples constant: zero variance → NULL t
+    c = spark.createDataFrame(
+        [(2, 1), (2, 1), (7, 0), (7, 0)], "v long, f int"
+    )
+    row = stats.welch_t(c, "v", "f").collect()[0]
+    assert row["mean_diff"] == -5.0 and row["t"] is None
+
+
+def test_cusum_step_shift(spark):
+    # clean level shift 0→10 after position 4 → change_at = 4, D = 25
+    df = spark.createDataFrame(
+        [(i, 0 if i < 5 else 10) for i in range(10)], "o long, x long"
+    )
+    row = stats.cusum_changepoint(df, "o", "x").collect()[0]
+    assert (row["n"], row["change_at"], row["cusum"]) == (10, 4, 25.0)
+    # constant series: numerator identically 0, earliest order wins
+    flat = spark.createDataFrame(
+        [(i, 7) for i in range(5)], "o long, x long"
+    )
+    row = stats.cusum_changepoint(flat, "o", "x").collect()[0]
+    assert (row["change_at"], row["cusum"]) == (0, 0.0)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-4, 4), st.integers(-5, 5)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@SETTINGS
+def test_cusum_matches_python_model(spark, pts):
+    df = (
+        spark.createDataFrame(pts, "o long, x long")
+        if pts
+        else spark.createDataFrame([], "o long, x long")
+    )
+    row = stats.cusum_changepoint(df, "o", "x", bucket_size=3).collect()[0]
+    if not pts:
+        assert row["n"] == 0 and row["change_at"] is None
+        return
+    srt = sorted(pts)
+    n, sn = len(srt), sum(x for _, x in srt)
+    best = None
+    cumc = cums = 0
+    for o, x in srt:
+        cumc, cums = cumc + 1, cums + x
+        d = abs(n * cums - cumc * sn)
+        if best is None or d > best[0]:
+            best = (d, o)
+    assert (int(row["d_num"]), row["change_at"]) == best
+    assert row["cusum"] == _half_away6(Fraction(best[0], n))
+
+
 # ---------------------------------------------------------------------------
 # hypothesis: pure-Python exact-fraction models
 # ---------------------------------------------------------------------------
