@@ -9492,6 +9492,128 @@ _LLM_ORACLES["x_naive_bayes"] = """
     FROM pick WHERE rn = 1"""
 
 
+def x_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence (stats.js_divergence) between the
+    token distributions of the two document source halves (src0-9 vs
+    src10-19) — the corpus-drift metric.  Per-item log ratios of exact
+    integers quantize round(ln,6) once; the two halves combine over the
+    common denominator 2·n_a·n_b as ONE exact rational — FULL hash
+    oracle."""
+    from kafka_merge_purge_spark.operators.dedup import normalize
+    from kafka_merge_purge_spark.operators.stats import js_divergence
+    from kafka_merge_purge_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            (F.length("source") > 4).cast("int").alias("flag"),
+            F.explode(tokens(normalize(F.col("text")))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    return js_divergence(toks, "tok", "flag")
+
+
+_LLM_ORACLES["x_js_divergence"] = """
+    WITH base AS (SELECT CASE WHEN length(source) > 4 THEN 1 ELSE 0 END AS a,
+                         string_split(trim(regexp_replace(lower(text),
+                             '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+                  FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+    wz AS (SELECT a, v FROM (SELECT a, unnest(toks) AS v FROM base)
+           WHERE v <> ''),
+    g AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM wz GROUP BY v),
+    tot AS (SELECT CAST(COALESCE(SUM(ca), 0) AS HUGEINT) AS na,
+                   CAST(COALESCE(SUM(cb), 0) AS HUGEINT) AS nb,
+                   COUNT(*) AS n_items
+            FROM g),
+    terms AS (SELECT na, nb, n_items,
+                     CASE WHEN ca > 0 THEN
+                         CAST(ca AS DECIMAL(12,0))
+                         * CAST(round(ln(
+                               CAST(2 * CAST(ca AS HUGEINT) * nb AS DOUBLE)
+                               / CAST(CAST(ca AS HUGEINT) * nb
+                                      + CAST(cb AS HUGEINT) * na AS DOUBLE)
+                           ), 6) AS DECIMAL(18,6)) END AS tp,
+                     CASE WHEN cb > 0 THEN
+                         CAST(cb AS DECIMAL(12,0))
+                         * CAST(round(ln(
+                               CAST(2 * CAST(cb AS HUGEINT) * na AS DOUBLE)
+                               / CAST(CAST(ca AS HUGEINT) * nb
+                                      + CAST(cb AS HUGEINT) * na AS DOUBLE)
+                           ), 6) AS DECIMAL(18,6)) END AS tq
+              FROM g, tot),
+    m AS (SELECT na, nb, n_items,
+                 CAST(COALESCE(SUM(tp), 0) AS DECIMAL(31,6)) AS s1,
+                 CAST(COALESCE(SUM(tq), 0) AS DECIMAL(31,6)) AS s2
+          FROM terms GROUP BY 1, 2, 3),
+    f AS (SELECT na, nb, n_items,
+                 CAST(s1 * 1000000 AS HUGEINT) * nb
+                 + CAST(s2 * 1000000 AS HUGEINT) * na AS num,
+                 2 * na * nb * 1000000 AS den
+          FROM m)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, n_items,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CASE WHEN num < 0 THEN
+                   -(CAST((2 * (-num) * 1000000 + den) // (2 * den)
+                          AS DOUBLE) / 1000000.0)
+               ELSE CAST((2 * num * 1000000 + den) // (2 * den)
+                         AS DOUBLE) / 1000000.0 END
+           END AS js
+    FROM f
+    UNION ALL
+    SELECT CAST(na AS BIGINT), CAST(nb AS BIGINT), n_items, NULL
+    FROM tot WHERE NOT EXISTS (SELECT 1 FROM f)"""
+
+
+def x_mutual_info(spark, sf_dir):
+    """Mutual information (stats.mutual_information) between order
+    priority and order status — the categorical-dependence primitive
+    next to x_chi_square.  Per-cell log ratios quantize round(ln,6)
+    once, Σ c_xy·lp is an exact decimal, final /n with signed integer
+    half-away rounding — FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.stats import mutual_information
+
+    o = _t(spark, sf_dir, "orders")
+    return mutual_information(o, "o_orderpriority", "o_orderstatus")
+
+
+_RELATIONAL_ORACLES["x_mutual_info"] = """
+    WITH pts AS (SELECT o_orderpriority AS x, o_orderstatus AS y
+                 FROM orders
+                 WHERE o_orderpriority IS NOT NULL
+                   AND o_orderstatus IS NOT NULL),
+    cells AS (SELECT x, y, COUNT(*) AS cxy FROM pts GROUP BY 1, 2),
+    mx AS (SELECT x, COUNT(*) AS cx FROM pts GROUP BY 1),
+    my AS (SELECT y, COUNT(*) AS cy FROM pts GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM pts),
+    terms AS (SELECT n,
+                     CAST(cxy AS DECIMAL(12,0))
+                     * CAST(round(ln(
+                           CAST(CAST(n AS HUGEINT) * cxy AS DOUBLE)
+                           / CAST(CAST(cx AS HUGEINT) * cy AS DOUBLE)
+                       ), 6) AS DECIMAL(18,6)) AS t
+              FROM cells JOIN mx USING (x) JOIN my USING (y), tot),
+    m AS (SELECT n, CAST(COALESCE(SUM(t), 0) AS DECIMAL(31,6)) AS s,
+                 COUNT(*) AS n_cells
+          FROM terms GROUP BY n),
+    f AS (SELECT n, n_cells, CAST(s * 1000000 AS HUGEINT) AS num,
+                 CAST(n AS HUGEINT) * 1000000 AS den
+          FROM m)
+    SELECT n, CAST(n_cells AS BIGINT) AS n_cells,
+           CASE WHEN n > 0 THEN
+               CASE WHEN num < 0 THEN
+                   -(CAST((2 * (-num) * 1000000 + den) // (2 * den)
+                          AS DOUBLE) / 1000000.0)
+               ELSE CAST((2 * num * 1000000 + den) // (2 * den)
+                         AS DOUBLE) / 1000000.0 END
+           END AS mi
+    FROM f
+    UNION ALL
+    SELECT n, 0, NULL FROM tot WHERE NOT EXISTS (SELECT 1 FROM f)"""
+
+
 def _docs_logreg_features(spark, sf_dir):
     """Learnable concept over documents: predict n_chars > 300 from
     token-level features (token count, digit count, whitespace count) —

@@ -58,6 +58,20 @@ def _exact_div6(num, den):
     return q.cast("long").cast("double") / F.lit(1_000_000.0)
 
 
+def _exact_div6_signed(num, den):
+    """round(num/den, 6) with HALF-AWAY-FROM-ZERO for a possibly
+    NEGATIVE exact decimal integer ``num`` (den > 0) — the signed twin
+    of :func:`_exact_div6`, same integer-arithmetic posture."""
+    m = F.lit(1_000_000).cast(_D38)
+    two = F.lit(2).cast(_D38)
+    mag = two * F.abs(num) * m + den
+    q = ((mag - (mag % (two * den))) / (two * den)).cast("long")
+    return (
+        F.when(num < 0, -q).otherwise(q).cast("double")
+        / F.lit(1_000_000.0)
+    )
+
+
 def _two_sample_counts(
     df: DataFrame, value_col: str, flag_col: str
 ) -> DataFrame:
@@ -560,6 +574,180 @@ def average_precision(
                 F.col("n_pos").cast(_D38) * F.lit(scale).cast(_D38),
             ),
         ).alias("ap"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    item_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between the item distributions
+    of sample A (``flag_col`` ≠ 0) and sample B — the bounded
+    symmetric corpus-drift metric (0 = identical, ln 2 = disjoint):
+    did this snapshot's token/domain mix move?
+
+        JS = ½·Σᵢ Pᵢ·ln(Pᵢ/Mᵢ) + ½·Σᵢ Qᵢ·ln(Qᵢ/Mᵢ),  M = (P+Q)/2
+
+    Exact-sum arithmetic (the nb_fit/dsir convention): per item the
+    ratios P/M = 2·ca·n_b/(ca·n_b + cb·n_a) and Q/M (mirror) are
+    ratios of exact integers; each ln quantizes round(ln, 6) ONCE to
+    DECIMAL(18,6), the Σ ca·lp / Σ cb·lq sums are exact decimals
+    (counts cast DECIMAL(12,0)), and the two halves combine over the
+    common denominator 2·n_a·n_b as ONE exact rational rounded with
+    integer half-away division.  Absent-side items contribute exactly
+    ln 2 (P/M = 2) — no smoothing needed.
+
+    One item-keyed aggregate + a 1-row broadcast total; no windows.
+    Output ONE row: (n_a, n_b, n_items, js) — js NULL when either
+    sample is empty."""
+    pts = df.filter(
+        F.col(item_col).isNotNull() & F.col(flag_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("_v"),  # any type — items never cast
+        F.when(F.col(flag_col).cast("int") != 0, 1).otherwise(0).alias("_a"),
+    )
+    g = pts.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(1 - F.col("_a")).alias("_cb"),
+    )
+    tot = g.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("long").alias("n_b"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    na, nb = F.col("n_a").cast(_D38), F.col("n_b").cast(_D38)
+    ca, cb = F.col("_ca").cast(_D38), F.col("_cb").cast(_D38)
+    mix = ca * nb + cb * na
+    d186 = "decimal(18,6)"
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "n_items",
+        F.when(
+            F.col("_ca") > 0,
+            F.col("_ca").cast("decimal(12,0)")
+            * F.round(
+                F.log(
+                    (F.lit(2).cast(_D38) * ca * nb).cast("double")
+                    / mix.cast("double")
+                ),
+                6,
+            ).cast(d186),
+        ).alias("_tp"),
+        F.when(
+            F.col("_cb") > 0,
+            F.col("_cb").cast("decimal(12,0)")
+            * F.round(
+                F.log(
+                    (F.lit(2).cast(_D38) * cb * na).cast("double")
+                    / mix.cast("double")
+                ),
+                6,
+            ).cast(d186),
+        ).alias("_tq"),
+    )
+    zero6 = F.lit(0).cast("decimal(31,6)")
+    m = terms.groupBy("n_a", "n_b", "n_items").agg(
+        F.coalesce(F.sum("_tp"), zero6).alias("_s1"),
+        F.coalesce(F.sum("_tq"), zero6).alias("_s2"),
+    )
+    # one exact rational: (s1·nb + s2·na) / (2·na·nb), s1/s2 scaled to
+    # integer micro-units first
+    s1_6 = F.expr("CAST(_s1 * 1000000 AS DECIMAL(38,0))")
+    s2_6 = F.expr("CAST(_s2 * 1000000 AS DECIMAL(38,0))")
+    num = s1_6 * nb + s2_6 * na
+    den = (
+        F.lit(2).cast(_D38) * na * nb * F.lit(1_000_000).cast(_D38)
+    )
+    out = m.select(
+        "n_a",
+        "n_b",
+        "n_items",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            _exact_div6_signed(num, den),
+        ).alias("js"),
+    )
+    return out.unionByName(
+        tot.join(
+            m.select("n_a", "n_b", "n_items"),
+            ["n_a", "n_b", "n_items"],
+            "left_anti",
+        ).select(
+            "n_a",
+            "n_b",
+            "n_items",
+            F.lit(None).cast("double").alias("js"),
+        )
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    feature-selection / dependence primitive next to chi-square:
+
+        MI = Σ_{x,y} c_xy/n · ln(n·c_xy / (c_x·c_y))
+
+    Exact-sum arithmetic: each cell's log ratio of exact integers
+    quantizes round(ln, 6) ONCE to DECIMAL(18,6); Σ c_xy·lp is an
+    exact decimal (counts cast DECIMAL(12,0)) and the final /n rounds
+    with SIGNED integer half-away division (quantized cell terms can
+    dip a microdigit below zero even though MI ≥ 0).
+
+    Plan: one (x,y) cell aggregate + two broadcast marginal joins + a
+    1-row total; all map-side combined.  Output ONE row: (n, n_cells,
+    mi) — mi NULL when n = 0."""
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    cells = pts.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_cxy"))
+    mx = pts.groupBy("_x").agg(F.count(F.lit(1)).alias("_cx"))
+    my = pts.groupBy("_y").agg(F.count(F.lit(1)).alias("_cy"))
+    tot = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    n38 = F.col("n").cast(_D38)
+    lp = F.round(
+        F.log(
+            (n38 * F.col("_cxy").cast(_D38)).cast("double")
+            / (F.col("_cx").cast(_D38) * F.col("_cy").cast(_D38)).cast(
+                "double"
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        cells.join(F.broadcast(mx), "_x")
+        .join(F.broadcast(my), "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (F.col("_cxy").cast("decimal(12,0)") * lp).alias("_t"),
+        )
+    )
+    zero6 = F.lit(0).cast("decimal(31,6)")
+    m = terms.groupBy("n").agg(
+        F.coalesce(F.sum("_t"), zero6).alias("_s"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    num = F.expr("CAST(_s * 1000000 AS DECIMAL(38,0))")
+    den = n38 * F.lit(1_000_000).cast(_D38)
+    out = m.select(
+        "n",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.when(F.col("n") > 0, _exact_div6_signed(num, den)).alias("mi"),
+    )
+    return out.unionByName(
+        tot.join(m.select("n"), ["n"], "left_anti").select(
+            "n",
+            F.lit(0).cast("long").alias("n_cells"),
+            F.lit(None).cast("double").alias("mi"),
+        )
     )
 
 

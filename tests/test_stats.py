@@ -227,6 +227,62 @@ def test_cusum_matches_python_model(spark, pts):
     assert row["cusum"] == _half_away6(Fraction(best[0], n))
 
 
+def test_js_divergence_bounds(spark):
+    # identical distributions → 0; disjoint supports → ln 2
+    same = spark.createDataFrame(
+        [(w, f) for w in ["a", "b", "b"] for f in (0, 1)], "w string, f int"
+    )
+    assert stats.js_divergence(same, "w", "f").collect()[0]["js"] == 0.0
+    dis = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("x", 0), ("y", 0)], "w string, f int"
+    )
+    row = stats.js_divergence(dis, "w", "f").collect()[0]
+    assert row["js"] == round(math.log(2), 6) and row["n_items"] == 4
+    empty = spark.createDataFrame([], "w string, f int")
+    row = stats.js_divergence(empty, "w", "f").collect()[0]
+    assert (row["n_a"], row["n_b"], row["js"]) == (0, 0, None)
+
+
+def test_js_divergence_matches_python_replay(spark):
+    """Exact decimal replay: quantized per-item terms, one rational."""
+    data = [("a", 1)] * 3 + [("b", 1)] * 2 + [("b", 0)] * 4 + [("c", 0)]
+    df = spark.createDataFrame(data, "w string, f int")
+    row = stats.js_divergence(df, "w", "f").collect()[0]
+    from collections import Counter
+
+    ca = Counter(w for w, f in data if f)
+    cb = Counter(w for w, f in data if not f)
+    na, nb = sum(ca.values()), sum(cb.values())
+    s1 = s2 = 0  # micro-unit integer sums
+    for w in set(ca) | set(cb):
+        mix = ca[w] * nb + cb[w] * na
+        if ca[w]:
+            s1 += ca[w] * round(round(math.log(2 * ca[w] * nb / mix), 6) * 10**6)
+        if cb[w]:
+            s2 += cb[w] * round(round(math.log(2 * cb[w] * na / mix), 6) * 10**6)
+    num, den = s1 * nb + s2 * na, 2 * na * nb * 10**6
+    assert row["js"] == _half_away6(Fraction(abs(num), den)) * (
+        1 if num >= 0 else -1
+    )
+
+
+def test_mutual_information_textbook(spark):
+    # independent → 0; deterministic mapping → H(X) = ln 2
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)],
+        "x string, y string",
+    )
+    assert stats.mutual_information(ind, "x", "y").collect()[0]["mi"] == 0.0
+    dep = spark.createDataFrame(
+        [("a", "c")] * 5 + [("b", "d")] * 5, "x string, y string"
+    )
+    row = stats.mutual_information(dep, "x", "y").collect()[0]
+    assert row["mi"] == round(math.log(2), 6) and row["n_cells"] == 2
+    empty = spark.createDataFrame([], "x string, y string")
+    row = stats.mutual_information(empty, "x", "y").collect()[0]
+    assert (row["n"], row["n_cells"], row["mi"]) == (0, 0, None)
+
+
 # ---------------------------------------------------------------------------
 # hypothesis: pure-Python exact-fraction models
 # ---------------------------------------------------------------------------
