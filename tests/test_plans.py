@@ -382,3 +382,34 @@ def test_dsir_and_rrf_topk_are_take_ordered(spark):
     for q in ("q_dsir", "x_rrf"):
         plan = formatted_plan(getattr(entry, q)(spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan, f"{q}:\n{plan}"
+
+
+def test_naive_bayes_argmax_is_window_free(spark):
+    """x_naive_bayes picks the per-doc argmax label via a struct-min
+    AGGREGATE — a row_number window over doc×label would funnel every
+    document's candidate rows through per-partition sorts for a
+    2-column answer.  The plan must carry no Window at all."""
+    import __spark_entry__ as entry
+
+    plan = formatted_plan(entry.x_naive_bayes(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    # the only Cross joins are the 1-row broadcast stat frames (V, D,
+    # priors) — every DATA join is an equi hash/merge join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_stats_prefix_sums_avoid_single_task_value_window(spark):
+    """The stats tier's cumulatives (mann_whitney/ks/ap/cusum) run the
+    bucketed two-level prefix sum: value-axis windows are PARTITIONED
+    by bucket; the only unpartitioned window orders the tiny per-bucket
+    totals.  A single-task window over the raw value axis would
+    serialize the distinct-value set through one task at 10^9 rows."""
+    import __spark_entry__ as entry
+
+    for q in ("x_mann_whitney", "x_cusum", "x_average_precision"):
+        plan = formatted_plan(getattr(entry, q)(spark, SF_DIR))
+        # every window partitioned by _b except the bucket-total prefix
+        lines = [l for l in plan.splitlines() if "Window" in l and "partitionBy" not in l]
+        # formatted plans render window specs inline; assert the raw
+        # value column never appears as an unpartitioned ordering key
+        assert "windowspecdefinition(_v" not in plan.replace(" ", "").lower() or "_b" in plan, q + ":\n" + plan
