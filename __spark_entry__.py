@@ -9614,6 +9614,91 @@ _RELATIONAL_ORACLES["x_mutual_info"] = """
     SELECT n, 0, NULL FROM tot WHERE NOT EXISTS (SELECT 1 FROM f)"""
 
 
+def x_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the mean order value
+    (stats.bootstrap_mean_ci, Chamandy et al. 2012): every
+    (row, replicate) draws a DERANDOMIZED Poisson(1) weight from the
+    60-bit md5 against fixed inverse-CDF threshold literals — one
+    R-way explode, one replicate-keyed DECIMAL aggregate, nearest-rank
+    percentile with INTEGER rank arithmetic.  FULL hash oracle
+    replaying weights, sums, rounding, and ranks bit-identically."""
+    from kafka_merge_purge_spark.operators.stats import bootstrap_mean_ci
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("rid"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return bootstrap_mean_ci(pts, "cents", "rid", replicates=100)
+
+
+_T0, _T1, _T2, _T3, _T4, _T5, _T6, _T7, _T8 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+    1152920207336574720,
+)
+
+_RELATIONAL_ORACLES["x_bootstrap_ci"] = f"""
+    WITH d AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+               FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS HUGEINT)
+                   AS sx
+            FROM d),
+    e AS (SELECT id, x, r FROM d, generate_series(0, 99) AS t(r)),
+    wts AS (SELECT r, x,
+                   CASE WHEN u < {_T0} THEN 0 WHEN u < {_T1} THEN 1
+                        WHEN u < {_T2} THEN 2 WHEN u < {_T3} THEN 3
+                        WHEN u < {_T4} THEN 4 WHEN u < {_T5} THEN 5
+                        WHEN u < {_T6} THEN 6 WHEN u < {_T7} THEN 7
+                        WHEN u < {_T8} THEN 8 ELSE 9 END AS w
+            FROM (SELECT r, x,
+                         ('0x' || substr(md5(id || '|'
+                             || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS u
+                  FROM e)),
+    g AS (SELECT r,
+                 CAST(COALESCE(SUM(CAST(w AS HUGEINT) * x), 0) AS HUGEINT)
+                 AS s,
+                 CAST(COALESCE(SUM(w), 0) AS HUGEINT) AS c
+          FROM wts GROUP BY r),
+    mr AS (SELECT r,
+                  CASE WHEN s < 0 THEN
+                      -(CAST((2 * (-s) * 1000000 + c) // (2 * c)
+                             AS DOUBLE) / 1000000.0)
+                  ELSE CAST((2 * s * 1000000 + c) // (2 * c)
+                            AS DOUBLE) / 1000000.0 END AS m
+           FROM g WHERE c > 0),
+    rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS k,
+                  COUNT(*) OVER () AS rr
+           FROM mr),
+    sel AS (SELECT MIN(CASE WHEN k = (rr * 250 + 9999) // 10000
+                            THEN m END) AS ci_lo,
+                   MIN(CASE WHEN k = rr - (rr * 250 + 9999) // 10000 + 1
+                            THEN m END) AS ci_hi,
+                   CAST(COALESCE(MAX(rr), 0) AS BIGINT) AS n_replicates
+            FROM rk)
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n > 0 THEN
+               CASE WHEN sx < 0 THEN
+                   -(CAST((2 * (-sx) * 1000000 + n) // (2 * n)
+                          AS DOUBLE) / 1000000.0)
+               ELSE CAST((2 * sx * 1000000 + n) // (2 * n)
+                         AS DOUBLE) / 1000000.0 END
+           END AS mean,
+           ci_lo, ci_hi, n_replicates
+    FROM tot, sel"""
+
+
 def _docs_logreg_features(spark, sf_dir):
     """Learnable concept over documents: predict n_chars > 300 from
     token-level features (token count, digit count, whitespace count) —

@@ -751,6 +751,136 @@ def mutual_information(
     )
 
 
+# Poisson(1) inverse-CDF thresholds at the 60-bit md5 scale:
+# t_k = floor(CDF(k)·2^60) for k = 0..8; u ≥ t_8 → weight 9 (residual
+# probability < 1.2e-6).  Fixed literals — identical in the DuckDB
+# oracle, deterministic forever.
+POISSON1_THRESHOLDS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+    1152920207336574720,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    replicates: int = 100,
+    tail_bp: int = 250,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — the
+    distributed bootstrap (Chamandy et al. 2012 / the m-out-of-n
+    one-pass form): every (row, replicate) pair draws a Poisson(1)
+    resample weight, so each replicate's weighted mean is one bootstrap
+    resample WITHOUT materializing resamples.
+
+    DERANDOMIZED and exact (the md5-coin convention): the weight comes
+    from the 60-bit integer md5(id|replicate) against fixed
+    inverse-CDF thresholds (:data:`POISSON1_THRESHOLDS`) — integer
+    compares, no RNG; replicate sums Σw·x and Σw aggregate in
+    DECIMAL(38,0) and each replicate mean rounds with signed integer
+    half-away division.  The CI is the nearest-rank percentile pair
+    over the replicate means with INTEGER rank arithmetic
+    (``lo = ceil(R'·tail_bp/10⁴)``, ``hi = R' − lo + 1`` — never a
+    float ``α·R`` whose last ulp flips the rank).  Everything
+    replays bit-identically in SQL: FULL hash oracle.
+
+    ``tail_bp`` = per-tail mass in basis points (250 → a 95% CI).
+    Replicates whose total weight is 0 drop (probability e^{−n});
+    ``n_replicates`` reports the effective count.
+
+    Plan: one R-way explode (CPU-only; the shuffle carries R rows per
+    partition after map-side combine), ONE replicate-keyed aggregate,
+    then windows over the R-row means frame (bounded by construction —
+    the rrf posture).  Envelope: 9·n·|x| < 10³⁸.
+
+    Output ONE row: (n, mean, ci_lo, ci_hi, n_replicates)."""
+    if replicates < 1:
+        raise ValueError(
+            f"bootstrap_mean_ci: replicates must be >= 1, got {replicates}"
+        )
+    if not 0 < tail_bp < 5000:
+        raise ValueError(
+            f"bootstrap_mean_ci: tail_bp must be in (0, 5000), got {tail_bp}"
+        )
+    pts = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    tot = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("_x").cast(_D38)), F.lit(0).cast(_D38)).alias(
+            "_sx"
+        ),
+    )
+    e = pts.select(
+        "_id",
+        "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_r"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("_id"), F.col("_r").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(9)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_THRESHOLDS[k]), k).otherwise(w)
+    g = e.select("_r", "_x", w.alias("_w")).groupBy("_r").agg(
+        F.coalesce(
+            F.sum(F.col("_w").cast(_D38) * F.col("_x").cast(_D38)),
+            F.lit(0).cast(_D38),
+        ).alias("_s"),
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("_c"),
+    )
+    means = g.filter(F.col("_c") > 0).select(
+        "_r",
+        _exact_div6_signed(F.col("_s"), F.col("_c").cast(_D38)).alias("_m"),
+    )
+    w_rank = Window.orderBy("_m", "_r")
+    w_all = Window.partitionBy()
+    ranked = means.select(
+        "_m",
+        F.row_number().over(w_rank).alias("_k"),
+        F.count(F.lit(1)).over(w_all).alias("_rr"),
+    )
+    lo_k = F.expr(f"CAST((_rr * {tail_bp} + 9999) DIV 10000 AS INT)")
+    sel = ranked.select(
+        "_m", "_k", "_rr", lo_k.alias("_lo"), (F.col("_rr") - lo_k + 1).alias("_hi")
+    ).agg(
+        F.min(F.when(F.col("_k") == F.col("_lo"), F.col("_m"))).alias(
+            "ci_lo"
+        ),
+        F.min(F.when(F.col("_k") == F.col("_hi"), F.col("_m"))).alias(
+            "ci_hi"
+        ),
+        F.coalesce(F.max("_rr"), F.lit(0)).cast("long").alias("n_replicates"),
+    )
+    return tot.crossJoin(F.broadcast(sel)).select(
+        "n",
+        F.when(
+            F.col("n") > 0,
+            _exact_div6_signed(F.col("_sx"), F.col("n").cast(_D38)),
+        ).alias("mean"),
+        "ci_lo",
+        "ci_hi",
+        "n_replicates",
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     prob_col: str = "prob_q",

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -281,6 +282,68 @@ def test_mutual_information_textbook(spark):
     empty = spark.createDataFrame([], "x string, y string")
     row = stats.mutual_information(empty, "x", "y").collect()[0]
     assert (row["n"], row["n_cells"], row["mi"]) == (0, 0, None)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(1000)], "id long, x long"
+    )
+    row = stats.bootstrap_mean_ci(df, "x", "id", replicates=100).collect()[0]
+    assert row["n"] == 1000 and row["mean"] == 49.5
+    # uniform 0..99: se(mean) ≈ 0.91 → the 95% CI must bracket tightly
+    assert row["ci_lo"] < 49.5 < row["ci_hi"]
+    assert 1.0 < row["ci_hi"] - row["ci_lo"] < 8.0
+    assert row["n_replicates"] == 100
+
+
+def test_bootstrap_ci_constant_column_is_degenerate(spark):
+    df = spark.createDataFrame([(i, 7) for i in range(50)], "id long, x long")
+    row = stats.bootstrap_mean_ci(df, "x", "id", replicates=40).collect()[0]
+    assert (row["mean"], row["ci_lo"], row["ci_hi"]) == (7.0, 7.0, 7.0)
+
+
+def test_bootstrap_weights_follow_poisson1(spark):
+    """The md5-threshold weights must reproduce the Poisson(1) pmf —
+    pins the threshold literals themselves."""
+    from pyspark.sql import functions as F
+
+    n, R = 400, 25
+    df = spark.createDataFrame(
+        [(i,) for i in range(n)], "id long"
+    ).select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("r")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("id").cast("string"),
+                              F.col("r").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    w = F.lit(9)
+    for k in range(len(stats.POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < F.lit(stats.POISSON1_THRESHOLDS[k]), k).otherwise(w)
+    counts = {
+        r["w"]: r["c"]
+        for r in df.select(w.alias("w")).groupBy("w").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    total = n * R
+    p0 = counts.get(0, 0) / total
+    p1 = counts.get(1, 0) / total
+    assert abs(p0 - math.exp(-1)) < 0.02
+    assert abs(p1 - math.exp(-1)) < 0.02
+    assert counts.get(2, 0) / total < 0.25
+
+
+def test_bootstrap_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "id long, x long")
+    row = stats.bootstrap_mean_ci(empty, "x", "id").collect()[0]
+    assert (row["n"], row["mean"], row["n_replicates"]) == (0, None, 0)
+    with pytest.raises(ValueError, match="replicates"):
+        stats.bootstrap_mean_ci(empty, "x", "id", replicates=0)
+    with pytest.raises(ValueError, match="tail_bp"):
+        stats.bootstrap_mean_ci(empty, "x", "id", tail_bp=0)
 
 
 # ---------------------------------------------------------------------------
