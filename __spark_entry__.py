@@ -9122,6 +9122,12 @@ def x_mann_whitney(spark, sf_dir):
     return mann_whitney_u(_li_two_sample(spark, sf_dir), "cents", "flag")
 
 
+from kafka_merge_purge_spark.operators.stats import (  # noqa: E402
+    NORMAL_P_SQL as _NORMAL_P_SQL,
+)
+
+_P_NORMAL_TVPX = _NORMAL_P_SQL.format(t="tv", x="px")
+
 _RELATIONAL_ORACLES["x_mann_whitney"] = """
     WITH d AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
@@ -9144,16 +9150,26 @@ _RELATIONAL_ORACLES["x_mann_whitney"] = """
                  * (CAST(na + nb + 1 AS DOUBLE)
                     - CAST(ties AS DOUBLE)
                       / CAST((na + nb) * (na + nb - 1) AS DOUBLE)) AS var
-          FROM m)
+          FROM m),
+    zc AS (SELECT na, nb, u2, var,
+                  CAST(u2 - na * nb AS DOUBLE) / (2.0 * sqrt(var)) AS zr
+           FROM f),
+    pc AS (SELECT na, nb, u2, var, zr,
+                  abs(zr) / 1.4142135623730951 AS px
+           FROM zc),
+    pt AS (SELECT na, nb, u2, var, zr, px,
+                  1.0 / (1.0 + 0.3275911 * px) AS tv
+           FROM pc)
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            CASE WHEN na > 0 AND nb > 0
                 THEN CAST(u2 AS DECIMAL(38,0)) END AS u2,
            CASE WHEN na > 0 AND nb > 0
                 THEN round(CAST(u2 AS DOUBLE) / 2.0, 6) END AS u,
            CASE WHEN na > 0 AND nb > 0 AND var > 0
-                THEN round(CAST(u2 - na * nb AS DOUBLE)
-                           / (2.0 * sqrt(var)), 6) END AS z
-    FROM f"""
+                THEN round(zr, 6) END AS z,
+           CASE WHEN na > 0 AND nb > 0 AND var > 0
+                THEN {P_NORMAL} END AS p_normal
+    FROM pt""".replace("{P_NORMAL}", _P_NORMAL_TVPX)
 
 
 def x_ks_test(spark, sf_dir):
@@ -9358,17 +9374,92 @@ _RELATIONAL_ORACLES["x_welch_t"] = """
                  / CAST(na * (na - 1) * na AS DOUBLE) AS ra,
                  CAST(nb * qb - sb * sb AS DOUBLE)
                  / CAST(nb * (nb - 1) * nb AS DOUBLE) AS rb
-          FROM m)
+          FROM m),
+    tc AS (SELECT na, nb, md, ra, rb, md / sqrt(ra + rb) AS tr FROM f),
+    pc AS (SELECT na, nb, md, ra, rb, tr,
+                  abs(tr) / 1.4142135623730951 AS px
+           FROM tc),
+    pt AS (SELECT na, nb, md, ra, rb, tr, px,
+                  1.0 / (1.0 + 0.3275911 * px) AS tv
+           FROM pc)
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            CASE WHEN na > 0 AND nb > 0 THEN round(md, 6) END AS mean_diff,
            CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0
-                THEN round(md / sqrt(ra + rb), 6) END AS t,
+                THEN round(tr, 6) END AS t,
            CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0
                 THEN round((ra + rb) * (ra + rb)
                            / (ra * ra / CAST(na - 1 AS DOUBLE)
                               + rb * rb / CAST(nb - 1 AS DOUBLE)), 6)
-           END AS df_welch
-    FROM f"""
+           END AS df_welch,
+           CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0
+                THEN {P_NORMAL} END AS p_normal
+    FROM pt""".replace("{P_NORMAL}", _P_NORMAL_TVPX)
+
+
+def x_two_proportion(spark, sf_dir):
+    """Two-proportion z-test (stats.two_proportion_z — the A/B
+    conversion comparison): do urgent orders finish ('F' status) at a
+    different rate than non-urgent?  Four exact integer counts from ONE
+    conditional-sum aggregate; rate_diff is an exact rational; z and
+    the A&S normal p mirror the identical double chain — FULL hash
+    oracle."""
+    from kafka_merge_purge_spark.operators.stats import two_proportion_z
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("flag"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("success"),
+    )
+    return two_proportion_z(pts, "flag", "success")
+
+
+_RELATIONAL_ORACLES["x_two_proportion"] = """
+    WITH d AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                           ELSE 0 END AS a,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+               FROM orders
+               WHERE o_orderpriority IS NOT NULL
+                 AND o_orderstatus IS NOT NULL),
+    m AS (SELECT CAST(COALESCE(SUM(a), 0) AS HUGEINT) AS na,
+                 CAST(COALESCE(SUM(1 - a), 0) AS HUGEINT) AS nb,
+                 CAST(COALESCE(SUM(CASE WHEN a = 1 THEN s END), 0)
+                      AS HUGEINT) AS sa,
+                 CAST(COALESCE(SUM(CASE WHEN a = 0 THEN s END), 0)
+                      AS HUGEINT) AS sb
+          FROM d),
+    f AS (SELECT na, nb, sa, sb,
+                 sa * nb - sb * na AS dn,
+                 CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS pd,
+                 CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+          FROM m),
+    zc AS (SELECT na, nb, sa, sb, dn,
+                  pd / sqrt(pp * (1.0 - pp)
+                            * (1.0 / CAST(na AS DOUBLE)
+                               + 1.0 / CAST(nb AS DOUBLE))) AS zr
+           FROM f),
+    pc AS (SELECT na, nb, sa, sb, dn, zr,
+                  abs(zr) / 1.4142135623730951 AS px
+           FROM zc),
+    pt AS (SELECT na, nb, sa, sb, dn, zr, px,
+                  1.0 / (1.0 + 0.3275911 * px) AS tv
+           FROM pc)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(sa AS BIGINT) AS s_a, CAST(sb AS BIGINT) AS s_b,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CASE WHEN dn < 0 THEN
+                   -(CAST((2 * (-dn) * 1000000 + na * nb)
+                          // (2 * na * nb) AS DOUBLE) / 1000000.0)
+               ELSE CAST((2 * dn * 1000000 + na * nb)
+                         // (2 * na * nb) AS DOUBLE) / 1000000.0 END
+           END AS rate_diff,
+           CASE WHEN na > 0 AND nb > 0 AND sa + sb > 0
+                 AND sa + sb < na + nb
+                THEN round(zr, 6) END AS z,
+           CASE WHEN na > 0 AND nb > 0 AND sa + sb > 0
+                 AND sa + sb < na + nb
+                THEN {P_NORMAL} END AS p_normal
+    FROM pt""".replace("{P_NORMAL}", _P_NORMAL_TVPX)
 
 
 def x_cusum(spark, sf_dir):

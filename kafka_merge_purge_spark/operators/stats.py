@@ -72,6 +72,44 @@ def _exact_div6_signed(num, den):
     )
 
 
+#: √2 as the exact double literal — inlined identically in oracles so
+#: both engines divide by the same bits.
+_SQRT2 = 1.4142135623730951
+
+
+def _normal_two_sided_p(stat_abs):
+    """Two-sided normal-approximation p-value 2·Φ(−|z|) = erfc(|z|/√2)
+    via the Abramowitz-Stegun 7.1.26 polynomial (|error| < 1.5·10⁻⁷ —
+    below the 6-decimal quantum).  Pure double mult/div/exp in a FIXED
+    op order; verified to produce identical doubles in Spark (JVM libm)
+    and DuckDB, so it rides FULL hash oracles that replay the same
+    expression."""
+    x = stat_abs / F.lit(_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    return F.round(poly * F.exp(-x * x), 6)
+
+
+#: The oracle-side twin of :func:`_normal_two_sided_p`.  Callers bind
+#: ``x = abs(stat)/1.4142135623730951`` and ``t = 1.0/(1.0+0.3275911*x)``
+#: in a CTE and format those column names in — explicit multiplication
+#: chains (NOT power(): libm pow's repeated squaring rounds (t²)²
+#: differently from ((t·t)·t)·t and would break bit parity).
+NORMAL_P_SQL = (
+    "round((0.254829592 * {t} - 0.284496736 * {t} * {t}"
+    " + 1.421413741 * {t} * {t} * {t}"
+    " - 1.453152027 * {t} * {t} * {t} * {t}"
+    " + 1.061405429 * {t} * {t} * {t} * {t} * {t})"
+    " * exp(-{x} * {x}), 6)"
+)
+
+
 def _two_sample_counts(
     df: DataFrame, value_col: str, flag_col: str
 ) -> DataFrame:
@@ -267,19 +305,16 @@ def mann_whitney_u(
         )
     )
     both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    z_raw = (u2 - na * nb).cast("double") / (F.lit(2.0) * F.sqrt(var_d))
     return m.select(
         "n_a",
         "n_b",
         F.when(both, u2.cast(_D38)).alias("u2"),
         F.when(both, F.round(u2.cast("double") / F.lit(2.0), 6)).alias("u"),
+        F.when(both & (var_d > 0), F.round(z_raw, 6)).alias("z"),
         F.when(
-            both & (var_d > 0),
-            F.round(
-                (u2 - na * nb).cast("double")
-                / (F.lit(2.0) * F.sqrt(var_d)),
-                6,
-            ),
-        ).alias("z"),
+            both & (var_d > 0), _normal_two_sided_p(F.abs(z_raw))
+        ).alias("p_normal"),
     )
 
 
@@ -355,6 +390,79 @@ def welch_t(
         ).alias("mean_diff"),
         F.when(ok & (se2 > 0), F.round(t, 6)).alias("t"),
         F.when(ok & (se2 > 0), F.round(dfw, 6)).alias("df_welch"),
+        # large-sample normal approximation (not the t distribution)
+        F.when(ok & (se2 > 0), _normal_two_sided_p(F.abs(t))).alias(
+            "p_normal"
+        ),
+    )
+
+
+def two_proportion_z(
+    df: DataFrame,
+    flag_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test — the A/B conversion-rate comparison:
+    does group A (``flag_col`` ≠ 0) convert (``success_col`` ≠ 0) at a
+    different rate than group B?
+
+        z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)),  p̂ pooled
+
+    ONE conditional-sum aggregate of four exact integer counts; the
+    rate difference is one exact rational (signed half-away rounding),
+    z and the normal two-sided p mirror the identical double op chain
+    in both engines.  Output ONE row: (n_a, n_b, s_a, s_b, rate_diff,
+    z, p_normal) — z/p NULL when a group is empty or the pooled rate
+    is degenerate (0 or 1)."""
+    pts = df.filter(
+        F.col(flag_col).isNotNull() & F.col(success_col).isNotNull()
+    ).select(
+        F.when(F.col(flag_col).cast("int") != 0, 1).otherwise(0).alias("_a"),
+        F.when(F.col(success_col).cast("int") != 0, 1)
+        .otherwise(0)
+        .alias("_s"),
+    )
+    a = F.col("_a") == 1
+    m = pts.agg(
+        F.coalesce(F.sum(F.when(a, 1)), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(~a, 1)), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(a, F.col("_s"))), F.lit(0))
+        .cast("long")
+        .alias("s_a"),
+        F.coalesce(F.sum(F.when(~a, F.col("_s"))), F.lit(0))
+        .cast("long")
+        .alias("s_b"),
+    )
+    na, nb = F.col("n_a").cast(_D38), F.col("n_b").cast(_D38)
+    sa, sb = F.col("s_a").cast(_D38), F.col("s_b").cast(_D38)
+    diff_num = sa * nb - sb * na
+    # doubles from exact pieces, fixed op order (mirrored in oracles)
+    pa = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    pp = (sa + sb).cast("double") / (na + nb).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = (pa - pb) / se
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    ok = both & (F.col("s_a") + F.col("s_b") > 0) & (
+        F.col("s_a") + F.col("s_b") < F.col("n_a") + F.col("n_b")
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.when(both, _exact_div6_signed(diff_num, na * nb)).alias(
+            "rate_diff"
+        ),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, _normal_two_sided_p(F.abs(z))).alias("p_normal"),
     )
 
 

@@ -182,6 +182,61 @@ def test_welch_t_degenerate(spark):
     assert row["mean_diff"] == -5.0 and row["t"] is None
 
 
+def _as_normal_p(stat):
+    """Python replay of the A&S 7.1.26 two-sided normal p."""
+    x = abs(stat) / 1.4142135623730951
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    return round(poly * math.exp(-x * x), 6)
+
+
+def test_welch_and_mw_p_values(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (10, 0), (12, 0), (14, 0), (16, 0)],
+        "v long, f int",
+    )
+    wr = stats.welch_t(df, "v", "f").collect()[0]
+    # |t| = 7.27: p ≈ 0 at 6 decimals, replayed via the same polynomial
+    se2 = 5 / 12 + 20 / 12
+    assert wr["p_normal"] == _as_normal_p(-10.5 / math.sqrt(se2))
+    mw = stats.mann_whitney_u(df, "v", "f").collect()[0]
+    assert mw["p_normal"] == _as_normal_p(mw["z"]) or mw["p_normal"] == pytest.approx(
+        _as_normal_p(mw["z"]), abs=2e-6
+    )
+    # z ≈ -2.17 → p ≈ 0.03: actually significant at 5%
+    assert 0.0 < mw["p_normal"] < 0.05
+
+
+def test_two_proportion_z(spark):
+    # A: 30/100 convert, B: 10/100 convert
+    rows = (
+        [(1, 1)] * 30 + [(1, 0)] * 70 + [(0, 1)] * 10 + [(0, 0)] * 90
+    )
+    df = spark.createDataFrame(rows, "f int, s int")
+    row = stats.two_proportion_z(df, "f", "s").collect()[0]
+    assert (row["n_a"], row["n_b"], row["s_a"], row["s_b"]) == (
+        100,
+        100,
+        30,
+        10,
+    )
+    assert row["rate_diff"] == 0.2
+    pp = 40 / 200
+    z = (0.3 - 0.1) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert row["z"] == round(z, 6)
+    assert row["p_normal"] < 0.001
+    # degenerate: all successes → z undefined
+    allwin = spark.createDataFrame([(1, 1), (0, 1)], "f int, s int")
+    row = stats.two_proportion_z(allwin, "f", "s").collect()[0]
+    assert row["rate_diff"] == 0.0 and row["z"] is None
+
+
 def test_cusum_step_shift(spark):
     # clean level shift 0→10 after position 4 → change_at = 4, D = 25
     df = spark.createDataFrame(
