@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: output: one row per input record with its attempt number and routing
@@ -441,6 +442,150 @@ def streaming_anomaly_scores(
     return events.groupBy("event_type").transformWithStateInPandas(
         statefulProcessor=MomentsPerKey(state_ttl_ms),
         outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+    )
+
+
+#: streaming CUSUM drift output: each event tagged with the post-update
+#: detector statistics and the alarm flag
+CUSUM_OUTPUT_SCHEMA = (
+    "event_id long, event_type string, value_q long, "
+    "s_plus long, s_minus long, alarm boolean"
+)
+
+
+def fold_cusum(
+    state: tuple | None,
+    pdfs: Iterator[pd.DataFrame],
+    *,
+    mu0_q: int,
+    slack_q: int,
+    h_q: int,
+) -> tuple[tuple, pd.DataFrame]:
+    """Pure Page-CUSUM fold — the STREAMING twin of the batch
+    ``stats.cusum_changepoint`` (which scans a closed series for the
+    single best split; the online form watches a live stream against a
+    reference level and alarms as soon as the mean drifts):
+
+        S⁺ ← max(0, S⁺ + (x − μ₀ − k));  S⁻ ← max(0, S⁻ + (μ₀ − x − k))
+
+    alarm when either side exceeds ``h_q``, then both sides reset (the
+    repeated-detection form — Page 1954).  All inputs are QUANTIZED
+    int64 (``value_q``; the wrapper quantizes), so the state is pure
+    integer arithmetic: chop-invariance is EXACT, not
+    float-rounding-exact.  Each event emits its post-update statistics
+    (the detector's current evidence including that observation —
+    unlike fold_moments' score-before-update, an alarm must reflect the
+    triggering event).
+
+    Ordering contract mirrors fold_moments: chunks concatenate, sort by
+    (ts, event_id); cross-batch regressors (at or below the high-water
+    mark) drop without folding.  State: (s_plus, s_minus, last_ts,
+    last_eid)."""
+    sp, sm, last_ts, last_eid = (
+        state if state is not None else (0, 0, None, None)
+    )
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    empty = pd.DataFrame(
+        {"event_id": [], "value_q": [], "s_plus": [], "s_minus": [],
+         "alarm": []}
+    )
+    if not chunks:
+        return (sp, sm, last_ts, last_eid), empty
+    batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
+        ["ts", "event_id"]
+    )
+    out_id, out_v, out_sp, out_sm, out_al = [], [], [], [], []
+    for ts, eid, v in zip(batch["ts"], batch["event_id"], batch["value_q"]):
+        if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+            continue  # cross-batch regressor: drop, never fold out of order
+        v = int(v)
+        sp = max(0, sp + (v - mu0_q - slack_q))
+        sm = max(0, sm + (mu0_q - v - slack_q))
+        alarm = sp > h_q or sm > h_q
+        out_id.append(int(eid))
+        out_v.append(v)
+        out_sp.append(sp)
+        out_sm.append(sm)
+        out_al.append(alarm)
+        if alarm:
+            sp = sm = 0
+        last_ts, last_eid = ts, int(eid)
+    return (sp, sm, last_ts, last_eid), pd.DataFrame(
+        {"event_id": out_id, "value_q": out_v, "s_plus": out_sp,
+         "s_minus": out_sm, "alarm": out_al}
+    )
+
+
+class CusumPerKey(_TtlProcessorBase, _StatefulProcessor):
+    """Streaming drift processor: ValueState holds each key's CUSUM
+    sides + high-water mark; the transition is the pure ``fold_cusum``."""
+
+    _STATE_ATTRS = ("_c",)
+
+    def __init__(
+        self,
+        mu0_q: int,
+        slack_q: int,
+        h_q: int,
+        ttl_ms: int | None = None,
+    ):
+        super().__init__(ttl_ms)
+        self._params = (int(mu0_q), int(slack_q), int(h_q))
+
+    def init(self, handle) -> None:
+        self._keep_handle(handle)
+        self._c = handle.getValueState(
+            "c", "sp long, sm long, last_ts timestamp, last_eid long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = tuple(self._c.get()) if self._c.exists() else None
+        mu0_q, slack_q, h_q = self._params
+        state, out = fold_cusum(
+            prior, rows, mu0_q=mu0_q, slack_q=slack_q, h_q=h_q
+        )
+        self._c.update(state)
+        self._arm_ttl(timerValues)
+        if len(out):
+            out = out.assign(event_type=key[0])
+            yield out[
+                ["event_id", "event_type", "value_q", "s_plus", "s_minus",
+                 "alarm"]
+            ]
+
+
+def streaming_cusum(
+    events: DataFrame,
+    mu0: float,
+    h: float,
+    slack: float = 0.0,
+    value_scale: int = 1_000_000,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-key CUSUM drift detection via
+    ``transformWithStateInPandas`` — the live twin of the batch
+    ``x_cusum`` changepoint scan: every event_type's value stream runs
+    the two-sided Page detector against reference level ``mu0`` with
+    slack ``slack`` and alarm threshold ``h`` (all quantized to int64
+    at ``value_scale``, so the per-key state is two integers and
+    replays exactly under any micro-batch chop).  Same protobuf note as
+    streaming_compaction; the transition is the pure ``fold_cusum``."""
+    q = F.floor(F.col("value") * F.lit(float(value_scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    prepared = events.select(
+        "event_id", "ts", "event_type", q.alias("value_q")
+    )
+    return prepared.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=CusumPerKey(
+            int(round(mu0 * value_scale)),
+            int(round(slack * value_scale)),
+            int(round(h * value_scale)),
+            state_ttl_ms,
+        ),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
         outputMode="Append",
         timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )

@@ -1841,3 +1841,118 @@ def test_canonical_url_composes_with_streams(spark, tmp_path):
     got = {r["canonical_url"] for r in spark.sql("SELECT * FROM canon_out").collect()}
     batch = {r["canonical_url"] for r in canonical_url(docs).collect()}
     assert got == batch == {"https://example.com/a?a=1&b=2", "http://other.org/p"}
+
+
+def test_streaming_cusum_exact_chop_invariance(spark, tmp_path):
+    """Streaming Page-CUSUM (the live twin of the batch x_cusum scan):
+    the pure integer fold under randomized ordered micro-batch chops
+    with intra-batch jitter equals the single-pass reference EXACTLY
+    (integer state — not float-rounding-exact), a planted level shift
+    raises the alarm only after the shift, and cross-batch regressors
+    drop.  Live transformWithStateInPandas branch when protobuf is
+    importable."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from kafka_merge_purge_spark.streaming.stateful import fold_cusum
+
+    rng = random.Random(31)
+    MU0, SLACK, H = 50_000_000, 2_000_000, 60_000_000  # micro-units
+    rows = []
+    eid = 0
+    for tname in ("click", "view"):
+        for i in range(60):
+            eid += 1
+            base = 50.0 if (tname == "view" or i < 40) else 80.0  # shift!
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(seconds=eid), 1,
+                 tname, round(base + rng.uniform(-3, 3), 3), "{}")
+            )
+
+    def q(v):
+        import math as _m
+        return int(_m.floor(v * 1_000_000 + 0.5))
+
+    # single-pass integer reference
+    want = {}
+    first_alarm = {}
+    for tname in ("click", "view"):
+        sp = sm = 0
+        for r in sorted((r for r in rows if r[3] == tname), key=lambda r: (r[1], r[0])):
+            v = q(r[4])
+            sp = max(0, sp + (v - MU0 - SLACK))
+            sm = max(0, sm + (MU0 - v - SLACK))
+            alarm = sp > H or sm > H
+            want[r[0]] = (sp, sm, alarm)
+            if alarm:
+                first_alarm.setdefault(tname, r[0])
+                sp = sm = 0
+
+    # the click stream's planted shift (event 41+ of that stream) must
+    # alarm shortly after the shift; the stable view stream never alarms
+    assert "click" in first_alarm and "view" not in first_alarm
+    click_ids = sorted(r[0] for r in rows if r[3] == "click")
+    assert first_alarm["click"] > click_ids[39]
+
+    # pure fold under randomized ordered chops
+    got = {}
+    for tname in ("click", "view"):
+        evs = sorted((r for r in rows if r[3] == tname), key=lambda r: (r[1], r[0]))
+        state, i = None, 0
+        while i < len(evs):
+            j = min(len(evs), i + rng.randint(1, 7))
+            b = pd.DataFrame(
+                {"ts": [e[1] for e in evs[i:j]],
+                 "event_id": [e[0] for e in evs[i:j]],
+                 "value_q": [q(e[4]) for e in evs[i:j]]}
+            ).sample(frac=1.0, random_state=rng.randint(0, 999))
+            if len(b) > 1 and rng.random() < 0.5:
+                cut = rng.randint(1, len(b) - 1)
+                chunks = [b.iloc[:cut], b.iloc[cut:]]
+            else:
+                chunks = [b]
+            state, out = fold_cusum(
+                state, iter(chunks), mu0_q=MU0, slack_q=SLACK, h_q=H
+            )
+            for r in out.itertuples():
+                got[int(r.event_id)] = (
+                    int(r.s_plus), int(r.s_minus), bool(r.alarm)
+                )
+            i = j
+    assert got == want
+
+    # regressor: re-folding an already-seen event must not change state
+    state2, out2 = fold_cusum(
+        state,
+        iter([pd.DataFrame({"ts": [rows[0][1]], "event_id": [rows[0][0]],
+                            "value_q": [q(rows[0][4])]})]),
+        mu0_q=MU0, slack_q=SLACK, h_q=H,
+    )
+    assert len(out2) == 0 and state2 == state
+
+    if _has_protobuf():
+        from kafka_merge_purge_spark.streaming.stateful import streaming_cusum
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        src = tmp_path / "cusum_in"
+        src.mkdir()
+        df.coalesce(1).write.parquet(str(tmp_path / "_stage_cusum"))
+        next((tmp_path / "_stage_cusum").glob("part-*.parquet")).rename(
+            src / "events.parquet"
+        )
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        out = streaming_cusum(stream, mu0=50.0, h=60.0, slack=2.0)
+        _drain_to_memory(out, "cusum_out", str(tmp_path / "ckpt_cusum"))
+        live = {
+            r["event_id"]: (r["s_plus"], r["s_minus"], r["alarm"])
+            for r in spark.sql(
+                "SELECT event_id, s_plus, s_minus, alarm FROM cusum_out"
+            ).collect()
+        }
+        assert live == want
