@@ -9746,7 +9746,13 @@ _RELATIONAL_ORACLES["x_bootstrap_ci"] = f"""
                    CAST(COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS HUGEINT)
                    AS sx
             FROM d),
-    e AS (SELECT id, x, r FROM d, generate_series(0, 99) AS t(r)),
+    h AS (SELECT x,
+                 ('0x' || substr(md5(id), 1, 15))::BIGINT >> 30 AS a,
+                 ('0x' || substr(md5(id), 1, 15))::BIGINT
+                 % 1073741824 AS b,
+                 ('0x' || substr(md5(id), 17, 15))::BIGINT AS h2
+          FROM d),
+    e AS (SELECT x, a, b, h2, r FROM h, generate_series(0, 99) AS t(r)),
     wts AS (SELECT r, x,
                    CASE WHEN u < {_T0} THEN 0 WHEN u < {_T1} THEN 1
                         WHEN u < {_T2} THEN 2 WHEN u < {_T3} THEN 3
@@ -9754,8 +9760,9 @@ _RELATIONAL_ORACLES["x_bootstrap_ci"] = f"""
                         WHEN u < {_T6} THEN 6 WHEN u < {_T7} THEN 7
                         WHEN u < {_T8} THEN 8 ELSE 9 END AS w
             FROM (SELECT r, x,
-                         ('0x' || substr(md5(id || '|'
-                             || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS u
+                         (h2 + (((r + 1) * a) % 1073741824) * 1073741824
+                              + (r + 1) * b)
+                         % 1152921504606846976 AS u
                   FROM e)),
     g AS (SELECT r,
                  CAST(COALESCE(SUM(CAST(w AS HUGEINT) * x), 0) AS HUGEINT)

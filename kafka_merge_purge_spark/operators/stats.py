@@ -889,10 +889,13 @@ def bootstrap_mean_ci(
     resample weight, so each replicate's weighted mean is one bootstrap
     resample WITHOUT materializing resamples.
 
-    DERANDOMIZED and exact (the md5-coin convention): the weight comes
-    from the 60-bit integer md5(id|replicate) against fixed
-    inverse-CDF thresholds (:data:`POISSON1_THRESHOLDS`) — integer
-    compares, no RNG; replicate sums Σw·x and Σw aggregate in
+    DERANDOMIZED and exact (the md5-coin convention): ONE md5 per row
+    seeds a per-row Weyl rotation over the replicate counter —
+    u_r = (h2 + (r+1)·h1) mod 2⁶⁰ from the digest's two 60-bit halves
+    (counter-based PRNG; marginally each replicate is an exact Poisson
+    bootstrap draw) — tested against fixed inverse-CDF thresholds
+    (:data:`POISSON1_THRESHOLDS`) with integer compares, no RNG;
+    replicate sums Σw·x and Σw aggregate in
     DECIMAL(38,0) and each replicate mean rounds with signed integer
     half-away division.  The CI is the nearest-rank percentile pair
     over the replicate means with INTEGER rank arithmetic
@@ -930,28 +933,63 @@ def bootstrap_mean_ci(
             "_sx"
         ),
     )
-    e = pts.select(
-        "_id",
+    # ONE md5 per ROW (not per row×replicate — that md5 dominated the
+    # whole operator at sf0.1/R=100): the digest's two 60-bit halves
+    # seed a per-row Weyl rotation over the replicate counter,
+    # u_r = (h2 + (r+1)·h1) mod 2^60 — the counter-based-PRNG posture.
+    # Marginally each replicate's weights are EXACT Poisson bootstrap
+    # draws (h2 + c·h1 is uniform for random h1,h2); only the
+    # within-row cross-replicate dependence is weaker than independent
+    # hashing, which bootstrap quantiles average out across rows (the
+    # pmf pytest pins the marginal distribution).  The mod-2^60 product
+    # splits h1 into 30-bit limbs so EVERYTHING stays int64 codegen —
+    # (r+1)·h1 would overflow a long, and DECIMAL arithmetic here
+    # measured SLOWER than the per-pair md5 it replaced.
+    from kafka_merge_purge_spark.plans.introspect import projection_barrier
+
+    digest = F.md5(F.col("_id"))
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long")
+    # the barrier pins the md5/conv to ONE evaluation per ROW —
+    # CollapseProject otherwise splits the hash projection ABOVE the
+    # explode's Generate and re-hashes per (row × replicate) (measured:
+    # the whole operator 24 s → 4 s at sf0.1/R=100)
+    hashed = projection_barrier(
+        pts.select(
+            F.col("_x"),
+            F.shiftright(h1, 30).alias("_a"),  # hi limb (h1 >> 30)
+            F.pmod(h1, F.lit(2**30)).alias("_b"),  # lo limb
+            h2.alias("_h2"),
+        )
+    )
+    e = hashed.select(
         "_x",
+        "_a",
+        "_b",
+        "_h2",
         F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_r"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("_id"), F.col("_r").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    r1 = F.col("_r") + F.lit(1)
+    # ((r+1)·h1) mod 2^60 = ((r+1)·hi mod 2^30)·2^30 + (r+1)·lo, all
+    # intermediates < 2^61: long-safe under ANSI
+    rot = (
+        F.pmod(r1 * F.col("_a"), F.lit(2**30)) * F.lit(2**30)
+        + r1 * F.col("_b")
+    )
+    u = F.pmod(F.col("_h2") + rot, F.lit(2**60))
     w = F.lit(9)
     for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
         w = F.when(u < F.lit(POISSON1_THRESHOLDS[k]), k).otherwise(w)
+    # replicate sums in LONG, not DECIMAL — the 150M-row decimal
+    # multiply-accumulate measured ~50× slower than codegen long sums
+    # (32 s → 0.7 s for the whole aggregate at sf0.1/R=100).  Envelope:
+    # Σw·x ≤ 9·Σ|x| must fit int64 → Σ|x| < 10¹⁸; ANSI sum overflow
+    # raises eagerly (the repo's eager-guard posture) — quantize
+    # coarser upstream past it.
     g = e.select("_r", "_x", w.alias("_w")).groupBy("_r").agg(
-        F.coalesce(
-            F.sum(F.col("_w").cast(_D38) * F.col("_x").cast(_D38)),
-            F.lit(0).cast(_D38),
-        ).alias("_s"),
+        F.coalesce(F.sum(F.col("_w") * F.col("_x")), F.lit(0))
+        .cast(_D38)
+        .alias("_s"),
         F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("_c"),
     )
     means = g.filter(F.col("_c") > 0).select(

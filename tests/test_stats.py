@@ -358,21 +358,29 @@ def test_bootstrap_ci_constant_column_is_degenerate(spark):
 
 
 def test_bootstrap_weights_follow_poisson1(spark):
-    """The md5-threshold weights must reproduce the Poisson(1) pmf —
-    pins the threshold literals themselves."""
+    """The Weyl-rotation md5-threshold weights must reproduce the
+    Poisson(1) pmf — pins the threshold literals AND the per-row
+    counter scheme's marginal uniformity."""
     from pyspark.sql import functions as F
 
     n, R = 400, 25
+    digest = F.md5(F.col("id").cast("string"))
     df = spark.createDataFrame(
         [(i,) for i in range(n)], "id long"
     ).select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("r")
+        F.conv(F.substring(digest, 1, 15), 16, 10)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("h1"),
+        F.conv(F.substring(digest, 17, 15), 16, 10)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("h2"),
+        F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("r"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("id").cast("string"),
-                              F.col("r").cast("string"))), 1, 15),
-        16, 10,
+    u = F.pmod(
+        F.col("h2") + (F.col("r") + F.lit(1)).cast("decimal(38,0)") * F.col("h1"),
+        F.lit(2**60).cast("decimal(38,0)"),
     ).cast("long")
     w = F.lit(9)
     for k in range(len(stats.POISSON1_THRESHOLDS) - 1, -1, -1):
