@@ -211,11 +211,17 @@ def nb_fit(
         F.col(label_col).alias("label"),
         F.explode(tokens(normalize(F.col(text_col)))).alias("word"),
     ).filter(F.col("word") != "")
-    cw = words.groupBy("label", "word").agg(F.count(F.lit(1)).alias("_c"))
-    tw = words.groupBy("label").agg(F.count(F.lit(1)).alias("_t"))
-    corpus = words.agg(
-        F.count_distinct(F.col("word")).alias("_v")
+    # ONE token explode: the (label, word) counts materialize once
+    # (localCheckpoint, vocab×labels rows — small) and the per-label
+    # totals + vocab size derive FROM them — stats/priors otherwise
+    # re-tokenize the corpus once per aggregate branch (3-4 scans)
+    cw = (
+        words.groupBy("label", "word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
     )
+    tw = cw.groupBy("label").agg(F.sum("_c").alias("_t"))
+    corpus = cw.agg(F.count_distinct(F.col("word")).alias("_v"))
     dl = base.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("_d")
     )
@@ -286,6 +292,9 @@ def nb_predict(
     from kafka_merge_purge_spark.operators.dedup import normalize
     from kafka_merge_purge_spark.operators.text import tokens
 
+    # one tokenize pass: the (doc, word) counts materialize once and
+    # feed both the stats join and the per-doc totals (two consumers
+    # would otherwise re-explode the corpus)
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -295,6 +304,7 @@ def nb_predict(
         .filter(F.col("word") != "")
         .groupBy("_id", "word")
         .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
     )
     # counts cast to DECIMAL(12,0) so count×lp stays (31,6) — inside the
     # 38-digit cap, no precision-loss rounding; the product has EXACTLY
