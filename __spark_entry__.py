@@ -9820,6 +9820,33 @@ def _docs_logreg_features(spark, sf_dir):
     )
 
 
+def x_boosted_stumps(spark, sf_dir):
+    """AdaBoost depth-1 stumps (ml.boosted_stumps_fit, r15 — the
+    nonlinear trainer next to x_logreg on the SAME feature frame and
+    concept, so the two models compare directly): per round ONE melted
+    (feature, value) weighted aggregate + bucketed prefix sums + a
+    struct-min pick — no per-feature loop; row log-weights are exact
+    integer micro-nats updated by a literal stump expression (no
+    joins).  Rows-only gate (float weighted sums inside the aggregate);
+    accuracy-over-logreg-features pins in pytest."""
+    from kafka_merge_purge_spark.operators.ml import (
+        boosted_stumps_fit,
+        stumps_frame,
+    )
+
+    feats = _docs_logreg_features(spark, sf_dir)
+    pts = feats.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_digits").cast("long").alias("n_digits"),
+        F.col("n_spaces").cast("long").alias("n_spaces"),
+        "label",
+    )
+    model = boosted_stumps_fit(
+        pts, ["n_tokens", "n_digits", "n_spaces"], "label", rounds=5
+    )
+    return stumps_frame(spark, model)
+
+
 def x_logreg(spark, sf_dir):
     """Distributed logistic-regression trainer (ml.logreg_fit, r15):
     full-batch GD, one map-side-combined (d+2)-sum aggregate per round,

@@ -32,7 +32,7 @@ from __future__ import annotations
 import math
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -374,6 +374,181 @@ def logreg_predict(
     return df.withColumn(
         prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
     ).withColumn(pred_col, (m > 0).cast("int"))
+
+
+def boosted_stumps_fit(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    rounds: int = 10,
+    bucket_size: int = 1_000_000,
+) -> dict:
+    """Train AdaBoost over depth-1 decision stumps (Freund & Schapire
+    1997, SAMME/discrete form) — the nonlinear member of the trainer
+    family (logreg = linear, nb = generative, this = additive
+    thresholds): each round picks the (feature, threshold, polarity)
+    stump minimizing the weighted error, then reweights rows toward
+    the mistakes.
+
+    Features must be integer-valued (quantize-first).  Per round ONE
+    job finds the best stump over ALL features and thresholds at once:
+    the melted (feature, value) frame aggregates weighted +/− label
+    mass per distinct value (map-side combined), cumulates via the
+    bucketed two-level prefix sum per feature, and a struct-min
+    aggregate picks the global best — no per-feature loop, no window
+    over raw rows.  Row weights are carried as EXACT INTEGER micro-nat
+    log-weights (lw_i = Σ_t ∓qα_t, each round's α quantized once), so
+    the state column is an int64 updated by a LITERAL stump expression
+    — no join; only the exp(lw/10⁶) weighting inside the aggregate is
+    float (hence ~1-ulp run nondeterminism — the gate entry is
+    rows-only; pytest pins learned accuracy).
+
+    Scale: rounds × (one narrow projection + one melted aggregate whose
+    shuffle is bounded by Σ_f |distinct values|); the state frame
+    localCheckpoints per round (the iterate() posture).
+
+    Returns ``{"stumps": [(feature, threshold, polarity, alpha)],
+    "n": n}`` — polarity +1 predicts y=1 when value > threshold."""
+    import math
+
+    if not feature_cols:
+        raise ValueError("boosted_stumps_fit: feature_cols must be non-empty")
+    if rounds < 1:
+        raise ValueError(
+            f"boosted_stumps_fit: rounds must be >= 1, got {rounds}"
+        )
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    state = df.filter(cond).select(
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+        F.when(F.col(label_col).cast("int") != 0, 1)
+        .otherwise(-1)
+        .alias("_y"),
+        F.lit(0).cast("long").alias("_lw"),  # integer micro-nat log-weight
+    )
+    state = state.localCheckpoint(eager=False)
+    n = state.count()
+    if n == 0:
+        return {"stumps": [], "n": 0}
+
+    melted = "stack({k}, {args}) AS (_f, _v)".format(
+        k=len(feature_cols),
+        args=", ".join(f"'{c}', {c}" for c in feature_cols),
+    )
+    stumps: list[tuple[str, int, int, float]] = []
+    for _ in range(rounds):
+        w = F.exp(F.col("_lw").cast("double") / F.lit(1_000_000.0))
+        pts = state.select(
+            F.expr(melted), "_y", w.alias("_w")
+        )
+        g = pts.groupBy("_f", "_v").agg(
+            F.sum(F.when(F.col("_y") == 1, F.col("_w")).otherwise(0.0)).alias(
+                "_wp"
+            ),
+            F.sum(F.when(F.col("_y") == -1, F.col("_w")).otherwise(0.0)).alias(
+                "_wn"
+            ),
+        )
+        tot = g.agg(
+            F.sum(F.col("_wp") + F.col("_wn")).alias("_tw"),
+            F.sum("_wp").alias("_tp"),
+        )
+        # cumulative (≤ v) mass per feature via the bucketed prefix sum
+        g = g.withColumn(
+            "_b", F.expr(f"(_v - pmod(_v, {bucket_size})) DIV {bucket_size}")
+        )
+        w_local = (
+            Window.partitionBy("_f", "_b")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        totals = g.groupBy("_f", "_b").agg(
+            F.sum("_wp").alias("_btp"), F.sum("_wn").alias("_btn")
+        )
+        w_pref = (
+            Window.partitionBy("_f")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            "_f",
+            "_b",
+            F.coalesce(F.sum("_btp").over(w_pref), F.lit(0.0)).alias("_op"),
+            F.coalesce(F.sum("_btn").over(w_pref), F.lit(0.0)).alias("_on"),
+        )
+        cum = (
+            g.join(F.broadcast(offsets), ["_f", "_b"])
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "_f",
+                "_v",
+                (F.col("_op") + F.sum("_wp").over(w_local)).alias("_cp"),
+                (F.col("_on") + F.sum("_wn").over(w_local)).alias("_cn"),
+                "_tw",
+                "_tp",
+            )
+        )
+        # stump "v > threshold → +1": error = P(y=+1, v≤t) + P(y=−1, v>t)
+        #                                  = cp(t) + (tw − tp) − cn(t)
+        # polarity −1 mirrors: error = tp − cp(t) + cn(t)
+        err_pos = F.col("_cp") + (F.col("_tw") - F.col("_tp")) - F.col("_cn")
+        err_neg = F.col("_tp") - F.col("_cp") + F.col("_cn")
+        cand = cum.select(
+            F.struct(
+                F.least(err_pos, err_neg).alias("err"),
+                F.col("_f").alias("f"),
+                F.col("_v").alias("v"),
+                F.when(err_pos <= err_neg, 1).otherwise(-1).alias("pol"),
+                F.col("_tw").alias("tw"),
+            ).alias("_k")
+        ).agg(F.min("_k").alias("_k"))
+        row = cand.collect()[0]["_k"]
+        eps = max(min(row["err"] / row["tw"], 1.0 - 1e-12), 1e-12)
+        if eps >= 0.5:
+            break  # no stump beats chance on the reweighted sample
+        alpha = 0.5 * math.log((1.0 - eps) / eps)
+        qa = int(round(alpha * 1_000_000))
+        feat, thr, pol = row["f"], int(row["v"]), int(row["pol"])
+        stumps.append((feat, thr, pol, qa / 1_000_000))
+        # h(x) = pol·sign(x_f > thr); lw -= qα·y·h(x)  (integer update)
+        h = F.when(F.col(feat) > F.lit(thr), pol).otherwise(-pol)
+        state = state.withColumn(
+            "_lw", F.col("_lw") - F.lit(qa) * F.col("_y") * h
+        ).localCheckpoint(eager=False)
+    return {"stumps": stumps, "n": int(n)}
+
+
+def boosted_stumps_predict(
+    df: DataFrame,
+    model: Mapping,
+    margin_col: str = "margin",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Score rows with a :func:`boosted_stumps_fit` model: the signed
+    α-weighted vote margin and the 0/1 prediction.  Pure literal
+    projection — no joins, no shuffle, any scale."""
+    m = F.lit(0.0)
+    for feat, thr, pol, alpha in model["stumps"]:
+        h = F.when(F.col(feat) > F.lit(thr), pol).otherwise(-pol)
+        m = m + F.lit(float(alpha)) * h
+    return df.withColumn(margin_col, m).withColumn(
+        pred_col, (m > 0).cast("int")
+    )
+
+
+def stumps_frame(spark, model: Mapping) -> DataFrame:
+    """The stump list as a DataFrame (round, feature, threshold,
+    polarity, alpha) — the x_ppmi_factorize rows-only gate shape."""
+    rows = [
+        (i, f, int(t), int(p), float(a))
+        for i, (f, t, p, a) in enumerate(model["stumps"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, feature string, threshold long, polarity int, "
+        "alpha double",
+    )
 
 
 def logreg_weights_frame(spark, model: Mapping) -> DataFrame:

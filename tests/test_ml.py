@@ -222,6 +222,74 @@ def test_naive_bayes_alpha_validation(spark):
         nb_fit(_nb_train(spark), "text", "label", alpha=0)
 
 
+def test_boosted_stumps_learn_or_concept(spark):
+    """y = (x1>3) OR (x2>4): a single stump caps at one axis; boosting
+    must find both true thresholds and clearly beat the one-stump
+    model."""
+    import random
+
+    from kafka_merge_purge_spark.operators.ml import (
+        boosted_stumps_fit,
+        boosted_stumps_predict,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (x1, x2, 1 if (x1 > 3 or x2 > 4) else 0)
+        for x1, x2 in (
+            (rng.randint(0, 6), rng.randint(0, 6)) for _ in range(600)
+        )
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y int")
+    model = boosted_stumps_fit(df, ["x1", "x2"], "y", rounds=8)
+    feats_used = {(f, t) for f, t, _, _ in model["stumps"]}
+    assert ("x1", 3) in feats_used and ("x2", 4) in feats_used
+    assert all(a > 0 for _, _, _, a in model["stumps"])
+
+    def acc(m):
+        return (
+            boosted_stumps_predict(df, m)
+            .agg(F.avg((F.col("pred") == F.col("y")).cast("double")))
+            .collect()[0][0]
+        )
+
+    one = boosted_stumps_fit(df, ["x1", "x2"], "y", rounds=1)
+    assert acc(model) > 0.9 > acc(one) > 0.75
+
+
+def test_boosted_stumps_separable_is_one_stump(spark):
+    # cleanly separable on x1: round 2's reweighted sample has no
+    # stump beating chance → early stop after the perfect stump
+    from kafka_merge_purge_spark.operators.ml import (
+        boosted_stumps_fit,
+        boosted_stumps_predict,
+    )
+
+    df = spark.createDataFrame(
+        [(x, 1 if x > 5 else 0) for x in range(20)], "x1 long, y int"
+    )
+    model = boosted_stumps_fit(df, ["x1"], "y", rounds=5)
+    assert model["stumps"][0][:3] == ("x1", 5, 1)
+    scored = boosted_stumps_predict(df, model)
+    assert (
+        scored.agg(
+            F.avg((F.col("pred") == F.col("y")).cast("double"))
+        ).collect()[0][0]
+        == 1.0
+    )
+
+
+def test_boosted_stumps_empty_and_validation(spark):
+    from kafka_merge_purge_spark.operators.ml import boosted_stumps_fit
+
+    empty = spark.createDataFrame([], "x1 long, y int")
+    assert boosted_stumps_fit(empty, ["x1"], "y") == {"stumps": [], "n": 0}
+    with pytest.raises(ValueError, match="feature_cols"):
+        boosted_stumps_fit(empty, [], "y")
+    with pytest.raises(ValueError, match="rounds"):
+        boosted_stumps_fit(empty, ["x1"], "y", rounds=0)
+
+
 def test_documents_demo_beats_baseline(spark):
     """The x_logreg gate concept: n_chars > 300 from token features —
     accuracy must clearly beat the majority class."""
