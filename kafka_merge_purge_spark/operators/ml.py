@@ -551,6 +551,70 @@ def stumps_frame(spark, model: Mapping) -> DataFrame:
     )
 
 
+def save_model(spark, model: Mapping, path: str) -> None:
+    """Persist any of the three trainers' models under ``path`` (the
+    build_ivf_index sidecar convention — parquet only, no pickle):
+
+    - logreg: ``{path}/kind`` = logreg + ``{path}/weights`` (feature,
+      weight; bias as ``__bias__``);
+    - naive bayes: kind = nb + ``{path}/stats`` and ``{path}/priors``
+      (the two model frames, materialized);
+    - stumps: kind = stumps + ``{path}/stumps`` (round-ordered).
+
+    The kind sidecar is a 1-row parquet so :func:`load_model` never
+    guesses from directory shape."""
+    if "weights" in model:
+        kind = "logreg"
+        logreg_weights_frame(spark, model).write.mode("overwrite").parquet(
+            f"{path}/weights"
+        )
+    elif "stats" in model:
+        kind = "nb"
+        model["stats"].write.mode("overwrite").parquet(f"{path}/stats")
+        model["priors"].write.mode("overwrite").parquet(f"{path}/priors")
+    elif "stumps" in model:
+        kind = "stumps"
+        stumps_frame(spark, model).write.mode("overwrite").parquet(
+            f"{path}/stumps"
+        )
+    else:
+        raise ValueError(f"save_model: unrecognized model keys {set(model)}")
+    spark.createDataFrame([(kind,)], "kind string").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/kind")
+
+
+def load_model(spark, path: str) -> dict:
+    """Load a :func:`save_model` directory back into the exact dict
+    shape the matching ``*_predict`` consumes.  NB model frames come
+    back as plain parquet scans (already materialized — loading is how
+    you AMORTIZE training across jobs)."""
+    kind = spark.read.parquet(f"{path}/kind").collect()[0]["kind"]
+    if kind == "logreg":
+        rows = spark.read.parquet(f"{path}/weights").collect()
+        w = {r["feature"]: r["weight"] for r in rows}
+        bias = w.pop("__bias__", 0.0)
+        return {"weights": w, "bias": bias, "n": None, "loss": None}
+    if kind == "nb":
+        return {
+            "stats": spark.read.parquet(f"{path}/stats"),
+            "priors": spark.read.parquet(f"{path}/priors"),
+        }
+    if kind == "stumps":
+        rows = sorted(
+            spark.read.parquet(f"{path}/stumps").collect(),
+            key=lambda r: r["round"],
+        )
+        return {
+            "stumps": [
+                (r["feature"], r["threshold"], r["polarity"], r["alpha"])
+                for r in rows
+            ],
+            "n": None,
+        }
+    raise ValueError(f"load_model: unknown model kind {kind!r} at {path}")
+
+
 def logreg_weights_frame(spark, model: Mapping) -> DataFrame:
     """The model as a (feature, weight) frame — bias rides as the
     ``__bias__`` row; rounded to 6 digits for a stable display/gate

@@ -290,6 +290,62 @@ def test_boosted_stumps_empty_and_validation(spark):
         boosted_stumps_fit(empty, ["x1"], "y", rounds=0)
 
 
+def test_model_save_load_round_trips(spark, tmp_path):
+    """All three trainers' models survive parquet persistence with
+    identical predictions."""
+    from kafka_merge_purge_spark.operators.ml import (
+        boosted_stumps_fit,
+        boosted_stumps_predict,
+        load_model,
+        nb_fit,
+        nb_predict,
+        save_model,
+    )
+
+    df = _separable(spark, n=120)
+    lr = logreg_fit(df, FEATS, "y", rounds=5)
+    save_model(spark, lr, str(tmp_path / "lr"))
+    lr2 = load_model(spark, str(tmp_path / "lr"))
+    a = logreg_predict(df, lr).select("prob").collect()
+    # weights round 6 digits in the frame — predictions agree to 1e-5
+    b = logreg_predict(df, lr2).select("prob").collect()
+    assert all(abs(x["prob"] - y["prob"]) < 1e-4 for x, y in zip(a, b))
+
+    nb = nb_fit(_nb_train(spark), "text", "label")
+    save_model(spark, nb, str(tmp_path / "nb"))
+    nb2 = load_model(spark, str(tmp_path / "nb"))
+    test = spark.createDataFrame(
+        [(10, "cheap pills"), (11, "the meeting agenda")],
+        "doc_id long, text string",
+    )
+    assert (
+        nb_predict(test, nb).orderBy("doc_id").collect()
+        == nb_predict(test, nb2).orderBy("doc_id").collect()
+    )
+
+    st = boosted_stumps_fit(
+        spark.createDataFrame(
+            [(x, 1 if x > 5 else 0) for x in range(20)], "x1 long, y int"
+        ),
+        ["x1"],
+        "y",
+        rounds=3,
+    )
+    save_model(spark, st, str(tmp_path / "st"))
+    st2 = load_model(spark, str(tmp_path / "st"))
+    assert st2["stumps"] == st["stumps"]
+    probe = spark.createDataFrame([(3,), (8,)], "x1 long")
+    assert (
+        boosted_stumps_predict(probe, st).collect()
+        == boosted_stumps_predict(probe, st2).collect()
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unrecognized"):
+        save_model(spark, {"bogus": 1}, str(tmp_path / "bad"))
+
+
 def test_documents_demo_beats_baseline(spark):
     """The x_logreg gate concept: n_chars > 300 from token features —
     accuracy must clearly beat the majority class."""
