@@ -9462,6 +9462,128 @@ _RELATIONAL_ORACLES["x_two_proportion"] = """
     FROM pt""".replace("{P_NORMAL}", _P_NORMAL_TVPX)
 
 
+def x_mann_whitney_grouped(spark, sf_dir):
+    """Per-group Mann-Whitney U (stats.mann_whitney_u_grouped — the
+    segmented A/B shape): one rank-sum test per ship year for the
+    returned-vs-accepted price shift.  Group-partitioned windows over
+    DISTINCT values; FULL hash oracle with per-group HUGEINT replay."""
+    from kafka_merge_purge_spark.operators.stats import (
+        mann_whitney_u_grouped,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        F.year("l_shipdate").alias("ship_year"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("flag"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return mann_whitney_u_grouped(pts, ["ship_year"], "cents", "flag")
+
+
+_RELATIONAL_ORACLES["x_mann_whitney_grouped"] = """
+    WITH d AS (SELECT CAST(year(l_shipdate) AS INT) AS g,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+               FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    c AS (SELECT g, v, SUM(a) AS ca, SUM(1 - a) AS cb FROM d GROUP BY 1, 2),
+    w AS (SELECT g, v, ca, cb,
+                 COALESCE(SUM(ca + cb) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+          FROM c),
+    m AS (SELECT g,
+                 SUM(CAST(ca AS HUGEINT)
+                     * (2 * CAST(below AS HUGEINT) + ca + cb + 1)) AS r2,
+                 SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                     - (ca + cb)) AS ties,
+                 CAST(SUM(ca) AS HUGEINT) AS na,
+                 CAST(SUM(cb) AS HUGEINT) AS nb
+          FROM w GROUP BY g),
+    f AS (SELECT g, na, nb, r2 - na * (na + 1) AS u2, ties,
+                 CAST(na * nb AS DOUBLE) / 12.0
+                 * (CAST(na + nb + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / CAST((na + nb) * (na + nb - 1) AS DOUBLE)) AS var
+          FROM m),
+    zc AS (SELECT g, na, nb, u2, var,
+                  CAST(u2 - na * nb AS DOUBLE) / (2.0 * sqrt(var)) AS zr
+           FROM f),
+    pc AS (SELECT g, na, nb, u2, var, zr,
+                  abs(zr) / 1.4142135623730951 AS px
+           FROM zc),
+    pt AS (SELECT g, na, nb, u2, var, zr, px,
+                  1.0 / (1.0 + 0.3275911 * px) AS tv
+           FROM pc)
+    SELECT g AS ship_year,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN CAST(u2 AS DECIMAL(38,0)) END AS u2,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(u2 AS DOUBLE) / 2.0, 6) END AS u,
+           CASE WHEN na > 0 AND nb > 0 AND var > 0
+                THEN round(zr, 6) END AS z,
+           CASE WHEN na > 0 AND nb > 0 AND var > 0
+                THEN {P_NORMAL} END AS p_normal
+    FROM pt""".replace("{P_NORMAL}", _P_NORMAL_TVPX)
+
+
+def x_cusum_grouped(spark, sf_dir):
+    """Per-series CUSUM changepoint (stats.cusum_changepoint_grouped):
+    one mean-shift scan per event_type over the events value stream by
+    epoch second.  Group-partitioned cumulatives + the struct-max
+    argmax per group — FULL hash oracle."""
+    from kafka_merge_purge_spark.operators.stats import (
+        cusum_changepoint_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.unix_timestamp(F.col("ts")).alias("sec"),
+        F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("val"),
+    )
+    return cusum_changepoint_grouped(pts, ["event_type"], "sec", "val")
+
+
+_RELATIONAL_ORACLES["x_cusum_grouped"] = """
+    WITH d AS (SELECT event_type AS g,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS o,
+                      CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS x
+               FROM events
+               WHERE ts IS NOT NULL AND "value" IS NOT NULL
+                 AND event_type IS NOT NULL),
+    c AS (SELECT g, o, COUNT(*) AS cc, CAST(SUM(x) AS HUGEINT) AS s
+          FROM d GROUP BY 1, 2),
+    w AS (SELECT g, o,
+                 SUM(cc) OVER (PARTITION BY g ORDER BY o
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumc,
+                 SUM(s) OVER (PARTITION BY g ORDER BY o
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cums,
+                 SUM(cc) OVER (PARTITION BY g) AS n,
+                 SUM(s) OVER (PARTITION BY g) AS sn
+          FROM c),
+    sc AS (SELECT g, o, CAST(n AS BIGINT) AS n,
+                  ABS(CAST(n AS HUGEINT) * CAST(cums AS HUGEINT)
+                      - CAST(cumc AS HUGEINT) * CAST(sn AS HUGEINT)) AS dd
+           FROM w),
+    mx AS (SELECT g, n, MAX(dd) AS dn FROM sc GROUP BY 1, 2),
+    pick AS (SELECT mx.g AS g, mx.n AS n, MIN(sc.o) AS change_at,
+                    mx.dn AS dn
+             FROM sc JOIN mx ON sc.g = mx.g AND sc.dd = mx.dn
+             GROUP BY mx.g, mx.n, mx.dn)
+    SELECT g AS event_type, n, change_at,
+           CAST(dn AS DECIMAL(38,0)) AS d_num,
+           CAST((2 * dn * 1000000 + n) // (2 * CAST(n AS HUGEINT))
+                AS DOUBLE) / 1000000.0 AS cusum
+    FROM pick"""
+
+
 def x_cusum(spark, sf_dir):
     """CUSUM mean-shift changepoint (stats.cusum_changepoint, Page
     1954) over the events value series by epoch second: where did the

@@ -397,6 +397,141 @@ def welch_t(
     )
 
 
+def mann_whitney_u_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Per-group Mann-Whitney U — the segmented A/B shape (one
+    rank-sum test per cohort/day/segment; the spearman_corr_grouped
+    convention): identical arithmetic to :func:`mann_whitney_u` with
+    every window/aggregate keyed by the group columns.  Windows over
+    DISTINCT values run group-partitioned (bounded by per-group value
+    cardinality; a single huge-cardinality group → use the global
+    bucketed form, the documented crossover).  Output one row per
+    group: (group…, n_a, n_b, u2, u, z, p_normal)."""
+    gcols = list(group_cols)
+    pts = df.filter(
+        F.col(value_col).isNotNull() & F.col(flag_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(value_col).cast("long").alias("_v"),
+        F.when(F.col(flag_col).cast("int") != 0, 1).otherwise(0).alias("_a"),
+    )
+    g = pts.groupBy(*gcols, "_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(1 - F.col("_a")).alias("_cb"),
+    )
+    w_local = (
+        Window.partitionBy(*gcols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    below = (
+        F.coalesce(F.sum(F.col("_ca") + F.col("_cb")).over(w_local), F.lit(0))
+    ).cast(_D38)
+    ct = (F.col("_ca") + F.col("_cb")).cast(_D38)
+    terms = g.select(
+        *gcols,
+        (
+            F.col("_ca").cast(_D38)
+            * (F.lit(2).cast(_D38) * below + ct + F.lit(1).cast(_D38))
+        ).alias("_r2t"),
+        (ct * ct * ct - ct).alias("_t3t"),
+        "_ca",
+        "_cb",
+    )
+    m = terms.groupBy(*gcols).agg(
+        F.coalesce(F.sum("_r2t"), F.lit(0).cast(_D38)).alias("_r2"),
+        F.coalesce(F.sum("_t3t"), F.lit(0).cast(_D38)).alias("_ties"),
+        F.coalesce(F.sum("_ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast(_D38), F.col("n_b").cast(_D38)
+    nn = na + nb
+    u2 = F.col("_r2") - na * (na + F.lit(1).cast(_D38))
+    var_d = (
+        (na * nb).cast("double")
+        / F.lit(12.0)
+        * (
+            (nn + F.lit(1).cast(_D38)).cast("double")
+            - F.col("_ties").cast("double")
+            / (nn * (nn - F.lit(1).cast(_D38))).cast("double")
+        )
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    z_raw = (u2 - na * nb).cast("double") / (F.lit(2.0) * F.sqrt(var_d))
+    return m.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        F.when(both, u2.cast(_D38)).alias("u2"),
+        F.when(both, F.round(u2.cast("double") / F.lit(2.0), 6)).alias("u"),
+        F.when(both & (var_d > 0), F.round(z_raw, 6)).alias("z"),
+        F.when(
+            both & (var_d > 0), _normal_two_sided_p(F.abs(z_raw))
+        ).alias("p_normal"),
+    )
+
+
+def cusum_changepoint_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group CUSUM changepoint — one mean-shift scan per series
+    (the metric-per-segment shape): identical exact arithmetic to
+    :func:`cusum_changepoint` with the group columns on every
+    aggregate/window; the per-group argmax with earliest-position
+    tie-break stays ONE struct-max aggregate.  Output one row per
+    non-empty group: (group…, n, change_at, d_num, cusum)."""
+    gcols = list(group_cols)
+    pts = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    g = pts.groupBy(*gcols, "_o").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum("_x").cast(_D38).alias("_s"),
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*gcols)
+    cum = g.select(
+        *gcols,
+        "_o",
+        F.sum("_c").over(w_cum).cast(_D38).alias("_cc"),
+        F.sum("_s").over(w_cum).alias("_cs"),
+        F.sum("_c").over(w_all).cast("long").alias("n"),
+        F.sum("_s").over(w_all).alias("_sn"),
+    )
+    d = F.abs(F.col("n").cast(_D38) * F.col("_cs") - F.col("_cc") * F.col("_sn"))
+    return (
+        cum.select(
+            *gcols,
+            "n",
+            F.struct(d.alias("d"), (-F.col("_o")).alias("no")).alias("_k"),
+        )
+        .groupBy(*gcols, "n")
+        .agg(F.max("_k").alias("_k"))
+        .select(
+            *gcols,
+            "n",
+            (-F.col("_k.no")).alias("change_at"),
+            F.col("_k.d").alias("d_num"),
+            _exact_div6(F.col("_k.d"), F.col("n").cast(_D38)).alias("cusum"),
+        )
+    )
+
+
 def two_proportion_z(
     df: DataFrame,
     flag_col: str,

@@ -17,6 +17,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from kafka_merge_purge_spark.operators import stats
 
 SETTINGS = settings(
@@ -407,6 +409,47 @@ def test_bootstrap_empty_and_validation(spark):
         stats.bootstrap_mean_ci(empty, "x", "id", replicates=0)
     with pytest.raises(ValueError, match="tail_bp"):
         stats.bootstrap_mean_ci(empty, "x", "id", tail_bp=0)
+
+
+def test_grouped_mw_equals_global_per_slice(spark):
+    rows = [
+        ("g1", 1, 1), ("g1", 2, 1), ("g1", 5, 0), ("g1", 6, 0),
+        ("g2", 9, 1), ("g2", 3, 0), ("g2", 3, 1), ("g2", 7, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, f int")
+    grouped = {
+        r["g"]: (r["u"], r["z"], r["p_normal"])
+        for r in stats.mann_whitney_u_grouped(df, ["g"], "v", "f").collect()
+    }
+    for gname in ("g1", "g2"):
+        solo = stats.mann_whitney_u(
+            df.filter(F.col("g") == gname), "v", "f"
+        ).collect()[0]
+        assert grouped[gname] == (solo["u"], solo["z"], solo["p_normal"])
+
+
+def test_grouped_cusum_equals_global_per_slice(spark):
+    rows = [
+        ("a", i, 0 if i < 5 else 10) for i in range(10)
+    ] + [("b", i, 7) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, o long, x long")
+    grouped = {
+        r["g"]: (r["change_at"], int(r["d_num"]), r["cusum"])
+        for r in stats.cusum_changepoint_grouped(
+            df, ["g"], "o", "x"
+        ).collect()
+    }
+    assert grouped["a"] == (4, 250, 25.0)
+    assert grouped["b"] == (0, 0, 0.0)
+    for gname in ("a", "b"):
+        solo = stats.cusum_changepoint(
+            df.filter(F.col("g") == gname), "o", "x"
+        ).collect()[0]
+        assert grouped[gname] == (
+            solo["change_at"],
+            int(solo["d_num"]),
+            solo["cusum"],
+        )
 
 
 # ---------------------------------------------------------------------------
