@@ -9584,6 +9584,60 @@ _RELATIONAL_ORACLES["x_cusum_grouped"] = """
     FROM pick"""
 
 
+def x_median_ci(spark, sf_dir):
+    """Distribution-free 95% CI for the median lineitem price
+    (stats.median_ci — binomial sign-test inversion over order
+    statistics; the no-resampling companion to x_bootstrap_ci): each
+    order statistic is min(v | cum ≥ k) over the bucketed prefix sums
+    — no sort, no per-row rank; the only float is z·√n.  FULL hash
+    oracle."""
+    from kafka_merge_purge_spark.operators.stats import median_ci
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    return median_ci(pts, "cents")
+
+
+_RELATIONAL_ORACLES["x_median_ci"] = """
+    WITH d AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    g AS (SELECT v, COUNT(*) AS c FROM d GROUP BY v),
+    w AS (SELECT v,
+                 SUM(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+          FROM g),
+    tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM g),
+    rk AS (SELECT n,
+                  CAST(floor((CAST(n AS DOUBLE)
+                              - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                       AS BIGINT) AS l,
+                  (n + 1) // 2 AS ml, n // 2 + 1 AS mh
+           FROM tot),
+    sel AS (SELECT rk.n AS n,
+                   MIN(CASE WHEN cum >= ml THEN v END) AS vml,
+                   MIN(CASE WHEN cum >= mh THEN v END) AS vmh,
+                   MIN(CASE WHEN l >= 1 AND cum >= l THEN v END) AS vl,
+                   MIN(CASE WHEN cum >= n - l + 1 THEN v END) AS vu
+            FROM w, rk GROUP BY rk.n, rk.l)
+    SELECT n,
+           CASE WHEN CAST(vml + vmh AS HUGEINT) < 0 THEN
+               -(CAST((2 * (-(CAST(vml AS HUGEINT) + vmh)) * 1000000 + 2)
+                      // 4 AS DOUBLE) / 1000000.0)
+           ELSE CAST((2 * (CAST(vml AS HUGEINT) + vmh) * 1000000 + 2)
+                     // 4 AS DOUBLE) / 1000000.0 END AS median,
+           CASE WHEN n >= 3 THEN CAST(vl AS DOUBLE) END AS ci_lo,
+           CASE WHEN n >= 3 THEN CAST(vu AS DOUBLE) END AS ci_hi
+    FROM sel
+    UNION ALL
+    SELECT n, NULL, NULL, NULL
+    FROM tot WHERE NOT EXISTS (SELECT 1 FROM sel)"""
+
+
 def x_cusum(spark, sf_dir):
     """CUSUM mean-shift changepoint (stats.cusum_changepoint, Page
     1954) over the events value series by epoch second: where did the

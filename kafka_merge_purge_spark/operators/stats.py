@@ -1162,6 +1162,95 @@ def bootstrap_mean_ci(
     )
 
 
+def median_ci(
+    df: DataFrame,
+    value_col: str,
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN via
+    order statistics (the binomial sign-test inversion — no resampling,
+    no normality assumption; the companion to
+    :func:`bootstrap_mean_ci`):
+
+        l = ⌊(n − z·√n)/2⌋,  u = n − l + 1,   z = 1.959964
+        CI = [x₍l₎, x₍u₎]
+
+    (the classic large-sample rank pair; coverage ≥ 95% for continuous
+    data).  The median itself is the average of the two middle order
+    statistics, rounded with exact integer half-away arithmetic.
+
+    All selection runs on the per-value counts: one value-keyed
+    aggregate, inclusive cumulatives via the bucketed two-level prefix
+    sum, and each order statistic is ``min(v | cum ≥ k)`` — three
+    conditional mins in ONE aggregate, no sort, no per-row rank.  The
+    only float is z·√n (one sqrt + mult + floor on the same doubles in
+    both engines).  Output ONE row: (n, median, ci_lo, ci_hi) — CI
+    NULL when n < 3 (the rank pair collapses)."""
+    pts = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("_v")
+    )
+    g = pts.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    g = _with_below(g, "_v", ["_c"], bucket_size)
+    tot = g.agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n"))
+    n_d = F.col("n").cast("double")
+    l_rank = F.floor(
+        (n_d - F.lit(1.959964) * F.sqrt(n_d)) / F.lit(2.0)
+    ).cast("long")
+    cum = (F.col("_c_below") + F.col("_c")).cast("long")
+    # lower/upper middle order statistics: ⌈n/2⌉ and ⌊n/2⌋+1
+    m_lo = F.expr("(n + 1) DIV 2")
+    m_hi = F.expr("n DIV 2 + 1")
+    sel = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "_v",
+            cum.alias("_cum"),
+            l_rank.alias("_l"),
+            (F.col("n") - l_rank + 1).alias("_u"),
+            m_lo.alias("_ml"),
+            m_hi.alias("_mh"),
+        )
+        .groupBy("n")
+        .agg(
+            F.min(F.when(F.col("_cum") >= F.col("_ml"), F.col("_v"))).alias(
+                "_vml"
+            ),
+            F.min(F.when(F.col("_cum") >= F.col("_mh"), F.col("_v"))).alias(
+                "_vmh"
+            ),
+            F.min(
+                F.when(
+                    (F.col("_l") >= 1) & (F.col("_cum") >= F.col("_l")),
+                    F.col("_v"),
+                )
+            ).alias("_vl"),
+            F.min(F.when(F.col("_cum") >= F.col("_u"), F.col("_v"))).alias(
+                "_vu"
+            ),
+        )
+    )
+    med = _exact_div6_signed(
+        (F.col("_vml") + F.col("_vmh")).cast(_D38),
+        F.lit(2).cast(_D38),
+    )
+    ok = F.col("n") >= 3
+    out = sel.select(
+        "n",
+        med.alias("median"),
+        F.when(ok, F.col("_vl").cast("double")).alias("ci_lo"),
+        F.when(ok, F.col("_vu").cast("double")).alias("ci_hi"),
+    )
+    return out.unionByName(
+        tot.join(out.select("n"), ["n"], "left_anti").select(
+            "n",
+            F.lit(None).cast("double").alias("median"),
+            F.lit(None).cast("double").alias("ci_lo"),
+            F.lit(None).cast("double").alias("ci_hi"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     prob_col: str = "prob_q",

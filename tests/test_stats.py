@@ -411,6 +411,54 @@ def test_bootstrap_empty_and_validation(spark):
         stats.bootstrap_mean_ci(empty, "x", "id", tail_bp=0)
 
 
+def test_median_ci_textbook(spark):
+    # 1..101: median 51; l = floor((101 − 1.96·√101)/2) = 40, u = 62
+    df = spark.createDataFrame([(v,) for v in range(1, 102)], "v long")
+    row = stats.median_ci(df, "v").collect()[0]
+    assert (row["n"], row["median"], row["ci_lo"], row["ci_hi"]) == (
+        101,
+        51.0,
+        40.0,
+        62.0,
+    )
+    # even n averages the two middle order statistics
+    even = spark.createDataFrame([(v,) for v in range(1, 11)], "v long")
+    assert stats.median_ci(even, "v").collect()[0]["median"] == 5.5
+    # CI brackets the median and tightens with n
+    assert row["ci_lo"] < row["median"] < row["ci_hi"]
+
+
+def test_median_ci_small_and_empty(spark):
+    two = stats.median_ci(
+        spark.createDataFrame([(7,), (9,)], "v long"), "v"
+    ).collect()[0]
+    assert (two["median"], two["ci_lo"], two["ci_hi"]) == (8.0, None, None)
+    empty = stats.median_ci(
+        spark.createDataFrame([], "v long"), "v"
+    ).collect()[0]
+    assert (empty["n"], empty["median"]) == (0, None)
+
+
+@given(
+    vals=st.lists(st.integers(-8, 8), min_size=3, max_size=15)
+)
+@SETTINGS
+def test_median_ci_matches_sorted_model(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = stats.median_ci(df, "v", bucket_size=3).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    want_med = (s[(n + 1) // 2 - 1] + s[n // 2]) / 2
+    assert row["median"] == want_med
+    l = math.floor((n - 1.959964 * math.sqrt(n)) / 2)
+    if l >= 1:
+        assert row["ci_lo"] == float(s[l - 1])
+        assert row["ci_hi"] == float(s[n - l])
+    else:
+        # rank collapses below the sample: whole range or NULL (n<3)
+        assert row["ci_lo"] in (None, float(s[0]))
+
+
 def test_grouped_mw_equals_global_per_slice(spark):
     rows = [
         ("g1", 1, 1), ("g1", 2, 1), ("g1", 5, 0), ("g1", 6, 0),
