@@ -5354,12 +5354,12 @@ def x_skipgram_negatives(spark, sf_dir):
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    vocab = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     walks = random_walks(edges, walk_length=4, walks_per_node=1)
+    # vocab = the walked graph's node set; every node starts a walk, so
+    # the corpus' distinct path tokens ARE that set — scanning the
+    # (internally materialized) walks avoids a second full
+    # lineitem⋈orders upstream pass (r15)
+    vocab = walks.select(F.explode("path").alias("node")).distinct()
     sg = skipgram_pairs(walks, window=2)
     return skipgram_negatives(sg, vocab, n_neg=2)
 

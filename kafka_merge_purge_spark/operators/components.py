@@ -472,10 +472,14 @@ def strongly_connected_components(
         # (r13 review — a directed 10-cycle with max_inner=2 returned
         # 10 singletons).  Unlike the trim/backward phases, whose
         # partial convergence only under-decides, fwd exhaustion
-        # must surface as an error naming the fix.
-        if not fwd_round(colors, max_inner).filter(
-            F.col("_changed")
-        ).isEmpty():
+        # must surface as an error naming the fix.  When iterate()'s
+        # own probe already saw a zero-_changed round it has PROVED
+        # step(state) == state, so the extra verification round only
+        # runs on rounds-exhausted loops (r15 — one full join+agg pass
+        # saved per outer round in the common converged case).
+        if not getattr(colors, "_iterate_converged", False) and not fwd_round(
+            colors, max_inner
+        ).filter(F.col("_changed")).isEmpty():
             raise ValueError(
                 "strongly_connected_components: forward coloring not "
                 f"converged within max_inner={max_inner} rounds — raise "
@@ -521,18 +525,24 @@ def strongly_connected_components(
                 ).alias("_changed"),
             )
 
+        # no extra localCheckpoint: iterate() already materialized the
+        # final round; the returned frame is a projection over it (r15)
         flags = iterate(
             colors.select("node", "lbl", F.col("node").alias("g")),
             incolor_back_round,
             max_rounds=max_inner,
             coalesce_to=_iter_coalesce(hint),
-        ).localCheckpoint(eager=True)
+        )
         # Backward flood must also have CONVERGED (r13 advice, HIGH):
         # an in-SCC node beyond the max_inner flood horizon stays
         # g != lbl ("undecided") while its pivot IS decided and peeled
         # from live — the stranded remnant then shatters into wrong
-        # singleton SCCs next outer round.  Mirror the forward guard.
-        if not incolor_back_round(flags, max_inner).filter(
+        # singleton SCCs next outer round.  Mirror the forward guard
+        # (and its r15 skip: a probe-proven fixpoint needs no extra
+        # verification round).
+        if not getattr(
+            flags, "_iterate_converged", False
+        ) and not incolor_back_round(flags, max_inner).filter(
             F.col("_changed")
         ).isEmpty():
             raise ValueError(
@@ -1403,10 +1413,30 @@ def random_walks(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
     )
     w_adj = Window.partitionBy("_u").orderBy("_v")
+    # Sink retirement is decided AT ARRIVAL (r15): the cached adjacency
+    # rows carry a one-time `_vdead` flag ("_v has no out-edges" — one
+    # build-time left join against the src set, whose e.distinct()
+    # exchange is shared with the window branch and reused), and the
+    # starts carry the same flag for their own node, so the step needs
+    # NO per-round anti join and NO per-round rebuild of the src set
+    # (the r14 form re-scanned the cached adjacency + re-ran its
+    # distinct + rebuilt a broadcast every round just to retire walks
+    # standing on sinks).  Retired rows surface one round earlier in
+    # the INTERNAL state flag only; the emitted (walk_id, start, path)
+    # rows are identical.
+    dist = e.distinct()
     adj = (
-        e.distinct()
-        .withColumn("_idx", F.row_number().over(w_adj) - 1)
+        dist.withColumn("_idx", F.row_number().over(w_adj) - 1)
         .withColumn("_od", F.count(F.lit(1)).over(Window.partitionBy("_u")))
+        .join(
+            # no broadcast hint: AQE converts to a broadcast join at
+            # runtime when the src set is small; a billion-node src set
+            # rides the shuffle join (the regime-adaptive posture)
+            dist.select(F.col("_u").alias("_vv")).distinct(),
+            F.col("_v") == F.col("_vv"),
+            "left",
+        )
+        .select("_u", "_v", "_idx", "_od", F.col("_vv").isNull().alias("_vdead"))
         .cache()
     )
     # nodes derive from the CACHED adj, not from e: the probe, starts
@@ -1423,19 +1453,27 @@ def random_walks(
     hint = _state_hint(
         nodes, broadcast_state, rows_per_unit=walks_per_node, known_rows=n_nodes
     )
-    starts = nodes.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
-                lambda r: F.concat(
-                    F.col("node").cast("string"), F.lit("#"), r.cast("string")
-                ),
-            )
-        ).alias("walk_id"),
-        F.col("node").alias("start"),
-        F.col("node").alias("_cur"),
-        F.array(F.col("node").cast("string")).alias("path"),
-        F.lit(False).alias("_done"),
+    srcs = adj.select("_u").distinct()
+    starts = (
+        nodes.join(
+            hint(srcs.withColumnRenamed("_u", "_sv")),
+            nodes["node"] == F.col("_sv"),
+            "left",
+        )
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
+                    lambda r: F.concat(
+                        F.col("node").cast("string"), F.lit("#"), r.cast("string")
+                    ),
+                )
+            ).alias("walk_id"),
+            F.col("node").alias("start"),
+            F.col("node").alias("_cur"),
+            F.array(F.col("node").cast("string")).alias("path"),
+            F.col("_sv").isNull().alias("_done"),
+        )
     )
 
     def coin(step: int):
@@ -1458,12 +1496,14 @@ def random_walks(
             10,
         ).cast("long")
 
-    srcs = adj.select("_u").distinct()
-
     def step_fn(state: DataFrame, i: int) -> DataFrame:
         live = state.filter(~F.col("_done"))
-        # inner join (build-left broadcastable) picks the coined neighbor;
-        # walks standing on a sink (no out-edges) retire via the anti join
+        # inner join (build-left broadcastable) picks the coined
+        # neighbor; the picked row's _vdead flag retires walks the
+        # moment they ARRIVE at a sink — no anti join, no second pass
+        # over the adjacency (r15; walks already standing on sinks were
+        # flagged at start/arrival, so live rows always match exactly
+        # one adjacency row)
         stepped = (
             hint(live.withColumn("_pick", coin(i)))
             .join(adj, F.col("_cur") == adj["_u"])
@@ -1475,15 +1515,10 @@ def random_walks(
                 F.concat(F.col("path"), F.array(F.col("_v").cast("string"))).alias(
                     "path"
                 ),
-                F.lit(False).alias("_done"),
+                F.col("_vdead").alias("_done"),
             )
         )
-        # srcs is O(nodes) — hint it with the same resolved regime so the
-        # sink-retire anti join broadcasts exactly when the state does
-        retired = live.join(hint(srcs), live["_cur"] == srcs["_u"], "left_anti").select(
-            "walk_id", "start", "_cur", "path", F.lit(True).alias("_done")
-        )
-        return state.filter(F.col("_done")).unionByName(stepped).unionByName(retired)
+        return state.filter(F.col("_done")).unionByName(stepped)
 
     out = iterate(starts, step_fn, max_rounds=walk_length,
                   coalesce_to=_iter_coalesce(hint))
@@ -2408,9 +2443,15 @@ def ppmi_from_pairs(
     corpus cannot overflow the comparison the way int64 would) — a
     float threshold at 0 could flip on last-ulp ln() drift.
 
-    Scale shape: three hash aggregates + two equi joins keyed on the
-    vocab-sized margins; N rides a 1-row broadcast cross-join (no
-    driver collect).  Nothing touches the raw corpus twice.
+    Scale shape: ONE hash aggregate over the raw corpus + two equi
+    joins keyed on the vocab-sized margins; the margin counts and N
+    derive from the (center, context) aggregate itself (``n_center =
+    Σ_context n_pair`` etc. — exact int64 identities), so the three
+    extra corpus scans the r13 form paid collapse into re-aggregations
+    of the already-reduced frame, whose shared exchange Spark reuses
+    across all four consumers (r15 — guide §2.3 "aggregate before you
+    shuffle").  N rides a 1-row broadcast cross-join (no driver
+    collect).  The raw corpus is touched exactly once.
 
     Output: (center, context, n_pair, n_center, n_context, ppmi)."""
     if shift < 1:
@@ -2418,10 +2459,10 @@ def ppmi_from_pairs(
     p = pairs.select(
         F.col(center_col).alias("center"), F.col(context_col).alias("context")
     ).filter(F.col("center").isNotNull() & F.col("context").isNotNull())
-    tot = F.broadcast(p.agg(F.count(F.lit(1)).alias("_n")))
     cc = p.groupBy("center", "context").agg(F.count(F.lit(1)).alias("n_pair"))
-    c = p.groupBy("center").agg(F.count(F.lit(1)).alias("n_center"))
-    x = p.groupBy("context").agg(F.count(F.lit(1)).alias("n_context"))
+    tot = F.broadcast(cc.agg(F.coalesce(F.sum("n_pair"), F.lit(0)).alias("_n")))
+    c = cc.groupBy("center").agg(F.sum("n_pair").alias("n_center"))
+    x = cc.groupBy("context").agg(F.sum("n_pair").alias("n_context"))
     dec = "decimal(18,0)"
     lhs = F.col("n_pair").cast(dec) * F.col("_n").cast(dec)
     rhs = F.col("n_center").cast(dec) * (
@@ -2555,12 +2596,12 @@ def sgns_training_corpus(
                 dst=dst,
                 seed=seed,
             )
-        if vocab is None and counts is None:
-            vocab = (
-                edges.select(F.col(src).alias("node"))
-                .unionByName(edges.select(F.col(dst).alias("node")))
-                .distinct()
-            )
+        # vocab defaults to the walk corpus' distinct path tokens (below)
+        # rather than a re-derivation from `edges`: every node starts a
+        # walk (walks_per_node >= 1), so the token set EQUALS the edge
+        # endpoint set, and the tokens scan the materialized walks
+        # instead of re-running the caller's whole upstream graph build
+        # (r15 — the second full lineitem⋈orders pass q_sgns_corpus paid)
     if materialize:
         walks = walks.localCheckpoint(eager=True)
     if vocab is None and counts is None:

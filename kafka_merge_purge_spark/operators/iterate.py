@@ -87,7 +87,14 @@ def iterate(
     identical either way (partitioning is never semantics here; every
     gated hash was re-verified unchanged).
 
-    Returns the final state (without ``changed_col``).
+    Returns the final state (without ``changed_col``).  The returned
+    frame carries ``_iterate_converged`` (r15): ``True`` iff a
+    materialized-round probe saw ZERO ``changed_col`` rows — i.e. the
+    loop itself already PROVED ``step(state) == state``, so callers
+    that would otherwise run one extra verification round
+    (strongly_connected_components' exhaustion guards) can skip it;
+    ``False`` when the step has no ``changed_col`` (fixed unroll) or
+    the flag was probe-positive through the last round.
     """
     if max_rounds < 0:
         raise ValueError(f"iterate: max_rounds must be >= 0, got {max_rounds}")
@@ -107,6 +114,7 @@ def iterate(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    converged = False
     for i in range(max_rounds):
         nxt = step(state, i)
         has_flag = changed_col in nxt.columns
@@ -119,5 +127,7 @@ def iterate(
         # probe only materialized rounds: the limit-1 isEmpty scan then
         # reads already-computed partitions instead of re-running the step
         if has_flag and materializing and nxt.filter(F.col(changed_col)).isEmpty():
+            converged = True
             break
+    state._iterate_converged = converged
     return state
