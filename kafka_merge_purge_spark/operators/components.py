@@ -1382,20 +1382,22 @@ def random_walks(
     Randomness is md5-coin derandomized (the repo-wide convention —
     kmeans|| coins, A-ES ranks): step ``i`` of walk ``w`` at node ``u``
     picks neighbor index ``md5(seed:w:i:u) mod outdeg(u)`` over the
-    adjacency indexed by a (src, dst)-ordered row_number.  Every engine
+    node's _v-ascending neighbor array (position ≡ the (src,
+    dst)-ordered row_number the SQL oracle replays).  Every engine
     replays the identical walks, so the output carries a FULL hash
     oracle — no engine-bound RNG, no run-to-run drift (reproducible
     training corpora are a feature, not a compromise).
 
     Built on :func:`iterate`: the state is the (walk_id, cur, path)
     frame — O(walks), never the graph; per step ONE equi join onto the
-    indexed adjacency plus the md5 coin, and iterate()'s per-round
-    materialization keeps lineage flat.  ``broadcast_state="auto"``
+    grouped adjacency (one sorted neighbor-array row per node, so join
+    output is O(walks), not Σ outdeg) plus the md5 coin + element_at,
+    and iterate()'s per-round materialization keeps lineage flat.  ``broadcast_state="auto"``
     (default) probes the node count once and caps the broadcast regime
     at STATE_BROADCAST_MAX_ROWS // walks_per_node state rows (walk rows
     also carry growing path arrays), so huge walk fleets ride the
-    shuffle regime out of the box; ``True``/``False`` force it.  The adjacency (with per-src neighbor index + outdeg) is
-    computed once and cached.
+    shuffle regime out of the box; ``True``/``False`` force it.  The
+    grouped adjacency is computed once and cached.
 
     Output: (walk_id string, start node, path array — path[0] = start,
     len(path) ≤ walk_length + 1)."""
@@ -1407,28 +1409,31 @@ def random_walks(
         raise ValueError(
             "random_walks: walks_per_node >= 1 and walk_length >= 0 required"
         )
-    from pyspark.sql import Window
-
     e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
     )
-    w_adj = Window.partitionBy("_u").orderBy("_v")
-    # Sink retirement is decided AT ARRIVAL (r15): the cached adjacency
-    # rows carry a one-time `_vdead` flag ("_v has no out-edges" — one
-    # build-time left join against the src set, whose e.distinct()
-    # exchange is shared with the window branch and reused), and the
-    # starts carry the same flag for their own node, so the step needs
-    # NO per-round anti join and NO per-round rebuild of the src set
-    # (the r14 form re-scanned the cached adjacency + re-ran its
-    # distinct + rebuilt a broadcast every round just to retire walks
-    # standing on sinks).  Retired rows surface one round earlier in
-    # the INTERNAL state flag only; the emitted (walk_id, start, path)
-    # rows are identical.
+    # Adjacency is GROUPED into one sorted neighbor array per src node
+    # (r15): the r14 edge-row form joined every live walk against ALL
+    # degree-d adjacency rows of its current node and filtered to the
+    # one whose window row_number matched the coin — per round the join
+    # probed the whole cached edge list and evaluated the pick predicate
+    # on Σ outdeg(cur) candidate rows.  One row per node with
+    # ``sort_array(collect_list(struct(_v, _vdead)))`` makes the pick a
+    # single ``element_at`` on the one matched row: per-round join
+    # output is O(|walks|), independent of edge count, and the
+    # neighbor index (0-based position in the _v-ascending array) is
+    # byte-identical to the old row_number()-1 index, so every coin
+    # resolves to the same neighbor and the emitted rows are unchanged.
+    # Sink retirement stays decided AT ARRIVAL via the `_vdead` flag
+    # ("_v has no out-edges" — one build-time left join against the
+    # src set).  100 TB note: a degree-d node holds a d-entry array
+    # row; the grouped form assumes per-node degree is task-memory
+    # bounded (the walk-corpus posture — web/co-occurrence graphs cap
+    # out at ~10⁷ neighbors per node, ~100 MB a row, the same bound
+    # the collect_list-based LPA/Louvain neighborhoods already carry).
     dist = e.distinct()
     adj = (
-        dist.withColumn("_idx", F.row_number().over(w_adj) - 1)
-        .withColumn("_od", F.count(F.lit(1)).over(Window.partitionBy("_u")))
-        .join(
+        dist.join(
             # no broadcast hint: AQE converts to a broadcast join at
             # runtime when the src set is small; a billion-node src set
             # rides the shuffle join (the regime-adaptive posture)
@@ -1436,7 +1441,14 @@ def random_walks(
             F.col("_v") == F.col("_vv"),
             "left",
         )
-        .select("_u", "_v", "_idx", "_od", F.col("_vv").isNull().alias("_vdead"))
+        .groupBy("_u")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("_v"), F.col("_vv").isNull().alias("_vdead"))
+                )
+            ).alias("_nbrs")
+        )
         .cache()
     )
     # nodes derive from the CACHED adj, not from e: the probe, starts
@@ -1447,13 +1459,17 @@ def random_walks(
     # same distinct edge set, so the node set is identical.
     nodes = (
         adj.select(F.col("_u").alias("node"))
-        .unionByName(adj.select(F.col("_v").alias("node")))
+        .unionByName(
+            adj.select(F.explode("_nbrs").alias("_nb")).select(
+                F.col("_nb._v").alias("node")
+            )
+        )
         .distinct()
     )
     hint = _state_hint(
         nodes, broadcast_state, rows_per_unit=walks_per_node, known_rows=n_nodes
     )
-    srcs = adj.select("_u").distinct()
+    srcs = adj.select("_u")
     starts = (
         nodes.join(
             hint(srcs.withColumnRenamed("_u", "_sv")),
@@ -1498,24 +1514,29 @@ def random_walks(
 
     def step_fn(state: DataFrame, i: int) -> DataFrame:
         live = state.filter(~F.col("_done"))
-        # inner join (build-left broadcastable) picks the coined
-        # neighbor; the picked row's _vdead flag retires walks the
-        # moment they ARRIVE at a sink — no anti join, no second pass
-        # over the adjacency (r15; walks already standing on sinks were
-        # flagged at start/arrival, so live rows always match exactly
-        # one adjacency row)
+        # inner join (build-left broadcastable) matches each live walk
+        # to its node's ONE grouped adjacency row; the coin indexes the
+        # sorted neighbor array directly (element_at — identical to the
+        # old row_number index), and the picked entry's _vdead flag
+        # retires walks the moment they ARRIVE at a sink — no anti
+        # join, no per-candidate filter over degree-many edge rows
+        # (r15; walks already standing on sinks were flagged at
+        # start/arrival, so live rows always match exactly one row)
+        sel = F.element_at(
+            "_nbrs", (F.pmod(F.col("_pick"), F.size("_nbrs")) + 1).cast("int")
+        )
         stepped = (
             hint(live.withColumn("_pick", coin(i)))
             .join(adj, F.col("_cur") == adj["_u"])
-            .filter(F.pmod(F.col("_pick"), F.col("_od")) == F.col("_idx"))
+            .withColumn("_sel", sel)
             .select(
                 "walk_id",
                 "start",
-                F.col("_v").alias("_cur"),
-                F.concat(F.col("path"), F.array(F.col("_v").cast("string"))).alias(
-                    "path"
-                ),
-                F.col("_vdead").alias("_done"),
+                F.col("_sel._v").alias("_cur"),
+                F.concat(
+                    F.col("path"), F.array(F.col("_sel._v").cast("string"))
+                ).alias("path"),
+                F.col("_sel._vdead").alias("_done"),
             )
         )
         return state.filter(F.col("_done")).unionByName(stepped)

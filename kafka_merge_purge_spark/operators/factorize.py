@@ -126,10 +126,16 @@ def _gram(state: DataFrame, kp: int):
                 {"idx": np.arange(kp * kp, dtype="int64"), "val": G.ravel()}
             )
 
+    # partials are summed ON THE DRIVER (r15): one kp²-row frame per
+    # Arrow batch, ≤ partitions·kp² tiny rows total — collecting them
+    # directly removes the (idx)-keyed Exchange + reduce stage the old
+    # groupBy paid per Gram (3-4 Grams per factorization; the float
+    # sum is cross-partition either way, ~1-ulp nondeterministic, which
+    # the rows-only ◇ gate already assumes)
     partial = state.select("vec").mapInPandas(parts, "idx long, val double")
     out = np.zeros(kp * kp)
-    for r in partial.groupBy("idx").agg(F.sum("val").alias("v")).collect():
-        out[r["idx"]] = r["v"]
+    for r in partial.collect():
+        out[r["idx"]] += r["val"]
     return out.reshape(kp, kp)
 
 
@@ -259,11 +265,28 @@ def ppmi_factorize(
         # re-orthogonalizes once per application of M·Mᵀ; the extra
         # inner orth of Z costs a full Gram+matmul pass and buys
         # nothing at 1-2 iterations — removed r14, quality pins
-        # unchanged)
-        z = _spmm(rows, _orth(y, kp), kp, transpose=True)
+        # unchanged).  The R⁻¹ is FOLDED past the transpose product
+        # (r15): Mᵀ(Y·R⁻¹) ≡ (MᵀY)·R⁻¹ (associativity), so instead of
+        # materializing the orthonormalized Y (one full Arrow matmul
+        # pass + localCheckpoint per round) the tiny kp×kp R⁻¹ rides
+        # into the Z projection lazily and the whole round fuses into
+        # ONE materialized job: Gram(Y) → chol on the driver →
+        # M·((MᵀY)·R⁻¹) → checkpoint.  Float association differs by
+        # ~1 ulp, inside the rows-only ◇ gate and the pytest
+        # reconstruction/recall floors.
+        g = _gram(y, kp)
+        tr = max(np.trace(g), 1e-30)
+        ell = np.linalg.cholesky(g + np.eye(kp) * (1e-10 * tr / kp))
+        r_inv = np.linalg.inv(ell.T)
+        z = _matmul(_spmm(rows, y, kp, transpose=True), r_inv)
         y = _spmm(rows, z, kp, transpose=False).localCheckpoint(eager=True)
     q = _orth(y, kp)
-    z = _spmm(rows, q, kp, transpose=True).localCheckpoint(eager=True)
+    z = _spmm(rows, q, kp, transpose=True)
+    if side != "center":
+        # z is read twice (Gram + the context-vector finish) — pin it;
+        # side="center" reads it once, so the Gram job streams the
+        # SpMM directly instead of paying a checkpoint pass (r15)
+        z = z.localCheckpoint(eager=True)
     c_small = _gram(z, kp)  # = QᵀM MᵀQ
     lam, u_t = np.linalg.eigh(c_small)
     order = np.argsort(lam)[::-1][:k]
