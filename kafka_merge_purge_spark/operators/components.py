@@ -1449,7 +1449,13 @@ def random_walks(
                 )
             ).alias("_nbrs")
         )
-        .cache()
+        # localCheckpoint, NOT cache: the one-time _vdead build join must
+        # not ride into every per-round step plan (a cached-but-lazy
+        # frame keeps its full lineage in the plan — the r15 plan pin
+        # caught the build-time SortMergeJoin inside the broadcast-regime
+        # round plan); the materialized leaf also means the per-round
+        # plans the optimizer re-plans stay O(1) in size
+        .localCheckpoint(eager=True)
     )
     # nodes derive from the CACHED adj, not from e: the probe, starts
     # and srcs frames all scan nodes, and deriving them from e re-ran
@@ -1543,7 +1549,6 @@ def random_walks(
 
     out = iterate(starts, step_fn, max_rounds=walk_length,
                   coalesce_to=_iter_coalesce(hint))
-    adj.unpersist()
     return out.select("walk_id", "start", "path")
 
 
