@@ -3218,9 +3218,24 @@ def multi_source_hops(
         )
 
     def relax(d: DataFrame, _i: int) -> DataFrame:
-        cand = (
-            e.join(hint(d.withColumnRenamed("node", "_src")), "_src")
-            .select(F.col("_dst").alias("node"), "lsrc", (F.col("dist") + 1).alias("dist"))
+        # FRONTIER-only offers (r15, guide §2.3 — shuffle fewer rows):
+        # hop-BFS first-reach distance is final, so only rows minted
+        # last round (dist == _i) can mint new ones; an older node's
+        # re-offer is byte-identical to the one it already made at
+        # round dist+1 and the min-merge would drop it, so filtering
+        # the join's state side to the frontier changes nothing.  The
+        # merge keeps the single union+min-aggregate shape (ONE
+        # exchange per round): a measured A/B of the "dedup candidates
+        # + anti-join against the state" alternative was 1.4× SLOWER
+        # at sf0.1 (6.5 → 9.2 s on x_harmonic — the per-round distinct
+        # exchange + state-wide anti build cost more than the agg it
+        # replaced) and is recorded in OPTIMIZATION_r15.md so it stays
+        # dead.
+        front = d.filter(F.col("dist") == _i).select(
+            F.col("node").alias("_src"), "lsrc", "dist"
+        )
+        cand = e.join(hint(front), "_src").select(
+            F.col("_dst").alias("node"), "lsrc", (F.col("dist") + 1).alias("dist")
         )
         return (
             d.unionByName(cand)

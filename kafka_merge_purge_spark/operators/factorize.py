@@ -75,19 +75,6 @@ def _rademacher(col, j_col, seed: int):
     return (F.pmod(h, F.lit(2)) * 2 - 1).cast("double")
 
 
-def _to_wide(long: DataFrame, id_col: str, kp: int) -> DataFrame:
-    """(id, j, v) → (id, vec array<double> of length kp), missing j = 0
-    (products against a dense right factor are dense in j, but the
-    map-lookup form is robust to exact-zero sums dropping nothing)."""
-    m = F.map_from_entries(F.collect_list(F.struct("j", "v")))
-    return long.groupBy(F.col(id_col).alias("id")).agg(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(kp - 1)),
-            lambda i: F.coalesce(m[i], F.lit(0.0)),
-        ).alias("vec")
-    )
-
-
 def _spmm(
     rows: DataFrame, state: DataFrame, kp: int, *, transpose: bool
 ) -> DataFrame:
@@ -95,20 +82,29 @@ def _spmm(
 
     ``transpose=False``: out(w) = Σ_c v(w,c)·state(c) — join on the
     context side; ``transpose=True``: out(c) = Σ_w v(w,c)·state(w).
-    Join + posexplode + (id, j) aggregate: shuffle = nnz·kp doubles."""
+
+    ONE equi join + ONE wide aggregate (r15): ``groupBy(id)`` with kp
+    per-dimension ``sum(vec[j]·v)`` columns reassembled into the array.
+    The r14 form posexploded the scaled vector into nnz·kp (id, j, v)
+    rows, aggregated them by (id, j), then re-widened with a SECOND
+    (id)-keyed collect_list exchange — guide §2.3/§2.4: same shuffled
+    bytes, but kp× the shuffled rows and twice the exchanges.  Map-side
+    partial aggregation bounds the one exchange at n·kp doubles per map
+    partition either way; the cross-partition float sum is order-free
+    only to ~1 ulp, which the rows-only ◇ gate already assumes."""
     join_key, out_key = ("_c", "_w") if not transpose else ("_w", "_c")
-    prod = (
+    return (
         rows.join(state.withColumnRenamed("id", join_key), join_key)
-        .select(
-            F.col(out_key).alias("oid"),
-            F.posexplode(F.transform("vec", lambda e: e * F.col("_v"))).alias(
-                "j", "v"
-            ),
+        .groupBy(F.col(out_key).alias("id"))
+        .agg(
+            F.array(
+                *[
+                    F.sum(F.col("vec")[j] * F.col("_v")).alias(f"_s{j}")
+                    for j in range(kp)
+                ]
+            ).alias("vec")
         )
-        .groupBy("oid", "j")
-        .agg(F.sum("v").alias("v"))
     )
-    return _to_wide(prod, "oid", kp)
 
 
 def _gram(state: DataFrame, kp: int):
