@@ -800,6 +800,15 @@ def pagerank(
     return ranks
 
 
+#: per-group edge-row cap under which pagerank_grouped's "auto" regime
+#: runs the single-exchange Arrow kernel (one group = one task's pandas
+#: frame): ~5M (src, dst) rows is ~100 MB a task — the same task-memory
+#: bound the collect_list LPA/Louvain neighborhoods and the grouped walk
+#: adjacency already carry.  Groups above the cap keep the join plan,
+#: whose rows spread over the (g, node) hash space.
+PRG_KERNEL_MAX_GROUP_EDGES = 5_000_000
+
+
 def pagerank_grouped(
     edges: DataFrame,
     group_col: str = "g",
@@ -808,6 +817,7 @@ def pagerank_grouped(
     iterations: int = 3,
     damping_num: int = 17,
     damping_den: int = 20,
+    impl: str = "auto",
 ) -> DataFrame:
     """:func:`pagerank` run independently inside every group of a
     (group, src, dst) edge list — ONE distributed job for millions of
@@ -825,32 +835,64 @@ def pagerank_grouped(
     personalized restarts are a whole-graph concern (use
     :func:`pagerank`).
 
-    Scale shape: state is one (g, node, rank) row per graph node
-    ACROSS groups — corpus-sized, so there is no broadcast regime;
-    edges hash-partition by (g, src) once and are cached, each round
-    is two co-keyed joins + one (g, dst) aggregate + one bounded
-    (g)-keyed dangling aggregate, all shuffling state rows only.
-    Group skew = one giant graph in a sea of small ones; its rows
-    spread over the (g, node) hash space, so no single task owns a
-    group.
+    Scale shape (r15, guide §4.2): ``impl="auto"`` (default) probes the
+    worst per-group edge count once and, under
+    :data:`PRG_KERNEL_MAX_GROUP_EDGES`, runs the ARROW KERNEL — ONE
+    (g)-keyed exchange total, then every group's full power loop
+    executes vectorized int64 numpy inside its task (np.unique index,
+    bincount outdeg, add.at inflow — every op an exact integer, so the
+    microrank spec replays bit-for-bit; the existing
+    grouped-vs-pagerank() equality pin proves it).  The r14 join plan —
+    per round two co-keyed joins + a (g, dst) aggregate + a (g)
+    dangling aggregate + a localCheckpoint, × iterations — survives as
+    the over-cap degrade regime (``impl="joins"``): a giant graph's
+    rows spread over the (g, node) hash space, so no single task owns
+    it.  ``impl="pandas"`` forces the kernel and skips the probe when
+    the caller knows its groups are bounded (the per-doc keyword-graph
+    posture).
 
     Output: (group_col, node, rank) — one row per (group, node)."""
     from kafka_merge_purge_spark.operators.iterate import iterate
 
-    e = (
-        edges.filter(
-            F.col(group_col).isNotNull()
-            & F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
+    if impl not in ("auto", "pandas", "joins"):
+        raise ValueError(
+            f"pagerank_grouped: impl must be 'auto', 'pandas' or 'joins', "
+            f"got {impl!r}"
         )
-        .select(
-            F.col(group_col).alias("_g"),
-            F.col(src).alias("_src"),
-            F.col(dst).alias("_dst"),
-        )
-        .repartition(F.col("_g"), F.col("_src"))
-        .cache()
+    base = edges.filter(
+        F.col(group_col).isNotNull()
+        & F.col(src).isNotNull()
+        & F.col(dst).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
     )
+    if impl == "pandas":
+        use_kernel = True
+    elif impl == "auto":
+        # probe the worst group ONCE on the cached frame (the kernel's
+        # groupBy re-reads the cache, so the probe's scan is the only
+        # extra pass; registry-drained per the r13 cache-leak rule)
+        from kafka_merge_purge_spark.operators.dedup import _register_persisted
+
+        base = base.cache()
+        _register_persisted([base])
+        worst = (
+            base.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_ne"))
+            .agg(F.max("_ne").alias("_w"))
+            .first()["_w"]
+        )
+        use_kernel = worst is not None and worst <= PRG_KERNEL_MAX_GROUP_EDGES
+    else:
+        use_kernel = False
+    if use_kernel:
+        return _pagerank_grouped_kernel(
+            base, group_col, iterations, damping_num, damping_den
+        )
+
+    e = base.repartition(F.col("_g"), F.col("_src")).cache()
     nodes = (
         e.select("_g", F.col("_src").alias("node"))
         .unionByName(e.select("_g", F.col("_dst").alias("node")))
@@ -917,6 +959,63 @@ def pagerank_grouped(
     nodes.unpersist()
     outdeg.unpersist()
     return ranks.select(F.col("_g").alias(group_col), "node", "rank")
+
+
+def _pagerank_grouped_kernel(
+    e: DataFrame,
+    group_col: str,
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+) -> DataFrame:
+    """Arrow-kernel regime of :func:`pagerank_grouped`: ONE groupBy(g)
+    exchange ships each group's (src, dst) rows to one task; the whole
+    fixed-iteration power loop runs vectorized inside it.  Every
+    operation is exact int64 (np.unique node index, bincount outdeg,
+    add.at inflow, truncating ``//`` on non-negatives ≡ SQL DIV), so
+    the emitted microranks are bit-identical to the join plan's —
+    pinned by the grouped-vs-pagerank() equality test."""
+    dtypes = dict(e.dtypes)
+    gtype = dtypes["_g"]
+    # node dtype = the union coercion the join plan's unionByName applies
+    ntype = dict(
+        e.select(F.col("_src").alias("n"))
+        .unionByName(e.select(F.col("_dst").alias("n")))
+        .dtypes
+    )["n"]
+    pr_scale, dn, dd = PR_SCALE, damping_num, damping_den
+
+    def _one_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        s = pdf["_src"].to_numpy()
+        d = pdf["_dst"].to_numpy()
+        nodes, idx = np.unique(np.concatenate([s, d]), return_inverse=True)
+        n = len(nodes)
+        us, vs = idx[: len(s)], idx[len(s):]
+        od = np.bincount(us, minlength=n).astype(np.int64)
+        base_rank = pr_scale // n
+        rank = np.full(n, base_rank, dtype=np.int64)
+        base_term = ((dd - dn) * base_rank) // dd
+        dangling = od == 0
+        for _ in range(iterations):
+            share = np.where(dangling, 0, rank // np.maximum(od, 1))
+            inflow = np.zeros(n, dtype=np.int64)
+            np.add.at(inflow, vs, share[us])
+            dang = int(rank[dangling].sum())
+            rank = base_term + (dn * (inflow + dang // n)) // dd
+        return pd.DataFrame(
+            {
+                group_col: np.repeat(pdf["_g"].iloc[0], n),
+                "node": nodes,
+                "rank": rank,
+            }
+        )
+
+    return e.groupBy("_g").applyInPandas(
+        _one_group, f"{group_col} {gtype}, node {ntype}, rank long"
+    )
 
 
 def label_propagation(
@@ -1234,7 +1333,20 @@ def sssp(
     )
 
     def relax(d: DataFrame, _i: int) -> DataFrame:
-        live = d.filter(F.col("dist").isNotNull()).withColumnRenamed("node", "_src")
+        # FRONTIER-only offers (r15, guide §2.3 — shuffle fewer rows):
+        # only nodes whose dist improved last round (_fr, carried in
+        # the state) can improve a neighbor this round — a non-improved
+        # node's offer is byte-identical to the one it made the round
+        # after it last improved, and the min-merge already applied it.
+        # By induction the merged state after every round is identical
+        # to the relax-everyone form (offers are monotone non-
+        # increasing), so fixed-round results and the until_stable
+        # _changed flags replay exactly; the merge keeps the r14
+        # left-join + least() shape (one aggregate exchange per round),
+        # only the edge join's state side shrinks from O(reached) to
+        # O(frontier) — and to zero join output once distances
+        # stabilize before the round cap.
+        live = d.filter(F.col("_fr")).withColumnRenamed("node", "_src")
         best = (
             e.join(hint(live), "_src")
             .groupBy(F.col("_dst").alias("node"))
@@ -1243,19 +1355,22 @@ def sssp(
         out = d.join(hint(best), "node", "left")
         # least() skips NULLs: an unreached node adopts its first offer
         new_dist = F.least(F.col("dist"), F.col("_nd"))
+        improved = F.col("_nd").isNotNull() & (
+            F.col("dist").isNull() | (F.col("_nd") < F.col("dist"))
+        )
+        cols = ["node", new_dist.alias("dist"), improved.alias("_fr")]
         if until_stable:
-            improved = F.col("_nd").isNotNull() & (
-                F.col("dist").isNull() | (F.col("_nd") < F.col("dist"))
-            )
-            return out.select(
-                "node", new_dist.alias("dist"), improved.alias("_changed")
-            )
-        return out.select("node", new_dist.alias("dist"))
+            cols.append(improved.alias("_changed"))
+        return out.select(*cols)
 
-    dists = iterate(dist0, relax, max_rounds=rounds,
-                    coalesce_to=_iter_coalesce(hint))
+    dists = iterate(
+        dist0.withColumn("_fr", F.col("dist").isNotNull()),
+        relax,
+        max_rounds=rounds,
+        coalesce_to=_iter_coalesce(hint),
+    )
     e.unpersist()
-    return dists
+    return dists.drop("_fr")
 
 
 def k_core(
@@ -2770,13 +2885,31 @@ def modularity(
         .join(lab.select(F.col("_n").alias("_ed"), F.col("_lab").alias("_c2")), "_ed")
         .select("_c1", "_c2")
     )
-    m1 = e.groupBy().agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_m"))
-    out_c = e.groupBy(F.col("_c1").alias("_lab")).agg(
-        F.count(F.lit(1)).alias("_dout"),
-        F.sum(F.when(F.col("_c2") == F.col("_c1"), 1).otherwise(0)).alias("_intra"),
+    # ONE pass over the labeled edge list (r15, guide §2.3 — the PPMI
+    # margin idiom): contract to (c1, c2) pair counts first, then
+    # derive every term from that aggregate — m = Σ n, dout_c = Σ_c2 n,
+    # din_c = Σ_c1 n, intra_c = n(c, c).  The r14 form re-evaluated the
+    # edges ⋈ labels ⋈ labels subtree THREE times (m, out-keyed,
+    # in-keyed); the pair table is bounded by the distinct community
+    # pairs actually present (≤ |edges|, typically ≪) and every margin
+    # is an exact integer re-sum, so the decomposition is unchanged.
+    # cache + registry (the r13 cache-leak rule), not an eager
+    # checkpoint: the operator stays lazy.
+    from kafka_merge_purge_spark.operators.dedup import _register_persisted
+
+    cc = e.groupBy("_c1", "_c2").agg(F.count(F.lit(1)).alias("_npair")).cache()
+    _register_persisted([cc])
+    m1 = cc.groupBy().agg(
+        F.coalesce(F.sum("_npair"), F.lit(0)).cast("decimal(38,0)").alias("_m")
     )
-    in_c = e.groupBy(F.col("_c2").alias("_lab")).agg(
-        F.count(F.lit(1)).alias("_din")
+    out_c = cc.groupBy(F.col("_c1").alias("_lab")).agg(
+        F.sum("_npair").alias("_dout"),
+        F.sum(
+            F.when(F.col("_c2") == F.col("_c1"), F.col("_npair")).otherwise(0)
+        ).alias("_intra"),
+    )
+    in_c = cc.groupBy(F.col("_c2").alias("_lab")).agg(
+        F.sum("_npair").alias("_din")
     )
     sizes = lab.groupBy("_lab").agg(F.count(F.lit(1)).alias("n_nodes"))
     d38 = "decimal(38,0)"

@@ -5330,6 +5330,42 @@ def test_pagerank_grouped_matches_per_group_pagerank(spark):
     assert len(got) == 6
 
 
+def test_pagerank_grouped_kernel_matches_join_regime(spark):
+    """r15: the Arrow-kernel regime (one groupBy exchange + in-task
+    int64 power loop) must emit bit-identical microranks to the join
+    regime on the same input — dangling nodes, multi-edges (row-
+    weighted contributions) and integer group keys included — and the
+    'auto' probe must pick the kernel for bounded groups."""
+    import kafka_merge_purge_spark.operators.components as C
+
+    edges = spark.createDataFrame(
+        # g=1: cycle + a dangling sink d; duplicated edge (a,b) must
+        # count twice.  g=2: star into a hub.
+        [
+            (1, "a", "b"),
+            (1, "a", "b"),
+            (1, "b", "c"),
+            (1, "c", "a"),
+            (1, "c", "d"),
+            (2, "x", "h"),
+            (2, "y", "h"),
+            (2, "z", "h"),
+        ],
+        "g long, src string, dst string",
+    )
+    kern = sorted(
+        map(tuple, C.pagerank_grouped(edges, impl="pandas").collect())
+    )
+    join = sorted(
+        map(tuple, C.pagerank_grouped(edges, impl="joins").collect())
+    )
+    auto = sorted(map(tuple, C.pagerank_grouped(edges).collect()))
+    assert kern == join == auto
+    assert len(kern) == 8  # 4 nodes in g=1, 4 in g=2
+    with pytest.raises(ValueError, match="impl"):
+        C.pagerank_grouped(edges, impl="nope")
+
+
 def test_textrank_per_doc_tags_each_doc(spark):
     """Each document's planted hub word must be its own pos-1 keyword;
     docs with too few tokens for any pair simply emit no rows; output
