@@ -38,6 +38,7 @@ HEADLINERS = {
     "x_char_entropy": "entropy kernel — ZERO exchanges (stateless Arrow pass; ln/round stay Spark expressions)",
     "x_countmin": "count-min — the sketch exchange is CONSTANT (≤ depth·width rows after partial agg); the probe join broadcasts the sketch",
     "x_containment": "prefix-filter containment — rarest-prefix probes into the element index, every join an equi hash join; the int64 cross-multiplied threshold decides membership",
+    "x_textrank_doc": "per-doc pagerank Arrow kernel (r15) — pagerank_grouped's bounded-group default regime: after the bounded worst-group probe, ONE Exchange(g) + FlatMapGroupsInPandas runs each doc's whole fixed-iteration int64 power loop vectorized in-task (bit-identical microranks, kernel-vs-joins pytest pin); top-k per doc stays a doc-partitioned WindowGroupLimit; the r14 join plan survives as impl='joins' for over-cap groups",
     "x_unigram_tokens": "unigram-LM token counts (r14) — broadcast vocab + ONE mapInPandas Arrow pass over the scan, zero joins/exchanges before the output; the Viterbi DP runs per word inside the kernel with a per-task cache",
     "x_triangles": "degree-oriented triangles — wedge self-join bounded by the (degree, node) orientation; the closing probe is a two-key equi hash join against the normalized edge set (never an OR over orientations)",
     "x_web_pipeline": "composed web curation — URL-dedup aggregate + zero-shuffle entropy kernel + ONE per-group quota window; no stage re-evaluates another's subtree",
@@ -56,14 +57,13 @@ HEADLINERS = {
 #: grabbed by an iterate() spy before materialization hides it (r11
 #: verdict item 6).  Exchange inventory in each annotation.
 ROUND_HEADLINERS = {
-    "x_sssp": "per-round Bellman-Ford relax — state (node, dist) broadcast-joins into the cached src-partitioned edge set (auto regime; x_sssp_shuffle pins the shuffle twin), ONE min-agg shuffle keyed by node; nothing else moves",
+    "x_sssp": "per-round Bellman-Ford relax — the FRONTIER (rows improved last round, the carried _fr flag; r15) broadcast-joins into the cached src-partitioned edge set (auto regime; x_sssp_shuffle pins the shuffle twin), ONE min-agg shuffle keyed by node; the left-join least() merge is unchanged and re-offers from settled nodes never reach the exchange",
     "x_kcore": "per-round DELTA peel (r15, Matula-Beck decrement form) — victims (deg<k) join the cached adjacency ONCE and their neighbors' degrees decrement (deg_new = deg_old - edges-to-victims; decrements toward dead nodes discard in the survivor left join); per-round shuffle O(victim edges), TOTAL O(|E|) across all rounds vs the r14 full re-screen's O(rounds*|E|); convergence flag = one 1-row victim count; state (node, deg), shrinking monotonically; results round-identical to the recompute form (hash unchanged)",
     "x_hits": "per-round double power step — the two edge-join score aggregates are the only real shuffles; L1 normalization sums ride 1-row broadcast cross-joins; in-round localCheckpoints stop the 2-4x re-evaluation of twice-referenced aggregates",
-    "x_walks": "per-step uniform walk — ONE inner equi join of the O(walks) state onto the indexed cached adjacency + a sink anti join; the md5 coin is expression-level (no RNG, no Python)",
+    "x_walks": "per-step uniform walk (r15 grouped form) — ONE inner equi join of the O(walks) state onto the materialized one-row-per-node sorted neighbor-array adjacency; the pick is a single element_at on the matched row, sinks retire AT ARRIVAL via the precomputed _vdead flag (the r14 per-round LeftAnti sink screen is gone); the md5 coin is expression-level (no RNG, no Python)",
     "x_node2vec": "per-step biased walk — the O(walks) state joins the cached per-node neighbor-ID array frame (cur + prev, int64); the md5 coin is EXPRESSION-LEVEL (rides the plan, r13) and the weighted pick runs CROSS-ROW vectorized in ONE Arrow kernel (flat segment numpy: concatenate/repeat/reduceat + one global searchsorted — no per-row Python loop); one id-to-node join materializes the pick — nothing per-candidate ever shuffles (the candidate-join form OOMed then ran 334 s at the 10x bench; the expression-fold twin survives as impl='expr', pinned equal)",
     "x_louvain": "per-round mutual-best merge (r14) — two label joins of the edge list rebuild the community graph, ONE (community,community) aggregate bounded by inter-community edges, a |communities|-row best/mutual self-join and a left remap join; state = (node,label) only; merges form a matching so Q climbs monotonically and the early stop is result-identical",
     "x_betweenness": "per-round BFS-with-sigma (r14) — the captured round is the forward front expansion: ONE equi join of the dist==i front onto the cached src-partitioned edges + one (node,lsrc) sum-aggregate + a left_anti freshness screen; the backward Brandes sweep mirrors it with a (dst,lsrc) join; state = reached (node,lsrc) pairs only",
-    "x_textrank_doc": "per-round doc-grouped pagerank (r14) — the captured round is pagerank_grouped's power step with the doc key on every aggregate: one (g,src)-partitioned edge join moving (g,node,share) rows, one (g,node) inflow aggregate, one g-keyed dangling aggregate; per-doc graphs never serialize to the driver",
     "q_scc_pregel": "SCC outer round, phase 1 (trim) — the captured round is the source/sink peel: two survivor semi-screens of the checkpointed live edge set + a semi-join intersection of src/dst endpoint sets, convergence = two 1-row count aggs; the forward color phase keeps its pointer-jump, the in-color-backward phase is ONE-HOP only (r13: the jump's leaf-with-own-projection broadcast join measured a 2.6x-per-round driver-side blowup as labels converge — 293 s -> 22 s at sf0.1 after removal, hashes unchanged), all O(nodes) state",
 }
 
