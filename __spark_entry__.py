@@ -7907,22 +7907,25 @@ def x_skipgram_negatives_tilted(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    seq = li.distinct().withColumn("_rn", F.row_number().over(w))
-    a, b = seq.alias("a"), seq.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("b._rn") == F.col("a._rn") + 1),
-    ).select(
-        F.concat(F.lit("o"), F.col("a.l_orderkey").cast("string")).alias(
+    # consecutive pairs via lead() over the SAME window as row_number()
+    # (one Window operator, zero join) — identical rows to the oracle's
+    # rn = rn + 1 self-join because (l_orderkey, l_partkey) is distinct,
+    # so the ordering is total and lead() IS the rn+1 row (r15 opt)
+    seq = (
+        li.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nxt", F.lead("l_partkey").over(w))
+    )
+    pairs = seq.filter(F.col("_nxt").isNotNull()).select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
             "walk_id"
         ),
-        (F.col("a._rn") - 1).cast("int").alias("pos"),
+        (F.col("_rn") - 1).cast("int").alias("pos"),
         F.lit(1).cast("int").alias("offset"),
-        F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
             "center"
         ),
-        F.concat(F.lit("p"), F.col("b.l_partkey").cast("string")).alias(
+        F.concat(F.lit("p"), F.col("_nxt").cast("string")).alias(
             "context"
         ),
     )
@@ -7991,19 +7994,21 @@ def x_ppmi(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    seq = li.distinct().withColumn("_rn", F.row_number().over(w))
-    a, b = seq.alias("a"), seq.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("b._rn") == F.col("a._rn") + 1),
-    ).select(
-        F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias(
-            "center"
-        ),
-        F.concat(F.lit("p"), F.col("b.l_partkey").cast("string")).alias(
-            "context"
-        ),
+    # lead() over the window instead of the rn = rn + 1 self-join — one
+    # Window operator, zero join; identical rows (distinct input ⇒ total
+    # order ⇒ lead() IS the rn+1 row), so the oracle hash is unchanged
+    pairs = (
+        li.distinct()
+        .withColumn("_nxt", F.lead("l_partkey").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "center"
+            ),
+            F.concat(F.lit("p"), F.col("_nxt").cast("string")).alias(
+                "context"
+            ),
+        )
     )
     return ppmi_from_pairs(pairs, shift=2)
 
@@ -8298,19 +8303,21 @@ def x_ppmi_topk(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    seq = li.distinct().withColumn("_rn", F.row_number().over(w))
-    a, b = seq.alias("a"), seq.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("b._rn") == F.col("a._rn") + 1),
-    ).select(
-        F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias(
-            "center"
-        ),
-        F.concat(F.lit("p"), F.col("b.l_partkey").cast("string")).alias(
-            "context"
-        ),
+    # lead() over the window instead of the rn = rn + 1 self-join — one
+    # Window operator, zero join; identical rows (distinct input ⇒ total
+    # order ⇒ lead() IS the rn+1 row), so the oracle hash is unchanged
+    pairs = (
+        li.distinct()
+        .withColumn("_nxt", F.lead("l_partkey").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "center"
+            ),
+            F.concat(F.lit("p"), F.col("_nxt").cast("string")).alias(
+                "context"
+            ),
+        )
     )
     ppmi = ppmi_from_pairs(pairs, shift=1).select("center", "context", "ppmi")
     return sparse_cosine_topk(
@@ -8342,19 +8349,21 @@ def x_ppmi_factorize(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    seq = li.distinct().withColumn("_rn", F.row_number().over(w))
-    a, b = seq.alias("a"), seq.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("b._rn") == F.col("a._rn") + 1),
-    ).select(
-        F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias(
-            "center"
-        ),
-        F.concat(F.lit("p"), F.col("b.l_partkey").cast("string")).alias(
-            "context"
-        ),
+    # lead() over the window instead of the rn = rn + 1 self-join — one
+    # Window operator, zero join; identical rows (distinct input ⇒ total
+    # order ⇒ lead() IS the rn+1 row), so the oracle hash is unchanged
+    pairs = (
+        li.distinct()
+        .withColumn("_nxt", F.lead("l_partkey").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "center"
+            ),
+            F.concat(F.lit("p"), F.col("_nxt").cast("string")).alias(
+                "context"
+            ),
+        )
     )
     ppmi = ppmi_from_pairs(pairs, shift=1).select("center", "context", "ppmi")
     return ppmi_factorize(ppmi, k=16, oversample=8, power_iters=1)

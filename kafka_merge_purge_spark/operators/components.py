@@ -1470,6 +1470,11 @@ def k_core(
             "node", "deg", (F.col("_nv") > 0).alias("_changed")
         )
 
+    # checkpoint_every=2 was A/B-measured in r15 and REJECTED: 6.96 ->
+    # 15.05 s at sf0.1 — the step references its state twice (victims +
+    # survivors), so each skipped materialization re-evaluates the
+    # previous round's whole plan in both branches, costing far more
+    # than the materialization it saves.  Keep per-round truncation.
     out = iterate(state0, peel, max_rounds=rounds,
                   coalesce_to=_iter_coalesce(hint))
     result = out.select("node", F.col("deg").alias("degree"))
@@ -2988,11 +2993,19 @@ def louvain(
     the agglomeration DEPTH (default 6 ⇒ up to 64× reduction per
     call; raise for deeper hierarchies).
 
-    Scale shape: per round two label joins of the edge list (state
-    rides :func:`_state_hint`), one (community, community) aggregate
-    bounded by the inter-community edge count, one community-keyed
-    argmax and a self-join of the |communities|-sized best frame —
-    nothing collects to the driver.
+    Scale shape (r15: COMMUNITY-GRAPH CONTRACTION — true Louvain
+    aggregation): the corpus edge list is touched exactly ONCE, at
+    build, contracting to the (community, community, weight) multigraph
+    ``ce``; each merge round decides best/mutual pairs FROM ``ce``,
+    remaps the matched labels into it and re-aggregates, so every
+    round's joins are bounded by the surviving community-pair count —
+    never the edge count.  The r14 form re-joined the full edge list
+    against the label state twice per round (O(rounds·|E|) total);
+    contraction makes the total work O(|E| + Σ_r |ce_r|).  Weights are
+    exact integer sums, so the contracted aggregates are byte-identical
+    to relabel-then-aggregate — every hash is unchanged.  The per-node
+    label frame (the output) still rides :func:`iterate` with one small
+    remap join per round; nothing collects to the driver.
 
     Output: (node, label) — label = min node id of the community.
     """
@@ -3003,46 +3016,34 @@ def louvain(
     w_expr = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )
-    e = (
+    # ONE pass over the corpus: contract to the community multigraph
+    # under the identity labeling (labels start as the node ids), then
+    # materialize — every later round reads this frame or its
+    # successively contracted descendants, never the raw edge list.
+    ce0 = (
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_expr.alias("_w")
+            F.col(src).alias("_cs"), F.col(dst).alias("_cd"), w_expr.alias("_w")
         )
-        .repartition(F.col("_src"))
+        .groupBy("_cs", "_cd")
+        .agg(F.sum("_w").alias("_w"))
         .localCheckpoint(eager=True)
     )
     nodes = (
-        e.select(F.col("_src").alias("node"))
-        .unionByName(e.select(F.col("_dst").alias("node")))
+        ce0.select(F.col("_cs").alias("node"))
+        .unionByName(ce0.select(F.col("_cd").alias("node")))
         .distinct()
     )
     hint = _state_hint(nodes, broadcast_state, known_rows=n_nodes)
     d38 = "decimal(38,0)"
     w_row = F.broadcast(
-        e.agg(F.coalesce(F.sum("_w"), F.lit(0)).cast(d38).alias("_W"))
+        ce0.agg(F.coalesce(F.sum("_w"), F.lit(0)).cast(d38).alias("_W"))
     )
     lab0 = nodes.select("node", F.col("node").alias("label"))
+    ce_box = {"ce": ce0}
 
     def merge_round(lab: DataFrame, _i: int) -> DataFrame:
-        cg = (
-            e.join(
-                hint(
-                    lab.select(
-                        F.col("node").alias("_src"), F.col("label").alias("_cs")
-                    )
-                ),
-                "_src",
-            )
-            .join(
-                hint(
-                    lab.select(
-                        F.col("node").alias("_dst"), F.col("label").alias("_cd")
-                    )
-                ),
-                "_dst",
-            )
-            .select("_cs", "_cd", "_w")
-        )
+        cg = ce_box["ce"]
         sig = cg.groupBy(F.col("_cs").alias("_c")).agg(F.sum("_w").alias("_s"))
         # e_CD over unordered pairs (both directions summed), then both
         # orientations restored so every community sees every partner
@@ -3093,8 +3094,46 @@ def louvain(
             best.select(F.col("_c").alias("_bp"), F.col("_bp").alias("_c2")),
             "_bp",
         ).filter(F.col("_c") == F.col("_c2"))
+        # remap is read three times (label update + both ce endpoints);
+        # materialize the |matching|-sized frame once so the decision
+        # chain above runs exactly once per round
         remap = mutual.select(
             F.col("_c").alias("_old"), F.least("_c", "_bp").alias("_new")
+        )
+        nw = _iter_coalesce(hint)
+        if nw is not None:
+            remap = remap.coalesce(nw)
+        remap = remap.localCheckpoint(eager=True)
+        # contract the community multigraph by this round's matching so
+        # the NEXT round's decision reads the contracted frame — the
+        # corpus edge list is never touched again
+        ce_box["ce"] = (
+            cg.join(
+                hint(
+                    remap.select(
+                        F.col("_old").alias("_cs"), F.col("_new").alias("_ns")
+                    )
+                ),
+                "_cs",
+                "left",
+            )
+            .join(
+                hint(
+                    remap.select(
+                        F.col("_old").alias("_cd"), F.col("_new").alias("_nd")
+                    )
+                ),
+                "_cd",
+                "left",
+            )
+            .select(
+                F.coalesce("_ns", "_cs").alias("_cs"),
+                F.coalesce("_nd", "_cd").alias("_cd"),
+                "_w",
+            )
+            .groupBy("_cs", "_cd")
+            .agg(F.sum("_w").alias("_w"))
+            .localCheckpoint(eager=True)
         )
         return lab.join(
             hint(remap.withColumnRenamed("_old", "label")), "label", "left"
@@ -3104,10 +3143,8 @@ def louvain(
             (F.coalesce("_new", "label") != F.col("label")).alias("_changed"),
         )
 
-    out = iterate(lab0, merge_round, max_rounds=rounds,
-                  coalesce_to=_iter_coalesce(hint))
-    e.unpersist()
-    return out
+    return iterate(lab0, merge_round, max_rounds=rounds,
+                   coalesce_to=_iter_coalesce(hint))
 
 
 def condensation(
