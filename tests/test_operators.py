@@ -5844,6 +5844,43 @@ def test_louvain_weighted_and_validation(spark):
         louvain(e, rounds=0)
 
 
+def test_louvain_parallel_edge_contraction(spark):
+    """r15 contraction pin: louvain now pre-aggregates the edge list to
+    the (community, community, weight) multigraph at build and keeps it
+    contracted across rounds — PARALLEL edge rows (same (src, dst)
+    repeated, with and without weights) must sum exactly like the
+    declared per-row semantics, i.e. match the driver-side
+    relabel-then-aggregate reference bit for bit."""
+    from kafka_merge_purge_spark.operators.components import louvain
+
+    # seeded pseudo-random multigraph: blocks of 5 over 20 nodes, each
+    # undirected pair replicated 1-3x with weight 1-4 (md5-derived)
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    tri = []
+    for i in range(20):
+        for j in range(i + 1, 20):
+            thresh = 0x70000000 if i // 5 == j // 5 else 0x0A000000
+            if h(f"lvm:{i}:{j}") < thresh:
+                reps = 1 + h(f"lvm:r:{i}:{j}") % 3
+                w = 1 + h(f"lvm:w:{i}:{j}") % 4
+                tri += [(i, j, w)] * reps
+    rows = tri + [(b, a, w) for a, b, w in tri]
+    e = spark.createDataFrame(rows, "src int, dst int, w int")
+    got = {r["node"]: r["label"] for r in louvain(e, weight_col="w").collect()}
+    want = _louvain_driver_reference(rows)
+    assert got == want
+    # unweighted parallel rows count once per ROW (the declared
+    # per-edge-row semantics the build aggregate must preserve)
+    e1 = e.select("src", "dst")
+    got1 = {r["node"]: r["label"] for r in louvain(e1).collect()}
+    want1 = _louvain_driver_reference([(s, d, 1) for s, d, _ in rows])
+    assert got1 == want1
+
+
 def test_unigram_encode_word_viterbi_and_unk():
     """Viterbi picks the max-score segmentation, ties go to fewer
     pieces then lexicographically; out-of-vocab chars fall back to
