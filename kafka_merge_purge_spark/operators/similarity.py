@@ -1244,15 +1244,27 @@ def sparse_cosine_topk(
             6,
         ).alias("cos"),
     )
+    # both orientations via ONE explode instead of a union of two
+    # branches (r15): the union re-evaluated the whole scored subtree
+    # (dots aggregate + both norm joins + the cos projection) once per
+    # branch — explode(array(...)) emits the identical two rows per
+    # pair from a single evaluation (guide §2.4)
     both = scored.select(
-        F.col("_ia").alias("query_id"), F.col("_ib").alias("neighbor_id"), "cos"
-    ).unionByName(
-        scored.select(
-            F.col("_ib").alias("query_id"),
-            F.col("_ia").alias("neighbor_id"),
-            "cos",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ia").alias("query_id"),
+                    F.col("_ib").alias("neighbor_id"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("_ib").alias("query_id"),
+                    F.col("_ia").alias("neighbor_id"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.query_id", "_p.neighbor_id", "_p.cos")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
