@@ -2795,9 +2795,11 @@ def triangle_counts(
         )
         .distinct()
     )
+    # endpoint rows via ONE explode, not a union whose branches would
+    # each re-evaluate the distinct-edge subtree (r15, the
+    # sparse_cosine_topk lesson; identical row multiset)
     deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("_d"))
     )
@@ -2822,10 +2824,11 @@ def triangle_counts(
         und.select(F.col("a").alias("w1"), F.col("b").alias("w2")),
         ["w1", "w2"],
     ).select("apex", "w1", "w2")
+    # one explode, not a 3-way union: the union's branches would each
+    # re-run the ENTIRE triangle enumeration (the wedge join — the
+    # expensive step) once per corner (r15; identical row multiset)
     credited = (
-        tri.select(F.col("apex").alias("node"))
-        .unionByName(tri.select(F.col("w1").alias("node")))
-        .unionByName(tri.select(F.col("w2").alias("node")))
+        tri.select(F.explode(F.array("apex", "w1", "w2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -3057,11 +3060,25 @@ def louvain(
             .groupBy("_a", "_b")
             .agg(F.sum("_w").alias("_e"))
         )
+        # both orientations via ONE explode, not a union — a union's two
+        # branches would each re-evaluate the und pair aggregate over
+        # the contracted frame (the sparse_cosine_topk r15 lesson)
         both = und.select(
-            F.col("_a").alias("_c"), F.col("_b").alias("_p"), "_e"
-        ).unionByName(
-            und.select(F.col("_b").alias("_c"), F.col("_a").alias("_p"), "_e")
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_a").alias("_c"),
+                        F.col("_b").alias("_p"),
+                        F.col("_e"),
+                    ),
+                    F.struct(
+                        F.col("_b").alias("_c"),
+                        F.col("_a").alias("_p"),
+                        F.col("_e"),
+                    ),
+                )
+            ).alias("_o")
+        ).select("_o._c", "_o._p", "_o._e")
         scored = (
             both.join(hint(sig), "_c")
             .join(
