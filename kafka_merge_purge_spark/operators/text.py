@@ -1739,9 +1739,18 @@ def textrank_keywords(
         .filter(F.col("_n") >= min_cooccur)
         .drop("_n")
     )
+    # symmetrize via ONE explode, not a union — the union's two branches
+    # would each re-run the pair-explosion co-occurrence aggregate above
+    # while pagerank populates its edge cache (r15, the
+    # sparse_cosine_topk union lesson; identical row multiset)
     edges = und.select(
-        F.col("w1").alias("src"), F.col("w2").alias("dst")
-    ).unionByName(und.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("w1").alias("src"), F.col("w2").alias("dst")),
+                F.struct(F.col("w2").alias("src"), F.col("w1").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     ranked = pagerank(edges, iterations=iterations)
     return (
         ranked.select(F.col("node").alias("word"), "rank")
@@ -1834,11 +1843,17 @@ def textrank_keywords_per_doc(
         .filter(F.col("_n") >= min_cooccur)
         .drop("_n")
     )
+    # symmetrize via ONE explode, not a union whose branches each re-run
+    # the per-doc pair aggregate (r15; identical row multiset)
     edges = und.select(
-        "_doc", F.col("w1").alias("src"), F.col("w2").alias("dst")
-    ).unionByName(
-        und.select("_doc", F.col("w2").alias("src"), F.col("w1").alias("dst"))
-    )
+        "_doc",
+        F.explode(
+            F.array(
+                F.struct(F.col("w1").alias("src"), F.col("w2").alias("dst")),
+                F.struct(F.col("w2").alias("src"), F.col("w1").alias("dst")),
+            )
+        ).alias("_e"),
+    ).select("_doc", "_e.src", "_e.dst")
     ranked = pagerank_grouped(
         edges, group_col="_doc", iterations=iterations
     )
