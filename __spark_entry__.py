@@ -6560,7 +6560,7 @@ def x_url_dedup(spark, sf_dir):
     return url_dedup(docs)
 
 
-_LLM_ORACLES["x_url_dedup"] = """
+_LLM_ORACLES["x_url_dedup"] = r"""
     WITH u AS (
         SELECT doc_id,
                'HTTPS://WWW.Site' || (doc_id % 5) || '.Example.COM' ||

@@ -36,7 +36,14 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from kafka_merge_purge_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # progress bars OFF for the bench session (r16, r15 verdict item 1):
+    # the \r-interleaved stage bars made the per-query stderr lines
+    # unparseable in the driver's captured tail, so its round-over-round
+    # comparator saw totals but an empty per_query map.  Rendering is
+    # driver-side cosmetics — the timed region is unchanged.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     qs = entry_mod.queries()
     # Tiering (the suite is 120+ queries and growing): --primaries runs
@@ -102,6 +109,18 @@ def main() -> None:
         disp[name] = round(max(per_run) / max(min(per_run), 1e-9), 3)
         total += timings[name]
         print(f"  {name}: {timings[name]:.2f}s (runs: {per_run})", file=sys.stderr)
+        # machine-readable per-query sidecar line on STDOUT (r16,
+        # additions-only): one short JSON object per query so the
+        # driver's comparator can diff queries, not just totals, even
+        # when its tail window cuts the stderr lines.  The one-line
+        # summary JSON below stays the LAST stdout line and unchanged
+        # in shape (embedding the full 245-query map there would
+        # overflow the driver's tail window — the r2 parsed-null
+        # failure).
+        print(
+            json.dumps({"query": name, "sec": timings[name], "runs": per_run}),
+            flush=True,
+        )
 
     # the suite grows round over round (75 → 83+ queries), so carry the
     # per-basis numbers alongside the headline total: n_queries normalizes

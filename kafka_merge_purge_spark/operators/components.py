@@ -1816,7 +1816,15 @@ def node2vec_walks(
         raise ValueError(
             f"state-exchange mode must be True, False or 'auto', got {broadcast_state!r}"
         )
-    hint = F.broadcast if broadcast_state else (lambda df: df)
+    # flagged wrapper, not a bare F.broadcast: _iter_coalesce reads
+    # .is_broadcast to engage the broadcast-regime state narrowing —
+    # a raw function silently reported the shuffle regime, so node2vec's
+    # per-round 3-branch union GREW the state partition count 3x per
+    # round (64 -> 192 -> 576 tasks by round 3 at sf0.1, measured r16)
+    def hint(df):
+        return F.broadcast(df) if broadcast_state else df
+
+    hint.is_broadcast = bool(broadcast_state)
     starts = nodes.select(
         F.explode(
             F.transform(
@@ -1911,8 +1919,21 @@ def node2vec_walks(
         )
         return state.filter(F.col("_done")).unionByName(stepped).unionByName(retired)
 
+    from kafka_merge_purge_spark.operators.iterate import ITER_STATE_PARTITIONS
+
+    # same width policy as the pandas engine (r16): per-row array folds
+    # scale with Σ deg(cur), so keep core-count parallelism in the
+    # broadcast regime instead of the 4-partition tiny-state constant
+    fold_width = (
+        max(
+            ITER_STATE_PARTITIONS,
+            e.sparkSession.sparkContext.defaultParallelism,
+        )
+        if broadcast_state
+        else None
+    )
     out = iterate(starts, step_fn, max_rounds=walk_length,
-                  coalesce_to=_iter_coalesce(hint))
+                  coalesce_to=fold_width)
     adj.unpersist()
     return out.select("walk_id", "start", "path")
 
@@ -2035,8 +2056,21 @@ def _node2vec_pandas(
 ):
     """The default node2vec engine: neighbor-ID arrays + Arrow kernel.
     See :func:`node2vec_walks` for the design rationale."""
+    # Materialize the distinct edge list ONCE (r16): the raw `e` sits on
+    # top of whatever upstream the caller built (x_node2vec: a
+    # lineitem⋈orders co-trade join, ~2 s/eval at sf0.1), and the
+    # un-materialized form re-evaluated it ~4× — the dense-index prefix
+    # probe, the idx build, the adjacency build, and the round-0 starts
+    # materialization each pulled the full subtree.  localCheckpoint,
+    # not cache(), for the same reason as random_walks' grouped
+    # adjacency (r15): the downstream build joins must see a leaf.
+    de = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        de.select(F.col("_u").alias("node"))
+        .unionByName(de.select(F.col("_v").alias("node")))
+        .distinct()
+    )
     idx = _dense_node_index(nodes).cache()
-    de = e.distinct()
     with_ids = (
         de.join(idx.select(F.col(idx.columns[0]).alias("_u"), F.col("_nid").alias("_uid")), "_u")
         .join(idx.select(F.col(idx.columns[0]).alias("_v"), F.col("_nid").alias("_vid")), "_v")
@@ -2067,32 +2101,45 @@ def _node2vec_pandas(
         raise ValueError(
             f"state-exchange mode must be True, False or 'auto', got {broadcast_state!r}"
         )
-    hint = F.broadcast if broadcast_state else (lambda df: df)
-    idx_for_starts = idx.select(
-        F.col(idx.columns[0]).alias("_inode"), F.col("_nid")
-    )
-    starts = (
-        nodes.join(idx_for_starts, nodes["node"] == F.col("_inode"))
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
-                    lambda r: F.concat(
-                        F.col("node").cast("string"), F.lit("#"), r.cast("string")
-                    ),
-                )
-            ).alias("walk_id"),
-            F.col("node").alias("start"),
-            F.lit(None).cast("long").alias("_prev_id"),
-            F.col("node").alias("_cur"),
-            F.col("_nid").alias("_cur_id"),
-            F.array(F.col("node").cast("string")).alias("path"),
-            F.lit(False).alias("_done"),
-        )
+    # flagged wrapper, not a bare F.broadcast: _iter_coalesce reads
+    # .is_broadcast to engage the broadcast-regime state narrowing —
+    # a raw function silently reported the shuffle regime, so node2vec's
+    # per-round 3-branch union GREW the state partition count 3x per
+    # round (64 -> 192 -> 576 tasks by round 3 at sf0.1, measured r16)
+    def hint(df):
+        return F.broadcast(df) if broadcast_state else df
+
+    hint.is_broadcast = bool(broadcast_state)
+    # starts straight off the cached index — idx has EXACTLY one row per
+    # node, so the former nodes⋈idx equi-join was an identity join that
+    # re-evaluated the caller's upstream for its nodes side (r16)
+    starts = idx.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1)),
+                lambda r: F.concat(
+                    F.col("node").cast("string"), F.lit("#"), r.cast("string")
+                ),
+            )
+        ).alias("walk_id"),
+        F.col("node").alias("start"),
+        F.lit(None).cast("long").alias("_prev_id"),
+        F.col("node").alias("_cur"),
+        F.col("_nid").alias("_cur_id"),
+        F.array(F.col("node").cast("string")).alias("path"),
+        F.lit(False).alias("_done"),
     )
     cur_side = adj.select(F.col("_uid").alias("_cuid"), F.col("_nbrs_ids"))
+    # prev side is MEMBERSHIP-ONLY (is candidate x a neighbor of prev?),
+    # so re-sorting it numerically is semantically free — `_nbrs_ids` is
+    # sorted by the neighbor's TYPED order, which matches id order only
+    # for string nodes (ids are string-order ranks).  Ascending ids are
+    # the precondition for the kernel's one-shot searchsorted membership
+    # (r16); the sort runs in the build-side projection BEFORE the
+    # broadcast/shuffle, once per adjacency row per step.
     prev_side = adj.select(
-        F.col("_uid").alias("_puid"), F.col("_nbrs_ids").alias("_pnbrs_ids")
+        F.col("_uid").alias("_puid"),
+        F.sort_array(F.col("_nbrs_ids")).alias("_pnbrs_ids"),
     )
     name_side = idx.select(
         F.col("_nid").alias("_nxt_id"), F.col(idx.columns[0]).alias("_nxt_node")
@@ -2149,27 +2196,61 @@ def _node2vec_pandas(
                             np.int64, na_value=-1
                         )[live]
                         pn_col = pdf["_pnbrs_ids"].to_numpy()
+                        pn_list = [
+                            np.asarray(pn_col[r], dtype=np.int64)
+                            if pn_col[r] is not None
+                            else empty
+                            for r in live
+                        ]
+                        plens = np.fromiter(
+                            (a.shape[0] for a in pn_list), np.int64, live.size
+                        )
                         w = np.full(flat.shape[0], w_far, dtype=np.int64)
-                        # per-row membership (x ∈ nbrs(prev)): np.isin PER
-                        # ROW, small second array each time.  The r13
-                        # cross-row form (one isin over row-compound keys)
-                        # measured 47 s vs 4.2 s for this loop on a
-                        # 62M-element 10×-shaped batch — np.isin at that
-                        # size sorts BOTH giant arrays, so "one call"
-                        # costs ~10× the many small calls it replaced
-                        # (x_node2vec 10× wall: 426 s → re-measured after
-                        # this revert).  Only the membership is per-row;
-                        # weights/cumsum/pick stay cross-row vectorized.
-                        for k, r in enumerate(live):
-                            s, e2 = starts_[k], ends[k]
-                            pn = pn_col[r]
-                            if pn is not None and len(pn):
-                                w[s:e2][
-                                    np.isin(
-                                        flat[s:e2],
-                                        np.asarray(pn, dtype=np.int64),
+                        # membership (x ∈ nbrs(prev)) in ONE vectorized
+                        # searchsorted (r16): _pnbrs_ids arrives id-SORTED
+                        # from the plan, so flattening the prev segments in
+                        # row order yields a globally sorted composite key
+                        # row·M + id with NO sort here — binary search is
+                        # O(C·log P).  This dodges the r13 cross-row
+                        # np.isin dead end (47 s vs 4.2 s on a 62M-element
+                        # 10×-shaped batch) precisely because that form
+                        # SORTED both giant arrays per call; searchsorted
+                        # sorts nothing.  The r15-measured per-row isin
+                        # loop (~µs of call overhead + a small sort per
+                        # row) survives only as the overflow fallback.
+                        rowrep = np.repeat(
+                            np.arange(live.size, dtype=np.int64), ll
+                        )
+                        if plens.sum():
+                            pflat = np.concatenate(pn_list)
+                            M = int(
+                                max(
+                                    flat.max() if flat.size else 0,
+                                    pflat.max(),
+                                )
+                            ) + 1
+                            if (int(live.size) - 1) * M + M <= 2**62:
+                                pkey = (
+                                    np.repeat(
+                                        np.arange(live.size, dtype=np.int64),
+                                        plens,
                                     )
+                                    * M
+                                    + pflat
+                                )
+                                ckey = rowrep * M + flat
+                                pos = np.searchsorted(pkey, ckey)
+                                pos_c = np.minimum(pos, pkey.size - 1)
+                                w[
+                                    (pos < pkey.size) & (pkey[pos_c] == ckey)
                                 ] = w_near
+                            else:  # composite key would overflow int64
+                                for k in range(live.size):
+                                    s, e2 = starts_[k], ends[k]
+                                    if plens[k]:
+                                        w[s:e2][
+                                            np.isin(flat[s:e2], pn_list[k])
+                                        ] = w_near
                         w[flat == np.repeat(prev, ll)] = w_return
                         # NULL prev → uniform (weights all 1), the paper's
                         # first-step rule; ids are >= 0 so -1 never matched
@@ -2222,8 +2303,25 @@ def _node2vec_pandas(
             .unionByName(retired)
         )
 
+    # broadcast-regime state width = core count, NOT the 4-partition
+    # ITER_STATE_PARTITIONS constant: this loop carries a Python kernel
+    # whose per-round compute is Σ_walks deg(cur) — narrowing the state
+    # to 4 tasks throttles the kernel to 4 cores (measured r16: the
+    # 4-wide form ran ~1.7× slower than 32-wide at sf0.1/local[32]).
+    # defaultParallelism keeps it scale-adaptive (the 8-cpu bench run
+    # gets 8); the shuffle regime keeps its natural width (None).
+    from kafka_merge_purge_spark.operators.iterate import ITER_STATE_PARTITIONS
+
+    kernel_width = (
+        max(
+            ITER_STATE_PARTITIONS,
+            e.sparkSession.sparkContext.defaultParallelism,
+        )
+        if broadcast_state
+        else None
+    )
     out = iterate(starts, step_fn, max_rounds=walk_length,
-                  coalesce_to=_iter_coalesce(hint))
+                  coalesce_to=kernel_width)
     adj.unpersist()
     idx.unpersist()
     return out.select("walk_id", "start", "path")
@@ -3047,6 +3145,7 @@ def louvain(
 
     def merge_round(lab: DataFrame, _i: int) -> DataFrame:
         cg = ce_box["ce"]
+        last_round = _i == rounds - 1
         sig = cg.groupBy(F.col("_cs").alias("_c")).agg(F.sum("_w").alias("_s"))
         # e_CD over unordered pairs (both directions summed), then both
         # orientations restored so every community sees every partner
@@ -3123,35 +3222,41 @@ def louvain(
         remap = remap.localCheckpoint(eager=True)
         # contract the community multigraph by this round's matching so
         # the NEXT round's decision reads the contracted frame — the
-        # corpus edge list is never touched again
-        ce_box["ce"] = (
-            cg.join(
-                hint(
-                    remap.select(
-                        F.col("_old").alias("_cs"), F.col("_new").alias("_ns")
-                    )
-                ),
-                "_cs",
-                "left",
+        # corpus edge list is never touched again.  SKIPPED (r16, advice)
+        # when no later round will read it: on the final round, and on a
+        # fixpoint round (empty matching ⇒ the contraction is the
+        # identity and iterate()'s probe stops the loop) — remap is
+        # already materialized, so the emptiness probe is a limit-1 scan,
+        # far cheaper than the full contraction job it replaces.
+        if not last_round and not remap.isEmpty():
+            ce_box["ce"] = (
+                cg.join(
+                    hint(
+                        remap.select(
+                            F.col("_old").alias("_cs"), F.col("_new").alias("_ns")
+                        )
+                    ),
+                    "_cs",
+                    "left",
+                )
+                .join(
+                    hint(
+                        remap.select(
+                            F.col("_old").alias("_cd"), F.col("_new").alias("_nd")
+                        )
+                    ),
+                    "_cd",
+                    "left",
+                )
+                .select(
+                    F.coalesce("_ns", "_cs").alias("_cs"),
+                    F.coalesce("_nd", "_cd").alias("_cd"),
+                    "_w",
+                )
+                .groupBy("_cs", "_cd")
+                .agg(F.sum("_w").alias("_w"))
+                .localCheckpoint(eager=True)
             )
-            .join(
-                hint(
-                    remap.select(
-                        F.col("_old").alias("_cd"), F.col("_new").alias("_nd")
-                    )
-                ),
-                "_cd",
-                "left",
-            )
-            .select(
-                F.coalesce("_ns", "_cs").alias("_cs"),
-                F.coalesce("_nd", "_cd").alias("_cd"),
-                "_w",
-            )
-            .groupBy("_cs", "_cd")
-            .agg(F.sum("_w").alias("_w"))
-            .localCheckpoint(eager=True)
-        )
         return lab.join(
             hint(remap.withColumnRenamed("_old", "label")), "label", "left"
         ).select(

@@ -95,6 +95,16 @@ def iterate(
     (strongly_connected_components' exhaustion guards) can skip it;
     ``False`` when the step has no ``changed_col`` (fixed unroll) or
     the flag was probe-positive through the last round.
+
+    **Call-once contract (r16, formalizing what louvain relies on):**
+    ``iterate`` calls ``step`` exactly once per round, in round order,
+    and never replays a round.  Steps are therefore ALLOWED to carry
+    round-indexed closure state (louvain's contracted community
+    multigraph advances inside its step) — which in turn means tooling
+    MUST NOT invoke ``step`` out-of-band: an extra ``step(state, 0)``
+    probe call silently advances such closure state one round ahead.
+    Plan-capture spies wrap ``step`` and record round 0's RETURN value
+    from inside the real loop instead (tools/capture_plans.py).
     """
     if max_rounds < 0:
         raise ValueError(f"iterate: max_rounds must be >= 0, got {max_rounds}")

@@ -35,8 +35,23 @@ def main() -> None:
         rounds: list = []
 
         def spy(state, step, max_rounds, **kw):
-            rounds.append(step(state, 0))
-            return real_iterate(state, step, max_rounds, **kw)
+            # record round 0's RETURN value from INSIDE the real loop —
+            # never call step() out-of-band: steps may carry
+            # round-indexed closure state (louvain's contracted ce), and
+            # an extra step(state, 0) probe would silently advance it
+            # one round ahead of the loop (iterate()'s call-once
+            # contract, r16).  The captured frame's plan stays readable
+            # after the loop finishes (plans are lazy).
+            slot = len(rounds)
+            rounds.append(None)
+
+            def wrapped(s, i):
+                out = step(s, i)
+                if i == 0 and rounds[slot] is None:
+                    rounds[slot] = out
+                return out
+
+            return real_iterate(state, wrapped, max_rounds, **kw)
 
         I.iterate = spy
         try:
@@ -45,6 +60,8 @@ def main() -> None:
             I.iterate = real_iterate
         parts = [f"== {name}: final plan ==", formatted_plan(df).strip()]
         for j, rdf in enumerate(rounds):
+            if rdf is None:  # max_rounds == 0 loop: no round ever ran
+                continue
             parts += [
                 f"\n== {name}: iterate() round-0 step plan (loop #{j}) ==",
                 formatted_plan(rdf).strip(),
