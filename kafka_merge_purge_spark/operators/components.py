@@ -440,8 +440,17 @@ def strongly_connected_components(
         )
 
         def fwd_round(st: DataFrame, _i: int) -> DataFrame:
+            # FRONTIER-only edge offers (r16, the sssp r15 idiom): only
+            # nodes whose lbl changed last round (_fr, carried in the
+            # state) can lower a predecessor's min this round — an
+            # unchanged node's offer is byte-identical to the one the
+            # min-merge already applied, so the merged state replays the
+            # offer-from-everyone form exactly.  Only the |E|-sized edge
+            # join shrinks; the pointer-jump parent side must stay full
+            # (a node can acquire a long-stable parent this round).
+            frn = st.filter(F.col("_fr"))
             succ = (
-                ee.join(hint(st), ee["v"] == st["node"])
+                ee.join(hint(frn), ee["v"] == frn["node"])
                 .groupBy(F.col("u").alias("_sn"))
                 .agg(F.min("lbl").alias("_sl"))
             )
@@ -451,17 +460,18 @@ def strongly_connected_components(
                 st["lbl"].alias("_orig"),
             )
             parent = l1.select(F.col("node").alias("_p"), F.col("lbl").alias("_plbl"))
+            final = F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"]))
             return l1.join(hint(parent), l1["lbl"] == parent["_p"], "left").select(
                 l1["node"],
-                F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"])).alias("lbl"),
-                (
-                    F.least(l1["lbl"], F.coalesce(F.col("_plbl"), l1["lbl"]))
-                    < F.col("_orig")
-                ).alias("_changed"),
+                final.alias("lbl"),
+                (final < F.col("_orig")).alias("_fr"),
+                (final < F.col("_orig")).alias("_changed"),
             )
 
         colors = iterate(
-            core.select("node", F.col("node").alias("lbl")),
+            core.select(
+                "node", F.col("node").alias("lbl"), F.lit(True).alias("_fr")
+            ),
             fwd_round,
             max_rounds=max_inner,
             coalesce_to=_iter_coalesce(hint),
@@ -501,8 +511,12 @@ def strongly_connected_components(
         # stranded undecided while its (decided) pivot is peeled from
         # live, and the remnant would mislabel next round (r13 advice).
         def incolor_back_round(st: DataFrame, _i: int) -> DataFrame:
+            # frontier-only offers, same induction as fwd_round (r16):
+            # g is a monotone min, so only rows whose g changed last
+            # round can lower a successor's g this round
+            frn = st.filter(F.col("_fr"))
             inn = (
-                ee.join(hint(st), ee["u"] == st["node"])
+                ee.join(hint(frn), ee["u"] == frn["node"])
                 .select(
                     F.col("v").alias("_tn"),
                     F.col("lbl").alias("_ulbl"),
@@ -511,6 +525,7 @@ def strongly_connected_components(
                 .groupBy("_tn", "_ulbl")
                 .agg(F.min("_ug").alias("_pg"))
             )
+            merged = F.least(st["g"], F.coalesce(F.col("_pg"), st["g"]))
             return st.join(
                 hint(inn),
                 (st["node"] == inn["_tn"]) & (st["lbl"] == inn["_ulbl"]),
@@ -518,17 +533,20 @@ def strongly_connected_components(
             ).select(
                 st["node"],
                 st["lbl"],
-                F.least(st["g"], F.coalesce(F.col("_pg"), st["g"])).alias("g"),
-                (
-                    F.least(st["g"], F.coalesce(F.col("_pg"), st["g"]))
-                    < st["g"]
-                ).alias("_changed"),
+                merged.alias("g"),
+                (merged < st["g"]).alias("_fr"),
+                (merged < st["g"]).alias("_changed"),
             )
 
         # no extra localCheckpoint: iterate() already materialized the
         # final round; the returned frame is a projection over it (r15)
         flags = iterate(
-            colors.select("node", "lbl", F.col("node").alias("g")),
+            colors.select(
+                "node",
+                "lbl",
+                F.col("node").alias("g"),
+                F.lit(True).alias("_fr"),
+            ),
             incolor_back_round,
             max_rounds=max_inner,
             coalesce_to=_iter_coalesce(hint),

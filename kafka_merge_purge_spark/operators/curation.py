@@ -97,11 +97,19 @@ def split_lines(text: Column, line_len: int = 8) -> Column:
     """Segment a single-spaced document into fixed-width token "lines"
     (the corpus carries no newlines; on real data swap for split('\\n')).
     Returns array<string> of space-joined ``line_len``-token slices."""
-    toks = tokens(text)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(line_len))
-    return F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, i, line_len), " ")
-    )
+    from kafka_merge_purge_spark.plans.introspect import let_once
+
+    def body(toks):
+        # let-bound (r16): the slice lambda re-evaluates captured
+        # subexpressions per line — unbound, each line re-ran split()
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(line_len)
+        )
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(toks, i, line_len), " ")
+        )
+
+    return let_once(tokens(text), body)
 
 
 def boilerplate_line_dedup(
@@ -258,11 +266,22 @@ def gopher_rules(
     # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (hit by llm_curation_pipeline's
     # survivor join, r9; pinned in test_gopher_keep_filter_survives_joins)
     n_stop_distinct = F.size(F.array_intersect(stop_arr, toks))
-    top_word_n = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda t: t == w)),
-        )
+    from kafka_merge_purge_spark.plans.introspect import let_once
+
+    # let-bound (r16): the outer lambda captures `toks`, so the unbound
+    # form re-ran the tokenizing split once per DISTINCT word of every
+    # row (HOF lambdas re-evaluate captured subexpressions per element);
+    # bound, the token array is computed once and both references are
+    # variable reads.  The pre-tokenized/adaptive paths already arrive
+    # as columns — binding those is a free variable copy.
+    top_word_n = let_once(
+        toks,
+        lambda t: F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda w: F.size(F.filter(t, lambda x: x == w)),
+            )
+        ),
     )
     top_word_frac = F.round(top_word_n / n, 6)
     r_count = (n >= 10) & (n <= 1000)
@@ -858,8 +877,16 @@ def _gram_buckets(
     preserved (DSIR scores count occurrences, not presence)."""
     from kafka_merge_purge_spark.operators.dedup import md5_int, normalize
     from kafka_merge_purge_spark.operators.text import tokens
+    from kafka_merge_purge_spark.plans.introspect import projection_barrier
 
-    t = tokens(normalize(F.col(text_col)))
+    # tokenize ONCE per row into a barriered column (r16, the textrank
+    # lesson): the bigram transform's lambda references the token array
+    # per ELEMENT, and Catalyst neither hoists loop-invariant
+    # subexpressions out of HOF lambdas nor keeps the projection from
+    # being inlined — the former inline form re-ran normalize+split
+    # ~2·len(toks) times per row
+    t_expr = tokens(normalize(F.col(text_col)))
+    t = F.col("_toks")
     bigrams = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -875,6 +902,7 @@ def _gram_buckets(
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     src = df.filter(F.col(text_col).isNotNull())
     src = src.repartition(n_part, *keep) if keep else src.repartition(n_part)
+    src = projection_barrier(src.select(*keep, t_expr.alias("_toks")))
     return (
         src.select(*keep, F.explode(F.concat(t, bigrams)).alias("_g"))
         .select(

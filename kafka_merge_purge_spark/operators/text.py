@@ -388,10 +388,19 @@ def repetition_score(
 
     toks = tokens(normalize(F.col(text_col)))
     if not vectorized:
-        n = F.size(toks)
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        from kafka_merge_purge_spark.plans.introspect import let_once
+
+        # let-bound (r16): the position lambda re-evaluates captured
+        # subexpressions per element — unbound, each gram re-tokenized
+        # the document (see dedup.shingles for the measured A/B)
+        grams = let_once(
+            toks,
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            ),
         )
         total = F.size(grams)
         uniq = F.size(F.array_distinct(grams))
@@ -1700,11 +1709,20 @@ def textrank_keywords(
         raise ValueError(
             f"textrank_keywords: min_cooccur must be >= 1, got {min_cooccur}"
         )
+    from kafka_merge_purge_spark.plans.introspect import projection_barrier
+
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    toks = F.filter(
+    toks_expr = F.filter(
         tokens(normalize(F.col(text_col))),
         lambda w: (F.length(w) >= 2) & ~F.array_contains(stop_arr, w),
     )
+    # tokenize ONCE per row into a barriered column (r16): HOF lambda
+    # bodies are re-evaluated per ELEMENT and Catalyst does not hoist
+    # loop-invariant subexpressions out of them, so the former inline
+    # `toks` re-ran normalize+split+stopword-filter for EVERY
+    # element_at access — ~2·window·positions tokenizations per row
+    # (A/B on the pair stage at sf0.1: 3.50 s → 0.74 s, identical rows)
+    toks = F.col("_toks")
     def _pairs_at(off: int):
         # a SINGLE-arg lambda: a two-parameter lambda would make
         # F.transform pass (element, index) and silently corrupt off
@@ -1729,8 +1747,11 @@ def textrank_keywords(
     # splits (the dsir_select lesson: 2 of 32 cores otherwise)
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     und = (
-        df.filter(F.col(text_col).isNotNull())
-        .repartition(n_part)
+        projection_barrier(
+            df.filter(F.col(text_col).isNotNull())
+            .repartition(n_part)
+            .select(toks_expr.alias("_toks"))
+        )
         .select(F.explode(F.flatten(F.array(*per_offset))).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .filter(F.col("w1") != F.col("w2"))
@@ -1803,11 +1824,17 @@ def textrank_keywords_per_doc(
         raise ValueError(
             f"textrank_keywords_per_doc: min_cooccur must be >= 1, got {min_cooccur}"
         )
+    from kafka_merge_purge_spark.plans.introspect import projection_barrier
+
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    toks = F.filter(
+    toks_expr = F.filter(
         tokens(normalize(F.col(text_col))),
         lambda w: (F.length(w) >= 2) & ~F.array_contains(stop_arr, w),
     )
+    # tokenize once per row into a barriered column — HOF lambdas
+    # re-evaluate loop-invariant subexpressions per element (r16, see
+    # textrank_keywords for the measured A/B)
+    toks = F.col("_toks")
 
     def _pairs_at(off: int):
         # single-arg lambda (two-parameter would corrupt off — see
@@ -1830,10 +1857,13 @@ def textrank_keywords_per_doc(
     ]
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     und = (
-        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
-        .repartition(n_part)
+        projection_barrier(
+            df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+            .repartition(n_part)
+            .select(F.col(id_col).alias("_doc"), toks_expr.alias("_toks"))
+        )
         .select(
-            F.col(id_col).alias("_doc"),
+            "_doc",
             F.explode(F.flatten(F.array(*per_offset))).alias("p"),
         )
         .select("_doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))

@@ -62,6 +62,26 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
 
 
+def let_once(value, body):
+    """Expression-level let-binding: evaluate ``value`` ONCE per row and
+    pass it to ``body`` as a bound lambda variable.
+
+    Catalyst evaluates a higher-order function's lambda body per element
+    and does NOT hoist loop-invariant subexpressions out of it — an
+    expensive captured expression (a tokenization, a regex chain) is
+    re-computed on every reference (measured r16: the shingle builder
+    re-tokenized per position, 4.0 s → 0.65 s at sf0.1 once bound).
+    ``projection_barrier`` fixes this for DataFrame stages; this is the
+    COLUMN-level equivalent for helpers that must stay expressions:
+    ``transform`` evaluates its input array exactly once, so references
+    to the lambda variable inside ``body`` are plain variable reads.
+
+    Pure codegen-friendly expression — no Generate node, no shuffle."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def projection_barrier(df: DataFrame) -> DataFrame:
     """Pin the current projection against CollapseProject inlining.
 
